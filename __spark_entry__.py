@@ -3,36 +3,57 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The actual catalog lives in
+``intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark/plans/``;
+this module only adapts it to the driver contract.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark import (  # noqa: E402
+    plans,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.rules import (  # noqa: E402
+    score_claims,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.catalog import (  # noqa: E402
+    ORDERS_RULES,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (  # noqa: E402
+    read_table,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's full
+    fraud-scoring pipeline (4 rules + verdict combination) over orders."""
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    scored = score_claims(orders, ORDERS_RULES)
+    return scored.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "RuleFraud",
+        "MLFraud",
+        "FraudType",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return plans.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle twins (omitted for non-SQL-expressible ops)."""
+    return plans.oracle_sql()

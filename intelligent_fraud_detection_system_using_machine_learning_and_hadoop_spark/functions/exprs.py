@@ -1,0 +1,98 @@
+"""Scalar/column expression library (SURVEY.md §2.2 P1–P9, §2.7 F1–F7).
+
+Everything here is a pure Catalyst column expression — JVM-side, inside
+whole-stage codegen, no Python in the hot path. The reference does the
+same work row-at-a-time in pandas (``scripts/run_pipeline.py:22-43,
+70-78``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def flag_when(cond: Column, label: str) -> Column:
+    """A single fraud-rule flag: ``label`` when ``cond`` else NULL.
+
+    NULL (not empty string) so that flag assembly can use
+    ``array_compact`` — and so the reference's NaN-vs-null trap
+    (``scripts/run_pipeline.py:41``, SURVEY.md P7: pandas ``NaN <= 7``
+    is False, Spark ``null <= 7`` is null) is resolved explicitly here:
+    a null condition yields a null flag, which drops out of the array.
+    """
+    return F.when(cond, F.lit(label))
+
+
+def assemble_flags(*flags: Column, default: str = "Normal", sep: str = ";") -> Column:
+    """Combine per-rule flags into the reference's ``RuleFraud`` string.
+
+    The reference appends ``'X;'`` per fired rule then replaces the empty
+    string with ``'Normal'`` (``scripts/run_pipeline.py:26,31,35,41,43``).
+    Idiomatic Spark: build an array, drop nulls, join with ';' and keep
+    the reference's trailing separator.
+    """
+    arr = F.array_compact(F.array(*flags))
+    joined = F.concat(F.array_join(arr, sep), F.lit(sep))
+    return F.when(F.size(arr) == 0, F.lit(default)).otherwise(joined)
+
+
+def combine_fraud(rule: Column, ml: Column, normal: str = "Normal") -> Column:
+    """Rule verdict wins; else ML verdict; else Normal.
+
+    Replaces the reference's row-wise ``df.apply(combine_fraud, axis=1)``
+    (``scripts/run_pipeline.py:70-78``) with a pure column expression —
+    no UDF, no Python per row.
+    """
+    return (
+        F.when(rule != normal, rule)
+        .when(ml != normal, ml)
+        .otherwise(F.lit(normal))
+    )
+
+
+def days_since(date_col: Column, anchor: Column | str) -> Column:
+    """Whole days from ``anchor`` to ``date_col`` (reference P4,
+    ``train.py:19`` / ``run_pipeline.py:47``: days since the batch min
+    date)."""
+    return F.datediff(date_col, anchor if isinstance(anchor, Column) else F.lit(anchor))
+
+
+def exact_percentile(df: DataFrame, col: str, q: float) -> float:
+    """Exact linear-interpolated percentile, matching pandas
+    ``Series.quantile`` semantics (reference A4,
+    ``scripts/run_pipeline.py:34``).
+
+    pandas interpolates between order statistics; so does this: with the
+    values sorted ascending as v[0..n-1] and h = (n-1)*q, the result is
+    ``v[floor(h)] + (v[ceil(h)] - v[floor(h)]) * (h - floor(h))``.
+
+    Computed distributed (global sort is a single skewless range
+    exchange; only the two boundary rows are collected). For 100 TB
+    inputs prefer :func:`approx_percentile` — exact percentile
+    fundamentally requires a global order statistic.
+    """
+    from pyspark.sql import Window
+
+    n = df.where(F.col(col).isNotNull()).count()
+    if n == 0:
+        return float("nan")
+    h = (n - 1) * q
+    lo, hi = int(h // 1), int(-((-h) // 1))
+    w = Window.orderBy(F.col("v").asc())
+    ranked = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("double").alias("v"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn").isin(lo + 1, hi + 1))
+        .collect()
+    )
+    vals = {r["rn"]: r["v"] for r in ranked}
+    v_lo, v_hi = vals[lo + 1], vals[hi + 1]
+    return v_lo + (v_hi - v_lo) * (h - lo)
+
+
+def approx_percentile(df: DataFrame, col: str, q: float, rel_err: float = 0.0001) -> float:
+    """Scale-path percentile via Greenwald-Khanna sketch (single pass,
+    mergeable across 1000 executors, no global sort)."""
+    return df.approxQuantile(col, [q], rel_err)[0]

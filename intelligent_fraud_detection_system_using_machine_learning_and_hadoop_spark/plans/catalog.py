@@ -1,0 +1,667 @@
+"""Query catalog: every implemented operator (SURVEY.md §2) bound to the
+driver testdata, with a DuckDB oracle twin where the op is
+SQL-expressible.
+
+Oracle-parity design rules (so the driver's order-insensitive
+value-hash matches bit-for-bit):
+
+* Money/measure aggregates run in **decimal** arithmetic (exact,
+  order-independent) and cast to double only at the end — double
+  summation order differs between engines, decimal doesn't.
+* Averages are ``CAST(decimal_sum AS DOUBLE) / count`` — one IEEE
+  division of identical operands is deterministic; decimal division
+  rounding modes are not.
+* Percentiles use one shared interpolation formula
+  (``v_lo + (v_hi - v_lo) * frac``) spelled out identically on both
+  sides instead of engine builtins.
+* Window orderings always carry a unique tiebreaker column.
+* Every computed column is aliased lowercase identically on both sides.
+* Counts are cast to BIGINT in DuckDB (its SUM(int) is HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exprs import exact_percentile
+from ..operators.rules import RuleConfig, with_rule_flags
+from ..sources.readers import read_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, bench: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, bench)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.builder for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.builder for name, spec in REGISTRY.items() if spec.bench}
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _dec(col, prec: int = 18, scale: int = 6):
+    """Exact decimal cast for order-independent summation."""
+    return col.cast(f"decimal({prec},{scale})")
+
+
+def _exact_double(sum_col, scale: int):
+    """Decimal sum → double, bit-identical across engines.
+
+    DuckDB's DECIMAL→DOUBLE cast goes int128→double→÷10^scale (two
+    roundings) while Spark's BigDecimal conversion is correctly rounded —
+    they can differ in the last ulp. Routing through an exact BIGINT of
+    the scaled value and one IEEE division is identical everywhere.
+    """
+    f = 10**scale
+    return (sum_col * F.lit(f)).cast("long").cast("double") / F.lit(float(f))
+
+
+def _sql_exact_double(sum_expr: str, scale: int) -> str:
+    f = 10**scale
+    return f"CAST(CAST(({sum_expr}) * {f} AS BIGINT) AS DOUBLE) / {float(f)}"
+
+
+def _pctile_cte(table: str, col: str, q: float) -> str:
+    """DuckDB scalar subquery: exact interpolated percentile via the same
+    IEEE formula as functions.exprs.exact_percentile."""
+    return f"""(
+        SELECT MAX(CASE WHEN rn = lo_rn THEN v END)
+               + (MAX(CASE WHEN rn = hi_rn THEN v END)
+                  - MAX(CASE WHEN rn = lo_rn THEN v END)) * ANY_VALUE(frac)
+        FROM (SELECT CAST({col} AS DOUBLE) AS v,
+                     row_number() OVER (ORDER BY {col}) AS rn
+              FROM {table} WHERE {col} IS NOT NULL) o
+        CROSS JOIN (SELECT CAST(floor(CAST(count({col})-1 AS DOUBLE)*CAST({q} AS DOUBLE)) AS BIGINT)+1 AS lo_rn,
+                           CAST(ceil(CAST(count({col})-1 AS DOUBLE)*CAST({q} AS DOUBLE)) AS BIGINT)+1 AS hi_rn,
+                           CAST(count({col})-1 AS DOUBLE)*CAST({q} AS DOUBLE)
+                             - floor(CAST(count({col})-1 AS DOUBLE)*CAST({q} AS DOUBLE)) AS frac
+                    FROM {table} WHERE {col} IS NOT NULL) p
+    )"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational core (SURVEY.md §2.2, §2.4, §2.6)
+# --------------------------------------------------------------------------
+
+_Q1_SUM_QTY = "SUM(CAST(l_quantity AS DECIMAL(12,2)))"
+_Q1_SUM_PRICE = "SUM(CAST(l_extendedprice AS DECIMAL(12,2)))"
+_Q1_SUM_DISC_PRICE = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2)))"
+)
+_Q1_SUM_CHARGE = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))"
+    " * CAST(1 + CAST(l_tax AS DECIMAL(3,2)) AS DECIMAL(4,2)))"
+)
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_exact_double(_Q1_SUM_QTY, 2)} AS sum_qty,
+           {_sql_exact_double(_Q1_SUM_PRICE, 2)} AS sum_base_price,
+           {_sql_exact_double(_Q1_SUM_DISC_PRICE, 4)} AS sum_disc_price,
+           {_sql_exact_double(_Q1_SUM_CHARGE, 6)} AS sum_charge,
+           {_sql_exact_double(_Q1_SUM_QTY, 2)} / COUNT(l_quantity) AS avg_qty,
+           {_sql_exact_double(_Q1_SUM_PRICE, 2)} / COUNT(l_extendedprice) AS avg_price,
+           {_sql_exact_double("SUM(CAST(l_discount AS DECIMAL(3,2)))", 2)} / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan→filter→hash-agg (ops P2, A-family, F6).
+
+    One shuffle on the 6-value grouping key; partial aggregation
+    (map-side combine) does nearly all the work before exchange — the
+    plan that survives 100 TB. Decimal sums for oracle parity (the data
+    is true 2-decimal, so the casts are lossless).
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    disc_factor = (F.lit(1) - _dec(F.col("l_discount"), 3, 2)).cast("decimal(4,2)")
+    tax_factor = (F.lit(1) + _dec(F.col("l_tax"), 3, 2)).cast("decimal(4,2)")
+    sum_qty = F.sum(_dec(F.col("l_quantity"), 12, 2))
+    sum_price = F.sum(_dec(F.col("l_extendedprice"), 12, 2))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _exact_double(sum_qty, 2).alias("sum_qty"),
+            _exact_double(sum_price, 2).alias("sum_base_price"),
+            _exact_double(
+                F.sum(_dec(F.col("l_extendedprice"), 12, 2) * disc_factor), 4
+            ).alias("sum_disc_price"),
+            _exact_double(
+                F.sum(_dec(F.col("l_extendedprice"), 12, 2) * disc_factor * tax_factor),
+                6,
+            ).alias("sum_charge"),
+            (_exact_double(sum_qty, 2) / F.count("l_quantity")).alias("avg_qty"),
+            (_exact_double(sum_price, 2) / F.count("l_extendedprice")).alias("avg_price"),
+            (
+                _exact_double(F.sum(_dec(F.col("l_discount"), 3, 2)), 2)
+                / F.count("l_discount")
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "count_distinct_having",
+    oracle="""
+    SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(DISTINCT o_orderpriority) > 1
+    """,
+)
+def count_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A1–A3 (``run_pipeline.py:24-25``): groupBy +
+    countDistinct + HAVING. Exact distinct = expand+two-phase agg in
+    Spark; at 100 TB swap to approx_count_distinct."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("n_priorities"))
+        .where(F.col("n_priorities") > 1)
+    )
+
+
+@query(
+    "value_counts",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A7 (``app.py:41-42``): value_counts for the UI pie."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "global_minmax_dates",
+    oracle="""
+    SELECT MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+           COUNT(*) AS n
+    FROM orders
+    """,
+)
+def global_minmax_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A5 (``train.py:19``): global scalar aggregates — cheap
+    tree reduction, no shuffle of the fact table."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "percentile_exact",
+    oracle=f"""
+    SELECT {_pctile_cte('lineitem', 'l_extendedprice', 0.5)} AS p50,
+           {_pctile_cte('lineitem', 'l_extendedprice', 0.9)} AS p90,
+           {_pctile_cte('lineitem', 'l_extendedprice', 0.99)} AS p99
+    """,
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A4 (``run_pipeline.py:34``): exact pandas-interpolation
+    percentile. Needs a global order statistic (range-partitioned sort);
+    the sketch variant is the 100 TB path."""
+    l = read_table(spark, sf_dir, "lineitem")
+    vals = [exact_percentile(l, "l_extendedprice", q) for q in (0.5, 0.9, 0.99)]
+    return spark.range(1).select(
+        F.lit(vals[0]).alias("p50"),
+        F.lit(vals[1]).alias("p90"),
+        F.lit(vals[2]).alias("p99"),
+    )
+
+
+@query(
+    "window_lag_days",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day',
+                CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey) AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+)
+def window_lag_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference W1/W2 (``run_pipeline.py:39-40``): per-key lag + day
+    delta. Explicit o_orderkey tiebreaker — pandas' stable sort is
+    deterministic on date ties, an unordered Spark window is not
+    (SURVEY.md §2.5)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+@query(
+    "window_distinct_flag",
+    oracle="""
+    SELECT o_orderkey,
+           COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) > 1 AS multi_priority
+    FROM orders
+    """,
+)
+def window_distinct_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference W3 rewrite of A1+J1: per-row distinct-count flag in one
+    window pass, no re-join (countDistinct is unsupported over Spark
+    windows → size(collect_set))."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_orderkey",
+        (F.size(F.collect_set("o_orderpriority").over(w)) > 1).alias("multi_priority"),
+    )
+
+
+@query(
+    "semi_join_offenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        GROUP BY o_custkey
+                        HAVING COUNT(DISTINCT o_orderpriority) > 1)
+    """,
+)
+def semi_join_offenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference J1 (``run_pipeline.py:25-26``): the isin-against-list
+    done right — broadcast left-semi join against the (small) offender
+    set; no driver collect, no second shuffle."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    offenders = (
+        o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("n"))
+        .where(F.col("n") > 1)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(F.broadcast(offenders), "c_custkey", "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "anti_join_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (set complement — no reference analogue, required
+    relational surface)."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference O1/O2: sort + limit. Spark plans TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver, never a full
+    global sort."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           {_sql_exact_double("SUM(CAST(o_totalprice AS DECIMAL(12,2)))", 2)} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    bench=True,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim join + agg (TPC-H Q5 shape). nation (25 rows) is
+    broadcast explicitly; customer⋈orders shuffles on the join key with
+    AQE free to pick broadcast when customer fits."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _exact_double(F.sum(_dec(F.col("o_totalprice"), 12, 2)), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_sql_exact_double(_Q1_SUM_DISC_PRICE, 4)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    bench=True,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-k.
+    Predicates push into all three parquet scans (check PushedFilters);
+    top-k is TakeOrderedAndProject, not a global sort."""
+    c = read_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    disc_factor = (F.lit(1) - _dec(F.col("l_discount"), 3, 2)).cast("decimal(4,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _exact_double(
+                F.sum(_dec(F.col("l_extendedprice"), 12, 2) * disc_factor), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "rollup_order_counts",
+    oracle="""
+    SELECT n_name, c_mktsegment, COUNT(*) AS n
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (grouping-sets surface; beyond
+    the reference's flat groupbys but core OLAP)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "set_intersect_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def set_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: customers active in both eras."""
+    o = read_table(spark, sf_dir, "orders")
+    early = o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).select("o_custkey")
+    late = o.where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")).select("o_custkey")
+    return early.intersect(late)
+
+
+@query(
+    "set_except_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    """,
+)
+def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: customers who churned after the early era."""
+    o = read_table(spark, sf_dir, "orders")
+    early = o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).select("o_custkey")
+    late = o.where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")).select("o_custkey")
+    return early.subtract(late)
+
+
+@query(
+    "date_format_str",
+    oracle="""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
+    FROM orders
+    """,
+)
+def date_format_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F1–F3 (``run_pipeline.py:85``): date→string formatting."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+# --------------------------------------------------------------------------
+# The reference's flagship rule pipeline, bound to testdata
+# --------------------------------------------------------------------------
+
+ORDERS_RULES = RuleConfig(
+    id_col="o_custkey",
+    name_col="o_orderpriority",
+    amount_col="o_totalprice",
+    date_col="o_orderdate",
+    tiebreak_cols=("o_orderkey",),
+    labels={
+        "dup_id": "MultiPriority",
+        "multi_id": "SharedPriority",
+        "high_amount": "HighAmount",
+        "frequent": "FrequentOrders",
+    },
+)
+
+
+@query(
+    "rule_flags_orders",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice, o_orderdate,
+             COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS n_prio,
+             COUNT(DISTINCT o_custkey) OVER (PARTITION BY o_orderpriority) AS n_cust,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_date
+      FROM orders),
+    flagged AS (
+      SELECT o_orderkey,
+             CAST(date_diff('day', CAST(prev_date AS DATE),
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_diff,
+             (CASE WHEN n_prio > 1 THEN 'MultiPriority;' ELSE '' END
+              || CASE WHEN n_cust > 1 THEN 'SharedPriority;' ELSE '' END
+              || CASE WHEN o_totalprice > {_pctile_cte('orders', 'o_totalprice', 0.99)}
+                      THEN 'HighAmount;' ELSE '' END
+              || CASE WHEN date_diff('day', CAST(prev_date AS DATE),
+                                     CAST(o_orderdate AS DATE)) <= 7
+                      THEN 'FrequentOrders;' ELSE '' END) AS flags
+      FROM base)
+    SELECT o_orderkey, days_diff,
+           CASE WHEN flags = '' THEN 'Normal' ELSE flags END AS rule_fraud
+    FROM flagged
+    """,
+    bench=True,
+)
+def rule_flags_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full rule engine (``run_pipeline.py:22-43``)
+    rebound to orders: multi-priority customers, shared priorities,
+    >p99 amounts, repeat orders ≤7 days. Exercises the production
+    ``operators.rules.with_rule_flags`` code path end-to-end."""
+    o = read_table(spark, sf_dir, "orders")
+    flagged = with_rule_flags(o, ORDERS_RULES)
+    return flagged.select(
+        "o_orderkey",
+        F.col("DaysDiff").cast("long").alias("days_diff"),
+        F.col("RuleFraud").alias("rule_fraud"),
+    )
+
+
+# --------------------------------------------------------------------------
+# events: JSON extraction, time bucketing, sessionization
+# --------------------------------------------------------------------------
+
+#: events.ts is parquet TIMESTAMP(NANOS); Spark reads it truncated to µs
+#: (sources.readers), so oracles align on the same truncation.
+_EVENTS_US = (
+    "events_us AS (SELECT * REPLACE (make_timestamp(epoch_us(ts)) AS ts) FROM events)"
+)
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access (F-family extension): JSON path
+    extraction stays JVM-side via get_json_object."""
+    e = read_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+@query(
+    "events_hourly",
+    oracle=f"""
+    WITH {_EVENTS_US}
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           COUNT(*) AS n,
+           {_sql_exact_double("SUM(CAST(value AS DECIMAL(12,2)))", 2)} AS sum_value
+    FROM events_us GROUP BY date_trunc('hour', ts), event_type
+    """,
+    bench=True,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation in batch form — the exact plan the
+    streaming path (streaming/) runs incrementally with a watermark."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _exact_double(F.sum(_dec(F.col("value"), 12, 2)), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH {_EVENTS_US},
+    lagged AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events_us),
+    numbered AS (
+      SELECT user_id, event_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR date_diff('second', prev_ts, ts) > 1800
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM lagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    bench=True,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap): lag →
+    boundary flag → running sum → per-session agg. One shuffle on
+    user_id serves both windows and the final groupBy."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    boundary = F.when(
+        F.lag("ts", 1).over(w).isNull() | (gap_sec > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("session_id", F.sum(boundary).over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("long")
+            .alias("duration_sec"),
+        )
+    )

@@ -1,0 +1,63 @@
+"""Sources: schema-declared CSV / Parquet scans (SURVEY.md §2.1 S1–S3).
+
+The reference reads CSVs eagerly with inferred dtypes
+(``scripts/run_pipeline.py:17``, ``train.py:11``, ``app.py:18``). Here
+scans are lazy, schema-declared, and pushdown-friendly: Catalyst prunes
+columns into ``ReadSchema`` and pushes predicates into the file scan,
+which is the difference between reading 100 TB and reading the 2 columns
+of it you asked for.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schema import CLAIMS_SCHEMA, TESTDATA_TABLES
+
+
+def read_claims_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = CLAIMS_SCHEMA,
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan of a claims table (reference S1/S2).
+
+    ``infer=True`` mirrors ``pd.read_csv``'s behavior as a convenience;
+    production paths keep the explicit schema (no extra inference pass
+    over the data).
+    """
+    reader = spark.read.option("header", True).option("dateFormat", "yyyy-MM-dd")
+    if infer:
+        reader = reader.option("inferSchema", True)
+    else:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver testdata table.
+
+    The events table carries parquet TIMESTAMP(NANOS) which Spark has no
+    native type for — read it as long nanos
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microsecond timestamps (floor, matching DuckDB's ``epoch_us``).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        ts_field = df.schema["ts"]
+        if isinstance(ts_field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All testdata tables as a dict of lazy DataFrames."""
+    return {name: read_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
