@@ -1,0 +1,272 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline extensions (BASELINE.json north star; the
+reference has no dedup). Scale notes per operator:
+
+* **exact**: hash-groupBy on a digest — one shuffle of (digest, id),
+  never of the payload.
+* **n-gram Jaccard**: exact pairwise similarity via shingle inverted
+  index (explode → self-join → count). Cost is Σ bucket², so it's the
+  *verification* stage; candidate generation at 100 TB is MinHash-LSH.
+* **MinHash+LSH**: per-doc signature (k xxhash64 mins — one map pass),
+  banded into buckets; only same-bucket pairs are joined, then
+  verified with exact Jaccard. The classic sub-quadratic near-dup join
+  (Broder '97; MMDS ch.3).
+* **SimHash**: 64-bit per-doc signature via bitwise majority of token
+  hashes; Hamming-distance candidates via band equality joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", normalize: bool = True
+) -> DataFrame:
+    """Exact dedup via content digest: one row per distinct content with
+    the kept (min) id and the duplicate count. Only (digest, id) rows
+    shuffle — the scalable exact-dedup shape."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.regexp_replace(F.lower(t), r"\s+", " ")
+    return (
+        df.select(F.md5(t).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, distinct word-n-gram array). Tokens are materialized as a
+    column first so the split happens once per row, not once per array
+    element (the naive nested expression is O(tokens²) re-parsing).
+
+    Deliberately NO ``size(_sh) > 0`` filter: Catalyst pushes such a
+    predicate below the projection and inlines the whole shingle
+    expression into the scan filter (recomputing it 3× per row). Docs
+    with no shingles contribute no exploded rows and join nothing, so
+    the filter is redundant anyway.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    sh = F.expr(
+        f"array_distinct(filter(transform(_toks,"
+        f" (x, i) -> IF(i <= size(_toks) - {n},"
+        f"             concat_ws(' ', slice(_toks, i + 1, {n})), NULL)),"
+        f" s -> s IS NOT NULL))"
+    )
+    return df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).select(
+        "_id", sh.alias("_sh")
+    )
+
+
+def _shingled_cached(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Persisted shingle sets for multi-consumer plans (self-join sides,
+    size lookups, signatures all reuse one computation). Spark's context
+    cleaner drops the cache once the DataFrame is unreachable; at
+    cluster scale this is the standard MEMORY_AND_DISK working set —
+    ~the corpus token footprint, spilling if it doesn't fit."""
+    from pyspark import StorageLevel
+
+    return _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
+    threshold) via shingle inverted index — no cross join; only docs
+    sharing ≥1 shingle ever meet."""
+    s = _shingled_cached(df, id_col, text_col, n)
+    sizes = s.select("_id", F.size("_sh").alias("_n"))
+    ex = s.select("_id", F.explode("_sh").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Per-doc MinHash signature: k independent min-hashes of the
+    shingle set, each ``xxhash64(shingle, seed)`` (JVM-side, one shuffle
+    of (id, shingle) rows; signature built by groupBy min)."""
+    return _signatures_from_shingled(
+        _shingled(df, id_col, text_col, n), num_hashes, out_id=id_col
+    )
+
+
+def _signatures_from_shingled(
+    s: DataFrame, num_hashes: int, out_id: str = "_id"
+) -> DataFrame:
+    ex = s.select("_id", F.explode("_sh").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy("_id").agg(*mins)
+    return sig.select(
+        F.col("_id").alias(out_id),
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard.
+
+    bands×rows = num_hashes; with 16 bands of 4 rows, a pair at
+    Jaccard j collides with prob 1-(1-j⁴)¹⁶ (≈0.99 at j=0.7). The
+    exact-Jaccard verify join gives precision 1 — output only contains
+    true ≥threshold pairs; LSH only bounds recall. At 100 TB only
+    same-bucket candidates shuffle, never all pairs.
+    """
+    rows_per_band = num_hashes // bands
+    s = _shingled_cached(df, id_col, text_col, n)
+    sig = _signatures_from_shingled(s, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # Exact-Jaccard verify on candidates ONLY (array_intersect per
+    # candidate pair) — never the full inverted-index self-join; that's
+    # the entire point of LSH at scale.
+    sh_a = s.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = s.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("n_common", inter)
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (
+                F.size("sh_a").cast("long")
+                + F.size("sh_b").cast("long")
+                - F.col("n_common")
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_expr(text_col: str = "text", bits: int = 64):
+    """64-bit SimHash as a column expression: bitwise majority over the
+    token xxhash64 stream, folded JVM-side (no explode, no shuffle)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    # For each bit, count tokens with the bit set minus tokens without;
+    # bit in result = 1 iff the sum is positive.
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(0, {bits - 1}),
+          0L,
+          (acc, bit) -> acc | IF(
+            aggregate({toks}, 0L,
+              (s, t) -> s + IF(((xxhash64(t) >> bit) & 1L) = 1L, 1L, -1L)) > 0L,
+            shiftleft(1L, bit), 0L)
+        )
+        """
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    chunks — any pair within Hamming distance 3 shares ≥1 exact chunk
+    (pigeonhole), so band-equality joins generate all candidates; then
+    filter by true Hamming distance."""
+    width = 64 // bands
+    sig = df.select(F.col(id_col).alias("_id"), simhash_expr(text_col).alias("simhash"))
+    chunks = sig.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, ["band", "chunk"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,151 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token statistics, quality scoring, language-ID heuristic, document
+fingerprinting.
+
+These extend the reference's surface (BASELINE.json north star); the
+reference itself has no text ops. Everything is pure Catalyst column
+expressions — no Python UDFs — so they run JVM-side inside whole-stage
+codegen and scale linearly with no shuffle at all (per-row maps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword regexes (lower-cased input). A real n-gram
+#: language model would be a broadcast lookup table; this keeps the
+#: operator self-contained and SQL-oracle-checkable.
+LANG_PATTERNS = {
+    "en": r"\b(the|and|of|to|in|is|you|that|it|for)\b",
+    "de": r"\b(der|die|und|das|ist|nicht|mit|ein|ich|zu)\b",
+    "fr": r"\b(le|la|les|et|des|est|une|que|pour|dans)\b",
+    "es": r"\b(el|los|las|que|y|en|un|es|por|con)\b",
+}
+#: CJK unified ideographs (BMP block) — written with literal chars so the
+#: same class compiles under Java regex (Spark) and RE2 (DuckDB).
+CJK_PATTERN = "[一-鿿]"
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    return F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document counting stats: chars, bytes, tokens, alpha/digit/
+    punct chars, mean token length."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tokens = F.size(toks).cast("long")
+    nonspace = F.regexp_replace(t, r"\s", "")
+    return (
+        df.withColumn("n_chars_calc", F.length(t).cast("long"))
+        .withColumn("n_bytes", F.octet_length(t).cast("long"))
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "n_alpha", F.length(F.regexp_replace(t, r"[^\p{L}]", "")).cast("long")
+        )
+        .withColumn(
+            "n_digit", F.length(F.regexp_replace(t, r"[^\p{N}]", "")).cast("long")
+        )
+        .withColumn(
+            "n_punct",
+            F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")).cast("long"),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.when(
+                n_tokens > 0,
+                F.length(nonspace).cast("double") / n_tokens,
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: token-length plausibility,
+    low punctuation, stopword presence (Gopher/C4-style length+symbol
+    filters, reduced to a deterministic scalar formula)."""
+    t = F.lower(F.col(text_col))
+    toks = tokens(t)
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length(t).cast("long")
+    n_punct = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")).cast("long")
+    mean_len = F.when(
+        n_tokens > 0,
+        F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_tokens,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.regexp_count(t, F.lit(LANG_PATTERNS["en"])).cast("long")
+    stop_ratio = F.when(
+        n_tokens > 0, stop_hits.cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    len_component = F.when((mean_len >= 3.0) & (mean_len <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    punct_component = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))
+    stop_component = F.least(stop_ratio * 10.0, F.lit(1.0))
+    return df.withColumn(
+        "quality_score",
+        len_component * 0.4 + punct_component * 0.3 + stop_component * 0.3,
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language-ID heuristic → ``lang_guess`` plus the
+    per-language evidence counts. Deterministic CASE precedence so the
+    result is oracle-checkable."""
+    t = F.lower(F.col(text_col))
+    out = df
+    counts = {}
+    for lang, pat in LANG_PATTERNS.items():
+        counts[lang] = F.regexp_count(t, F.lit(pat)).cast("long")
+        out = out.withColumn(f"{lang}_hits", counts[lang])
+    zh = F.regexp_count(t, F.lit(CJK_PATTERN)).cast("long")
+    out = out.withColumn("zh_hits", zh)
+    en, de, fr, es = counts["en"], counts["de"], counts["fr"], counts["es"]
+    return out.withColumn(
+        "lang_guess",
+        F.when(zh >= 3, "zh")
+        .when((de > en) & (de > fr) & (de > es), "de")
+        .when((fr > en) & (fr > es), "fr")
+        .when(es > en, "es")
+        .when(en > 0, "en")
+        .otherwise("und"),
+    )
+
+
+#: Polynomial-hash parameters. Token values come from the first 8 hex
+#: chars of md5 (engine-portable); the doc hash folds token values with
+#: base ``FP_BASE`` mod ``FP_MOD``. Intermediates stay < 1e14 so 64-bit
+#: arithmetic never overflows (DuckDB errors on BIGINT overflow).
+FP_BASE = 100_003
+FP_MOD = 1_000_000_007
+
+_TOKEN_HASH = (
+    "aggregate(filter(split(substring(md5({tok}), 1, 8), ''), c -> c != ''), 0L, "
+    "(a, c) -> a * 16 + (instr('0123456789abcdef', c) - 1))"
+)
+
+
+def fingerprint_expr(text_col: str = "text") -> Column:
+    """Order-sensitive rolling document fingerprint.
+
+    Tokenize → per-token 32-bit value (md5-hex fold, identical in any
+    engine) → polynomial fold over the token stream. Two docs with the
+    same token sequence collide; any reorder/edit changes the value —
+    the cheap "same content?" precheck for dedup at 100 TB (one map
+    pass, no shuffle).
+    """
+    tok_hash = _TOKEN_HASH.format(tok="t")
+    return F.expr(
+        f"aggregate(transform(filter(split(lower({text_col}), '\\\\s+'), x -> x != ''), "
+        f"t -> {tok_hash}), 0L, (a, h) -> (a * {FP_BASE} + h) % {FP_MOD})"
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_expr(text_col))

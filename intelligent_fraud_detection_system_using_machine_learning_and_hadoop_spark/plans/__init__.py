@@ -1,3 +1,4 @@
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
+from . import data_ops  # noqa: F401  (registers data-pipeline queries)
 
 __all__ = ["REGISTRY", "queries", "oracle_sql", "bench_queries"]

@@ -1,0 +1,297 @@
+"""Training-data-pipeline queries: text analysis, dedup, similarity
+search, multimodal plumbing — bound to the documents/embeddings
+testdata with DuckDB oracles wherever the op is SQL-expressible
+(hash-based ops — MinHash/SimHash/sign-LSH — have no portable SQL
+twin → rows-only per the driver contract; their correctness is pinned
+by pytest against the exact-Jaccard / brute-force baselines instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    dedup_exact,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from ..operators.multimodal import (
+    assets_from_documents,
+    decode_assets,
+    with_binary_meta,
+)
+from ..operators.similarity import cosine_topk, lsh_cosine_topk
+from ..operators.text import (
+    FP_BASE,
+    FP_MOD,
+    with_fingerprint,
+    with_lang_guess,
+    with_quality_score,
+    with_token_stats,
+)
+from ..sources.readers import read_table
+from .catalog import query
+
+# shared SQL fragments -----------------------------------------------------
+
+_SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+_SQL_NTOK = f"len({_SQL_TOKENS})"
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS BIGINT) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^\\p{N}]', '', 'g')) AS BIGINT) AS n_digit,
+           CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_punct,
+           CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0
+                THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                     / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                ELSE CAST(0 AS DOUBLE) END AS mean_token_len
+    FROM documents
+    """,
+    bench=True,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counting stats — pure JVM map pass, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return with_token_stats(d).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_bytes",
+        "n_tokens",
+        "n_alpha",
+        "n_digit",
+        "n_punct",
+        "mean_token_len",
+    )
+
+
+_SQL_QUALITY = f"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS lt FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lt, '\\s+'), x -> x <> '')) AS n_tokens,
+             CAST(length(lt) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(lt, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(length(regexp_replace(lt, '\\s', '', 'g')) AS BIGINT) AS nonspace_len,
+             CAST(len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is|you|that|it|for)\\b')) AS BIGINT) AS stop_hits
+      FROM t),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens > 0 THEN CAST(nonspace_len AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS mean_len,
+             CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE CAST(0 AS DOUBLE) END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN CAST(stop_hits AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS stop_ratio
+      FROM m)
+    SELECT doc_id,
+           (CASE WHEN mean_len >= CAST(3 AS DOUBLE) AND mean_len <= CAST(10 AS DOUBLE)
+                 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+           + (CAST(1 AS DOUBLE) - least(punct_ratio * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+           + least(stop_ratio * CAST(10 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.3 AS DOUBLE) AS quality_score
+    FROM r
+"""
+
+
+@query("doc_quality", oracle=_SQL_QUALITY)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (C4/Gopher-style filters as a scalar)."""
+    d = read_table(spark, sf_dir, "documents")
+    return with_quality_score(d).select("doc_id", "quality_score")
+
+
+@query(
+    "doc_lang_guess",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|you|that|it|for)\\b')) AS BIGINT) AS en_hits,
+             CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|mit|ein|ich|zu)\\b')) AS BIGINT) AS de_hits,
+             CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|est|une|que|pour|dans)\\b')) AS BIGINT) AS fr_hits,
+             CAST(len(regexp_extract_all(lower(text), '\\b(el|los|las|que|y|en|un|es|por|con)\\b')) AS BIGINT) AS es_hits,
+             CAST(len(regexp_extract_all(lower(text), '[一-鿿]')) AS BIGINT) AS zh_hits
+      FROM documents)
+    SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+           CASE WHEN zh_hits >= 3 THEN 'zh'
+                WHEN de_hits > en_hits AND de_hits > fr_hits AND de_hits > es_hits THEN 'de'
+                WHEN fr_hits > en_hits AND fr_hits > es_hits THEN 'fr'
+                WHEN es_hits > en_hits THEN 'es'
+                WHEN en_hits > 0 THEN 'en'
+                ELSE 'und' END AS lang_guess
+    FROM c
+    """,
+)
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID (deterministic CASE precedence)."""
+    d = read_table(spark, sf_dir, "documents")
+    return with_lang_guess(d).select(
+        "doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", "zh_hits", "lang_guess"
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 {_SQL_TOKENS},
+                 t -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(
+                            list_filter(string_split(substr(md5(t), 1, 8), ''), c -> c <> ''),
+                            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+                        (a, c) -> a * 16 + c))),
+             (a, h) -> (a * {FP_BASE} + h) % {FP_MOD}) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint (order-sensitive digest;
+    md5-hex token values keep the arithmetic engine-portable)."""
+    d = read_table(spark, sf_dir, "documents")
+    return with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_md5,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-content digest (only digests shuffle)."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_exact(d)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 2 <= len(w)
+                                                THEN array_to_string(w[i:i+2], ' ') END),
+               x -> x IS NOT NULL)) AS sh
+      FROM d WHERE len(w) >= 3),
+    s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s2),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s2),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT id_a, id_b,
+             CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+      FROM pr
+      JOIN sz na ON na.doc_id = id_a
+      JOIN sz nb ON nb.doc_id = id_b)
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM j WHERE jaccard >= 0.05
+    """,
+    bench=True,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via shingle inverted
+    index (the verification stage of near-dedup; candidate generation
+    at scale is minhash_near_dup below)."""
+    d = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.05)
+
+
+@query("minhash_near_dup", bench=True)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified (xxhash64
+    signatures have no portable SQL twin → rows-only; pytest pins
+    recall against ngram_jaccard_pairs)."""
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, threshold=0.5)
+
+
+@query("simhash_near_dup")
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 candidate pairs (rows-only: xxhash64-based)."""
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d)
+
+
+@query(
+    "embedding_topk_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    p AS (
+      SELECT q.query_id, e.vec_id,
+             round(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    r AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM p)
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+    bench=True,
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 5 vectors as queries —
+    the exact ANN baseline. Scores rounded to 6dp before ranking so
+    ordering is engine-reproducible."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(e, q, k=3)
+
+
+@query("embedding_lsh_topk")
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-3 (rows-only; pytest pins recall vs the exact
+    baseline)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(e, q, k=3)
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(strlen(text) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata path (JVM-side digest/length over the
+    payload bytes; documents' UTF-8 bytes stand in for blobs)."""
+    d = read_table(spark, sf_dir, "documents")
+    return with_binary_meta(assets_from_documents(d))
+
+
+@query("multimodal_decode")
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing with the deterministic
+    stub codec (rows-only; real codecs unavailable here)."""
+    d = read_table(spark, sf_dir, "documents")
+    return decode_assets(assets_from_documents(d))

@@ -1,0 +1,98 @@
+"""Property tests pinning the hash-based (rows-only) operators against
+their exact baselines, per the test strategy in SURVEY.md §5."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+    read_table,
+)
+
+
+def test_dedup_exact_counts_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "THE  quick   Brown fox"),  # same after normalization
+            (3, "something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in dedup_exact(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_recall_and_precision(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup_pairs(docs, threshold=0.7).collect()
+    }
+    # precision 1 by construction (exact-verify join); recall ~1 at j>=0.7
+    assert lsh <= {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert exact, "fixture should contain true near-dup pairs"
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+
+def test_simhash_flags_near_identical(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("kappa", "kappax", 1)),  # one token edited
+            (3, "completely different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    # 8 bands of 8 bits: pigeonhole guarantees candidate generation for
+    # any pair within hamming 7
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, max_hamming=10, bands=8).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_topk_recall_on_planted_near_dups(spark, sf_dir):
+    """Sign-LSH recalls *near-duplicate* vectors (cos≈0.99). The raw
+    testdata embeddings are random noise (best cosine ≈0.37 at ~72°),
+    where hyperplane LSH collides rarely by design — so recall is pinned
+    on planted perturbed copies, the actual near-dup retrieval case."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.limit(200).collect()
+    planted = [
+        (1000 + r["vec_id"], [v * 0.98 + 0.01 for v in r["embedding"]])
+        for r in corpus[:10]
+    ]
+    q = spark.createDataFrame(planted, "query_id long, embedding array<double>")
+    exact_top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in cosine_topk(emb, q, k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_cosine_topk(emb, q, k=1).collect()
+    }
+    # every planted query's true nearest (its source vector) is recalled
+    hits = sum(1 for qid, vid in exact_top1.items() if (qid, vid) in approx)
+    assert exact_top1[1000 + corpus[0]["vec_id"]] == corpus[0]["vec_id"]
+    assert hits / len(exact_top1) >= 0.8

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.text import (
+    with_fingerprint,
+    with_lang_guess,
+    with_token_stats,
+)
+
+
+def test_token_stats_tiny_fixture(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, world! 42"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in with_token_stats(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 3
+    assert r1["n_alpha"] == 10  # Helloworld
+    assert r1["n_digit"] == 2
+    assert r1["n_punct"] == 2  # comma and bang
+    assert rows[2]["n_tokens"] == 0
+    assert rows[2]["mean_token_len"] == 0.0
+
+
+def test_fingerprint_order_sensitive_and_stable(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "gamma beta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
+def test_lang_guess_stopword_evidence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of it all that is for you"),
+            (2, "der hund und die katze ist nicht mit ein ich zu"),
+            (3, "le chat et la les des est une que pour dans"),
+            (4, "你好 世界 你好 世界"),
+            (5, "qwerty zxcvb"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in with_lang_guess(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "zh", 5: "und"}
