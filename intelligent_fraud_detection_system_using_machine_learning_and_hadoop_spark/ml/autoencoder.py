@@ -1,0 +1,165 @@
+"""Autoencoder anomaly scorer (SURVEY.md §2.10 M4–M5, §2.8 U2/U3).
+
+Reference parity: 2-layer encoder/decoder (in→64→32→64→in, ReLU), Adam
+lr=1e-3, MSE, 50 epochs, batch 64, shuffled (``train.py:44-81``), with
+two deliberate fixes over the reference:
+
+* **One consistent module.** The reference trains a decoder with no
+  output activation but loads the weights into a class that appends
+  Sigmoid at inference (``train.py:53-57`` vs ``scripts/model_def.py:27``
+  — SURVEY.md M4 architecture mismatch). Here train and inference share
+  one forward: linear output, correct for standardized (negative-able)
+  features.
+* **Seeded end-to-end** (init + minibatch shuffling) so scores are
+  reproducible.
+
+Implementation is pure numpy (torch isn't available in this
+environment; the module is dependency-free and deterministic). Training
+runs on driver-collected features — correct at the reference's scale
+(30–10k rows; SURVEY.md §7 step 6) — while **scoring is distributed**:
+weights broadcast to executors, forward pass vectorized per Arrow batch
+via ``mapInPandas`` (the 10-100× path vs row-at-a-time UDFs). For
+cluster-scale *training*, swap in a data-parallel trainer behind the
+same weight container.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class NumpyAutoencoder:
+    """in→64→32→64→in MLP autoencoder with ReLU hidden activations and
+    a linear output (see module docstring)."""
+
+    def __init__(self, in_dim: int, hidden: int = 64, code: int = 32, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        sizes = [(in_dim, hidden), (hidden, code), (code, hidden), (hidden, in_dim)]
+        self.weights = [
+            rng.standard_normal((a, b)).astype(np.float64) * np.sqrt(2.0 / a)
+            for a, b in sizes
+        ]
+        self.biases = [np.zeros(b, dtype=np.float64) for _, b in sizes]
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        h = x
+        acts = []
+        for i, (w, b) in enumerate(zip(self.weights, self.biases)):
+            z = h @ w + b
+            h = np.maximum(z, 0.0) if i < len(self.weights) - 1 else z
+            acts.append(h)
+        return h
+
+    def forward_with_cache(self, x):
+        h = x
+        cache = [x]
+        for i, (w, b) in enumerate(zip(self.weights, self.biases)):
+            z = h @ w + b
+            h = np.maximum(z, 0.0) if i < len(self.weights) - 1 else z
+            cache.append(h)
+        return h, cache
+
+    def params(self) -> list[np.ndarray]:
+        return self.weights + self.biases
+
+    def state(self) -> dict:
+        return {
+            "weights": [w.tolist() for w in self.weights],
+            "biases": [b.tolist() for b in self.biases],
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "NumpyAutoencoder":
+        obj = cls.__new__(cls)
+        obj.weights = [np.asarray(w, dtype=np.float64) for w in state["weights"]]
+        obj.biases = [np.asarray(b, dtype=np.float64) for b in state["biases"]]
+        return obj
+
+
+def train_autoencoder(
+    x: np.ndarray,
+    hidden: int = 64,
+    code: int = 32,
+    epochs: int = 50,
+    batch_size: int = 64,
+    lr: float = 1e-3,
+    seed: int = 42,
+) -> NumpyAutoencoder:
+    """Adam + MSE minibatch training (reference ``train.py:64-81``
+    hyperparameters), manual backprop, fully seeded."""
+    model = NumpyAutoencoder(x.shape[1], hidden, code, seed)
+    rng = np.random.RandomState(seed + 1)
+    params = model.params()
+    m = [np.zeros_like(p) for p in params]
+    v = [np.zeros_like(p) for p in params]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    t = 0
+    n = x.shape[0]
+    for _ in range(epochs):
+        order = rng.permutation(n)
+        for start in range(0, n, batch_size):
+            xb = x[order[start : start + batch_size]]
+            out, cache = model.forward_with_cache(xb)
+            grad_out = 2.0 * (out - xb) / (xb.shape[0] * xb.shape[1])
+            grads_w, grads_b = [], []
+            g = grad_out
+            for i in range(len(model.weights) - 1, -1, -1):
+                a_prev = cache[i]
+                if i < len(model.weights) - 1:
+                    g = g * (cache[i + 1] > 0)
+                grads_w.append(a_prev.T @ g)
+                grads_b.append(g.sum(axis=0))
+                g = g @ model.weights[i].T
+            grads = grads_w[::-1] + grads_b[::-1]
+            t += 1
+            for p, gp, mi, vi in zip(params, grads, m, v):
+                mi *= b1
+                mi += (1 - b1) * gp
+                vi *= b2
+                vi += (1 - b2) * gp * gp
+                m_hat = mi / (1 - b1**t)
+                v_hat = vi / (1 - b2**t)
+                p -= lr * m_hat / (np.sqrt(v_hat) + eps)
+    return model
+
+
+def autoencoder_scores(
+    features_df: DataFrame,
+    model: NumpyAutoencoder,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distributed scoring (reference U2): broadcast the weight state,
+    run the vectorized forward per Arrow batch, emit per-row MSE
+    reconstruction error. Only id + features cross into Python."""
+    spark = features_df.sparkSession
+    id_cols = id_cols or ["_row_id"]
+    if id_cols == ["_row_id"] and "_row_id" not in features_df.columns:
+        features_df = features_df.withColumn(
+            "_row_id", F.monotonically_increasing_id()
+        )
+    bc = spark.sparkContext.broadcast(model.state())
+    schema = T.StructType(
+        [features_df.schema[c] for c in id_cols]
+        + [T.StructField("ReconstructionError", T.DoubleType(), False)]
+    )
+    arr_df = features_df.select(
+        *id_cols, vector_to_array(F.col("features")).alias("_farr")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = NumpyAutoencoder.from_state(bc.value)
+        for pdf in batches:
+            x = np.stack(pdf["_farr"].to_numpy())
+            err = np.mean((x - local.forward(x)) ** 2, axis=1)
+            out = pdf[id_cols].copy()
+            out["ReconstructionError"] = err
+            yield out
+
+    return arr_df.mapInPandas(score, schema=schema)

@@ -1,0 +1,95 @@
+"""End-to-end train / score entry points — the engine-level equivalents
+of the reference's three entry points (SURVEY.md §3):
+
+* :func:`train` ↔ ``train.py`` (EP2): fit preprocessor + autoencoder,
+  persist both under one model dir.
+* :func:`score` ↔ ``scripts/run_pipeline.py`` (EP1/EP3): rules + ML
+  scoring + combined verdict, one lazy plan per stage, writable with
+  ``sources.writers``.
+
+Unlike the reference there is no subprocess boundary and no CSV
+exchange between stages — the "plan" is a DataFrame, Catalyst schedules
+it, and the only materialization barriers are the three scalar
+aggregates (min date, q99, error mean/std — SURVEY.md §3 EP1 note).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ml.autoencoder import NumpyAutoencoder, autoencoder_scores, train_autoencoder
+from .ml.preprocess import fit_preprocessor, load_preprocessor, with_date_numeric
+from .ml.scoring import batch_threshold, fit_pca, pca_reconstruction_scores
+from .operators.rules import RuleConfig, with_rule_flags
+from .functions.exprs import combine_fraud
+
+
+def train(claims: DataFrame, model_dir: str, seed: int = 42) -> None:
+    """EP2: fit preprocessing + autoencoder on a claims DataFrame and
+    persist to ``model_dir`` (PipelineModel dir + weight JSON)."""
+    pre, feats = fit_preprocessor(claims)
+    pre.write().overwrite().save(os.path.join(model_dir, "preprocessor"))
+    x = np.stack(
+        [
+            np.asarray(r["farr"], dtype=np.float64)
+            for r in feats.select(vector_to_array(F.col("features")).alias("farr"))
+            .collect()
+        ]
+    )
+    model = train_autoencoder(x, seed=seed)
+    with open(os.path.join(model_dir, "autoencoder.json"), "w") as f:
+        json.dump(model.state(), f)
+
+
+def score(
+    claims: DataFrame,
+    model_dir: str | None = None,
+    cfg: RuleConfig = RuleConfig(),
+    scorer: str = "auto",
+) -> DataFrame:
+    """EP1/EP3: the full reference pipeline on one DataFrame.
+
+    ``scorer``: 'autoencoder' (requires model_dir), 'pca' (self-fit,
+    Spark-native), or 'auto' (autoencoder if a model dir is given).
+    Thresholding is batch-relative (reference M6 semantics).
+    """
+    flagged = with_rule_flags(claims, cfg)
+
+    if scorer == "auto":
+        scorer = "autoencoder" if model_dir else "pca"
+
+    row_key = "_row_id"
+    # persist after assigning row ids: the id column is evaluated by two
+    # consumers (feature branch + join-back) and must not be recomputed
+    # under a different partition layout
+    flagged = flagged.withColumn(row_key, F.monotonically_increasing_id()).persist()
+
+    if scorer == "autoencoder":
+        pre = load_preprocessor(os.path.join(model_dir, "preprocessor"))
+        with open(os.path.join(model_dir, "autoencoder.json")) as f:
+            model = NumpyAutoencoder.from_state(json.load(f))
+        feats = pre.transform(with_date_numeric(flagged))
+        errs = autoencoder_scores(feats, model, id_cols=[row_key])
+    else:
+        _, feats = fit_preprocessor(flagged)
+        errs = pca_reconstruction_scores(feats).select(
+            row_key, "ReconstructionError"
+        )
+
+    scored = flagged.join(errs, row_key).drop(row_key)
+    threshold = batch_threshold(scored)
+    scored = scored.withColumn(
+        "MLFraud",
+        F.when(F.col("ReconstructionError") > F.lit(threshold), "Suspicious").otherwise(
+            "Normal"
+        ),
+    )
+    return scored.withColumn(
+        "FraudType", combine_fraud(F.col("RuleFraud"), F.col("MLFraud"))
+    )

@@ -1,0 +1,124 @@
+"""ML + streaming query bindings (SURVEY.md §2.10 M1–M7, §2.9).
+
+Model-dependent outputs (learned features, reconstruction errors) are
+not SQL-expressible → rows-only checks per the driver contract; their
+semantics are pinned by tests/test_ml_streaming.py instead. The
+streaming windowed aggregation IS oracle-checked: with an availableNow
+trigger over static input it must equal the batch plan, so it shares
+events_hourly's DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.evaluate import evaluate_binary
+from ..ml.preprocess import fit_preprocessor
+from ..ml.scoring import batch_threshold, pca_reconstruction_scores
+from ..functions.exprs import exact_percentile
+from ..sources.readers import read_table
+from ..streaming.jobs import stream_events_hourly
+from .catalog import REGISTRY, query
+
+ORDERS_FEATURES = {
+    "numeric_cols": ["o_totalprice", "DateNumeric"],
+    "categorical_cols": ["o_orderstatus"],
+}
+
+
+def _orders_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "DateNumeric",
+        F.datediff(
+            F.col("o_orderdate"),
+            F.lit("1995-01-01").cast("timestamp"),
+        ),
+    )
+    _, feats = fit_preprocessor(o, **ORDERS_FEATURES)
+    return feats
+
+
+@query("ml_preprocess_features")
+def ml_preprocess_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1–M3: StringIndexer→OneHot→Assemble→Standardize over orders
+    (rows-only: learned scaling isn't SQL)."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = _orders_features(spark, sf_dir)
+    return feats.select(
+        "o_orderkey", vector_to_array(F.col("features")).alias("features")
+    )
+
+
+@query("anomaly_pca", bench=True)
+def anomaly_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5/M6 Spark-native: PCA-subspace reconstruction error with the
+    reference's batch-relative mean+2σ verdict (rows-only)."""
+    feats = _orders_features(spark, sf_dir)
+    scored = pca_reconstruction_scores(feats, k=4)
+    t = batch_threshold(scored)
+    return scored.select(
+        "o_orderkey",
+        "ReconstructionError",
+        F.when(F.col("ReconstructionError") > F.lit(t), "Suspicious")
+        .otherwise("Normal")
+        .alias("ml_fraud"),
+    )
+
+
+@query("anomaly_autoencoder")
+def anomaly_autoencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/M5 reference-parity: seeded autoencoder (64→32→64, Adam, MSE)
+    trained on driver-collected features, scored distributed via
+    Arrow-batched mapInPandas with broadcast weights (rows-only)."""
+    import numpy as np
+    from pyspark.ml.functions import vector_to_array
+
+    from ..ml.autoencoder import autoencoder_scores, train_autoencoder
+
+    feats = _orders_features(spark, sf_dir).select("o_orderkey", "features")
+    x = np.stack(
+        [
+            np.asarray(r["farr"], dtype=np.float64)
+            for r in feats.select(
+                vector_to_array(F.col("features")).alias("farr")
+            ).collect()
+        ]
+    )
+    model = train_autoencoder(x, epochs=10, seed=42)
+    return autoencoder_scores(feats, model, id_cols=["o_orderkey"])
+
+
+@query("ml_evaluation")
+def ml_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§7 step 7: precision/recall/F1 of the PCA detector against a
+    deterministic proxy label (amount > exact p99) — the evaluation
+    pass the reference never ran on its own labels (rows-only: depends
+    on the fitted model)."""
+    o = read_table(spark, sf_dir, "orders")
+    p99 = exact_percentile(o, "o_totalprice", 0.99)
+    scored = anomaly_pca(spark, sf_dir)
+    labeled = (
+        o.select("o_orderkey", "o_totalprice")
+        .join(scored, "o_orderkey")
+        .withColumn("label", (F.col("o_totalprice") > F.lit(p99)).cast("int"))
+    )
+    return evaluate_binary(labeled, "label", F.col("ml_fraud") == "Suspicious")
+
+
+@query("streaming_events_hourly", oracle=None)
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: the events_hourly aggregation as an incremental Structured
+    Streaming job (watermark + tumbling window, availableNow trigger).
+    Shares the batch query's DuckDB oracle — the stream over static
+    input must produce the batch answer exactly."""
+    return stream_events_hourly(spark, sf_dir)
+
+
+# the streaming query result must hash-match the batch oracle
+REGISTRY["streaming_events_hourly"] = REGISTRY["streaming_events_hourly"].__class__(
+    builder=REGISTRY["streaming_events_hourly"].builder,
+    oracle=REGISTRY["events_hourly"].oracle,
+    bench=False,
+)

@@ -1,0 +1,188 @@
+"""ML scoring, train/score pipeline, and streaming semantics
+(SURVEY.md §2.9/§2.10, §7 steps 4-8)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark import (
+    pipeline,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.autoencoder import (
+    NumpyAutoencoder,
+    autoencoder_scores,
+    train_autoencoder,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.evaluate import (
+    evaluate_binary,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.preprocess import (
+    fit_preprocessor,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.scoring import (
+    batch_threshold,
+    pca_reconstruction_scores,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.schema import (
+    CLAIMS_SCHEMA,
+)
+
+
+def claims_fixture(spark, n=200, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = []
+    base = dt.date(2024, 1, 1)
+    for i in range(n):
+        rows.append(
+            (
+                f"Person{i}",
+                100000000000 + i,
+                int(rng.randint(1000, 20000)),
+                ["LPG", "Housing", "Farming", "Education"][i % 4],
+                base + dt.timedelta(days=int(rng.randint(0, 365))),
+            )
+        )
+    # one extreme outlier the detector must rank highest
+    rows.append(("Outlier", 100000009999, 5_000_000, "Housing", base))
+    return spark.createDataFrame(rows, CLAIMS_SCHEMA)
+
+
+def test_autoencoder_deterministic(spark):
+    x = np.random.RandomState(0).standard_normal((300, 6))
+    m1 = train_autoencoder(x, epochs=5, seed=42)
+    m2 = train_autoencoder(x, epochs=5, seed=42)
+    for a, b in zip(m1.params(), m2.params()):
+        np.testing.assert_array_equal(a, b)
+    # state round-trip preserves the forward exactly
+    m3 = NumpyAutoencoder.from_state(m1.state())
+    np.testing.assert_array_equal(m1.forward(x), m3.forward(x))
+
+
+def test_autoencoder_learns_identity_ish(spark):
+    rng = np.random.RandomState(1)
+    x = rng.standard_normal((500, 6))
+    model = train_autoencoder(x, epochs=30, seed=42)
+    err_trained = float(np.mean((x - model.forward(x)) ** 2))
+    err_init = float(
+        np.mean((x - NumpyAutoencoder(6, seed=42).forward(x)) ** 2)
+    )
+    assert err_trained < err_init * 0.5
+
+
+def test_pca_outlier_ranks_highest(spark):
+    claims = claims_fixture(spark)
+    _, feats = fit_preprocessor(claims)
+    scored = pca_reconstruction_scores(feats, k=3)
+    top = scored.orderBy(F.col("ReconstructionError").desc()).first()
+    assert top["Name"] == "Outlier"
+    assert scored.where(F.col("ReconstructionError") < 0).count() == 0
+
+
+def test_distributed_scoring_matches_local_forward(spark):
+    claims = claims_fixture(spark, n=100)
+    _, feats = fit_preprocessor(claims)
+    from pyspark.ml.functions import vector_to_array
+
+    local = np.stack(
+        [
+            np.asarray(r["farr"])
+            for r in feats.select(
+                "Aadhaar", vector_to_array(F.col("features")).alias("farr")
+            )
+            .orderBy("Aadhaar")
+            .collect()
+        ]
+    )
+    model = train_autoencoder(local, epochs=3, seed=42)
+    expect = np.mean((local - model.forward(local)) ** 2, axis=1)
+    got = (
+        autoencoder_scores(feats, model, id_cols=["Aadhaar"])
+        .orderBy("Aadhaar")
+        .toPandas()["ReconstructionError"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_pipeline_train_then_score(spark, tmp_path):
+    claims = claims_fixture(spark)
+    model_dir = str(tmp_path / "model")
+    pipeline.train(claims, model_dir)
+    scored = pipeline.score(claims, model_dir=model_dir)
+    rows = scored.collect()
+    assert len(rows) == claims.count()
+    assert {"RuleFraud", "MLFraud", "ReconstructionError", "FraudType"} <= set(
+        scored.columns
+    )
+    by_name = {r["Name"]: r for r in rows}
+    assert by_name["Outlier"]["RuleFraud"].startswith("HighClaimAmount") or (
+        "HighClaimAmount" in by_name["Outlier"]["RuleFraud"]
+    )
+    # rule verdict wins in the combination (reference M7)
+    for r in rows:
+        if r["RuleFraud"] != "Normal":
+            assert r["FraudType"] == r["RuleFraud"]
+
+
+def test_pipeline_pca_fallback(spark):
+    claims = claims_fixture(spark, n=80)
+    scored = pipeline.score(claims, scorer="pca")
+    assert scored.where(F.col("MLFraud") == "Suspicious").count() >= 1
+
+
+def test_evaluate_binary_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 1), (0, 0), (1, 1), (0, 0)], "label int, pred int"
+    )
+    r = evaluate_binary(df, "label", F.col("pred") == 1).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 2)
+    assert r["precision"] == pytest.approx(2 / 3)
+    assert r["recall"] == pytest.approx(2 / 3)
+    assert r["f1"] == pytest.approx(2 / 3)
+
+
+def test_streaming_hourly_equals_batch(spark, sf_dir):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+        REGISTRY,
+    )
+
+    batch = {
+        (r["hour_ts"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in REGISTRY["events_hourly"].builder(spark, sf_dir).collect()
+    }
+    stream = {
+        (r["hour_ts"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in REGISTRY["streaming_events_hourly"].builder(spark, sf_dir).collect()
+    }
+    assert batch == stream
+
+
+def test_streaming_claims_scoring_foreachbatch(spark, tmp_path):
+    import glob
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    import os
+
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "batch1.csv"), "w") as f:
+        f.write("Name,Aadhaar,ClaimAmount,SubsidyType,Date\n")
+        f.write("Asha,100000000001,5000,LPG,2024-01-01\n")
+        f.write("Binod,100000000001,7000,LPG,2024-01-03\n")
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming import (
+        stream_score_claims,
+    )
+
+    stream_score_claims(spark, in_dir, out_dir, CLAIMS_SCHEMA)
+    out = spark.read.parquet(out_dir)
+    got = {r["Name"]: r["RuleFraud"] for r in out.collect()}
+    assert got["Asha"] == "DuplicateAadhaar;"
+    # batch-relative q99 of {5000,7000} ≈ 6980 → 7000 also trips the
+    # high-amount rule (reference M6/P5 semantics: thresholds are
+    # per-batch)
+    assert got["Binod"] == "DuplicateAadhaar;HighClaimAmount;FrequentClaims;"
+    assert glob.glob(os.path.join(out_dir, "*.parquet"))
