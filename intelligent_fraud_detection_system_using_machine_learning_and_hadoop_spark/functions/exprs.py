@@ -63,33 +63,26 @@ def exact_percentile(df: DataFrame, col: str, q: float) -> float:
     ``Series.quantile`` semantics (reference A4,
     ``scripts/run_pipeline.py:34``).
 
-    pandas interpolates between order statistics; so does this: with the
-    values sorted ascending as v[0..n-1] and h = (n-1)*q, the result is
-    ``v[floor(h)] + (v[ceil(h)] - v[floor(h)]) * (h - floor(h))``.
+    pandas interpolates between order statistics; so does Spark's exact
+    ``percentile`` aggregate: with the values sorted ascending as
+    v[0..n-1] and h = (n-1)*q, the result is
+    ``v[floor(h)] + (v[ceil(h)] - v[floor(h)]) * (h - floor(h))`` —
+    the same IEEE formula the DuckDB oracles spell out.
 
-    Computed distributed (global sort is a single skewless range
-    exchange; only the two boundary rows are collected). For 100 TB
-    inputs prefer :func:`approx_percentile` — exact percentile
-    fundamentally requires a global order statistic.
+    Single pass, map-side partial aggregation (per-partition value→count
+    buffers merged at one reducer) — no global sort, no single-partition
+    window. Memory scales with the number of *distinct* values; for
+    100 TB / high-cardinality inputs prefer :func:`approx_percentile` —
+    exact percentile fundamentally requires global order information.
     """
-    from pyspark.sql import Window
-
-    n = df.where(F.col(col).isNotNull()).count()
-    if n == 0:
-        return float("nan")
-    h = (n - 1) * q
-    lo, hi = int(h // 1), int(-((-h) // 1))
-    w = Window.orderBy(F.col("v").asc())
-    ranked = (
+    row = (
         df.where(F.col(col).isNotNull())
-        .select(F.col(col).cast("double").alias("v"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn").isin(lo + 1, hi + 1))
-        .collect()
+        .select(
+            F.percentile(F.col(col).cast("double"), F.lit(q)).alias("p")
+        )
+        .first()
     )
-    vals = {r["rn"]: r["v"] for r in ranked}
-    v_lo, v_hi = vals[lo + 1], vals[hi + 1]
-    return v_lo + (v_hi - v_lo) * (h - lo)
+    return float("nan") if row is None or row["p"] is None else row["p"]
 
 
 def approx_percentile(df: DataFrame, col: str, q: float, rel_err: float = 0.0001) -> float:

@@ -14,6 +14,9 @@ reference has no dedup). Scale notes per operator:
   (Broder '97; MMDS ch.3).
 * **SimHash**: 64-bit per-doc signature via bitwise majority of token
   hashes; Hamming-distance candidates via band equality joins.
+* **embedding cosine**: near-dup pairs over an embedding column —
+  brute-force normalized-dot self-join as the exact baseline, sign-LSH
+  bucketed candidates + exact rerank as the sub-quadratic scale path.
 """
 
 from __future__ import annotations
@@ -269,4 +272,100 @@ def simhash_near_dup_pairs(
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+def embedding_cosine_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cos ≥
+    threshold).
+
+    Vectors are L2-normalized once in a projection, so the pair score is
+    a plain dot product. The O(n²) self-join is the exactness baseline
+    (and the verification oracle for the LSH variant); at corpus scale
+    use :func:`embedding_lsh_dup_pairs`. Scores round to 6 decimals for
+    cross-engine reproducibility (same convention as similarity.py).
+    """
+    from .similarity import _dot, _norm_sq
+
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    v = v.select(
+        "_id",
+        F.transform("_v", lambda x: x / F.sqrt(_norm_sq(F.col("_v")))).alias("_u"),
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("_u").alias("u_a"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_u").alias("u_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(_dot(F.col("u_a"), F.col("u_b")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_lsh_dup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-LSH embedding near-dup pairs: candidates from same-bucket
+    collisions across T hash tables, exact cosine rerank, threshold.
+
+    Precision is exact (every output pair is re-scored); LSH only bounds
+    recall: a pair at angle θ collides with prob 1-(1-(1-θ/π)^b)^T. At
+    100 TB only same-(table,bucket) rows meet in the join — the corpus
+    never self-joins in full.
+    """
+    from .similarity import _dot, _norm_sq, lsh_bucket_expr, random_hyperplanes
+
+    tables = [
+        random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)
+    ]
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    v = v.select(
+        "_id",
+        F.transform("_v", lambda x: x / F.sqrt(_norm_sq(F.col("_v")))).alias("_u"),
+    )
+    bucket_cols = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket_expr(F.col("_u"), tables[t]).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    bucketed = v.select(
+        "_id", "_u", F.explode(F.array(*bucket_cols)).alias("tb")
+    ).select(
+        "_id", "_u", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    candidates = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    ua = v.select(F.col("_id").alias("id_a"), F.col("_u").alias("u_a"))
+    ub = v.select(F.col("_id").alias("id_b"), F.col("_u").alias("u_b"))
+    return (
+        candidates.join(ua, "id_a")
+        .join(ub, "id_b")
+        .withColumn("cos_sim", F.round(_dot(F.col("u_a"), F.col("u_b")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )

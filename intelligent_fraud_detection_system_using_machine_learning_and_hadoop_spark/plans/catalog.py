@@ -89,19 +89,29 @@ def _sql_exact_double(sum_expr: str, scale: int) -> str:
 
 
 def _pctile_cte(table: str, col: str, q: float) -> str:
-    """DuckDB scalar subquery: exact interpolated percentile via the same
-    IEEE formula as functions.exprs.exact_percentile."""
+    """DuckDB scalar subquery: exact interpolated percentile, spelled as
+    the SAME IEEE arithmetic Spark's exact ``percentile`` aggregate uses
+    (``(ceil(pos)-pos)*v_lo + (pos-floor(pos))*v_hi``, with the
+    integral-position case returning v_lo directly) so the two engines
+    agree bitwise — functions.exprs.exact_percentile is the Spark side.
+    """
+    _pos = f"CAST(count({col})-1 AS DOUBLE)*CAST({q} AS DOUBLE)"
     return f"""(
-        SELECT MAX(CASE WHEN rn = lo_rn THEN v END)
-               + (MAX(CASE WHEN rn = hi_rn THEN v END)
-                  - MAX(CASE WHEN rn = lo_rn THEN v END)) * ANY_VALUE(frac)
+        SELECT CASE WHEN ANY_VALUE(lo_rn) = ANY_VALUE(hi_rn)
+                    THEN MAX(CASE WHEN rn = lo_rn THEN v END)
+                    ELSE (ANY_VALUE(hi_pos) - ANY_VALUE(pos))
+                           * MAX(CASE WHEN rn = lo_rn THEN v END)
+                         + (ANY_VALUE(pos) - ANY_VALUE(lo_pos))
+                           * MAX(CASE WHEN rn = hi_rn THEN v END)
+               END
         FROM (SELECT CAST({col} AS DOUBLE) AS v,
                      row_number() OVER (ORDER BY {col}) AS rn
               FROM {table} WHERE {col} IS NOT NULL) o
-        CROSS JOIN (SELECT CAST(floor(CAST(count({col})-1 AS DOUBLE)*CAST({q} AS DOUBLE)) AS BIGINT)+1 AS lo_rn,
-                           CAST(ceil(CAST(count({col})-1 AS DOUBLE)*CAST({q} AS DOUBLE)) AS BIGINT)+1 AS hi_rn,
-                           CAST(count({col})-1 AS DOUBLE)*CAST({q} AS DOUBLE)
-                             - floor(CAST(count({col})-1 AS DOUBLE)*CAST({q} AS DOUBLE)) AS frac
+        CROSS JOIN (SELECT {_pos} AS pos,
+                           floor({_pos}) AS lo_pos,
+                           ceil({_pos}) AS hi_pos,
+                           CAST(floor({_pos}) AS BIGINT)+1 AS lo_rn,
+                           CAST(ceil({_pos}) AS BIGINT)+1 AS hi_rn
                     FROM {table} WHERE {col} IS NOT NULL) p
     )"""
 

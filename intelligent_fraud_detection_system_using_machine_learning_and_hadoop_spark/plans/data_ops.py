@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     dedup_exact,
+    embedding_cosine_dup_pairs,
+    embedding_lsh_dup_pairs,
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -271,6 +273,38 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_cosine_topk(e, q, k=3)
+
+
+@query(
+    "embedding_cosine_dup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+      FROM e),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.uv, b.uv), 6) AS cos_sim
+      FROM u a JOIN u b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4
+    """,
+)
+def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (normalized-dot self-join)
+    — the verification baseline for the LSH variant below."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_dup_pairs(e, threshold=0.4)
+
+
+@query("embedding_lsh_dup")
+def embedding_lsh_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-dup candidates + exact cosine rerank
+    (rows-only: hyperplane hashes have no SQL twin; pytest pins recall
+    against embedding_cosine_dup and precision = 1 by construction)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_lsh_dup_pairs(e, threshold=0.4)
 
 
 @query(

@@ -96,3 +96,32 @@ def test_lsh_topk_recall_on_planted_near_dups(spark, sf_dir):
     hits = sum(1 for qid, vid in exact_top1.items() if (qid, vid) in approx)
     assert exact_top1[1000 + corpus[0]["vec_id"]] == corpus[0]["vec_id"]
     assert hits / len(exact_top1) >= 0.8
+
+
+def test_embedding_cosine_dup_pairs_match_bruteforce(spark, sf_dir):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+        embedding_cosine_dup_pairs,
+        embedding_lsh_dup_pairs,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_cosine_dup_pairs(emb, threshold=0.4).collect()
+    }
+    # sanity: pairs are ordered, scores within threshold..1
+    assert all(a < b for a, b in exact)
+    assert all(0.4 <= c <= 1.0 for c in exact.values())
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_lsh_dup_pairs(emb, threshold=0.4).collect()
+    }
+    # precision is exact by construction: every LSH pair is a true pair
+    # with the identical rounded score
+    assert set(lsh).issubset(set(exact))
+    assert all(exact[p] == c for p, c in lsh.items())
+    # recall bound for the seeded hyperplanes (85% observed at sf0.01,
+    # pinned loosely so a testdata regeneration doesn't flap)
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5
