@@ -1,0 +1,137 @@
+"""Unit tests for the as-of / range / interval join compositions
+(operators/joins.py) on hand-computed fixtures, plus an equivalence
+check against the naive inequality join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.joins import (
+    asof_join,
+    interval_overlap_join,
+    range_join_bands,
+)
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, "a"),
+            (1, 20, "b"),
+            (1, 5, "c"),   # before any right row
+            (2, 15, "d"),
+            (3, 99, "e"),  # key with no right rows at all
+        ],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 10, 100.0),  # exact tie with left (1,10)
+            (1, 18, 200.0),
+            (2, 1, 300.0),
+            (2, 15, 400.0),
+        ],
+        "k long, t long, v double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_inclusive(spark):
+    left, right = _asof_fixture(spark)
+    out = {
+        r["tag"]: (r["t_asof"], r["v_asof"])
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t", right_cols=["v"]
+        ).collect()
+    }
+    assert out == {
+        "a": (10, 100.0),   # exact match allowed
+        "b": (18, 200.0),   # latest of the two priors
+        "c": (None, None),  # nothing at or before t=5
+        "d": (15, 400.0),   # exact match beats the earlier row
+        "e": (None, None),  # key absent from right
+    }
+
+
+def test_asof_join_strict(spark):
+    left, right = _asof_fixture(spark)
+    out = {
+        r["tag"]: (r["t_asof"], r["v_asof"])
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="t",
+            right_cols=["v"],
+            allow_exact_match=False,
+        ).collect()
+    }
+    assert out["a"] == (None, None)  # t=10 tie excluded, nothing earlier
+    assert out["d"] == (1, 300.0)    # t=15 tie excluded → falls back to t=1
+    assert out["b"] == (18, 200.0)   # unaffected
+
+
+def test_range_join_bands_overlapping_and_edges(spark):
+    fact = spark.createDataFrame(
+        [(1, 0.0), (2, 9.99), (3, 10.0), (4, 25.0), (5, 100.0)],
+        "id long, v double",
+    )
+    # overlapping bands: v=25 falls in both "wide" and "mid"
+    bands = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("wide", 20.0, 200.0)],
+        "band string, lo double, hi double",
+    )
+    got = {
+        (r["id"], r["band"])
+        for r in range_join_bands(fact, bands, value_col="v").collect()
+    }
+    assert got == {
+        (1, "low"),
+        (2, "low"),
+        (3, "mid"),    # lo inclusive
+        (4, "mid"),
+        (4, "wide"),   # overlap → two matches
+        (5, "wide"),   # hi of "mid" exclusive was at 30; 100 only in wide
+    }
+
+
+def test_interval_overlap_matches_naive_join(spark, sf_dir):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("double").alias("ep")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        (F.col("ep") - 300).alias("ps"),
+        (F.col("ep") + 300).alias("pe"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"),
+        "user_id",
+        (F.col("ep") - 300).alias("es"),
+        (F.col("ep") + 300).alias("ee"),
+    )
+    grid_pairs = {
+        (r["pid"], r["eid"])
+        for r in interval_overlap_join(
+            p, e, "ps", "pe", "es", "ee", on="user_id", grid=600.0
+        ).collect()
+    }
+    naive_pairs = {
+        (r["pid"], r["eid"])
+        for r in p.alias("p")
+        .join(
+            e.alias("e"),
+            (F.col("p.user_id") == F.col("e.user_id"))
+            & (F.col("p.ps") < F.col("e.ee"))
+            & (F.col("e.es") < F.col("p.pe")),
+        )
+        .select("pid", "eid")
+        .collect()
+    }
+    assert grid_pairs == naive_pairs
