@@ -675,3 +675,151 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duration_sec"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Wider relational surface: pivot, cube, scalar subquery, union, ranking
+# --------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "pivot_status_by_nation",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS status_p
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list — no extra
+    distinct-values job, output schema fixed at plan time (the only
+    sane pivot at scale)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", _STATUSES)
+        .count()
+    )
+    out = wide.select(
+        "n_name",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s.lower()}")
+            for s in _STATUSES
+        ],
+    )
+    return out
+
+
+@query(
+    "cube_order_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 subtotal combinations in one pass —
+    Spark expands to a single Expand + hash-agg, not 4 scans)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle=f"""
+    SELECT o_orderkey, {_sql_exact_double("CAST(o_totalprice AS DECIMAL(12,2))", 2)} AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT {_sql_exact_double("SUM(CAST(o_totalprice AS DECIMAL(12,2)))", 2)}
+                                 / COUNT(o_totalprice)
+                          FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-aggregate barrier done declaratively: the global average
+    joins in as a broadcast 1-row crossJoin — no .collect(), one
+    Catalyst plan, reusable under AQE (reference A5/A6 shape)."""
+    o = read_table(spark, sf_dir, "orders")
+    avg_df = o.agg(
+        (
+            _exact_double(F.sum(_dec(F.col("o_totalprice"), 12, 2)), 2)
+            / F.count("o_totalprice")
+        ).alias("avg_price")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .select(
+            "o_orderkey",
+            _exact_double(_dec(F.col("o_totalprice"), 12, 2), 2).alias("o_totalprice"),
+        )
+    )
+
+
+@query(
+    "union_all_tagged",
+    oracle="""
+    SELECT o_custkey AS custkey, 'order' AS src FROM orders
+    UNION ALL
+    SELECT c_custkey AS custkey, 'customer' AS src FROM customer
+    """,
+)
+def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two heterogenous scans normalized to one schema."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), F.lit("order").alias("src")
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.lit("customer").alias("src")
+    )
+    return o.unionByName(c)
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           lead(o_orderkey) OVER w AS next_okey,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS top_okey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic window family (row_number, rank, dense_rank,
+    ntile, lead, first_value) in ONE window spec — a single shuffle +
+    sort on o_custkey serves all six."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_okey"),
+        F.first("o_orderkey").over(w_full).alias("top_okey"),
+    )
