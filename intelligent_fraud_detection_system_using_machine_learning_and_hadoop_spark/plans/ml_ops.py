@@ -18,8 +18,13 @@ from ..ml.preprocess import fit_preprocessor
 from ..ml.scoring import batch_threshold, pca_reconstruction_scores
 from ..functions.exprs import exact_percentile
 from ..sources.readers import read_table
-from ..streaming.jobs import stream_events_hourly
-from .catalog import REGISTRY, query
+from ..streaming.jobs import (
+    stream_distinct_pairs,
+    stream_events_hourly,
+    stream_sessionize,
+    stream_user_stats_stateful,
+)
+from .catalog import _sql_exact_double, REGISTRY, query
 
 ORDERS_FEATURES = {
     "numeric_cols": ["o_totalprice", "DateNumeric"],
@@ -122,3 +127,41 @@ REGISTRY["streaming_events_hourly"] = REGISTRY["streaming_events_hourly"].__clas
     oracle=REGISTRY["events_hourly"].oracle,
     bench=False,
 )
+
+
+@query(
+    "streaming_user_stats",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {_sql_exact_double("SUM(CAST(value AS DECIMAL(12,2)))", 2)} AS sum_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: custom stateful operator via
+    applyInPandasWithState — cumulative per-user stats across 8 genuine
+    micro-batches (maxFilesPerTrigger=1). Must reduce to exactly the
+    batch GROUP BY, which the oracle checks."""
+    return stream_user_stats_stateful(spark, sf_dir)
+
+
+@query(
+    "streaming_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates state): append-emits first
+    occurrences; equals SELECT DISTINCT over the finite input."""
+    return stream_distinct_pairs(spark, sf_dir)
+
+
+@query("streaming_sessionize")
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window sessionization (rows-only: the final
+    watermark withholds sessions still open at end-of-input; pytest
+    pins emitted ⊆ batch gaps-and-islands)."""
+    return stream_sessionize(spark, sf_dir)

@@ -108,3 +108,164 @@ def stream_score_claims(
 
     q = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def _events_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Materialize the events table as n parquet files in a temp dir so
+    maxFilesPerTrigger=1 yields a genuine multi-micro-batch stream
+    (state must survive across batches, not just within one)."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ifds_events_stream_{key}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df.repartition(n_files).write.mode("overwrite").parquet(out)
+    return out
+
+
+def stream_user_stats_stateful(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    cumulative per-user event stats carried in GroupState across
+    micro-batches (one file per trigger → n_files genuine batches).
+
+    Each batch emits the UPDATED running totals for the users it
+    touched; the final answer is, per user, the row with the highest
+    cumulative count — so the memory-sink union of all emissions reduces
+    to exactly the batch groupBy, which the DuckDB oracle checks. Sums
+    accumulate in integer cents (exact, order-independent); the count is
+    the arrival-order-free invariant.
+
+    At cluster scale this is the template for any custom sessionless
+    accumulator (per-key rate counters, running feature stats): state is
+    partitioned by key across executors, each micro-batch shuffles only
+    that batch's rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if dict(zip(raw_schema.names, raw_schema.fields))["ts"].dataType.simpleString() == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out_type = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, cents, mx = state.get if state.exists else (0, 0, float("-inf"))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(round(pdf["value"].mul(100).round().sum())) if len(pdf) else 0
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, cents, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [cents / 100.0],
+                "max_value": [mx],
+            }
+        )
+
+    emitted = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"user_stats_sink_{next(_sink_ids)}"
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # keep, per user, the emission with the highest cumulative count —
+    # that is the final state (counts are strictly monotone per batch)
+    from pyspark.sql import Window as W
+
+    all_rows = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        all_rows.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", "sum_value", "max_value")
+    )
+
+
+def stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over an unbounded stream
+    keeps a state row per distinct key and append-emits first
+    occurrences — the streaming form of SELECT DISTINCT (state bounded
+    by key cardinality; add a watermark for time-bounded dedup)."""
+    events = read_events_stream(spark, sf_dir)
+    distinct = events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    name = f"distinct_sink_{next(_sink_ids)}"
+    q = (
+        distinct.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_sessionize(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Native session-window sessionization on the stream (state merges
+    windows within `gap`); append mode emits sessions the watermark has
+    closed. Over a finite file stream the final watermark stops at
+    max(event_time) minus the delay, so sessions still open at
+    end-of-input are withheld — callers compare against the batch
+    gaps-and-islands variant as a superset (pytest pins the property).
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"session_sink_{next(_sink_ids)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        "n_events",
+    )

@@ -186,3 +186,71 @@ def test_streaming_claims_scoring_foreachbatch(spark, tmp_path):
     # per-batch)
     assert got["Binod"] == "DuplicateAadhaar;HighClaimAmount;FrequentClaims;"
     assert glob.glob(os.path.join(out_dir, "*.parquet"))
+
+
+def test_stateful_user_stats_equals_batch_groupby(spark, sf_dir):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        stream_user_stats_stateful,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["max_value"])
+        for r in stream_user_stats_stateful(spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], r["s"], r["m"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+                .cast("long")
+                .cast("double")
+                / 100.0
+            ).alias("s"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessions_subset_of_batch(spark, sf_dir):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.catalog import (
+        REGISTRY,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        stream_sessionize,
+    )
+
+    emitted = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in stream_sessionize(spark, sf_dir).collect()
+    }
+    # batch gaps-and-islands sessions, re-keyed by (user, start-ts)
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+    from pyspark.sql import Window as W
+
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    boundary = F.when(F.lag("ts", 1).over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in e.withColumn("sid", F.sum(boundary).over(run))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    }
+    assert emitted, "stream emitted no sessions"
+    assert emitted.issubset(batch)
+    # everything except possibly the last open session per user is emitted
+    assert len(batch) - len(emitted) <= e.select("user_id").distinct().count()
