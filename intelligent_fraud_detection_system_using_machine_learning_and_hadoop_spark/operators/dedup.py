@@ -55,6 +55,8 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     with no shingles contribute no exploded rows and join nothing, so
     the filter is redundant anyway.
     """
+    from ..sources.readers import ensure_min_partitions
+
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     sh = F.expr(
         f"array_distinct(filter(transform(_toks,"
@@ -62,9 +64,10 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         f"             concat_ws(' ', slice(_toks, i + 1, {n})), NULL)),"
         f" s -> s IS NOT NULL))"
     )
-    return df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).select(
-        "_id", sh.alias("_sh")
-    )
+    # tokenize/shingle is the hot map — spread it across all cores even
+    # when the source is a single-row-group file (no-op otherwise)
+    base = ensure_min_partitions(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    return base.select("_id", toks.alias("_toks")).select("_id", sh.alias("_sh"))
 
 
 def _shingled_cached(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

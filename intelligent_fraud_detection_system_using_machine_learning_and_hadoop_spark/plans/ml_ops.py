@@ -33,7 +33,9 @@ ORDERS_FEATURES = {
 
 
 def _orders_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = read_table(spark, sf_dir, "orders").withColumn(
+    from ..sources.readers import ensure_min_partitions
+
+    o = ensure_min_partitions(read_table(spark, sf_dir, "orders")).withColumn(
         "DateNumeric",
         F.datediff(
             F.col("o_orderdate"),
@@ -41,7 +43,12 @@ def _orders_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     _, feats = fit_preprocessor(o, **ORDERS_FEATURES)
-    return feats
+    # persisted: the PCA fit, scoring map, threshold agg, and final
+    # materialization each re-consume this frame — without the cache
+    # every pass re-runs the scan + indexer/scaler transform chain
+    from pyspark import StorageLevel
+
+    return feats.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 @query("ml_preprocess_features")

@@ -61,3 +61,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All testdata tables as a dict of lazy DataFrames."""
     return {name: read_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def ensure_min_partitions(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the scan is pathologically
+    under-partitioned (single-row-group files, tiny local inputs).
+
+    Parquet scans split at row-group boundaries, so a one-row-group
+    file yields one task no matter what ``maxPartitionBytes`` says —
+    and every downstream map (tokenization, vector math, feature
+    transforms) inherits that single thread. On a real multi-row-group
+    / multi-file dataset the scan already yields ≥ cores partitions and
+    this is a no-op, so hot-path callers can apply it unconditionally
+    without pessimizing the at-scale plan with a gratuitous shuffle.
+    """
+    p = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, p // 2):
+        return df.repartition(p)
+    return df
