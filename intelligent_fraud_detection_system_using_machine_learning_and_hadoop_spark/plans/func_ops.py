@@ -1,0 +1,142 @@
+"""Scalar-function family coverage (SURVEY.md §2.7 F-family widened):
+string, array, math/null-handling, and sketch aggregates, bound to the
+driver testdata with DuckDB oracles.
+
+Floating-point ground rules for oracle parity: only IEEE-exact ops
+(+,-,*,/,sqrt,abs) appear on raw doubles. No transcendentals (libm
+rounding differs across engines) and no round() on arbitrary doubles
+(Spark HALF_UP vs DuckDB half-even disagree at representational
+midpoints). Arrays are emitted as joined strings — pandas stringifies
+numpy arrays and Python lists differently, so the driver's compare
+would false-negative on raw array columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import read_table
+from .catalog import query
+
+
+@query(
+    "string_funcs_part",
+    oracle=r"""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 5) AS name_pfx,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           lpad(p_brand, 10, '_') AS brand_pad,
+           CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT) AS brand_num,
+           CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS lev_red_widget,
+           reverse(p_name) AS name_rev,
+           replace(p_type, 'ECONOMY', 'ECO') AS type_short,
+           CAST(strpos(p_name, 'widget') AS BIGINT) AS widget_pos,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           trim(concat(' ', p_name, ' ')) AS name_trim
+    FROM part
+    """,
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (upper/substr/length/lpad/regexp_extract/
+    levenshtein/reverse/replace/instr/concat_ws/trim) — all JVM-side
+    codegen'd expressions, zero Python in the row path."""
+    p = read_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad("p_brand", 10, "_").alias("brand_pad"),
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+        F.levenshtein("p_name", F.lit("red widget")).cast("long").alias("lev_red_widget"),
+        F.reverse("p_name").alias("name_rev"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.instr("p_name", "widget").cast("long").alias("widget_pos"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+    )
+
+
+@query(
+    "array_funcs_orders",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(DISTINCT year(o_orderdate))), ',') AS years_csv,
+           CAST(len(list(DISTINCT year(o_orderdate))) AS BIGINT) AS n_years,
+           CAST(list_sort(list(DISTINCT year(o_orderdate)))[1] AS BIGINT) AS first_year,
+           CAST(list_sort(list(DISTINCT year(o_orderdate)))[-1] AS BIGINT) AS last_year,
+           list_contains(list(DISTINCT year(o_orderdate)), 1995) AS active_1995
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def array_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over a grouped collect: collect_set →
+    array_sort → join/size/element_at/contains. Sorted before any
+    order-sensitive op so the result is deterministic (collect order
+    is not)."""
+    o = read_table(spark, sf_dir, "orders")
+    years = F.array_sort(F.collect_set(F.year("o_orderdate")))
+    return o.groupBy("o_custkey").agg(
+        F.array_join(years, ",").alias("years_csv"),
+        F.size(years).cast("long").alias("n_years"),
+        F.element_at(years, 1).cast("long").alias("first_year"),
+        F.element_at(years, -1).cast("long").alias("last_year"),
+        F.array_contains(years, F.lit(1995)).alias("active_1995"),
+    )
+
+
+@query(
+    "math_null_funcs_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_ceil_k,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_floor_k,
+           sqrt(l_extendedprice) AS price_sqrt,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_sentinel,
+           CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS qty_mod7,
+           CAST(sign(l_discount - l_tax) AS DOUBLE) AS disc_vs_tax
+    FROM lineitem
+    """,
+)
+def math_null_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + null-handling family restricted to IEEE-exact ops
+    (abs/ceil/floor/sqrt/greatest/least/coalesce/nullif/sign/mod)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("disc_dev"),
+        F.ceil(F.col("l_extendedprice") / 1000).cast("long").alias("price_ceil_k"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_floor_k"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "disc_or_sentinel"
+        ),
+        (F.col("l_quantity").cast("long") % 7).cast("long").alias("qty_mod7"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).cast("double").alias(
+            "disc_vs_tax"
+        ),
+    )
+
+
+@query("sketch_aggregates")
+def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB scale path for exact distinct/percentile: HyperLogLog++
+    cardinality and Greenwald-Khanna quantiles — single-pass, mergeable
+    across executors, constant memory (rows-only: sketch internals are
+    engine-specific; pytest pins relative error against the exact
+    answers)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
+    )

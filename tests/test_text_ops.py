@@ -48,3 +48,25 @@ def test_lang_guess_stopword_evidence(spark):
     )
     out = {r["doc_id"]: r["lang_guess"] for r in with_lang_guess(df).collect()}
     assert out == {1: "en", 2: "de", 3: "fr", 4: "zh", 5: "und"}
+
+
+def test_sketch_aggregates_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.functions.exprs import (
+        exact_percentile,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.func_ops import (
+        sketch_aggregates,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    row = sketch_aggregates(spark, sf_dir).collect()[0]
+    l = read_table(spark, sf_dir, "lineitem")
+    exact_parts = l.select(F.countDistinct("l_partkey")).collect()[0][0]
+    assert abs(row["approx_parts"] - exact_parts) / exact_parts < 0.05
+    for col, q in (("p50_approx", 0.5), ("p99_approx", 0.99)):
+        exact = exact_percentile(l, "l_extendedprice", q)
+        assert abs(row[col] - exact) / exact < 0.02
