@@ -5,15 +5,15 @@ SQL-expressible.
 Oracle-parity design rules (so the driver's order-insensitive
 value-hash matches bit-for-bit):
 
-* Money/measure aggregates run in **decimal** arithmetic (exact,
-  order-independent) and cast to double only at the end — double
-  summation order differs between engines, decimal doesn't.
-* Averages are ``CAST(decimal_sum AS DOUBLE) / count`` — one IEEE
+* Money/measure aggregates sum **fixed-point longs** (``_cents``) or
+  decimals — exact and order-independent either way; double summation
+  order differs between engines, integers don't.
+* Averages are ``CAST(exact_sum AS DOUBLE) / count`` — one IEEE
   division of identical operands is deterministic; decimal division
   rounding modes are not.
-* Percentiles use one shared interpolation formula
-  (``v_lo + (v_hi - v_lo) * frac``) spelled out identically on both
-  sides instead of engine builtins.
+* Percentiles use Spark's exact-percentile interpolation arithmetic
+  spelled out identically on the DuckDB side (``_pctile_cte``) instead
+  of engine builtins.
 * Window orderings always carry a unique tiebreaker column.
 * Every computed column is aliased lowercase identically on both sides.
 * Counts are cast to BIGINT in DuckDB (its SUM(int) is HUGEINT).
@@ -855,4 +855,31 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.lead("o_orderkey").over(w).alias("next_okey"),
         F.first("o_orderkey").over(w_full).alias("top_okey"),
+    )
+
+
+@query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicators (distinguishes
+    'subtotal over null' from 'group whose key is null') — one Expand +
+    single hash-agg pass, like rollup/cube."""
+    o = read_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
     )

@@ -37,3 +37,28 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed (hash-pre-partitioned) table: joins and aggregations on
+    the bucket columns between tables with matching bucketing read
+    straight into sort-merge join with NO exchange — the shuffle is
+    paid once at write time, amortized over every subsequent query.
+    The at-scale answer to "this join runs every hour on the same keys".
+
+    Registers ``table`` in the session catalog; ``path`` makes it an
+    external table (data outlives the catalog entry).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
