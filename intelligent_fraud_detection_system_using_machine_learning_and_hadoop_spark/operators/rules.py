@@ -6,7 +6,7 @@ The four reference rules:
 
 1. ``DuplicateAadhaar`` — one Aadhaar used with ≥2 distinct names
    (``run_pipeline.py:23-26``: groupby-nunique + ``isin``).
-2. ``MultipleAadhaar`` — one name holding ≥2 distinct Aadhaar
+2. ``MultiAadhaar`` — one name holding ≥2 distinct Aadhaar
    (``run_pipeline.py:28-31``).
 3. ``HighClaimAmount`` — amount strictly above the global 0.99 quantile
    (``run_pipeline.py:33-35``; pandas interpolated percentile).
@@ -72,7 +72,7 @@ class RuleConfig:
     labels: dict[str, str] = field(
         default_factory=lambda: {
             "dup_id": "DuplicateAadhaar",
-            "multi_id": "MultipleAadhaar",
+            "multi_id": "MultiAadhaar",
             "high_amount": "HighClaimAmount",
             "frequent": "FrequentClaims",
         }
@@ -116,7 +116,21 @@ def with_rule_flags(df: DataFrame, cfg: RuleConfig = RuleConfig()) -> DataFrame:
     Output columns: ``is_dup_id, is_multi_id, is_high_amount,
     is_frequent, RuleFraud`` (plus ``DaysDiff`` — the reference also
     exposes its lag delta, ``run_pipeline.py:40``).
+
+    Window-tie determinism (SURVEY.md §2.5): the reference's pandas
+    ``sort_values(['Aadhaar','Date'])`` is a *stable* sort, so equal
+    dates keep input order and the lag is reproducible. A Spark window
+    on a tied date is not. When ``cfg.tiebreak_cols`` is empty we
+    synthesize an ingest-order tiebreaker (monotonically_increasing_id —
+    file order for a straight single-source read), reproducing the
+    reference's tie behavior.
     """
+    tiebreaks: tuple[str, ...] = cfg.tiebreak_cols
+    synthesized = False
+    if not tiebreaks:
+        df = df.withColumn("__ingest_order", F.monotonically_increasing_id())
+        tiebreaks, synthesized = ("__ingest_order",), True
+
     dist = _distinct_gt1_window if cfg.strategy == "window" else _distinct_gt1_semijoin
     out = dist(df, cfg.id_col, cfg.name_col, "is_dup_id")
     out = dist(out, cfg.name_col, cfg.id_col, "is_multi_id")
@@ -124,7 +138,7 @@ def with_rule_flags(df: DataFrame, cfg: RuleConfig = RuleConfig()) -> DataFrame:
     threshold = amount_threshold(df, cfg)
     out = out.withColumn("is_high_amount", F.col(cfg.amount_col) > F.lit(threshold))
 
-    order = [F.col(cfg.date_col).asc()] + [F.col(c).asc() for c in cfg.tiebreak_cols]
+    order = [F.col(cfg.date_col).asc()] + [F.col(c).asc() for c in tiebreaks]
     w = Window.partitionBy(cfg.id_col).orderBy(*order)
     out = out.withColumn(
         "DaysDiff", F.datediff(F.col(cfg.date_col), F.lag(cfg.date_col, 1).over(w))
@@ -136,7 +150,7 @@ def with_rule_flags(df: DataFrame, cfg: RuleConfig = RuleConfig()) -> DataFrame:
     )
 
     labels = cfg.labels
-    return out.withColumn(
+    out = out.withColumn(
         "RuleFraud",
         assemble_flags(
             flag_when(F.col("is_dup_id"), labels["dup_id"]),
@@ -145,6 +159,7 @@ def with_rule_flags(df: DataFrame, cfg: RuleConfig = RuleConfig()) -> DataFrame:
             flag_when(F.col("is_frequent"), labels["frequent"]),
         ),
     )
+    return out.drop("__ingest_order") if synthesized else out
 
 
 def score_claims(

@@ -32,7 +32,7 @@ FIXTURE = [
     # one Aadhaar, two names → DuplicateAadhaar on both rows
     ("Asha", 100000000001, 5000, "LPG", "2024-01-01"),
     ("Binod", 100000000001, 7000, "LPG", "2024-01-03"),  # +2d → FrequentClaims
-    # one name, two Aadhaars → MultipleAadhaar; amount in top 1%
+    # one name, two Aadhaars → MultiAadhaar; amount in top 1%
     ("Asha", 100000000002, 900000, "Housing", "2024-02-01"),
     # clean single claim
     ("Chitra", 100000000003, 4000, "Farming", "2024-03-01"),
@@ -51,14 +51,14 @@ def verdicts(df):
 
 def test_rule_flags_reference_semantics(spark):
     out = verdicts(with_rule_flags(make_claims(spark, FIXTURE)))
-    assert out[("Asha", 100000000001, 5000)] == "DuplicateAadhaar;MultipleAadhaar;"
+    assert out[("Asha", 100000000001, 5000)] == "DuplicateAadhaar;MultiAadhaar;"
     assert (
         out[("Binod", 100000000001, 7000)]
         == "DuplicateAadhaar;FrequentClaims;"
     )
     assert (
         out[("Asha", 100000000002, 900000)]
-        == "MultipleAadhaar;HighClaimAmount;"
+        == "MultiAadhaar;HighClaimAmount;"
     )
     assert out[("Chitra", 100000000003, 4000)] == "Normal"
     assert out[("Deep", 100000000004, 4500)] == "Normal"
