@@ -140,3 +140,54 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_approx"),
     )
+
+
+@query(
+    "stats_moments_by_status",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s1,
+             SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)) AS s2
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus, n,
+           CAST(s1 AS DOUBLE) / n / 100.0 AS mean_price,
+           greatest(CAST(s2 AS DOUBLE) / n / 10000.0
+                    - (CAST(s1 AS DOUBLE) / n / 100.0)
+                      * (CAST(s1 AS DOUBLE) / n / 100.0),
+                    0.0) AS var_pop,
+           sqrt(greatest(CAST(s2 AS DOUBLE) / n / 10000.0
+                         - (CAST(s1 AS DOUBLE) / n / 100.0)
+                           * (CAST(s1 AS DOUBLE) / n / 100.0),
+                         0.0)) AS std_pop
+    FROM m
+    """,
+)
+def stats_moments_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population mean/variance/stddev from EXACT integer moments
+    (Σcents as long, Σcents² as decimal(38,0)) with the final float
+    math as one identical IEEE expression per engine — the
+    cross-engine-reproducible form of stddev_pop (reference A6), since
+    native Welford-style accumulators differ bitwise between engines."""
+    o = read_table(spark, sf_dir, "orders")
+    c = F.round(F.col("o_totalprice") * 100).cast("long")
+    c19 = c.cast("decimal(19,0)")
+    m = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c19 * c19).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n") / F.lit(100.0)
+    var = F.greatest(
+        F.col("s2").cast("double") / F.col("n") / F.lit(10000.0) - mean * mean,
+        F.lit(0.0),
+    )
+    return m.select(
+        "o_orderstatus",
+        "n",
+        mean.alias("mean_price"),
+        var.alias("var_pop"),
+        F.sqrt(var).alias("std_pop"),
+    )
