@@ -101,3 +101,101 @@ def decode_assets(assets: DataFrame, real_codec: bool = False) -> DataFrame:
     return assets.select("asset_id", "content").mapInPandas(
         batches, schema=DECODED_META_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_assets(
+    assets: DataFrame, max_side: int = 256, real_codec: bool = False
+) -> DataFrame:
+    """Image resize plumbing: binary in → (resized) binary + dims out,
+    Arrow-batched. The stub 'resize' scales the fake-decoded dims to fit
+    ``max_side`` and truncates the payload proportionally — deterministic
+    and schema-faithful; swap the body for PIL thumbnail + re-encode when
+    codecs are available."""
+    if real_codec:
+        raise NotImplementedError(
+            "image codecs not available here; wire PIL.Image.thumbnail + "
+            "re-encode in this mapInPandas body"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_w, out_h, out_c = [], [], []
+            for c in pdf["content"]:
+                w, h = decode_image_stub(c)
+                scale = min(1.0, max_side / max(w, h, 1))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                keep = max(1, int(len(c) * scale * scale)) if c else 0
+                out_w.append(nw)
+                out_h.append(nh)
+                out_c.append(bytes(c[:keep]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "content": out_c,
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, every_ms: int = 1000, real_codec: bool = False
+) -> DataFrame:
+    """Video frame sampling plumbing: one binary in → N frame rows out
+    (the 1→N explode shape every video pipeline needs). The stub treats
+    the payload as a 'video' whose duration is proportional to its
+    length and emits deterministic byte-slice 'frames'; swap for
+    pyav/ffmpeg keyframe extraction when codecs are available."""
+    if real_codec:
+        raise NotImplementedError(
+            "video codecs not available here; wire pyav frame iteration "
+            "in this mapInPandas body"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                n_frames = max(1, len(c) // 100)  # "duration" from length
+                step = max(1, len(c) // n_frames)
+                for i in range(n_frames):
+                    ids.append(aid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(bytes(c[i * step : i * step + step]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_ms": tss,
+                    "frame": frames,
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        batches, schema=FRAMES_SCHEMA
+    )

@@ -149,3 +149,18 @@ def fingerprint_expr(text_col: str = "text") -> Column:
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint_expr(text_col))
+
+
+#: GPT-2-style pretokenizer pattern, restricted to syntax shared by
+#: Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
+#: letter/digit runs, punctuation runs, whitespace runs. No lookahead
+#: (RE2 has none) — the \s+ branch merges trailing spaces instead.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    """BPE-ish token count: the number of pretokenizer chunks a GPT-2
+    style byte-pair tokenizer would start from — a far better proxy for
+    LLM token budgets than whitespace splitting (which undercounts
+    punctuation-heavy and code-like text). Pure JVM regex pass."""
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(BPE_PATTERN), F.lit(0)))

@@ -329,3 +329,54 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub codec (rows-only; real codecs unavailable here)."""
     d = read_table(spark, sf_dir, "documents")
     return decode_assets(assets_from_documents(d))
+
+
+@query(
+    "doc_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text),
+                '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+             AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM token budgeting: GPT-2-style pretokenizer chunk count next to
+    the whitespace count (operators/text.py::bpe_token_count)."""
+    from ..operators.text import bpe_token_count, tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (Arrow-batched mapInPandas, stub codec):
+    byte payload in → bounded-dims payload out (rows-only)."""
+    from ..operators.multimodal import resize_assets
+
+    d = read_table(spark, sf_dir, "documents")
+    out = resize_assets(assets_from_documents(d), max_side=128)
+    return out.select(
+        "asset_id", "width", "height", F.octet_length("content").cast("long").alias("n_bytes")
+    )
+
+
+@query("multimodal_frames")
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: 1 binary row → N frame rows (the
+    explode shape; stub codec, rows-only)."""
+    from ..operators.multimodal import sample_frames
+
+    d = read_table(spark, sf_dir, "documents")
+    out = sample_frames(assets_from_documents(d))
+    return out.select(
+        "asset_id", "frame_idx", "frame_ts_ms",
+        F.octet_length("frame").cast("long").alias("n_bytes"),
+    )

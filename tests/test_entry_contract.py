@@ -36,3 +36,38 @@ def test_multimodal_decode_stub_shapes(spark, sf_dir):
         assert r["byte_len"] > 0
         assert len(r["sha256"]) == 64
         assert r["width"] >= 64 and r["height"] >= 64
+
+
+def test_multimodal_resize_and_frames_shapes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.multimodal import (
+        assets_from_documents,
+        resize_assets,
+        sample_frames,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    assets = assets_from_documents(read_table(spark, sf_dir, "documents"))
+    n_assets = assets.count()
+
+    resized = resize_assets(assets, max_side=128)
+    stats = resized.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("width").alias("mw"),
+        F.max("height").alias("mh"),
+    ).collect()[0]
+    assert stats["n"] == n_assets          # 1→1
+    assert stats["mw"] <= 128 and stats["mh"] <= 128
+
+    frames = sample_frames(assets)
+    agg = frames.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    assert agg.count() == n_assets          # every asset produced frames
+    assert frames.count() >= n_assets       # 1→N explode
+    # frame indexes are dense from 0
+    bad = frames.groupBy("asset_id").agg(
+        (F.max("frame_idx") + 1 != F.count(F.lit(1))).alias("sparse")
+    ).where(F.col("sparse")).count()
+    assert bad == 0

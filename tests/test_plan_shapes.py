@@ -139,3 +139,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.writers import (
+        write_parquet,
+    )
+
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_parquet(o, out, partition_by=["order_year"])
+
+    back = spark.read.parquet(out).where(F.col("order_year") == 1995)
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan and "order_year" in plan
+    # pruned scan reads only the matching partition directory
+    want = o.where(F.col("order_year") == 1995).count()
+    assert back.count() == want
