@@ -158,3 +158,79 @@ def lsh_cosine_topk(
         .where(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rank"))
     )
+
+
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 3,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    corpus into cells; each query probes only its ``n_probe`` nearest
+    cells and reranks those candidates exactly.
+
+    The complement of sign-LSH bucketing (lsh_cosine_topk): data-adaptive
+    cells follow the corpus distribution, so recall per candidate is
+    higher on clustered data. At 100 TB the corpus is stored
+    partitioned/bucketed by cell id, making each probe a partition-pruned
+    read of ~1/n_clusters of the data instead of a full scan. Centroids
+    (n_clusters × dim floats) broadcast to everyone.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    norm = lambda df, idc, out: df.select(  # noqa: E731
+        F.col(idc).alias(out),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: x / F.sqrt(_norm_sq(F.col(vec_col).cast("array<double>"))),
+        ).alias("_u"),
+    )
+    v = norm(vectors, id_col, "vec_id")
+    q = norm(queries, query_id_col, "query_id")
+
+    with_vec = v.withColumn("_fv", array_to_vector(F.col("_u")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).select("vec_id", "_u", "_cell")
+
+    centroids = [np.asarray(c).tolist() for c in model.clusterCenters()]
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent_df = q.sparkSession.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    )
+    # each query scores all centroids (tiny cross join), keeps n_probe
+    probed = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_sim", _dot(F.col("_u"), F.col("centroid")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_sim").desc(), F.col("cell").asc()
+                )
+            ),
+        )
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", F.col("_u").alias("_qu"), F.col("cell").alias("_cell"))
+    )
+    candidates = assigned.join(F.broadcast(probed), "_cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = candidates.withColumn(
+        "cos_sim", F.round(_dot(F.col("_u"), F.col("_qu")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rank"))
+    )

@@ -380,3 +380,18 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id", "frame_idx", "frame_ts_ms",
         F.octet_length("frame").cast("long").alias("n_bytes"),
     )
+
+
+@query("embedding_ivf_topk")
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means cells + n_probe search + exact rerank) — the
+    data-adaptive counterpart to the sign-LSH variant (rows-only:
+    k-means cells aren't SQL; pytest pins recall vs the exact
+    baseline)."""
+    from ..operators.similarity import ivf_cosine_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(e, q, k=3, n_clusters=16, n_probe=4)

@@ -125,3 +125,28 @@ def test_embedding_cosine_dup_pairs_match_bruteforce(spark, sf_dir):
     # pinned loosely so a testdata regeneration doesn't flap)
     if exact:
         assert len(lsh) / len(exact) >= 0.5
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, q, k=3).collect()
+    }
+    # uniform random embeddings are the worst case for a coarse
+    # quantizer (neighbors spread across cells) — probe half the cells
+    # and pin the observed-recall floor; probing all 16 recalls 1.0
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_cosine_topk(emb, q, k=3, n_clusters=16, n_probe=8).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.5
