@@ -395,3 +395,80 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_cosine_topk(e, q, k=3, n_clusters=16, n_probe=4)
+
+
+_SQL_LANG_CASE = """
+           CASE WHEN len(regexp_extract_all(lt, '[一-鿿]')) >= 3 THEN 'zh'
+                WHEN len(regexp_extract_all(lt, '\\b(der|die|und|das|ist|nicht|mit|ein|ich|zu)\\b'))
+                     > len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is|you|that|it|for)\\b'))
+                 AND len(regexp_extract_all(lt, '\\b(der|die|und|das|ist|nicht|mit|ein|ich|zu)\\b'))
+                     > len(regexp_extract_all(lt, '\\b(le|la|les|et|des|est|une|que|pour|dans)\\b'))
+                 AND len(regexp_extract_all(lt, '\\b(der|die|und|das|ist|nicht|mit|ein|ich|zu)\\b'))
+                     > len(regexp_extract_all(lt, '\\b(el|los|las|que|y|en|un|es|por|con)\\b')) THEN 'de'
+                WHEN len(regexp_extract_all(lt, '\\b(le|la|les|et|des|est|une|que|pour|dans)\\b'))
+                     > len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is|you|that|it|for)\\b'))
+                 AND len(regexp_extract_all(lt, '\\b(le|la|les|et|des|est|une|que|pour|dans)\\b'))
+                     > len(regexp_extract_all(lt, '\\b(el|los|las|que|y|en|un|es|por|con)\\b')) THEN 'fr'
+                WHEN len(regexp_extract_all(lt, '\\b(el|los|las|que|y|en|un|es|por|con)\\b'))
+                     > len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is|you|that|it|for)\\b')) THEN 'es'
+                WHEN len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is|you|that|it|for)\\b')) > 0 THEN 'en'
+                ELSE 'und' END
+"""
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+    WITH q AS ({_SQL_QUALITY}),
+    filtered AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      WHERE q.quality_score >= 0.5),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS cmd5
+            FROM filtered)
+      GROUP BY cmd5),
+    kept AS (
+      SELECT f.doc_id, f.text, lower(f.text) AS lt
+      FROM filtered f JOIN keep USING (doc_id))
+    SELECT {_SQL_LANG_CASE} AS lang_guess,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lt,
+                '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+')))
+             AS BIGINT) AS n_bpe_tokens
+    FROM kept
+    GROUP BY 1
+    """,
+    bench=True,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE lazy plan: quality filter →
+    exact near-dup removal (keep min id) → language ID → per-language
+    doc + BPE-token budget. The shape every pretraining-data pipeline
+    runs nightly; here it is filter + digest-groupBy + semi-join +
+    map — two shuffles total, all JVM-side."""
+    from ..operators.text import bpe_token_count
+
+    d = read_table(spark, sf_dir, "documents")
+    filtered = with_quality_score(d).where(F.col("quality_score") >= 0.5)
+    keep = (
+        filtered.select(
+            F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("cmd5"),
+            "doc_id",
+        )
+        .groupBy("cmd5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = filtered.join(keep, "doc_id", "left_semi")
+    return (
+        with_lang_guess(kept)
+        .select("lang_guess", bpe_token_count(F.col("text")).alias("_bpe"))
+        .groupBy("lang_guess")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_bpe").cast("long").alias("n_bpe_tokens"),
+        )
+    )

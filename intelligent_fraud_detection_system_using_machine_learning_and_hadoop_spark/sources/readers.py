@@ -79,3 +79,14 @@ def ensure_min_partitions(df: DataFrame, parallelism: int | None = None) -> Data
     if df.rdd.getNumPartitions() < max(2, p // 2):
         return df.repartition(p)
     return df
+
+
+def read_claims_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = CLAIMS_SCHEMA,
+) -> DataFrame:
+    """JSON-lines scan of a claims table (same schema contract as the
+    CSV reader; schema-declared so no inference pass — on JSON an
+    inference pass is a full extra read of the data)."""
+    return spark.read.schema(schema).option("dateFormat", "yyyy-MM-dd").json(path)

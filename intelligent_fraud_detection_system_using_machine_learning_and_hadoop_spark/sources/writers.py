@@ -62,3 +62,9 @@ def write_bucketed_table(
     if path:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (interchange format; parquet remains the scale
+    path — JSON pays ~10× on size and parse)."""
+    df.write.mode(mode).option("dateFormat", "yyyy-MM-dd").json(path)

@@ -71,3 +71,28 @@ def test_multimodal_resize_and_frames_shapes(spark, sf_dir):
         (F.max("frame_idx") + 1 != F.count(F.lit(1))).alias("sparse")
     ).where(F.col("sparse")).count()
     assert bad == 0
+
+
+def test_claims_json_round_trip(spark, tmp_path):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_claims_csv,
+        read_claims_json,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.writers import (
+        write_json,
+    )
+
+    csv_path = str(tmp_path / "claims.csv")
+    with open(csv_path, "w") as fh:
+        fh.write(
+            "Name,Aadhaar,ClaimAmount,SubsidyType,Date\n"
+            "Asha,100000000001,5000,LPG,2025-07-01\n"
+            "Ravi,100000000002,99999,Education,2025-07-02\n"
+        )
+    claims = read_claims_csv(spark, csv_path)
+    out = str(tmp_path / "claims_json")
+    write_json(claims, out)
+    back = read_claims_json(spark, out)
+    assert back.schema == claims.schema
+    key = lambda r: (r["Name"], r["Aadhaar"], r["ClaimAmount"], str(r["Date"]))  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(map(key, claims.collect()))
