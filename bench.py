@@ -33,8 +33,11 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("ifds-bench")
 
-    # warm up JVM / parquet footer caches outside the timed region
+    # warm up JVM, codegen, and the parquet reader path outside the
+    # timed region (region is 5 rows — touches the reader machinery,
+    # not the benchmark data)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
 
     timings: dict[str, float] = {}
     for name, builder in plans.bench_queries().items():
