@@ -911,3 +911,34 @@ def exists_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "suppliers_by_region",
+    oracle=f"""
+    SELECT r_name,
+           COUNT(*) AS n_suppliers,
+           {_sql_cents_sum_double(f"SUM({_sql_cents('s_acctbal')})", 2)} AS sum_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def suppliers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-dim chain (supplier→nation→region): two broadcast hops,
+    zero shuffles of the fact side before the final 5-group agg."""
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _cents_sum_double(F.sum(_cents(F.col("s_acctbal"))), 2).alias(
+                "sum_acctbal"
+            ),
+        )
+    )
