@@ -942,3 +942,66 @@ def suppliers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ROLLING_ANOMALY_ORACLE = f"""
+    WITH {{events_us}},
+    c AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events_us),
+    w AS (
+      SELECT event_id, value,
+             COUNT(cents) OVER win AS n_prior,
+             SUM(cents) OVER win AS s1,
+             SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER win AS s2
+      FROM c
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id, CAST(n_prior AS BIGINT) AS n_prior,
+           CASE WHEN n_prior = 0 THEN FALSE
+                ELSE value > (CAST(s1 AS DOUBLE) / n_prior / 100.0)
+                             + 2 * sqrt(greatest(
+                                 CAST(s2 AS DOUBLE) / n_prior / 10000.0
+                                 - (CAST(s1 AS DOUBLE) / n_prior / 100.0)
+                                   * (CAST(s1 AS DOUBLE) / n_prior / 100.0),
+                                 0.0))
+           END AS is_anomaly
+    FROM w
+"""
+
+
+@query(
+    "rolling_anomaly_events",
+    oracle=_ROLLING_ANOMALY_ORACLE.format(events_us=_EVENTS_US),
+)
+def rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-user anomaly flag: each event vs mean+2σ of that
+    user's PRIOR events — the streamable redesign of the reference's
+    batch-relative threshold (M6, SURVEY.md §7 'batch-relative
+    threshold doesn't stream'). Exact integer moments in a
+    ROWS UNBOUNDED PRECEDING..1 PRECEDING frame; only the boolean and
+    count are emitted so cross-engine float parity reduces to one
+    identical IEEE expression."""
+    e = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    c19 = cents.cast("decimal(19,0)")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_prior = F.count(cents).over(win)
+    s1 = F.sum(cents).over(win)
+    s2 = F.sum(c19 * c19).over(win)
+    mean = s1.cast("double") / n_prior / F.lit(100.0)
+    var = F.greatest(
+        s2.cast("double") / n_prior / F.lit(10000.0) - mean * mean, F.lit(0.0)
+    )
+    return e.select(
+        "event_id",
+        n_prior.cast("long").alias("n_prior"),
+        F.when(n_prior == 0, F.lit(False))
+        .otherwise(F.col("value") > mean + 2 * F.sqrt(var))
+        .alias("is_anomaly"),
+    )

@@ -178,3 +178,21 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark withholds sessions still open at end-of-input; pytest
     pins emitted ⊆ batch gaps-and-islands)."""
     return stream_sessionize(spark, sf_dir)
+
+
+@query("streaming_rolling_anomaly", oracle=None)
+def streaming_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 redesigned for streams: per-user rolling mean+2σ threshold in
+    applyInPandasWithState with exact integer moments, over a
+    time-ordered 4-micro-batch file stream. Shares the batch window
+    query's oracle — ordered ingestion must reproduce it exactly."""
+    from ..streaming.jobs import stream_rolling_anomaly
+
+    return stream_rolling_anomaly(spark, sf_dir)
+
+
+REGISTRY["streaming_rolling_anomaly"] = REGISTRY["streaming_rolling_anomaly"].__class__(
+    builder=REGISTRY["streaming_rolling_anomaly"].builder,
+    oracle=REGISTRY["rolling_anomaly_events"].oracle,
+    bench=False,
+)

@@ -269,3 +269,122 @@ def stream_sessionize(
         F.col("sw.start").alias("session_start"),
         "n_events",
     )
+
+
+def stream_rolling_anomaly(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Streaming rolling-threshold anomaly scorer: per-user Welford-free
+    running moments (count, Σcents, Σcents² as exact Python ints) in
+    GroupState; each event is flagged against mean+2σ of the user's
+    PRIOR events, then folded into the state.
+
+    This is the streamable redesign of the reference's batch-relative
+    threshold (M6): instead of 'this batch's mean+2σ' (incoherent on an
+    unbounded stream), each event is judged against everything seen
+    before it. Within a batch rows are processed in (ts, event_id)
+    order; with time-ordered ingestion (files arriving in order) the
+    result is identical to the batch window query
+    rolling_anomaly_events, which is exactly what the shared oracle
+    checks. Exact integer state ⇒ no float drift across batches.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ns = dict(zip(raw.schema.names, raw.schema.fields))["ts"].dataType.simpleString() == "bigint"
+
+    # time-ordered multi-file source: split by ts range so micro-batches
+    # arrive in event-time order (the ingestion pattern of a real feed)
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}:ordered:{n_files}".encode()).hexdigest()[:10]
+    src = os.path.join(tempfile.gettempdir(), f"ifds_events_ordered_{key}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        raw.repartitionByRange(n_files, "ts").sortWithinPartitions(
+            "ts"
+        ).write.mode("overwrite").parquet(src)
+        # the file source schedules micro-batches oldest-mtime-first;
+        # stagger mtimes so arrival order == ts-range order (part-00000
+        # holds the lowest ts range under repartitionByRange asc)
+        import time as _time
+
+        base = _time.time() - 3600
+        parts = sorted(
+            f for f in os.listdir(src) if f.startswith("part-")
+        )
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (base + i * 60, base + i * 60))
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    if ns:
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out_type = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("n_prior", T.LongType()),
+            T.StructField("is_anomaly", T.BooleanType()),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s1", T.LongType()),
+            T.StructField("s2_hi", T.LongType()),  # Σcents² split to dodge
+            T.StructField("s2_lo", T.LongType()),  # int64 overflow
+        ]
+    )
+    _SPLIT = 1 << 62
+
+    def update(key_, pdf_iter, state: GroupState):
+        if state.exists:
+            n, s1, s2_hi, s2_lo = state.get
+            s2 = s2_hi * _SPLIT + s2_lo
+        else:
+            n, s1, s2 = 0, 0, 0
+        ids, priors, flags = [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                if n == 0:
+                    flag = False
+                else:
+                    mean = float(s1) / n / 100.0
+                    var = max(float(s2) / n / 10000.0 - mean * mean, 0.0)
+                    flag = val > mean + 2 * math.sqrt(var)
+                ids.append(int(eid))
+                priors.append(n)
+                flags.append(bool(flag))
+                cents = int(round(val * 100))
+                n += 1
+                s1 += cents
+                s2 += cents * cents
+        state.update((n, s1, s2 // _SPLIT, s2 % _SPLIT))
+        yield pd.DataFrame(
+            {"event_id": ids, "n_prior": priors, "is_anomaly": flags}
+        )
+
+    emitted = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"rolling_anomaly_sink_{next(_sink_ids)}"
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
