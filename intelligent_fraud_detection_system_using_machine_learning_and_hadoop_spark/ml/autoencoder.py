@@ -163,3 +163,117 @@ def autoencoder_scores(
             yield out
 
     return arr_df.mapInPandas(score, schema=schema)
+
+
+def _backprop_sum(model: NumpyAutoencoder, xb: np.ndarray) -> tuple[list, float]:
+    """Sum-form gradients (not averaged over rows) + summed loss, so
+    per-partition partials are mergeable by plain addition."""
+    out, cache = model.forward_with_cache(xb)
+    diff = out - xb
+    loss_sum = float(np.sum(diff * diff) / xb.shape[1])
+    g = 2.0 * diff / xb.shape[1]
+    grads_w, grads_b = [], []
+    for i in range(len(model.weights) - 1, -1, -1):
+        a_prev = cache[i]
+        if i < len(model.weights) - 1:
+            g = g * (cache[i + 1] > 0)
+        grads_w.append(a_prev.T @ g)
+        grads_b.append(g.sum(axis=0))
+        g = g @ model.weights[i].T
+    return grads_w[::-1] + grads_b[::-1], loss_sum
+
+
+def train_autoencoder_distributed(
+    features_df: DataFrame,
+    hidden: int = 64,
+    code: int = 32,
+    epochs: int = 20,
+    lr: float = 1e-3,
+    seed: int = 42,
+) -> tuple[NumpyAutoencoder, list[float]]:
+    """Data-parallel full-batch training (SURVEY.md §7 step 6's
+    cluster-scale path): per epoch, the current weights broadcast to
+    executors, each partition computes SUM gradients over its rows via
+    an Arrow-batched ``mapInPandas`` (one flattened vector per
+    partition), the driver merges partials and applies one Adam step.
+
+    This is synchronous data-parallel SGD with exact full-batch
+    gradients — the same merge structure TorchDistributor/allreduce
+    uses, expressed with Spark primitives: features never leave the
+    executors; only (n_params)-sized gradient vectors travel. Returns
+    (model, per-epoch mean losses).
+    """
+    spark = features_df.sparkSession
+    arr_df = features_df.select(
+        vector_to_array(F.col("features")).alias("_farr")
+    ).persist()
+    n_total = arr_df.count()
+    in_dim = len(arr_df.head()["_farr"])
+
+    model = NumpyAutoencoder(in_dim, hidden, code, seed)
+    params = model.params()
+    shapes = [p.shape for p in params]
+    sizes = [int(np.prod(s)) for s in shapes]
+    mom = [np.zeros_like(p) for p in params]
+    vel = [np.zeros_like(p) for p in params]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    schema = T.StructType(
+        [
+            T.StructField("pid", T.IntegerType(), False),
+            T.StructField("grads", T.ArrayType(T.DoubleType()), False),
+            T.StructField("loss_sum", T.DoubleType(), False),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+    losses: list[float] = []
+    for step in range(1, epochs + 1):
+        bc = spark.sparkContext.broadcast(model.state())
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            local = NumpyAutoencoder.from_state(bc.value)
+            acc = None
+            loss = 0.0
+            cnt = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["_farr"].to_numpy())
+                grads, ls = _backprop_sum(local, x)
+                flat = np.concatenate([g.ravel() for g in grads])
+                acc = flat if acc is None else acc + flat
+                loss += ls
+                cnt += len(x)
+            if cnt:
+                yield pd.DataFrame(
+                    {
+                        "pid": [TaskContext.get().partitionId()],
+                        "grads": [acc.tolist()],
+                        "loss_sum": [loss],
+                        "cnt": [cnt],
+                    }
+                )
+
+        rows = arr_df.mapInPandas(partials, schema=schema).collect()
+        bc.destroy()
+        # merge partials in partition order → deterministic for a fixed
+        # partitioning (float addition is order-sensitive)
+        rows.sort(key=lambda r: r["pid"])
+        total = np.zeros(sum(sizes))
+        for r in rows:
+            total += np.asarray(r["grads"])
+        losses.append(sum(r["loss_sum"] for r in rows) / n_total)
+        mean_grads = total / n_total
+        offset = 0
+        for p, mi, vi, sz, shp in zip(params, mom, vel, sizes, shapes):
+            gp = mean_grads[offset : offset + sz].reshape(shp)
+            offset += sz
+            mi *= b1
+            mi += (1 - b1) * gp
+            vi *= b2
+            vi += (1 - b2) * gp * gp
+            p -= lr * (mi / (1 - b1**step)) / (np.sqrt(vi / (1 - b2**step)) + eps)
+    arr_df.unpersist()
+    return model, losses

@@ -254,3 +254,22 @@ def test_streaming_sessions_subset_of_batch(spark, sf_dir):
     assert emitted.issubset(batch)
     # everything except possibly the last open session per user is emitted
     assert len(batch) - len(emitted) <= e.select("user_id").distinct().count()
+
+
+def test_distributed_training_reduces_loss_and_scores(spark, sf_dir):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.autoencoder import (
+        autoencoder_scores,
+        train_autoencoder_distributed,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.ml_ops import (
+        _orders_features,
+    )
+
+    feats = _orders_features(spark, sf_dir).select("o_orderkey", "features")
+    model, losses = train_autoencoder_distributed(feats, epochs=12, lr=1e-2)
+    # full-batch Adam on a reconstruction task must make real progress
+    assert losses[-1] < 0.7 * losses[0], losses
+    # and the trained weights score distributed like any other model
+    scored = autoencoder_scores(feats, model, id_cols=["o_orderkey"])
+    row = scored.agg(F.count(F.lit(1)).alias("n")).collect()[0]
+    assert row["n"] == feats.count()
