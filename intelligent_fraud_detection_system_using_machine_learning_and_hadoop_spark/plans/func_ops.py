@@ -191,3 +191,42 @@ def stats_moments_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_pop"),
         F.sqrt(var).alias("std_pop"),
     )
+
+
+@query(
+    "temporal_funcs_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def temporal_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-function family (year/quarter/month/day/ISO week,
+    interval add, last_day, trunc, datediff) — functions whose
+    semantics the two engines share exactly; months_between and
+    dayofweek are deliberately excluded (engine-specific conventions)."""
+    o = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("d"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
