@@ -230,3 +230,61 @@ def temporal_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_epoch_start"),
     )
+
+
+@query(
+    "posexplode_doc_tokens",
+    oracle="""
+    SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.tok AS tok
+    FROM (SELECT doc_id,
+                 unnest(list_transform(
+                   list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''),
+                   (x, i) -> struct_pack(pos := i - 1, tok := x))) AS s
+          FROM documents)
+    WHERE s.pos <= 4
+    """,
+)
+def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator surface: posexplode (unnest WITH ORDINALITY) — the 1→N
+    row expansion with position, limited to each doc's first 5 tokens
+    (the LIMIT is applied on position, not rows, so it parallelizes)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .where(F.col("pos") <= 4)
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    )
+
+
+@query(
+    "window_dist_orders",
+    oracle="""
+    SELECT o_orderkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS second_okey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank, cume_dist,
+    nth_value) — their doubles are ratios of identical small ints, so
+    cross-engine bit parity holds without special arithmetic."""
+    from pyspark.sql import Window as W
+
+    o = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_full).cast("long").alias("second_okey"),
+    )
