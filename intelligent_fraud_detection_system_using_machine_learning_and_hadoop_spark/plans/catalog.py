@@ -1005,3 +1005,16 @@ def rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value") > mean + 2 * F.sqrt(var))
         .alias("is_anomaly"),
     )
+
+
+@query(
+    "distinct_status_priority",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch DISTINCT (hash-agg on the pair; the streaming twin is
+    streaming_distinct_pairs)."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()

@@ -8,6 +8,8 @@ scale path (partitioned columnar, predicate-pushdown-able on re-read).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -68,3 +70,37 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (interchange format; parquet remains the scale
     path — JSON pays ~10× on size and parse)."""
     df.write.mode(mode).option("dateFormat", "yyyy-MM-dd").json(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 512,
+    sort_within_by: list[str] | None = None,
+) -> int:
+    """Compact a small-file parquet dataset in place: size-based
+    repartition to ~``target_file_mb`` output files (the metadata/task
+    overhead killer on object stores is file COUNT, not bytes), with
+    optional within-file sort so min/max row-group stats support data
+    skipping on the sort keys. Returns the new file count.
+
+    Writes to a sibling temp dir then swaps, so a failed compaction
+    never destroys the source.
+    """
+    import shutil
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet") or f.startswith("part-")
+    )
+    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) + 1)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return sum(1 for f in os.listdir(path) if f.startswith("part-"))

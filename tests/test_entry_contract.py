@@ -96,3 +96,23 @@ def test_claims_json_round_trip(spark, tmp_path):
     assert back.schema == claims.schema
     key = lambda r: (r["Name"], r["Aadhaar"], r["ClaimAmount"], str(r["Date"]))  # noqa: E731
     assert sorted(map(key, back.collect())) == sorted(map(key, claims.collect()))
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.writers import (
+        compact_parquet,
+    )
+    import os
+
+    o = read_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "fragmented")
+    o.repartition(40).write.parquet(path)  # simulate small-file buildup
+    before = sum(1 for f in os.listdir(path) if f.startswith("part-"))
+    assert before == 40
+    n = o.count()
+    after = compact_parquet(spark, path, target_file_mb=512, sort_within_by=["o_orderkey"])
+    assert after < before
+    assert spark.read.parquet(path).count() == n
