@@ -196,3 +196,49 @@ REGISTRY["streaming_rolling_anomaly"] = REGISTRY["streaming_rolling_anomaly"].__
     oracle=REGISTRY["rolling_anomaly_events"].oracle,
     bench=False,
 )
+
+
+@query(
+    "mad_outliers_events",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, value FROM events),
+    med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS m
+      FROM e GROUP BY user_id),
+    mad AS (
+      SELECT e.user_id, quantile_cont(abs(e.value - med.m), 0.5) AS d
+      FROM e JOIN med USING (user_id) GROUP BY e.user_id)
+    SELECT e.event_id,
+           abs(e.value - med.m) > 3 * mad.d AS is_outlier
+    FROM e JOIN med USING (user_id) JOIN mad USING (user_id)
+    """,
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier flag (median/MAD, the rank-based
+    counterpart to mean+2σ) via grouped ``applyInPandas`` — the natural
+    shape when per-group logic needs order statistics pandas computes
+    in one vectorized shot. np.percentile interpolates with the same
+    lo+(hi-lo)·frac formula as DuckDB's quantile_cont, so the boolean
+    is cross-engine exact."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    out_type = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("is_outlier", T.BooleanType()),
+        ]
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        m = float(np.percentile(v, 50))
+        d = float(np.percentile(np.abs(v - m), 50))
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "is_outlier": np.abs(v - m) > 3 * d}
+        )
+
+    return e.groupBy("user_id").applyInPandas(per_user, schema=out_type)
