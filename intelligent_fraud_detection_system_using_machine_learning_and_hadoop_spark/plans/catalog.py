@@ -1018,3 +1018,110 @@ def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_distinct_pairs)."""
     o = read_table(spark, sf_dir, "orders")
     return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "big_spenders_vs_nation",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM({_sql_cents('o_totalprice')}) AS BIGINT) AS s
+      FROM orders GROUP BY o_custkey),
+    joined AS (
+      SELECT c_custkey, c_nationkey, s FROM spend
+      JOIN customer ON o_custkey = c_custkey),
+    nat AS (
+      SELECT c_nationkey,
+             CAST(CAST(SUM(s) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_cents
+      FROM joined GROUP BY c_nationkey)
+    SELECT c_custkey,
+           CAST(s AS DOUBLE) / 100.0 AS spend
+    FROM joined JOIN nat USING (c_nationkey)
+    WHERE CAST(s AS DOUBLE) > 2 * avg_cents
+    """,
+)
+def big_spenders_vs_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggregation (agg of agg): per-customer spend → per-nation
+    average of those spends → customers above 2× their nation's
+    average. Two hash-aggs + one broadcast of the 25-row nation stats;
+    the fact table shuffles once."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("s")
+    )
+    joined = spend.join(c, spend.o_custkey == c.c_custkey).select(
+        "c_custkey", "c_nationkey", "s"
+    )
+    nat = joined.groupBy("c_nationkey").agg(
+        (F.sum("s").cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    return (
+        joined.join(F.broadcast(nat), "c_nationkey")
+        .where(F.col("s").cast("double") > 2 * F.col("avg_cents"))
+        .select(
+            "c_custkey", (F.col("s").cast("double") / F.lit(100.0)).alias("spend")
+        )
+    )
+
+
+@query(
+    "shipmode_priority_counts",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+           COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional counting (CASE inside the
+    agg, one pass — never two filtered scans)."""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(is_high, 1)).alias("high_line_count"),
+            F.count(F.when(~is_high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_ratio",
+    oracle=f"""
+    SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN {_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})
+                 ELSE 0 END) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(SUM({_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})) AS BIGINT) AS DOUBLE)
+           * 100.0 AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: join + conditional-sum ratio in one aggregation
+    (exact integer numerator/denominator; one IEEE division each)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    disc_rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", disc_rev).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(disc_rev).cast("double")
+                * F.lit(100.0)
+            ).alias("promo_pct")
+        )
+    )
