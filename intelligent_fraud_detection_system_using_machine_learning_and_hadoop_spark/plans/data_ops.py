@@ -472,3 +472,47 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_bpe").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+_SQL_MD5_BUCKET = """
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          list_filter(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), ''), c -> c <> ''),
+          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      (a, c) -> a * 16 + c) % 100
+"""
+
+
+@query(
+    "hash_split_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_SQL_MD5_BUCKET} AS BIGINT) AS bucket,
+           CASE WHEN {_SQL_MD5_BUCKET} < 80 THEN 'train'
+                WHEN {_SQL_MD5_BUCKET} < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/valid/test split (80/10/10):
+    bucket = md5(id) mod 100. Unlike ``df.sample``'s partition-dependent
+    Bernoulli draw, a hash split is stable across runs, engines, and
+    repartitioning — the only sane way to split 100 TB reproducibly.
+    The md5-hex arithmetic is engine-portable (same trick as
+    doc_fingerprint)."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
