@@ -516,3 +516,119 @@ def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "stratified_sample_documents",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST({_SQL_MD5_BUCKET} AS BIGINT) AS bucket,
+             lower(text) AS lt FROM documents),
+    l AS (
+      SELECT doc_id, bucket, {_SQL_LANG_CASE} AS lang_guess FROM b),
+    r AS (
+      SELECT doc_id, lang_guess,
+             row_number() OVER (PARTITION BY lang_guess
+                                ORDER BY bucket, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang_guess) AS n
+      FROM l)
+    SELECT doc_id, lang_guess FROM r
+    WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: exactly ceil(20%) of each language
+    stratum, selected by hash order — deterministic across engines and
+    repartitioning (df.sampleBy is approximate AND partition-dependent).
+    One window pass per stratum; at scale the hash order also acts as a
+    shuffle-free pseudo-random permutation."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    from pyspark.sql import Window as W
+
+    langed = with_lang_guess(d).select(
+        "doc_id", "lang_guess", bucket.alias("bucket")
+    )
+    w = W.partitionBy("lang_guess").orderBy("bucket", "doc_id")
+    wn = W.partitionBy("lang_guess")
+    return (
+        langed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .where(F.col("rn") <= F.ceil(0.2 * F.col("n")).cast("long"))
+        .select("doc_id", "lang_guess")
+    )
+
+
+@query(
+    "cogroup_purchase_error_stats",
+    oracle="""
+    WITH p AS (SELECT user_id, epoch(ts) AS t FROM events WHERE event_type = 'purchase'),
+    e AS (SELECT user_id, epoch(ts) AS t FROM events WHERE event_type = 'error'),
+    users AS (SELECT DISTINCT user_id FROM events),
+    np AS (SELECT user_id, COUNT(*) AS n FROM p GROUP BY user_id),
+    ne AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY user_id),
+    close AS (
+      SELECT p.user_id, COUNT(*) AS n
+      FROM p JOIN e ON p.user_id = e.user_id
+       AND p.t > e.t AND p.t - e.t <= 600
+      GROUP BY p.user_id)
+    SELECT u.user_id,
+           COALESCE(np.n, 0) AS n_purchases,
+           COALESCE(ne.n, 0) AS n_errors,
+           COALESCE(close.n, 0) AS purchases_within_10m_after_error
+    FROM users u
+    LEFT JOIN np USING (user_id)
+    LEFT JOIN ne USING (user_id)
+    LEFT JOIN close USING (user_id)
+    """,
+)
+def cogroup_purchase_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: the two per-user event streams meet in
+    one Python function (here counting purchases ≤10min after an
+    error) — the surface for custom two-sided per-key logic that
+    doesn't decompose into joins, oracled here by the join form that
+    this simple instance still admits."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("double").alias("t")
+    )
+    p = ev.where(F.col("event_type") == "purchase")
+    e = ev.where(F.col("event_type") == "error")
+
+    out_type = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_purchases", T.LongType()),
+            T.StructField("n_errors", T.LongType()),
+            T.StructField("purchases_within_10m_after_error", T.LongType()),
+        ]
+    )
+
+    def stats(key, pp: pd.DataFrame, ee: pd.DataFrame) -> pd.DataFrame:
+        pt = pp["t"].to_numpy()
+        et = ee["t"].to_numpy()
+        close = 0
+        if len(pt) and len(et):
+            diffs = pt[:, None] - et[None, :]
+            close = int(((diffs > 0) & (diffs <= 600)).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_purchases": [len(pt)],
+                "n_errors": [len(et)],
+                "purchases_within_10m_after_error": [close],
+            }
+        )
+
+    # every user appears on at least one side; cogroup unions the key space
+    return p.groupBy("user_id").cogroup(e.groupBy("user_id")).applyInPandas(
+        stats, schema=out_type
+    )
