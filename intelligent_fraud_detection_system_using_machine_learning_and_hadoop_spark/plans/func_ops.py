@@ -288,3 +288,93 @@ def window_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("o_orderkey", 2).over(w_full).cast("long").alias("second_okey"),
     )
+
+
+@query(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_totalprice' AS col,
+           COUNT(*) AS n_rows,
+           COUNT(o_totalprice) AS n_nonnull,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           MIN(o_totalprice) AS min_d, MAX(o_totalprice) AS max_d
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality pass every ingest runs):
+    per-column row/non-null/distinct counts + range, all columns in ONE
+    scan via a multi-aggregate then unpivoted — never one job per
+    column."""
+    o = read_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_custkey").alias("nd_cust"),
+        F.min("o_custkey").cast("double").alias("min_cust"),
+        F.max("o_custkey").cast("double").alias("max_cust"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_price").alias("n_nonnull"),
+                    F.col("nd_price").alias("n_distinct"),
+                    F.col("min_price").alias("min_d"),
+                    F.col("max_price").alias("max_d"),
+                ),
+                F.struct(
+                    F.lit("o_custkey").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_cust").alias("n_nonnull"),
+                    F.col("nd_cust").alias("n_distinct"),
+                    F.col("min_cust").alias("min_d"),
+                    F.col("max_cust").alias("max_d"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.col", "s.n_rows", "s.n_nonnull", "s.n_distinct", "s.min_d", "s.max_d")
+
+
+@query(
+    "doc_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\d{6,}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\d{6,}')) AS BIGINT) AS n_long_numbers
+    FROM documents
+    """,
+)
+def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: redact emails and long digit
+    runs (IDs, phones) with counts of what was removed — JVM regex map
+    pass, shared Java/RE2 syntax."""
+    d = read_table(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    longnum = r"\d{6,}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), longnum, "<NUM>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(longnum), F.lit(0)))
+        .cast("long")
+        .alias("n_long_numbers"),
+    )
