@@ -199,3 +199,40 @@ def sample_frames(
     return assets.select("asset_id", "content").mapInPandas(
         batches, schema=FRAMES_SCHEMA
     )
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def extract_features(assets: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction over binary payloads: an L1-normalized
+    ``n_bins`` byte histogram as the embedding (deterministic, codec-
+    free — swap the body for a CLIP/CNN forward when models are
+    available; the output contract feeds similarity.cosine_topk /
+    dedup.embedding_cosine_dup_pairs unchanged)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        width = 256 // n_bins
+        for pdf in it:
+            embs = []
+            for c in pdf["content"]:
+                if len(c):
+                    arr = np.frombuffer(bytes(c), dtype=np.uint8)
+                    hist = np.bincount(arr // width, minlength=n_bins).astype(
+                        np.float64
+                    )
+                    embs.append((hist / hist.sum()).tolist())
+                else:
+                    embs.append([0.0] * n_bins)
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "embedding": embs})
+
+    return assets.select("asset_id", "content").mapInPandas(
+        batches, schema=FEATURES_SCHEMA
+    )

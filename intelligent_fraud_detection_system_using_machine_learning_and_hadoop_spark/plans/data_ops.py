@@ -632,3 +632,24 @@ def cogroup_purchase_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.groupBy("user_id").cogroup(e.groupBy("user_id")).applyInPandas(
         stats, schema=out_type
     )
+
+
+@query("multimodal_feature_search")
+def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal retrieval: binary payload → byte-histogram
+    embedding (mapInPandas feature extraction) → cosine top-3 per query
+    asset — the full modality pipeline composed from existing operators
+    (rows-only: the histogram embedding is the stub feature extractor;
+    swap extract_features' body for a real model and nothing else
+    changes)."""
+    from ..operators.multimodal import assets_from_documents, extract_features
+    from ..operators.similarity import cosine_topk
+
+    d = read_table(spark, sf_dir, "documents")
+    emb = extract_features(assets_from_documents(d))
+    q = emb.where(F.col("asset_id") < 5).select(
+        F.col("asset_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(
+        emb, q, id_col="asset_id", vec_col="embedding", k=3
+    )
