@@ -58,6 +58,29 @@ def days_since(date_col: Column, anchor: Column | str) -> Column:
     return F.datediff(date_col, anchor if isinstance(anchor, Column) else F.lit(anchor))
 
 
+def percentile_scalar_df(
+    df: DataFrame, col: str, qs: dict[str, float], exact: bool = True
+) -> DataFrame:
+    """Lazy 1-row DataFrame of percentile scalars — the declarative
+    scalar-subquery form: ``fact.crossJoin(F.broadcast(this))`` keeps
+    the threshold inside ONE Catalyst plan (no hidden job at
+    plan-construction time, unlike :func:`exact_percentile`).
+
+    ``qs`` maps output column name → quantile. ``exact=False`` swaps in
+    the mergeable Greenwald-Khanna sketch (the 100 TB path — exact
+    percentile fundamentally needs global order information).
+    """
+    c = F.col(col).cast("double")
+    if exact:
+        aggs = [F.percentile(c, F.lit(q)).alias(name) for name, q in qs.items()]
+    else:
+        aggs = [
+            F.percentile_approx(c, F.lit(q), F.lit(10000)).alias(name)
+            for name, q in qs.items()
+        ]
+    return df.agg(*aggs)
+
+
 def exact_percentile(df: DataFrame, col: str, q: float) -> float:
     """Exact linear-interpolated percentile, matching pandas
     ``Series.quantile`` semantics (reference A4,

@@ -54,15 +54,29 @@ def pca_reconstruction_scores(
     )
 
 
+def batch_threshold_df(
+    scored: DataFrame, err_col: str = "ReconstructionError", sigmas: float = 2.0
+) -> DataFrame:
+    """Reference M6 as a LAZY 1-row DataFrame (column ``__ml_thr``):
+    mean + 2·population-std of the current batch's errors. Designed for
+    ``scored.crossJoin(F.broadcast(...))`` — the scalar barrier stays
+    inside one Catalyst plan instead of an eager ``.collect()``."""
+    return scored.agg(
+        (
+            F.mean(err_col)
+            + F.lit(sigmas) * F.coalesce(F.stddev_pop(err_col), F.lit(0.0))
+        ).alias("__ml_thr")
+    )
+
+
 def batch_threshold(
     scored: DataFrame, err_col: str = "ReconstructionError", sigmas: float = 2.0
 ) -> float:
-    """Reference M6: mean + 2σ of the *current batch* (population std,
-    matching numpy ddof=0 — ``run_pipeline.py:66``)."""
-    row = scored.agg(
-        F.mean(err_col).alias("m"), F.stddev_pop(err_col).alias("s")
-    ).collect()[0]
-    return float(row["m"]) + sigmas * float(row["s"] or 0.0)
+    """Eager scalar form of :func:`batch_threshold_df` (population std,
+    matching numpy ddof=0 — ``run_pipeline.py:66``). Prefer the lazy
+    DataFrame form inside query plans."""
+    row = batch_threshold_df(scored, err_col, sigmas).collect()[0]
+    return float(row["__ml_thr"])
 
 
 def with_ml_verdict(
@@ -70,10 +84,25 @@ def with_ml_verdict(
     threshold: float | None = None,
     err_col: str = "ReconstructionError",
 ) -> DataFrame:
-    """Reference M5/M7 verdict: 'Suspicious' iff error > threshold."""
-    if threshold is None:
-        threshold = batch_threshold(scored, err_col)
-    return scored.withColumn(
-        "MLFraud",
-        F.when(F.col(err_col) > F.lit(threshold), "Suspicious").otherwise("Normal"),
+    """Reference M5/M7 verdict: 'Suspicious' iff error > threshold.
+
+    With ``threshold=None`` the batch-relative cutoff joins in as a
+    broadcast 1-row crossJoin — no driver collect, one plan."""
+    if threshold is not None:
+        return scored.withColumn(
+            "MLFraud",
+            F.when(F.col(err_col) > F.lit(threshold), "Suspicious").otherwise(
+                "Normal"
+            ),
+        )
+    thr = batch_threshold_df(scored, err_col)
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .withColumn(
+            "MLFraud",
+            F.when(F.col(err_col) > F.col("__ml_thr"), "Suspicious").otherwise(
+                "Normal"
+            ),
+        )
+        .drop("__ml_thr")
     )

@@ -87,13 +87,40 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.1,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
     threshold) via shingle inverted index — no cross join; only docs
-    sharing ≥1 shingle ever meet."""
+    sharing ≥1 shingle ever meet.
+
+    **Hot-shingle guard (the 100 TB safety valve):** a shingle shared by
+    k docs contributes k²/2 join rows, so one ubiquitous n-gram ("of the
+    and") creates a quadratic hot bucket at corpus scale. ``max_df``
+    drops shingles with document frequency above the cap from the
+    representation BEFORE the self-join, bounding every bucket at
+    max_df²/2 candidates. Jaccard is then computed over the filtered
+    vocabulary (sizes shrink consistently with intersections) — the
+    standard near-dup practice: ubiquitous shingles carry no similarity
+    signal, exactly like stopwords in retrieval. ``max_df=None``
+    restores unfiltered exact semantics; on the shipped testdata no
+    shingle reaches the default cap, so the two are identical there
+    (pinned by pytest)."""
     s = _shingled_cached(df, id_col, text_col, n)
-    sizes = s.select("_id", F.size("_sh").alias("_n"))
     ex = s.select("_id", F.explode("_sh").alias("shingle"))
+    if max_df is not None:
+        # DF is a partial-aggregated (shingle, count) pass; the hot set
+        # is tiny by construction (few shingles exceed the cap) → one
+        # broadcast anti-join, no extra shuffle of the index itself.
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+        sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    else:
+        sizes = s.select("_id", F.size("_sh").alias("_n"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (

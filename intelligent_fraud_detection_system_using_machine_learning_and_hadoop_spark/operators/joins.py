@@ -27,6 +27,19 @@ _SIDE = "__asof_side"
 _STRUCT = "__asof_payload"
 
 
+def _median_width(df: DataFrame, width_col: Column) -> float:
+    """Approximate median interval width via one mergeable-sketch
+    aggregate — never collects the band set to the driver (a band table
+    can itself be large; the grid constant is the only scalar needed)."""
+    row = df.agg(
+        F.percentile_approx(width_col.cast("double"), F.lit(0.5), F.lit(10000)).alias(
+            "w"
+        )
+    ).first()
+    w = row["w"] if row is not None else None
+    return max(float(w), 1e-12) if w is not None else 1e-12
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -136,12 +149,7 @@ def range_join_bands(
     which still beats the nested-loop inequality join it replaces.
     """
     if grid is None:
-        widths = sorted(
-            r["w"] for r in bands.select(
-                (F.col(hi_col) - F.col(lo_col)).cast("double").alias("w")
-            ).collect()
-        )
-        grid = max(widths[len(widths) // 2], 1e-12)
+        grid = _median_width(bands, F.col(hi_col) - F.col(lo_col))
     cells = bands.withColumn(
         "__cell",
         F.explode(
@@ -189,12 +197,7 @@ def interval_overlap_join(
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     if grid is None:
-        widths = sorted(
-            r["w"] for r in right.select(
-                (F.col(right_end) - F.col(right_start)).cast("double").alias("w")
-            ).collect()
-        )
-        grid = max(widths[len(widths) // 2], 1e-12)
+        grid = _median_width(right, F.col(right_end) - F.col(right_start))
 
     def cellify(df: DataFrame, start: str, end: str) -> DataFrame:
         return df.withColumn(

@@ -49,6 +49,7 @@ from ..functions.exprs import (
     exact_percentile,
     approx_percentile,
     flag_when,
+    percentile_scalar_df,
 )
 
 
@@ -135,8 +136,20 @@ def with_rule_flags(df: DataFrame, cfg: RuleConfig = RuleConfig()) -> DataFrame:
     out = dist(df, cfg.id_col, cfg.name_col, "is_dup_id")
     out = dist(out, cfg.name_col, cfg.id_col, "is_multi_id")
 
-    threshold = amount_threshold(df, cfg)
-    out = out.withColumn("is_high_amount", F.col(cfg.amount_col) > F.lit(threshold))
+    # Rule 3 stays DECLARATIVE: the percentile is a broadcast 1-row
+    # crossJoin (scalar-subquery shape), not an eager .first() — the
+    # whole rule engine is one Catalyst plan / one job, matching the
+    # reference's single pass (run_pipeline.py:22-43). A null threshold
+    # (empty/all-null input) flags nothing, like pandas' NaN compare.
+    thr = percentile_scalar_df(
+        df, cfg.amount_col, {"__amount_thr": cfg.amount_quantile}, exact=cfg.exact
+    )
+    out = out.crossJoin(F.broadcast(thr)).withColumn(
+        "is_high_amount",
+        F.when(F.col("__amount_thr").isNull(), F.lit(False)).otherwise(
+            F.col(cfg.amount_col) > F.col("__amount_thr")
+        ),
+    ).drop("__amount_thr")
 
     order = [F.col(cfg.date_col).asc()] + [F.col(c).asc() for c in tiebreaks]
     w = Window.partitionBy(cfg.id_col).orderBy(*order)

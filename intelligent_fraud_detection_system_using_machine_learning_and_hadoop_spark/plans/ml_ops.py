@@ -15,8 +15,7 @@ from pyspark.sql import functions as F
 
 from ..ml.evaluate import evaluate_binary
 from ..ml.preprocess import fit_preprocessor
-from ..ml.scoring import batch_threshold, pca_reconstruction_scores
-from ..functions.exprs import exact_percentile
+from ..ml.scoring import batch_threshold_df, pca_reconstruction_scores
 from ..sources.readers import read_table
 from ..streaming.jobs import (
     stream_distinct_pairs,
@@ -75,11 +74,13 @@ def anomaly_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's batch-relative mean+2σ verdict (rows-only)."""
     feats = _orders_features(spark, sf_dir)
     scored = pca_reconstruction_scores(feats, k=4)
-    t = batch_threshold(scored)
-    return scored.select(
+    # batch-relative cutoff as a broadcast 1-row crossJoin — the scalar
+    # barrier stays inside this one plan (no driver .collect()).
+    thr = batch_threshold_df(scored)
+    return scored.crossJoin(F.broadcast(thr)).select(
         "o_orderkey",
         "ReconstructionError",
-        F.when(F.col("ReconstructionError") > F.lit(t), "Suspicious")
+        F.when(F.col("ReconstructionError") > F.col("__ml_thr"), "Suspicious")
         .otherwise("Normal")
         .alias("ml_fraud"),
     )
@@ -87,24 +88,17 @@ def anomaly_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("anomaly_autoencoder")
 def anomaly_autoencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4/M5 reference-parity: seeded autoencoder (64→32→64, Adam, MSE)
-    trained on driver-collected features, scored distributed via
-    Arrow-batched mapInPandas with broadcast weights (rows-only)."""
-    import numpy as np
-    from pyspark.ml.functions import vector_to_array
-
-    from ..ml.autoencoder import autoencoder_scores, train_autoencoder
+    """M4/M5 at scale: seeded autoencoder (64→32→64, Adam, MSE) trained
+    DATA-PARALLEL — per epoch each partition computes sum-gradients over
+    its rows via Arrow-batched mapInPandas, the driver merges the
+    (n_params)-sized partials and applies one Adam step; the feature
+    matrix never leaves the executors (vs the reference's in-memory
+    ``train.py:64-81``). Scoring broadcasts the weights back out.
+    Deterministic for a fixed partitioning (rows-only)."""
+    from ..ml.autoencoder import autoencoder_scores, train_autoencoder_distributed
 
     feats = _orders_features(spark, sf_dir).select("o_orderkey", "features")
-    x = np.stack(
-        [
-            np.asarray(r["farr"], dtype=np.float64)
-            for r in feats.select(
-                vector_to_array(F.col("features")).alias("farr")
-            ).collect()
-        ]
-    )
-    model = train_autoencoder(x, epochs=10, seed=42)
+    model, _losses = train_autoencoder_distributed(feats, epochs=15, seed=42)
     return autoencoder_scores(feats, model, id_cols=["o_orderkey"])
 
 
@@ -114,13 +108,16 @@ def ml_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic proxy label (amount > exact p99) — the evaluation
     pass the reference never ran on its own labels (rows-only: depends
     on the fitted model)."""
+    from ..functions.exprs import percentile_scalar_df
+
     o = read_table(spark, sf_dir, "orders")
-    p99 = exact_percentile(o, "o_totalprice", 0.99)
+    p99 = percentile_scalar_df(o, "o_totalprice", {"__p99": 0.99})
     scored = anomaly_pca(spark, sf_dir)
     labeled = (
         o.select("o_orderkey", "o_totalprice")
         .join(scored, "o_orderkey")
-        .withColumn("label", (F.col("o_totalprice") > F.lit(p99)).cast("int"))
+        .crossJoin(F.broadcast(p99))
+        .withColumn("label", (F.col("o_totalprice") > F.col("__p99")).cast("int"))
     )
     return evaluate_binary(labeled, "label", F.col("ml_fraud") == "Suspicious")
 

@@ -14,6 +14,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def enable_nanos_reads(spark: SparkSession) -> None:
+    """Single owner of ``spark.sql.legacy.parquet.nanosAsLong``.
+
+    Spark has no TIMESTAMP(NANOS) type; files carrying it (the events
+    table) are unreadable without this conf. It is set ONCE per session
+    here (idempotent check-then-set) rather than mutated inside every
+    reader call — the conf only changes how otherwise-unreadable
+    nanos columns surface (as long), so enabling it session-wide is
+    side-effect-free for all other parquet reads."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(key, "false") != "true":
+        spark.conf.set(key, "true")
+
+
 def get_spark(app_name: str = "ifds-spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -31,6 +45,7 @@ def get_spark(app_name: str = "ifds-spark", master: str | None = None) -> SparkS
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -49,7 +49,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from ..session import enable_nanos_reads
+
+        enable_nanos_reads(spark)
         df = spark.read.parquet(path)
         ts_field = df.schema["ts"]
         if isinstance(ts_field.dataType, T.LongType):

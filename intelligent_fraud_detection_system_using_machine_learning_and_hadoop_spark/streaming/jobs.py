@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.rules import RuleConfig, score_claims
+from ..session import enable_nanos_reads
 
 _sink_ids = count()
 
@@ -31,7 +32,7 @@ _sink_ids = count()
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events parquet (nanos ts → µs, same
     conversion as the batch reader so plans are interchangeable)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enable_nanos_reads(spark)
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -121,7 +122,7 @@ def _events_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) ->
     out = os.path.join(tempfile.gettempdir(), f"ifds_events_stream_{key}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        enable_nanos_reads(spark)
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         df.repartition(n_files).write.mode("overwrite").parquet(out)
     return out
@@ -294,7 +295,7 @@ def stream_rolling_anomaly(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enable_nanos_reads(spark)
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ns = dict(zip(raw.schema.names, raw.schema.fields))["ts"].dataType.simpleString() == "bigint"
 
