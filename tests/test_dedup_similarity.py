@@ -52,6 +52,45 @@ def test_minhash_recall_and_precision(spark, sf_dir):
     assert len(lsh & exact) / len(exact) >= 0.9
 
 
+def test_ngram_jaccard_default_cap_is_identity_on_testdata(spark, sf_dir):
+    """No shingle in the shipped corpus reaches the default max_df cap,
+    so the guarded and unfiltered plans must produce identical pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    unfiltered = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.05, max_df=None).collect()
+    }
+    assert capped == unfiltered and capped
+
+
+def test_ngram_jaccard_hot_shingle_bounded(spark):
+    """An injected ubiquitous shingle must NOT create the quadratic
+    bucket: with max_df below the corpus size, docs sharing only the hot
+    shingle produce zero pairs, while genuine near-dups still match."""
+    hot = "of the and"  # one shared trigram across every doc
+    rows = [(i, f"{hot} unique{i} token{i} filler{i} words{i}") for i in range(40)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.05, max_df=10).collect()
+    }
+    # the 40 hot-only docs would contribute 40·39/2 = 780 pairs unguarded
+    assert out == {(100, 101)}
+    unguarded = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, threshold=0.05, max_df=None).collect()
+    }
+    assert len(unguarded) > 700  # the quadratic bucket the cap removes
+
+
 def test_simhash_flags_near_identical(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     df = spark.createDataFrame(
