@@ -107,26 +107,46 @@ def ngram_jaccard_pairs(
     (pinned by pytest)."""
     s = _shingled_cached(df, id_col, text_col, n)
     ex = s.select("_id", F.explode("_sh").alias("shingle"))
+    # Posting-list formulation: ONE shuffle of the exploded index
+    # (groupBy shingle → sorted id list) instead of shuffling it twice
+    # into a self-join; pair generation is a per-posting combination
+    # expand — identical output rows, half the exchange volume, and the
+    # per-shingle document frequency (the cap) falls out for free.
+    posts = ex.groupBy("shingle").agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
     if max_df is not None:
-        # DF is a partial-aggregated (shingle, count) pass; the hot set
-        # is tiny by construction (few shingles exceed the cap) → one
-        # broadcast anti-join, no extra shuffle of the index itself.
-        hot = (
-            ex.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_df)
-            .select("shingle")
+        from pyspark import StorageLevel
+
+        # the posting map feeds three consumers (hot set, pair expand —
+        # and the hot set again under each size join); persist it so the
+        # groupBy-shingle shuffle runs ONCE (same working-set contract
+        # as _shingled_cached).
+        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+        # hot set as a broadcast 1-row array (usually empty): sizes use
+        # array_except so the denominator shrinks consistently with the
+        # dropped intersections — Jaccard over the filtered vocabulary.
+        hot = posts.where(F.size("_ids") > max_df).agg(
+            F.collect_list("shingle").alias("_hot")
         )
-        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
-        sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        # persisted: the filtered-size map (array_except over every
+        # doc's shingle set) feeds both join sides — one row per doc,
+        # computed once.
+        sizes = (
+            s.crossJoin(F.broadcast(hot))
+            .select("_id", F.size(F.array_except("_sh", "_hot")).alias("_n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        posts = posts.where(F.size("_ids") <= max_df)
     else:
         sizes = s.select("_id", F.size("_sh").alias("_n"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    pair_expr = F.expr(
+        "flatten(transform(_ids, (x, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        posts.where(F.size("_ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))

@@ -27,7 +27,6 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exprs import exact_percentile
 from ..operators.rules import RuleConfig, with_rule_flags
 from ..sources.readers import read_table
 
@@ -235,117 +234,140 @@ def count_distinct_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "value_counts",
+    "status_priority_counts",
     oracle="""
-    SELECT o_orderstatus, COUNT(*) AS n
-    FROM orders GROUP BY o_orderstatus
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
     """,
 )
-def value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference A7 (``app.py:41-42``): value_counts for the UI pie."""
+def status_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A7 (``app.py:41-42``, value_counts for the UI pie) and
+    batch DISTINCT in one attestation: the grouped count at (status,
+    priority) grain — its key set IS ``SELECT DISTINCT`` of the pair
+    (Spark plans DISTINCT as this same hash-aggregate), and summing over
+    priority recovers the per-status value_counts. Consolidates round
+    1's ``value_counts`` + ``distinct_status_priority`` (both driver-
+    green there). The streaming twin is streaming_distinct_pairs."""
     o = read_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
 
 @query(
-    "global_minmax_dates",
-    oracle="""
+    "scalar_stats_global",
+    oracle=f"""
     SELECT MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
-           COUNT(*) AS n
+           COUNT(*) AS n,
+           {_pctile_cte('lineitem', 'l_extendedprice', 0.5)} AS p50,
+           {_pctile_cte('lineitem', 'l_extendedprice', 0.9)} AS p90,
+           {_pctile_cte('lineitem', 'l_extendedprice', 0.99)} AS p99
     FROM orders
     """,
 )
-def global_minmax_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference A5 (``train.py:19``): global scalar aggregates — cheap
-    tree reduction, no shuffle of the fact table."""
+def scalar_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A5 + A4 in one 1-row plan (consolidates round 1's
+    ``global_minmax_dates`` + ``percentile_exact``, both driver-green
+    there): global min/max/count over orders (``train.py:19`` — cheap
+    tree reduction, no shuffle) crossJoined with exact
+    pandas-interpolation percentiles over lineitem prices
+    (``run_pipeline.py:34``). Both sides stay LAZY — the percentiles
+    are Spark's exact ``percentile`` aggregate, not an eager
+    ``.first()``; the sketch variant (sketch_aggregates) is the 100 TB
+    path for the order statistic."""
     o = read_table(spark, sf_dir, "orders")
-    return o.agg(
+    l = read_table(spark, sf_dir, "lineitem")
+    minmax = o.agg(
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
         F.count(F.lit(1)).alias("n"),
     )
-
-
-@query(
-    "percentile_exact",
-    oracle=f"""
-    SELECT {_pctile_cte('lineitem', 'l_extendedprice', 0.5)} AS p50,
-           {_pctile_cte('lineitem', 'l_extendedprice', 0.9)} AS p90,
-           {_pctile_cte('lineitem', 'l_extendedprice', 0.99)} AS p99
-    """,
-)
-def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference A4 (``run_pipeline.py:34``): exact pandas-interpolation
-    percentile. Needs a global order statistic (range-partitioned sort);
-    the sketch variant is the 100 TB path."""
-    l = read_table(spark, sf_dir, "lineitem")
-    vals = [exact_percentile(l, "l_extendedprice", q) for q in (0.5, 0.9, 0.99)]
-    return spark.range(1).select(
-        F.lit(vals[0]).alias("p50"),
-        F.lit(vals[1]).alias("p90"),
-        F.lit(vals[2]).alias("p99"),
+    price = F.col("l_extendedprice").cast("double")
+    pct = l.agg(
+        F.percentile(price, F.lit(0.5)).alias("p50"),
+        F.percentile(price, F.lit(0.9)).alias("p90"),
+        F.percentile(price, F.lit(0.99)).alias("p99"),
     )
+    return minmax.crossJoin(F.broadcast(pct))
 
 
 @query(
-    "window_lag_days",
+    "window_funcs_orders",
     oracle="""
     SELECT o_orderkey,
            CAST(date_diff('day',
-                CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                            ORDER BY o_orderdate, o_orderkey) AS DATE),
-                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+                CAST(lag(o_orderdate) OVER wd AS DATE),
+                CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+           COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) > 1 AS multi_priority,
+           CAST(row_number() OVER wp AS BIGINT) AS rn,
+           CAST(rank() OVER wp AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER wp AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER wp AS BIGINT) AS quartile,
+           lead(o_orderkey) OVER wp AS next_okey,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice DESC, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS top_okey
     FROM orders
+    WINDOW wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
-def window_lag_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference W1/W2 (``run_pipeline.py:39-40``): per-key lag + day
-    delta. Explicit o_orderkey tiebreaker — pandas' stable sort is
-    deterministic on date ties, an unordered Spark window is not
-    (SURVEY.md §2.5)."""
+def window_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function family over ONE shuffle (consolidates round
+    1's driver-green ``window_lag_days`` + ``window_distinct_flag`` +
+    ``window_rank_orders``): three window specs — date-ordered lag
+    (reference W1/W2, ``run_pipeline.py:39-40``), unordered collect_set
+    distinct flag (W3; countDistinct is unsupported over Spark windows),
+    and the price-ordered ranking family (row_number/rank/dense_rank/
+    ntile/lead/first_value) — all partitioned by o_custkey, so Spark
+    exchanges once and only re-sorts between specs. Every ordering
+    carries the o_orderkey tiebreaker (pandas' stable sort is
+    deterministic on ties; an unordered Spark window is not,
+    SURVEY.md §2.5)."""
     o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wu = Window.partitionBy("o_custkey")
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wp_full = wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_orderkey",
-        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w))
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate", 1).over(wd))
         .cast("long")
         .alias("days_since_prev"),
+        (F.size(F.collect_set("o_orderpriority").over(wu)) > 1).alias(
+            "multi_priority"
+        ),
+        F.row_number().over(wp).cast("long").alias("rn"),
+        F.rank().over(wp).cast("long").alias("rnk"),
+        F.dense_rank().over(wp).cast("long").alias("drnk"),
+        F.ntile(4).over(wp).cast("long").alias("quartile"),
+        F.lead("o_orderkey").over(wp).alias("next_okey"),
+        F.first("o_orderkey").over(wp_full).alias("top_okey"),
     )
 
 
 @query(
-    "window_distinct_flag",
+    "semi_anti_join_customers",
     oracle="""
-    SELECT o_orderkey,
-           COUNT(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) > 1 AS multi_priority
-    FROM orders
-    """,
-)
-def window_distinct_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference W3 rewrite of A1+J1: per-row distinct-count flag in one
-    window pass, no re-join (countDistinct is unsupported over Spark
-    windows → size(collect_set))."""
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey")
-    return o.select(
-        "o_orderkey",
-        (F.size(F.collect_set("o_orderpriority").over(w)) > 1).alias("multi_priority"),
-    )
-
-
-@query(
-    "semi_join_offenders",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    SELECT c_custkey, c_name, 'offender' AS tag FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders
                         GROUP BY o_custkey
                         HAVING COUNT(DISTINCT o_orderpriority) > 1)
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
     """,
 )
-def semi_join_offenders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference J1 (``run_pipeline.py:25-26``): the isin-against-list
-    done right — broadcast left-semi join against the (small) offender
-    set; no driver collect, no second shuffle."""
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI and LEFT ANTI in one tagged attestation (consolidates
+    round 1's driver-green ``semi_join_offenders`` +
+    ``anti_join_no_orders``): reference J1 (``run_pipeline.py:25-26``,
+    the isin-against-list done right — broadcast left-semi against the
+    small offender set, no driver collect) unioned with its complement
+    (customers with no orders at all, left-anti)."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     offenders = (
@@ -354,26 +376,13 @@ def semi_join_offenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") > 1)
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return c.join(F.broadcast(offenders), "c_custkey", "left_semi").select(
-        "c_custkey", "c_name"
+    semi = c.join(F.broadcast(offenders), "c_custkey", "left_semi").select(
+        "c_custkey", "c_name", F.lit("offender").alias("tag")
     )
-
-
-@query(
-    "anti_join_no_orders",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
-    """,
-)
-def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (set complement — no reference analogue, required
-    relational surface)."""
-    c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+    anti = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", F.lit("no_orders").alias("tag"))
+    return semi.unionByName(anti)
 
 
 @query(
@@ -473,74 +482,82 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "rollup_order_counts",
+    "grouping_analytics_orders",
     oracle="""
-    SELECT n_name, c_mktsegment, COUNT(*) AS n
+    SELECT n_name, c_mktsegment, COUNT(*) AS n,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY ROLLUP (n_name, c_mktsegment)
+    GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
     """,
 )
-def rollup_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals via ROLLUP (grouping-sets surface; beyond
-    the reference's flat groupbys but core OLAP)."""
+def grouping_analytics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouping-sets surface in one attestation (consolidates round
+    1's driver-green ``rollup_order_counts`` + ``cube_order_counts`` +
+    ``grouping_sets_orders``): explicit GROUPING SETS enumerating the
+    full CUBE lattice over (n_name, c_mktsegment) — which contains
+    ROLLUP's prefix sets — with GROUPING() indicators distinguishing
+    'subtotal over null' from 'group whose key is null'. One Expand +
+    one hash-agg pass over the joined fact, never one scan per set;
+    nation (25 rows) broadcasts."""
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .rollup("n_name", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"))
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    joined.createOrReplaceTempView("orders_grouping_src")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment, COUNT(*) AS n,
+               CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+               CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment
+        FROM orders_grouping_src
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment), ())
+        """
     )
 
 
 @query(
-    "set_intersect_custkeys",
+    "set_ops_custkeys",
     oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    SELECT custkey, 'both_eras' AS tag FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+    UNION ALL
+    SELECT custkey, 'churned' AS tag FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+    UNION ALL
+    SELECT c_custkey AS custkey, 'customer_dim' AS tag FROM customer
     """,
 )
-def set_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT set op: customers active in both eras."""
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The set-operator family in one tagged plan (consolidates round
+    1's driver-green ``set_intersect_custkeys`` + ``set_except_custkeys``
+    + ``union_all_tagged``): INTERSECT (customers active in both eras),
+    EXCEPT (churned after the early era), and a schema-normalized UNION
+    ALL branch from a heterogenous scan. Intersect/except hash-aggregate
+    on the key; union all is free concatenation."""
     o = read_table(spark, sf_dir, "orders")
-    early = o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).select("o_custkey")
-    late = o.where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")).select("o_custkey")
-    return early.intersect(late)
-
-
-@query(
-    "set_except_custkeys",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
-    EXCEPT
-    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
-    """,
-)
-def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT set op: customers who churned after the early era."""
-    o = read_table(spark, sf_dir, "orders")
-    early = o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")).select("o_custkey")
-    late = o.where(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")).select("o_custkey")
-    return early.subtract(late)
-
-
-@query(
-    "date_format_str",
-    oracle="""
-    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
-    FROM orders
-    """,
-)
-def date_format_str(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference F1–F3 (``run_pipeline.py:85``): date→string formatting."""
-    o = read_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    early = o.where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    late = o.where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return (
+        early.intersect(late)
+        .withColumn("tag", F.lit("both_eras"))
+        .unionByName(early.subtract(late).withColumn("tag", F.lit("churned")))
+        .unionByName(c.withColumn("tag", F.lit("customer_dim")))
     )
 
 
@@ -755,23 +772,6 @@ def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cube_order_counts",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all 4 subtotal combinations in one pass —
-    Spark expands to a single Expand + hash-agg, not 4 scans)."""
-    o = read_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-
-@query(
     "scalar_subquery_above_avg",
     oracle=f"""
     SELECT o_orderkey, {_sql_exact_double("CAST(o_totalprice AS DECIMAL(12,2))", 2)} AS o_totalprice
@@ -799,89 +799,6 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             _exact_double(_dec(F.col("o_totalprice"), 12, 2), 2).alias("o_totalprice"),
         )
-    )
-
-
-@query(
-    "union_all_tagged",
-    oracle="""
-    SELECT o_custkey AS custkey, 'order' AS src FROM orders
-    UNION ALL
-    SELECT c_custkey AS custkey, 'customer' AS src FROM customer
-    """,
-)
-def union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL of two heterogenous scans normalized to one schema."""
-    o = read_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"), F.lit("order").alias("src")
-    )
-    c = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey"), F.lit("customer").alias("src")
-    )
-    return o.unionByName(c)
-
-
-@query(
-    "window_rank_orders",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(row_number() OVER w AS BIGINT) AS rn,
-           CAST(rank() OVER w AS BIGINT) AS rnk,
-           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
-           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           lead(o_orderkey) OVER w AS next_okey,
-           first_value(o_orderkey) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_totalprice DESC, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING
-                                                  AND UNBOUNDED FOLLOWING) AS top_okey
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-    """,
-)
-def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking/analytic window family (row_number, rank, dense_rank,
-    ntile, lead, first_value) in ONE window spec — a single shuffle +
-    sort on o_custkey serves all six."""
-    o = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return o.select(
-        "o_orderkey",
-        F.row_number().over(w).cast("long").alias("rn"),
-        F.rank().over(w).cast("long").alias("rnk"),
-        F.dense_rank().over(w).cast("long").alias("drnk"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.lead("o_orderkey").over(w).alias("next_okey"),
-        F.first("o_orderkey").over(w_full).alias("top_okey"),
-    )
-
-
-@query(
-    "grouping_sets_orders",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
-           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-)
-def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS with grouping() indicators (distinguishes
-    'subtotal over null' from 'group whose key is null') — one Expand +
-    single hash-agg pass, like rollup/cube."""
-    o = read_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders_gs")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
-               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
-        FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
     )
 
 
@@ -1005,19 +922,6 @@ def rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("value") > mean + 2 * F.sqrt(var))
         .alias("is_anomaly"),
     )
-
-
-@query(
-    "distinct_status_priority",
-    oracle="""
-    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-    """,
-)
-def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch DISTINCT (hash-agg on the pair; the streaming twin is
-    streaming_distinct_pairs)."""
-    o = read_table(spark, sf_dir, "orders")
-    return o.select("o_orderstatus", "o_orderpriority").distinct()
 
 
 @query(

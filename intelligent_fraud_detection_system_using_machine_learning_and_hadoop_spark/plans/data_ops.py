@@ -42,39 +42,6 @@ _SQL_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''
 _SQL_NTOK = f"len({_SQL_TOKENS})"
 
 
-@query(
-    "doc_token_stats",
-    oracle="""
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars_calc,
-           CAST(strlen(text) AS BIGINT) AS n_bytes,
-           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-           CAST(length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS BIGINT) AS n_alpha,
-           CAST(length(regexp_replace(text, '[^\\p{N}]', '', 'g')) AS BIGINT) AS n_digit,
-           CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS BIGINT) AS n_punct,
-           CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0
-                THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-                     / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-                ELSE CAST(0 AS DOUBLE) END AS mean_token_len
-    FROM documents
-    """,
-    bench=True,
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token/char counting stats — pure JVM map pass, no shuffle."""
-    d = read_table(spark, sf_dir, "documents")
-    return with_token_stats(d).select(
-        "doc_id",
-        "n_chars_calc",
-        "n_bytes",
-        "n_tokens",
-        "n_alpha",
-        "n_digit",
-        "n_punct",
-        "mean_token_len",
-    )
-
-
 _SQL_QUALITY = f"""
     WITH t AS (
       SELECT doc_id, lower(text) AS lt FROM documents),
@@ -101,46 +68,17 @@ _SQL_QUALITY = f"""
 """
 
 
-@query("doc_quality", oracle=_SQL_QUALITY)
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring (C4/Gopher-style filters as a scalar)."""
-    d = read_table(spark, sf_dir, "documents")
-    return with_quality_score(d).select("doc_id", "quality_score")
-
-
-@query(
-    "doc_lang_guess",
-    oracle="""
-    WITH c AS (
+_SQL_LANG_HITS = """
       SELECT doc_id,
              CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|you|that|it|for)\\b')) AS BIGINT) AS en_hits,
              CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|mit|ein|ich|zu)\\b')) AS BIGINT) AS de_hits,
              CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|est|une|que|pour|dans)\\b')) AS BIGINT) AS fr_hits,
              CAST(len(regexp_extract_all(lower(text), '\\b(el|los|las|que|y|en|un|es|por|con)\\b')) AS BIGINT) AS es_hits,
              CAST(len(regexp_extract_all(lower(text), '[一-鿿]')) AS BIGINT) AS zh_hits
-      FROM documents)
-    SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
-           CASE WHEN zh_hits >= 3 THEN 'zh'
-                WHEN de_hits > en_hits AND de_hits > fr_hits AND de_hits > es_hits THEN 'de'
-                WHEN fr_hits > en_hits AND fr_hits > es_hits THEN 'fr'
-                WHEN es_hits > en_hits THEN 'es'
-                WHEN en_hits > 0 THEN 'en'
-                ELSE 'und' END AS lang_guess
-    FROM c
-    """,
-)
-def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-evidence language ID (deterministic CASE precedence)."""
-    d = read_table(spark, sf_dir, "documents")
-    return with_lang_guess(d).select(
-        "doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", "zh_hits", "lang_guess"
-    )
+      FROM documents
+"""
 
-
-@query(
-    "doc_fingerprint",
-    oracle=f"""
-    SELECT doc_id,
+_SQL_FINGERPRINT = f"""
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(
@@ -151,15 +89,80 @@ def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
                             list_filter(string_split(substr(md5(t), 1, 8), ''), c -> c <> ''),
                             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
                         (a, c) -> a * 16 + c))),
-             (a, h) -> (a * {FP_BASE} + h) % {FP_MOD}) AS fingerprint
-    FROM documents
-    """,
+             (a, h) -> (a * {FP_BASE} + h) % {FP_MOD})
+"""
+
+_SQL_BPE_COUNT = (
+    "len(regexp_extract_all(lower(text), "
+    "'''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))"
 )
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial document fingerprint (order-sensitive digest;
-    md5-hex token values keep the arithmetic engine-portable)."""
+
+
+@query(
+    "doc_text_analysis",
+    oracle=f"""
+    WITH q AS ({_SQL_QUALITY}),
+    h AS ({_SQL_LANG_HITS})
+    SELECT d.doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS BIGINT) AS n_alpha,
+           CAST(length(regexp_replace(text, '[^\\p{{N}}]', '', 'g')) AS BIGINT) AS n_digit,
+           CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS BIGINT) AS n_punct,
+           CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) > 0
+                THEN CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                     / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                ELSE CAST(0 AS DOUBLE) END AS mean_token_len,
+           q.quality_score,
+           h.en_hits, h.de_hits, h.fr_hits, h.es_hits, h.zh_hits,
+           CASE WHEN h.zh_hits >= 3 THEN 'zh'
+                WHEN h.de_hits > h.en_hits AND h.de_hits > h.fr_hits AND h.de_hits > h.es_hits THEN 'de'
+                WHEN h.fr_hits > h.en_hits AND h.fr_hits > h.es_hits THEN 'fr'
+                WHEN h.es_hits > h.en_hits THEN 'es'
+                WHEN h.en_hits > 0 THEN 'en'
+                ELSE 'und' END AS lang_guess,
+           {_SQL_FINGERPRINT} AS fingerprint,
+           CAST({_SQL_BPE_COUNT} AS BIGINT) AS n_bpe_tokens
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    JOIN h ON h.doc_id = d.doc_id
+    """,
+    bench=True,
+)
+def doc_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-document text-analysis pass in ONE map-only plan
+    (consolidates round 1's driver-green ``doc_token_stats`` +
+    ``doc_quality`` + ``doc_lang_guess`` + ``doc_fingerprint`` +
+    ``doc_bpe_tokens``): counting stats, C4/Gopher-style quality score,
+    stopword-evidence language ID, order-sensitive rolling fingerprint,
+    and the GPT-2-pretokenizer token count for LLM budgeting
+    (operators/text.py). All pure Catalyst column expressions — zero
+    Python, zero shuffle; at 100 TB this is the single cheap pass every
+    corpus runs before curation."""
+    from ..operators.text import bpe_token_count
+
     d = read_table(spark, sf_dir, "documents")
-    return with_fingerprint(d).select("doc_id", "fingerprint")
+    out = with_fingerprint(with_lang_guess(with_quality_score(with_token_stats(d))))
+    return out.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_bytes",
+        "n_tokens",
+        "n_alpha",
+        "n_digit",
+        "n_punct",
+        "mean_token_len",
+        "quality_score",
+        "en_hits",
+        "de_hits",
+        "fr_hits",
+        "es_hits",
+        "zh_hits",
+        "lang_guess",
+        "fingerprint",
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
 
 
 @query(
@@ -323,63 +326,38 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_binary_meta(assets_from_documents(d))
 
 
-@query("multimodal_decode")
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode plumbing with the deterministic
-    stub codec (rows-only; real codecs unavailable here)."""
-    d = read_table(spark, sf_dir, "documents")
-    return decode_assets(assets_from_documents(d))
-
-
-@query(
-    "doc_bpe_tokens",
-    oracle="""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(lower(text),
-                '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
-             AS BIGINT) AS n_bpe_tokens,
-           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens
-    FROM documents
-    """,
-)
-def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LLM token budgeting: GPT-2-style pretokenizer chunk count next to
-    the whitespace count (operators/text.py::bpe_token_count)."""
-    from ..operators.text import bpe_token_count, tokens
+@query("multimodal_pipeline")
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal plumbing path in one attestation
+    (consolidates round 1's rows-only ``multimodal_decode`` +
+    ``multimodal_resize`` + ``multimodal_frames``): Arrow-batched
+    mapInPandas decode (dims from payload), bounded-dims resize, and
+    1→N frame sampling aggregated back to per-asset counts — three
+    independent mapInPandas branches over one asset scan, joined on
+    asset_id. Codecs are the documented deterministic stubs (PIL wired
+    in automatically when available, operators/multimodal.py); the
+    Spark-side schema/batching/partitioning is the real article."""
+    from ..operators.multimodal import resize_assets, sample_frames
 
     d = read_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
-        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+    assets = assets_from_documents(d)
+    dec = decode_assets(assets).select(
+        "asset_id",
+        "byte_len",
+        F.col("width").alias("dec_width"),
+        F.col("height").alias("dec_height"),
     )
-
-
-@query("multimodal_resize")
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-resize plumbing (Arrow-batched mapInPandas, stub codec):
-    byte payload in → bounded-dims payload out (rows-only)."""
-    from ..operators.multimodal import resize_assets
-
-    d = read_table(spark, sf_dir, "documents")
-    out = resize_assets(assets_from_documents(d), max_side=128)
-    return out.select(
-        "asset_id", "width", "height", F.octet_length("content").cast("long").alias("n_bytes")
+    rs = resize_assets(assets, max_side=128).select(
+        "asset_id",
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+        F.octet_length("content").cast("long").alias("rs_bytes"),
     )
-
-
-@query("multimodal_frames")
-def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: 1 binary row → N frame rows (the
-    explode shape; stub codec, rows-only)."""
-    from ..operators.multimodal import sample_frames
-
-    d = read_table(spark, sf_dir, "documents")
-    out = sample_frames(assets_from_documents(d))
-    return out.select(
-        "asset_id", "frame_idx", "frame_ts_ms",
-        F.octet_length("frame").cast("long").alias("n_bytes"),
+    fr = sample_frames(assets).groupBy("asset_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.max("frame_ts_ms").alias("last_frame_ts_ms"),
     )
+    return dec.join(rs, "asset_id").join(fr, "asset_id")
 
 
 @query("embedding_ivf_topk")
@@ -628,9 +606,24 @@ def cogroup_purchase_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    # every user appears on at least one side; cogroup unions the key space
-    return p.groupBy("user_id").cogroup(e.groupBy("user_id")).applyInPandas(
-        stats, schema=out_type
+    # cogroup unions only keys present on ≥1 side; the oracle's key
+    # space is DISTINCT user_id over ALL events (a user with only
+    # click/view/signup events must appear with zero counts), so
+    # right-join the full key set and zero-fill — same single shuffle
+    # key, the distinct is a cheap partial-agg pass.
+    stats_df = (
+        p.groupBy("user_id").cogroup(e.groupBy("user_id")).applyInPandas(
+            stats, schema=out_type
+        )
+    )
+    users = ev.select("user_id").distinct()
+    return users.join(stats_df, "user_id", "left").select(
+        "user_id",
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
+        F.coalesce("purchases_within_10m_after_error", F.lit(0))
+        .cast("long")
+        .alias("purchases_within_10m_after_error"),
     )
 
 

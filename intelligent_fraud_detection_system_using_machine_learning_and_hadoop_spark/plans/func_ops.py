@@ -205,15 +205,18 @@ def stats_moments_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
            CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
            CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str
     FROM orders
     """,
 )
 def temporal_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-function family (year/quarter/month/day/ISO week,
-    interval add, last_day, trunc, datediff) — functions whose
-    semantics the two engines share exactly; months_between and
-    dayofweek are deliberately excluded (engine-specific conventions)."""
+    interval add, last_day, trunc, datediff, date→string formatting —
+    reference F1–F3 ``run_pipeline.py:85``, absorbing round 1's
+    driver-green ``date_format_str``) — functions whose semantics the
+    two engines share exactly; months_between and dayofweek are
+    deliberately excluded (engine-specific conventions)."""
     o = read_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return o.select(
@@ -229,6 +232,7 @@ def temporal_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(d, F.lit("1995-01-01").cast("date"))
         .cast("long")
         .alias("days_since_epoch_start"),
+        F.date_format(d, "yyyy-MM-dd").alias("order_date_str"),
     )
 
 

@@ -33,8 +33,8 @@ def test_filters_push_into_parquet_scan(spark, sf_dir):
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):
-    plan = plan_of(REGISTRY["value_counts"].builder(spark, sf_dir))
-    # only the grouping column is read, not the whole orders schema
+    plan = plan_of(REGISTRY["status_priority_counts"].builder(spark, sf_dir))
+    # only the grouping columns are read, not the whole orders schema
     assert "o_orderstatus" in plan
     assert "o_totalprice" not in plan
 
@@ -50,7 +50,7 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 
 
 def test_doc_stats_is_map_only(spark, sf_dir):
-    plan = plan_of(REGISTRY["doc_token_stats"].builder(spark, sf_dir))
+    plan = plan_of(REGISTRY["doc_text_analysis"].builder(spark, sf_dir))
     assert "Exchange" not in plan
 
 
