@@ -239,3 +239,14 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return e.groupBy("user_id").applyInPandas(per_user, schema=out_type)
+
+
+@query("streaming_rate_window")
+def streaming_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 non-file source: per-user minutely windowed agg over Spark's
+    deterministic rate-micro-batch source (rows-only: the source is
+    generated, not read from sf_dir; pytest pins exact equality against
+    the closed-form batch twin — streaming/jobs.py::rate_events_batch_twin)."""
+    from ..streaming.jobs import stream_rate_minutely
+
+    return stream_rate_minutely(spark, n_rows=1000)

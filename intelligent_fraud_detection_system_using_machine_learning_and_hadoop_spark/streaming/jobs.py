@@ -389,3 +389,164 @@ def stream_rolling_anomaly(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Non-file streaming sources (§2.9 source surface beyond the file source)
+# ---------------------------------------------------------------------------
+
+
+def read_rate_events(
+    spark: SparkSession,
+    rows_per_batch: int = 250,
+    advance_ms: int = 60_000,
+    users: int = 7,
+    limit_rows: int | None = None,
+) -> DataFrame:
+    """Events-shaped stream from Spark's built-in ``rate-micro-batch``
+    source — a genuine non-file source with DETERMINISTIC content:
+    every batch carries exactly ``rows_per_batch`` rows, row values are
+    the global row index, and the batch timestamp advances
+    ``advance_ms`` per batch from epoch 0. The projection shapes it to
+    (event_id, user_id, ts, value) so every downstream streaming job is
+    source-agnostic (swap in the file or Kafka reader unchanged).
+
+    ``limit_rows`` bounds the *logical* input (event_id < limit) so a
+    finite prefix of the unbounded source has a closed-form batch twin
+    (:func:`rate_events_batch_twin`) — the oracle trick for testing an
+    unbounded source exactly.
+    """
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", advance_ms)
+        .load()
+    )
+    ev = stream.select(
+        F.col("value").alias("event_id"),
+        (F.col("value") % users).cast("long").alias("user_id"),
+        F.col("timestamp").alias("ts"),
+        ((F.col("value") % 100).cast("double") / 10.0).alias("value"),
+    )
+    if limit_rows is not None:
+        ev = ev.where(F.col("event_id") < limit_rows)
+    return ev
+
+
+def rate_events_batch_twin(
+    spark: SparkSession,
+    n_rows: int,
+    rows_per_batch: int = 250,
+    advance_ms: int = 60_000,
+    users: int = 7,
+) -> DataFrame:
+    """The exact batch DataFrame a ``limit_rows=n_rows`` rate stream
+    reduces to (same derivations over ``spark.range``) — the equality
+    oracle for the non-file source path."""
+    r = spark.range(n_rows)
+    return r.select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % users).cast("long").alias("user_id"),
+        F.timestamp_millis(
+            (F.col("id") / rows_per_batch).cast("long") * advance_ms
+        ).alias("ts"),
+        ((F.col("id") % 100).cast("double") / 10.0).alias("value"),
+    )
+
+
+def stream_rate_minutely(
+    spark: SparkSession,
+    n_rows: int = 1000,
+    rows_per_batch: int = 250,
+    advance_ms: int = 60_000,
+    users: int = 7,
+    timeout_sec: float = 120.0,
+) -> DataFrame:
+    """Per-user 1-minute windowed aggregation over the RATE source: the
+    streaming plan is identical to the file-source jobs (watermark +
+    window + agg) — only the reader differs, which is the point of the
+    source abstraction. The query stops once the deterministic finite
+    prefix has been committed; later batches are filtered out upstream,
+    so the complete-mode snapshot equals the batch twin's aggregation
+    exactly (pinned by pytest). Sums accumulate in integer deci-units
+    (exact, order-independent)."""
+    import math
+    import time as _time
+
+    ev = read_rate_events(spark, rows_per_batch, advance_ms, users, limit_rows=n_rows)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 10).cast("long")).alias("decivalue_sum"),
+        )
+    )
+    name = f"rate_minutely_sink_{next(_sink_ids)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    needed = math.ceil(n_rows / rows_per_batch) * rows_per_batch
+    deadline = _time.time() + timeout_sec
+    while _time.time() < deadline:
+        ingested = sum(p["numInputRows"] for p in q.recentProgress)
+        if ingested >= needed:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("minute_ts"), "user_id", "n", "decivalue_sum"
+    )
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the Kafka connector (spark-sql-kafka-0-10) is on the
+    classpath. ``load()`` resolves the data source without contacting
+    any broker, so this probe is offline-safe."""
+    try:
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:9092")
+            .option("subscribe", "__probe__")
+            .load()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_kafka_json_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka source (§2.9, the production non-file source): standard
+    ``format("kafka")`` reader with the value bytes parsed as JSON into
+    ``schema`` — the same (event columns + kafka_ts) shape the file and
+    rate readers emit, so every downstream job composes unchanged.
+
+    The connector jar is not bundled in this environment; construction
+    is lazy and ``load()`` raises Spark's standard missing-data-source
+    error when absent — probe with :func:`kafka_available` first. At
+    cluster scale add ``maxOffsetsPerTrigger`` to bound batch size and
+    ``minPartitions`` to fan partitions wider than the topic's.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("j"),
+        F.col("timestamp").alias("kafka_ts"),
+    ).select("j.*", "kafka_ts")

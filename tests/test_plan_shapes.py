@@ -39,6 +39,32 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert "o_totalprice" not in plan
 
 
+def test_rule_plan_is_fully_lazy(spark, sf_dir):
+    """The p99 amount threshold must live INSIDE the rule plan (as a
+    broadcast 1-row aggregate), not be eagerly computed into a literal:
+    building the DataFrame must launch zero Spark jobs, and the physical
+    plan must contain the percentile aggregate + its broadcast join."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.rules import (
+        with_rule_flags,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.catalog import (
+        ORDERS_RULES,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    o = read_table(spark, sf_dir, "orders")  # the scan's schema job is read-side
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    df = with_rule_flags(o, ORDERS_RULES)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "rule-plan construction ran a Spark job"
+    plan = plan_of(df)
+    assert "percentile" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_small_dims_broadcast(spark, sf_dir):
     plan = plan_of(REGISTRY["revenue_by_nation"].builder(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
