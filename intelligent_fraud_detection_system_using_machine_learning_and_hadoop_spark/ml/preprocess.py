@@ -49,9 +49,14 @@ def with_date_numeric(
     df: DataFrame, date_col: str = "Date", out_col: str = "DateNumeric"
 ) -> DataFrame:
     """Days since the batch-min date (reference P4/A5). The global min
-    is a cheap tree-reduction; the subsequent datediff is a map."""
-    min_date = df.agg(F.min(date_col)).collect()[0][0]
-    return df.withColumn(out_col, F.datediff(F.col(date_col), F.lit(min_date)))
+    joins in as a broadcast 1-row crossJoin (scalar-subquery shape) so
+    the derivation stays inside one lazy plan — no driver collect."""
+    mins = df.agg(F.min(date_col).alias("__min_date"))
+    return (
+        df.crossJoin(F.broadcast(mins))
+        .withColumn(out_col, F.datediff(F.col(date_col), F.col("__min_date")))
+        .drop("__min_date")
+    )
 
 
 def build_preprocessor(

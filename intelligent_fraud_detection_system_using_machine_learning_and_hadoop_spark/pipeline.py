@@ -30,19 +30,34 @@ from .operators.rules import RuleConfig, with_rule_flags
 from .functions.exprs import combine_fraud
 
 
-def train(claims: DataFrame, model_dir: str, seed: int = 42) -> None:
+def train(
+    claims: DataFrame, model_dir: str, seed: int = 42, distributed: bool = False
+) -> None:
     """EP2: fit preprocessing + autoencoder on a claims DataFrame and
-    persist to ``model_dir`` (PipelineModel dir + weight JSON)."""
+    persist to ``model_dir`` (PipelineModel dir + weight JSON).
+
+    ``distributed=False`` is bit-for-bit reference parity
+    (``train.py:64-81``: in-memory minibatch Adam on the driver —
+    correct at the reference's 30–10k-row scale). ``distributed=True``
+    switches to the data-parallel trainer (gradients merged across
+    executors via mapInPandas; features never leave the cluster) — the
+    setting for any corpus that doesn't fit one machine."""
+    from .ml.autoencoder import train_autoencoder_distributed
+
     pre, feats = fit_preprocessor(claims)
     pre.write().overwrite().save(os.path.join(model_dir, "preprocessor"))
-    x = np.stack(
-        [
-            np.asarray(r["farr"], dtype=np.float64)
-            for r in feats.select(vector_to_array(F.col("features")).alias("farr"))
-            .collect()
-        ]
-    )
-    model = train_autoencoder(x, seed=seed)
+    if distributed:
+        model, _losses = train_autoencoder_distributed(feats, seed=seed)
+    else:
+        x = np.stack(
+            [
+                np.asarray(r["farr"], dtype=np.float64)
+                for r in feats.select(
+                    vector_to_array(F.col("features")).alias("farr")
+                ).collect()
+            ]
+        )
+        model = train_autoencoder(x, seed=seed)
     with open(os.path.join(model_dir, "autoencoder.json"), "w") as f:
         json.dump(model.state(), f)
 
