@@ -80,6 +80,26 @@ def test_doc_stats_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_window_family_single_exchange(spark, sf_dir):
+    """Three window specs (date-ordered lag, unordered collect_set,
+    price-ordered ranking) all partition by o_custkey: ONE exchange,
+    re-sorts only between specs."""
+    plan = plan_of(REGISTRY["window_funcs_orders"].builder(spark, sf_dir), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 3
+
+
+def test_grouping_sets_single_expand(spark, sf_dir):
+    """The full CUBE lattice runs as one Expand + one agg exchange —
+    never one scan per grouping set — with both dims broadcast."""
+    plan = plan_of(
+        REGISTRY["grouping_analytics_orders"].builder(spark, sf_dir), "simple"
+    )
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("BroadcastHashJoin") == 2
+
+
 def test_sessionize_single_shuffle(spark, sf_dir):
     """Both windows and the groupBy share one user_id exchange."""
     plan = plan_of(REGISTRY["sessionize_events"].builder(spark, sf_dir), "simple")
