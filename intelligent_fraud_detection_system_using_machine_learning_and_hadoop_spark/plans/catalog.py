@@ -1029,3 +1029,151 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_pct")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Advanced relational shapes (TPC-H Q2/Q17/Q21 flavors, adapted to the
+# available schema: lineitem carries the part↔supplier link). Registered
+# after the driver window — verified by the local oracle gate
+# (tools/check_oracle.py) and available for future window rotation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "min_price_supplier_per_part",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice,
+             MIN(l_extendedprice) OVER (PARTITION BY l_partkey) AS min_price
+      FROM lineitem)
+    SELECT DISTINCT p_partkey, s_name, l_extendedprice AS min_price
+    FROM m JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_extendedprice = min_price
+    """,
+)
+def min_price_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 flavor: the argmin-per-group join — for every part, the
+    supplier(s) quoting its minimum observed price. One window min over
+    l_partkey (no self-join against a grouped subquery), equality
+    filter, then dim joins; ties emit every minimal supplier, so no
+    tiebreak arithmetic is needed for cross-engine parity (the min of a
+    double column is an exact value, not a computation)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    m = l.select(
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        F.min("l_extendedprice").over(w).alias("min_price"),
+    ).where(F.col("l_extendedprice") == F.col("min_price"))
+    return (
+        m.join(p, m.l_partkey == p.p_partkey)
+        .join(s, m.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "s_name", F.col("l_extendedprice").alias("min_price"))
+        .distinct()
+    )
+
+
+@query(
+    "small_qty_order_revenue",
+    oracle=f"""
+    WITH a AS (
+      SELECT l_partkey,
+             CAST(CAST(SUM({_sql_cents('l_quantity')}) AS BIGINT) AS DOUBLE)
+               / COUNT(*) / 100.0 AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {_sql_cents_sum_double(f"SUM({_sql_cents('l_extendedprice')})", 2)} / 7.0 AS avg_yearly
+    FROM lineitem JOIN a USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group scalar (the part's average
+    quantity) decorrelated into an aggregate + equi-join — the plan
+    Catalyst/DuckDB both produce for the correlated form, written
+    explicitly. Both sides shuffle on l_partkey (co-partitioned; AQE
+    free to broadcast the 1-row-per-part agg side). Exact integer
+    moments for the average; one shared IEEE comparison."""
+    l = read_table(spark, sf_dir, "lineitem")
+    a = l.groupBy("l_partkey").agg(
+        (
+            F.sum(_cents(F.col("l_quantity"))).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0)
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(a, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                _cents_sum_double(F.sum(_cents(F.col("l_extendedprice"))), 2)
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "exclusive_late_suppliers",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (SELECT 1 FROM pairs l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def exclusive_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS stacked on one fact — late
+    (order, supplier) pairs where ANOTHER supplier shares the order
+    (conditioned left-semi) but NO other supplier was late on it
+    (conditioned left-anti). Both subqueries run over pre-deduped
+    (orderkey, suppkey) pair sets, so each is one shuffle on the order
+    key — never a per-row re-probe of lineitem."""
+    l = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    pairs = l.select("l_orderkey", "l_suppkey").distinct()
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    l2 = pairs.alias("l2")
+    l3 = late.alias("l3")
+    with_other = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    exclusive = with_other.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        exclusive.join(s, exclusive.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
