@@ -125,20 +125,21 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
 FP_BASE = 100_003
 FP_MOD = 1_000_000_007
 
-_TOKEN_HASH = (
-    "aggregate(filter(split(substring(md5({tok}), 1, 8), ''), c -> c != ''), 0L, "
-    "(a, c) -> a * 16 + (instr('0123456789abcdef', c) - 1))"
-)
+#: Spark side: builtin base-16 ``conv`` (JVM, ~2× faster than a
+#: per-char lambda fold over the hex string — measured at sf0.1). The
+#: DuckDB oracles keep the equivalent list_reduce hex fold (no conv
+#: there); both produce the integer value of the first 8 md5 hex chars.
+_TOKEN_HASH = "cast(conv(substring(md5({tok}), 1, 8), 16, 10) as bigint)"
 
 
 def fingerprint_expr(text_col: str = "text") -> Column:
     """Order-sensitive rolling document fingerprint.
 
-    Tokenize → per-token 32-bit value (md5-hex fold, identical in any
-    engine) → polynomial fold over the token stream. Two docs with the
-    same token sequence collide; any reorder/edit changes the value —
-    the cheap "same content?" precheck for dedup at 100 TB (one map
-    pass, no shuffle).
+    Tokenize → per-token 32-bit value (md5-hex prefix as an integer,
+    identical in any engine) → polynomial fold over the token stream.
+    Two docs with the same token sequence collide; any reorder/edit
+    changes the value — the cheap "same content?" precheck for dedup at
+    100 TB (one map pass, no shuffle).
     """
     tok_hash = _TOKEN_HASH.format(tok="t")
     return F.expr(
