@@ -23,7 +23,7 @@ from ..streaming.jobs import (
     stream_sessionize,
     stream_user_stats_stateful,
 )
-from .catalog import _sql_exact_double, REGISTRY, query
+from .catalog import _EVENTS_US, _sql_exact_double, REGISTRY, query
 
 ORDERS_FEATURES = {
     "numeric_cols": ["o_totalprice", "DateNumeric"],
@@ -250,3 +250,23 @@ def streaming_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_rate_minutely
 
     return stream_rate_minutely(spark, n_rows=1000)
+
+
+@query(
+    "streaming_join_click_purchase",
+    oracle=f"""
+    WITH {{events_us}},
+    c AS (SELECT user_id, event_id, ts FROM events_us WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events_us WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """.format(events_us=_EVENTS_US),
+)
+def streaming_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream join: watermarked, time-bounded inner join of
+    the click and purchase streams; over single-batch availableNow input
+    it equals the batch interval join, which the oracle checks."""
+    from ..streaming.jobs import stream_stream_click_purchase
+
+    return stream_stream_click_purchase(spark, sf_dir)

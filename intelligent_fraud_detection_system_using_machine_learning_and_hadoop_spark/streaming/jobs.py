@@ -550,3 +550,56 @@ def read_kafka_json_stream(
         F.from_json(F.col("value").cast("string"), schema).alias("j"),
         F.col("timestamp").alias("kafka_ts"),
     ).select("j.*", "kafka_ts")
+
+
+def stream_stream_click_purchase(
+    spark: SparkSession, sf_dir: str, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-STREAM inner join (§2.9's hardest join surface): each
+    click joined to the same user's purchases within ``within`` after
+    it. Both sides carry watermarks and the join condition is
+    time-bounded — exactly what Structured Streaming requires to bound
+    join state (clicks older than the watermark minus the bound are
+    evicted; an unbounded condition would grow state forever).
+
+    Run with an availableNow trigger over the single-file source the
+    whole input lands in one micro-batch, so the emitted set equals the
+    batch join exactly (pinned by pytest + oracle). With multi-file
+    out-of-order ingestion the watermark semantics would legitimately
+    drop late matches — that's the streaming contract, not a bug."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("click_id", "purchase_id")
+    name = f"ss_join_sink_{next(_sink_ids)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -50,3 +50,40 @@ def test_kafka_reader_absent_connector(spark):
     with pytest.raises(Exception) as exc:
         read_kafka_json_stream(spark, "localhost:9092", "events", schema)
     assert "kafka" in str(exc.value).lower()
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Single-batch availableNow input → the watermarked stream-stream
+    join must emit exactly the batch time-bounded join."""
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        stream_stream_click_purchase,
+    )
+
+    streamed = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_stream_click_purchase(spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert streamed == batch and streamed
