@@ -1177,3 +1177,48 @@ def exclusive_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "dominant_part_suppliers",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    tot AS (
+      SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS total_c
+      FROM per GROUP BY l_partkey),
+    dom AS (
+      SELECT l_suppkey, COUNT(*) AS n_dominated_parts
+      FROM per JOIN tot USING (l_partkey)
+      WHERE 2 * qty_c > total_c
+      GROUP BY l_suppkey)
+    SELECT s_name, n_dominated_parts
+    FROM supplier JOIN dom ON s_suppkey = dom.l_suppkey
+    """,
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 flavor: nested IN over an aggregate threshold — count,
+    per supplier, the parts where that supplier shipped MORE THAN HALF
+    of the part's total quantity. The correlated 'more than half of the
+    part total' predicate decorrelates into two stacked aggregations
+    (per (part, supplier), then per part) + one equi-join — re-using the
+    first agg's partitioning for the second (partial agg on the same
+    key prefix). Exact integer quantity sums; the comparison is integer,
+    so no float parity concerns at all."""
+    l = read_table(spark, sf_dir, "lineitem")
+    per = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("qty_c")
+    )
+    tot = per.groupBy("l_partkey").agg(F.sum("qty_c").alias("total_c"))
+    dominated = (
+        per.join(tot, "l_partkey")
+        .where(2 * F.col("qty_c") > F.col("total_c"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return s.join(dominated, s.s_suppkey == dominated.l_suppkey).select(
+        "s_name", "n_dominated_parts"
+    )
