@@ -595,8 +595,16 @@ def cogroup_purchase_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         et = ee["t"].to_numpy()
         close = 0
         if len(pt) and len(et):
-            diffs = pt[:, None] - et[None, :]
-            close = int(((diffs > 0) & (diffs <= 600)).sum())
+            # errors in [p-600, p) per purchase via two sorted searches:
+            # O((n+m) log m), never the O(n·m) pairwise difference
+            # matrix (a user with 10k of each would allocate 800 MB).
+            et_sorted = np.sort(et)
+            close = int(
+                (
+                    np.searchsorted(et_sorted, pt, side="left")
+                    - np.searchsorted(et_sorted, pt - 600, side="left")
+                ).sum()
+            )
         return pd.DataFrame(
             {
                 "user_id": [key[0]],
