@@ -135,3 +135,64 @@ def test_interval_overlap_matches_naive_join(spark, sf_dir):
         .collect()
     }
     assert grid_pairs == naive_pairs
+
+
+# ---------------------------------------------------------------------------
+# property-based differential test: asof_join vs pandas merge_asof
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(st.integers(0, 3), st.integers(0, 20))  # (key, time)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    left=st.lists(_row, min_size=1, max_size=12),
+    right=st.lists(_row, max_size=12),
+    exact=st.booleans(),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, exact):
+    """Differential oracle on random inputs: duplicate times, exact-time
+    matches, empty right sides, multi-key interleavings — the Spark
+    union+window as-of must agree with pandas merge_asof row for row
+    (both resolve right-side time ties to the latest arrival)."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.joins import (
+        asof_join,
+    )
+
+    lpdf = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], columns=["lid", "k", "t"]
+    ).astype("int64")
+    rpdf = pd.DataFrame(
+        [(j, k, t) for j, (k, t) in enumerate(right)], columns=["rid", "k", "t"]
+    ).astype("int64")
+    ldf = spark.createDataFrame(lpdf)
+    rdf = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "rid long, k long, t long")
+    )
+    out = asof_join(
+        ldf,
+        rdf,
+        on="k",
+        left_time="t",
+        right_time="t",
+        right_cols=["rid"],
+        allow_exact_match=exact,
+    )
+    got = {r["lid"]: r["rid_asof"] for r in out.collect()}
+
+    lp = lpdf.sort_values(["t", "lid"], kind="stable")
+    rp = rpdf.sort_values(["t", "rid"], kind="stable")
+    exp_df = pd.merge_asof(
+        lp, rp, on="t", by="k", allow_exact_matches=exact, suffixes=("", "_r")
+    )
+    exp = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
