@@ -54,6 +54,119 @@ def pca_reconstruction_scores(
     )
 
 
+def pca_scores_via_moments(
+    df: DataFrame,
+    id_cols: list[str],
+    numeric_cols: list[str],
+    categorical_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """PCA reconstruction error in TWO passes over the raw table — the
+    scale-path twin of ``fit_preprocessor`` + :func:`fit_pca` (which is
+    ~8 sequential MLlib jobs: indexer fit, scaler summary, PCA Gramian,
+    transform, plus persists).
+
+    Works because every feature is either a raw numeric or a one-hot
+    *indicator* of ``categorical_col``: all first/second moments of the
+    assembled feature vector are exact functions of per-category counts
+    and per-category numeric moments. So:
+
+    1. ONE ``groupBy(category)`` aggregate (tiny result: one row per
+       category) is collected and the full mean vector and sample
+       covariance of the MLlib feature layout — numerics, then
+       alphabetAsc one-hot slots, then the always-zero ``keep``
+       overflow slot — are reconstructed exactly on the driver.
+    2. The standardized-feature covariance (= correlation matrix) is
+       eigensolved there (d×d with d = |numerics| + |categories| + 1 —
+       driver-trivial), and the top-k eigenvectors are folded back into
+       the plan as literals: ``err = ‖z‖² − ‖Wᵀz‖²`` is a pure column
+       expression over the raw columns.
+
+    Identical subspace → identical scores as the MLlib path (eigenvector
+    sign and eigenvalue scaling cancel in the error; pinned by a
+    differential pytest). At 100 TB this is two column-pruned scans and
+    one ~|categories|-row shuffle, versus MLlib's repeated passes over a
+    persisted VectorUDT matrix.
+    """
+    import numpy as np
+
+    num = list(numeric_cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(num):
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"__s{i}"))
+        for j in range(i, len(num)):
+            aggs.append(
+                F.sum(
+                    (F.col(c).cast("double") * F.col(num[j]).cast("double"))
+                ).alias(f"__p{i}_{j}")
+            )
+    stats = (
+        df.groupBy(F.col(categorical_col).alias("__cat")).agg(*aggs).collect()
+    )
+    cats = sorted(r["__cat"] for r in stats)  # alphabetAsc = StringIndexer order
+    by_cat = {r["__cat"]: r for r in stats}
+    n_num, n_cat = len(num), len(cats)
+    d = n_num + n_cat + 1  # + handleInvalid="keep" overflow slot (all zero)
+    N = sum(r["__n"] for r in stats)
+    if N < 2:
+        raise ValueError("pca_scores_via_moments needs at least 2 rows")
+
+    # exact mean vector and raw second-moment matrix of the assembled
+    # feature layout [numerics..., onehots..., overflow]
+    mu = np.zeros(d)
+    m2 = np.zeros((d, d))  # E-sums: m2[i,j] = Σ x_i x_j over rows
+    for i in range(n_num):
+        mu[i] = sum(r[f"__s{i}"] for r in stats) / N
+        for j in range(i, n_num):
+            m2[i, j] = m2[j, i] = sum(r[f"__p{min(i,j)}_{max(i,j)}"] for r in stats)
+    for ci, cval in enumerate(cats):
+        r = by_cat[cval]
+        col = n_num + ci
+        mu[col] = r["__n"] / N
+        m2[col, col] = r["__n"]  # indicator² = indicator
+        for i in range(n_num):  # Σ x_i·1_c = per-category numeric sum
+            m2[i, col] = m2[col, i] = r[f"__s{i}"]
+        # cross-category products are all zero (disjoint indicators)
+    cov = (m2 - N * np.outer(mu, mu)) / (N - 1)  # sample covariance (MLlib ddof=1)
+    std = np.sqrt(np.clip(np.diag(cov), 0.0, None))
+    nz = std > 1e-15
+    corr = np.zeros((d, d))
+    corr[np.ix_(nz, nz)] = cov[np.ix_(nz, nz)] / np.outer(std[nz], std[nz])
+    k = max(1, min(k, d - 1))
+    _, vecs = np.linalg.eigh(corr)  # ascending; top-k = last k columns
+    W = vecs[:, -k:]
+
+    # standardized feature expressions (constant-zero slots drop out)
+    z: list = []
+    for i, c in enumerate(num):
+        z.append(
+            (F.col(c).cast("double") - F.lit(float(mu[i]))) / F.lit(float(std[i]))
+            if nz[i]
+            else F.lit(0.0)
+        )
+    for ci, cval in enumerate(cats):
+        col = n_num + ci
+        ind = F.when(F.col(categorical_col) == cval, 1.0).otherwise(0.0)
+        z.append(
+            (ind - F.lit(float(mu[col]))) / F.lit(float(std[col]))
+            if nz[col]
+            else F.lit(0.0)
+        )
+    z.append(F.lit(0.0))  # overflow slot: identically zero at fit time
+    norm_sq = sum((zi * zi for zi in z), F.lit(0.0))
+    proj_sq = F.lit(0.0)
+    for j in range(k):
+        pj = sum(
+            (z[i] * F.lit(float(W[i, j])) for i in range(d) if abs(W[i, j]) > 0),
+            F.lit(0.0),
+        )
+        proj_sq = proj_sq + pj * pj
+    return df.select(
+        *id_cols,
+        F.greatest(norm_sq - proj_sq, F.lit(0.0)).alias("ReconstructionError"),
+    )
+
+
 def batch_threshold_df(
     scored: DataFrame, err_col: str = "ReconstructionError", sigmas: float = 2.0
 ) -> DataFrame:

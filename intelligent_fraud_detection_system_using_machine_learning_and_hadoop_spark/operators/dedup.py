@@ -289,8 +289,13 @@ def simhash_near_dup_pairs(
     chunks — any pair within Hamming distance 3 shares ≥1 exact chunk
     (pigeonhole), so band-equality joins generate all candidates; then
     filter by true Hamming distance."""
+    from ..sources.readers import ensure_min_partitions
+
     width = 64 // bands
-    sig = df.select(F.col(id_col).alias("_id"), simhash_expr(text_col).alias("simhash"))
+    # the 64-bit majority fold is the hot map (64 × tokens hash ops per
+    # row) — spread it across cores on under-partitioned scans
+    base = ensure_min_partitions(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
+    sig = base.select("_id", simhash_expr(text_col).alias("simhash"))
     chunks = sig.select(
         "_id",
         "simhash",
@@ -339,11 +344,14 @@ def embedding_cosine_dup_pairs(
     use :func:`embedding_lsh_dup_pairs`. Scores round to 6 decimals for
     cross-engine reproducibility (same convention as similarity.py).
     """
+    from ..sources.readers import ensure_min_partitions
     from .similarity import _dot, _norm_sq
 
-    v = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    v = ensure_min_partitions(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
     )
     v = v.select(
         "_id",
@@ -377,14 +385,17 @@ def embedding_lsh_dup_pairs(
     100 TB only same-(table,bucket) rows meet in the join — the corpus
     never self-joins in full.
     """
+    from ..sources.readers import ensure_min_partitions
     from .similarity import _dot, _norm_sq, lsh_bucket_expr, random_hyperplanes
 
     tables = [
         random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)
     ]
-    v = vectors.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    v = ensure_min_partitions(
+        vectors.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
     )
     v = v.select(
         "_id",

@@ -42,12 +42,21 @@ DECODED_META_SCHEMA = T.StructType(
 
 def assets_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic fake asset table from the documents testdata: the
-    UTF-8 bytes of ``text`` stand in for an encoded image payload."""
-    return docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("image").alias("modality"),
-        F.encode("text", "UTF-8").alias("content"),
-        F.lit("application/octet-stream").alias("mime"),
+    UTF-8 bytes of ``text`` stand in for an encoded image payload.
+
+    Rebalanced to full parallelism on under-partitioned scans: every
+    consumer (decode / resize / frame-sample) is a per-row mapInPandas
+    over the payload, so scan partitioning — not data size — would
+    otherwise bound the Arrow batch throughput."""
+    from ..sources.readers import ensure_min_partitions
+
+    return ensure_min_partitions(
+        docs.select(
+            F.col("doc_id").alias("asset_id"),
+            F.lit("image").alias("modality"),
+            F.encode("text", "UTF-8").alias("content"),
+            F.lit("application/octet-stream").alias("mime"),
+        )
     )
 
 

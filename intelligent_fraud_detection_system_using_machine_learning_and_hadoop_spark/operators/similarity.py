@@ -41,9 +41,15 @@ def cosine_topk(
     rounded to 6 decimals *before* ranking so ordering is reproducible
     across engines; vec_id breaks remaining ties.
     """
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    from ..sources.readers import ensure_min_partitions
+
+    # the per-row dot-product fold against every query is the hot map —
+    # rebalance under-partitioned scans so it uses all cores
+    v = ensure_min_partitions(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     ).withColumn("norm_sq", _norm_sq(F.col("v")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -127,8 +133,13 @@ def lsh_cosine_topk(
             F.col(idc), F.col(vc), F.explode(F.array(*cols)).alias("tb")
         ).select(idc, vc, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
 
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    from ..sources.readers import ensure_min_partitions
+
+    v = ensure_min_partitions(
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -192,7 +203,9 @@ def ivf_cosine_topk(
             lambda x: x / F.sqrt(_norm_sq(F.col(vec_col).cast("array<double>"))),
         ).alias("_u"),
     )
-    v = norm(vectors, id_col, "vec_id")
+    from ..sources.readers import ensure_min_partitions
+
+    v = ensure_min_partitions(norm(vectors, id_col, "vec_id"))
     q = norm(queries, query_id_col, "query_id")
 
     with_vec = v.withColumn("_fv", array_to_vector(F.col("_u")))

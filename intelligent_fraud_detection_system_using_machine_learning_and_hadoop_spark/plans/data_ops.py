@@ -33,7 +33,7 @@ from ..operators.text import (
     with_quality_score,
     with_token_stats,
 )
-from ..sources.readers import read_table
+from ..sources.readers import ensure_min_partitions, read_table
 from .catalog import query
 
 # shared SQL fragments -----------------------------------------------------
@@ -142,7 +142,9 @@ def doc_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus runs before curation."""
     from ..operators.text import bpe_token_count
 
-    d = read_table(spark, sf_dir, "documents")
+    # the whole pass is per-row regex/hash compute: spread it across all
+    # cores even when the scan yields few partitions (no-op otherwise)
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     out = with_fingerprint(with_lang_guess(with_quality_score(with_token_stats(d))))
     return out.select(
         "doc_id",
@@ -429,7 +431,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     map — two shuffles total, all JVM-side."""
     from ..operators.text import bpe_token_count
 
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     filtered = with_quality_score(d).where(F.col("quality_score") >= 0.5)
     keep = (
         filtered.select(

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.readers import read_table
+from ..sources.readers import ensure_min_partitions, read_table
 from .catalog import query
 
 
@@ -252,7 +252,7 @@ def posexplode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generator surface: posexplode (unnest WITH ORDINALITY) — the 1→N
     row expansion with position, limited to each doc's first 5 tokens
     (the LIMIT is applied on position, not rows, so it parallelizes)."""
-    d = read_table(spark, sf_dir, "documents")
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
     return (
         d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
@@ -367,7 +367,9 @@ def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing for training corpora: redact emails and long digit
     runs (IDs, phones) with counts of what was removed — JVM regex map
     pass, shared Java/RE2 syntax."""
-    d = read_table(spark, sf_dir, "documents")
+    # two regex rewrites + two extract_alls per row — a CPU-bound map;
+    # rebalance under-partitioned scans to all cores (no-op otherwise)
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     longnum = r"\d{6,}"
     return d.select(

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..ml.evaluate import evaluate_binary
 from ..ml.preprocess import fit_preprocessor
-from ..ml.scoring import batch_threshold_df, pca_reconstruction_scores
+from ..ml.scoring import batch_threshold_df
 from ..sources.readers import read_table
 from ..streaming.jobs import (
     stream_distinct_pairs,
@@ -71,9 +71,30 @@ def ml_preprocess_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("anomaly_pca", bench=True)
 def anomaly_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5/M6 Spark-native: PCA-subspace reconstruction error with the
-    reference's batch-relative mean+2σ verdict (rows-only)."""
-    feats = _orders_features(spark, sf_dir)
-    scored = pca_reconstruction_scores(feats, k=4)
+    reference's batch-relative mean+2σ verdict (rows-only).
+
+    Scored via the two-pass moments path
+    (``ml/scoring.py::pca_scores_via_moments``): one tiny per-status
+    aggregate reconstructs the exact standardized-feature covariance,
+    the 6×6 eigensolve runs on the driver, and scoring is a pure column
+    expression — ~3 Spark jobs total instead of the MLlib pipeline's ~8
+    (which remains the attested M1–M3 surface in
+    ``ml_preprocess_features``; a differential pytest pins that both
+    paths produce identical errors)."""
+    from ..ml.scoring import pca_scores_via_moments
+    from ..sources.readers import ensure_min_partitions
+
+    o = ensure_min_partitions(read_table(spark, sf_dir, "orders")).withColumn(
+        "DateNumeric",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")),
+    )
+    scored = pca_scores_via_moments(
+        o,
+        id_cols=["o_orderkey"],
+        numeric_cols=ORDERS_FEATURES["numeric_cols"],
+        categorical_col=ORDERS_FEATURES["categorical_cols"][0],
+        k=4,
+    )
     # batch-relative cutoff as a broadcast 1-row crossJoin — the scalar
     # barrier stays inside this one plan (no driver .collect()).
     thr = batch_threshold_df(scored)

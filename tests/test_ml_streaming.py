@@ -82,6 +82,44 @@ def test_pca_outlier_ranks_highest(spark):
     assert scored.where(F.col("ReconstructionError") < 0).count() == 0
 
 
+def test_pca_moments_path_matches_mllib_path(spark):
+    """The two-pass moments PCA (one per-category aggregate + driver
+    eigensolve, used by the anomaly_pca catalog query) must reproduce
+    the MLlib pipeline's reconstruction errors exactly: same feature
+    layout (numerics, alphabetAsc one-hots, keep-overflow slot), same
+    sample-std standardization, same top-k subspace — eigenvector sign
+    and eigenvalue scaling cancel in ‖z‖² − ‖Wᵀz‖²."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.scoring import (
+        pca_scores_via_moments,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.preprocess import (
+        with_date_numeric,
+    )
+
+    claims = with_date_numeric(claims_fixture(spark))
+    _, feats = fit_preprocessor(claims)
+    mllib = {
+        r["Aadhaar"]: r["ReconstructionError"]
+        for r in pca_reconstruction_scores(feats, k=3)
+        .select("Aadhaar", "ReconstructionError")
+        .collect()
+    }
+    fast = {
+        r["Aadhaar"]: r["ReconstructionError"]
+        for r in pca_scores_via_moments(
+            claims,
+            id_cols=["Aadhaar"],
+            numeric_cols=["ClaimAmount", "DateNumeric"],
+            categorical_col="SubsidyType",
+            k=3,
+        ).collect()
+    }
+    assert set(mllib) == set(fast)
+    scale = max(max(mllib.values()), 1.0)
+    for key, v in mllib.items():
+        assert abs(v - fast[key]) <= 1e-9 * scale, key
+
+
 def test_distributed_scoring_matches_local_forward(spark):
     claims = claims_fixture(spark, n=100)
     _, feats = fit_preprocessor(claims)
