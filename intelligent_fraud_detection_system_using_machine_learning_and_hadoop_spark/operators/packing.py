@@ -1,0 +1,182 @@
+"""Training-batch assembly operators: sequence packing, sliding-window
+chunking, and deterministic mixture interleave.
+
+Training-data-pipeline extensions (BASELINE.json north star; the
+reference — a pandas fraud scorer — has none of these). They cover the
+last mile between a curated corpus and an LLM training run:
+
+* **pack_sequences** — GPT-style packing: conceptually concatenate all
+  documents in doc_id order and cut at fixed token-budget boundaries.
+  Emitted per-doc: the global token start offset and the range of
+  training sequences the doc lands in. The global offset is a
+  *distributed prefix sum* (per-bucket cumsum + a tiny bucket-prefix
+  rollup), never a single-partition global window — the difference
+  between "works on 5k docs" and "works on 10B docs".
+* **chunk_documents** — RAG-style sliding-window chunking: fixed-size
+  token windows advancing by a stride, emitted as one row per chunk
+  with the reconstructed chunk text. Pure generate-and-slice column
+  expressions: 1→N row expansion with zero shuffle.
+* **interleave_sources** — deterministic weighted corpus mixing: each
+  source is down-sampled by an integer per-myriad rate via the same
+  md5-bucket arithmetic as the hash split (stable across runs, engines,
+  partitionings). The sampling decision is per-row integer compare —
+  no RNG, no state, trivially parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _token_count(text_col: Column) -> Column:
+    """Whitespace token count, shared with the text-analysis family."""
+    return F.size(F.filter(F.split(text_col, r"\s+"), lambda x: x != ""))
+
+
+def md5_bucket(col: Column, mod: int) -> Column:
+    """Deterministic engine-portable bucket in [0, mod): first 4 hex
+    chars of md5 as an integer (same arithmetic as hash_split /
+    doc_fingerprint — DuckDB reproduces it with string folds)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+        % mod
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Token-budget sequence packing: per doc (in ``id_col`` order) the
+    global token ``start_offset`` and the first/last training-sequence
+    index (sequence s covers global token positions [s·budget,
+    (s+1)·budget)). Empty docs pack nothing and are dropped.
+
+    The prefix sum is computed scalably: docs are range-bucketed by id
+    (order-preserving), each bucket cumsums independently under a
+    partitioned window, and the per-bucket totals — ``n_buckets`` rows,
+    driver-trivial at any corpus size — roll up into bucket prefix
+    offsets broadcast back onto the rows. One plan, fully lazy; the
+    only unpartitioned window runs over the ``n_buckets``-row rollup,
+    never over the data.
+    """
+    t = docs.select(
+        F.col(id_col).alias("_id"), _token_count(F.col(text_col)).alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    # order-preserving range bucket: floor(id * B / (max_id + 1)); the
+    # max joins in lazily as a broadcast 1-row aggregate
+    mx = t.agg(F.max("_id").alias("__max_id"))
+    b = t.crossJoin(F.broadcast(mx)).withColumn(
+        "_bkt",
+        F.floor(F.col("_id") * n_buckets / (F.col("__max_id") + 1)).cast("long"),
+    )
+    cum = b.withColumn(
+        "_cum_in",
+        F.sum("n_tokens").over(
+            W.partitionBy("_bkt").orderBy("_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    totals = b.groupBy("_bkt").agg(F.sum("n_tokens").alias("_tot"))
+    prefix = totals.withColumn(
+        "_prefix",
+        F.coalesce(
+            F.sum("_tot").over(
+                W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_bkt", "_prefix")
+    packed = (
+        cum.join(F.broadcast(prefix), "_bkt")
+        .withColumn("start_offset", (F.col("_prefix") + F.col("_cum_in") - F.col("n_tokens")).cast("long"))
+        .withColumn("first_seq", F.expr(f"start_offset DIV {budget}"))
+        .withColumn(
+            "last_seq", F.expr(f"(start_offset + n_tokens - 1) DIV {budget}")
+        )
+    )
+    return packed.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "start_offset",
+        "first_seq",
+        "last_seq",
+        (F.col("last_seq") - F.col("first_seq") + 1).alias("n_seqs"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking: windows of ``chunk_size`` tokens
+    starting every ``stride`` tokens (overlap = chunk_size − stride),
+    one output row per chunk with the reconstructed text. The final
+    chunk may be short; chunk starts always cover every token. A pure
+    map: sequence → posexplode → slice, no shuffle anywhere.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("_w"),
+    ).where(F.size("_w") > 0)
+    n = F.size("_w")
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))
+    ex = toks.select(
+        "_id", "_w", F.size("_w").alias("_n"), F.posexplode(starts).alias("chunk_id", "_i")
+    )
+    start_tok = (F.col("_i").cast("long") * stride).alias("start_tok")
+    return ex.select(
+        F.col("_id").alias(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start_tok,
+        F.least(F.lit(chunk_size), F.col("_n") - F.col("_i") * stride)
+        .cast("long")
+        .alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("_w"), F.col("_i") * stride + 1, chunk_size), " "
+        ).alias("chunk_text"),
+    )
+
+
+def interleave_sources(
+    docs: DataFrame,
+    rates_per_myriad: dict[str, int],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic corpus mixing: keep a row iff its md5 id-bucket
+    (∈ [0, 10000)) is below its source's integer per-myriad rate.
+    Sources absent from the map are dropped (rate 0).
+
+    Same doc_id ⇒ same decision across runs, engines, repartitionings
+    and epochs — unlike ``df.sample``, which is partition-dependent.
+    Integer rates make the keep predicate exact (no float thresholds);
+    callers derive them from target mixture weights and corpus counts
+    (rate_s ∝ weight_s / n_s, scaled to the constraining source).
+    """
+    if not rates_per_myriad:
+        raise ValueError("rates_per_myriad must be non-empty")
+    for s, r in rates_per_myriad.items():
+        if not (0 <= int(r) <= 10000):
+            raise ValueError(f"rate for {s!r} outside [0, 10000]")
+    rate = None
+    for s, r in rates_per_myriad.items():
+        cond = F.when(F.col(source_col) == s, F.lit(int(r)))
+        rate = cond if rate is None else rate.when(F.col(source_col) == s, F.lit(int(r)))
+    rate = rate.otherwise(F.lit(0))
+    bucket = md5_bucket(F.col(id_col), 10000)
+    return (
+        docs.withColumn("bucket", bucket)
+        .withColumn("_rate", rate)
+        .where(F.col("bucket") < F.col("_rate"))
+        .select(F.col(id_col), F.col(source_col), F.col("bucket"))
+    )

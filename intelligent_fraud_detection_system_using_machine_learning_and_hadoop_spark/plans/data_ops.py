@@ -656,3 +656,109 @@ def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
         emb, q, id_col="asset_id", vec_col="embedding", k=3
     )
+
+
+# --- training-batch assembly (operators/packing.py) ----------------------
+
+
+@query(
+    "pack_sequences_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+      FROM documents),
+    p AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start_offset
+      FROM t WHERE n_tokens > 0)
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // 2048 AS first_seq,
+           (start_offset + n_tokens - 1) // 2048 AS last_seq,
+           (start_offset + n_tokens - 1) // 2048
+             - start_offset // 2048 + 1 AS n_seqs
+    FROM p
+    """,
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing over the corpus: concatenate docs in
+    id order, cut at 2048-token boundaries; per doc, its global token
+    offset and spanned sequence range. Spark side is the distributed
+    prefix sum (per-bucket cumsum + tiny bucket rollup — no global
+    window over data); the oracle is the equivalent single window
+    cumsum, which DuckDB can afford at test scale."""
+    from ..operators.packing import pack_sequences
+
+    d = read_table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=2048)
+
+
+@query(
+    "chunk_documents_sliding",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    n AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * 24 AS BIGINT) AS start_tok,
+           CAST(least(32, n - i * 24) AS BIGINT) AS chunk_len,
+           array_to_string(w[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+    FROM n, (SELECT unnest(generate_series(0, (SELECT max(len(w)) FROM t) // 24)) AS i)
+    WHERE i <= (n - 1) // 24
+    """,
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: 32-token windows every 24 tokens (8-token overlap),
+    one row per chunk with reconstructed text — sequence → posexplode →
+    slice, a pure 1→N map with zero shuffle."""
+    from ..operators.packing import chunk_documents
+    from ..sources.readers import ensure_min_partitions
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    return chunk_documents(d, chunk_size=32, stride=24)
+
+
+#: One rate per testdata source (src0..src19): src0 keeps everything,
+#: each later source keeps 475‱ less — every source present, rates
+#: varied, both engine sides generated from this one map.
+_MIX_RATES = {f"src{i}": 10000 - 475 * i for i in range(20)}
+_SQL_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "interleave_sources_documents",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   list_filter(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), ''), c -> c <> ''),
+                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+               (a, c) -> a * 16 + c) % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id, source, bucket
+    FROM b
+    WHERE bucket < {_SQL_MIX_CASE}
+    """,
+)
+def interleave_sources_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-source integer keep-rates
+    (src0 100% stepping down to src19 ~10%) decided by the md5
+    id-bucket — reproducible across engines, runs, and partitionings,
+    unlike df.sample. The per-row integer compare is the whole
+    operator; no RNG, no shuffle."""
+    from ..operators.packing import interleave_sources
+
+    d = read_table(spark, sf_dir, "documents")
+    return interleave_sources(d, _MIX_RATES)

@@ -1,0 +1,158 @@
+"""Training-batch assembly operators (operators/packing.py):
+sequence packing, sliding-window chunking, mixture interleave."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.packing import (
+    chunk_documents,
+    interleave_sources,
+    md5_bucket,
+    pack_sequences,
+)
+
+
+def docs_fixture(spark, n=200, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        n_tok = int(rng.randint(0, 60))  # includes empty docs
+        text = " ".join(f"w{rng.randint(0, 50)}" for _ in range(n_tok))
+        rows.append((i * 7 % 1009, text, f"src{i % 5}"))  # non-contiguous ids
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+# --- pack_sequences -------------------------------------------------------
+
+
+def naive_pack(docs, budget):
+    """Single global-window reference implementation."""
+    t = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("n"),
+    ).where(F.col("n") > 0)
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        t.withColumn("start_offset", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .withColumn("first_seq", F.expr(f"start_offset DIV {budget}"))
+        .withColumn("last_seq", F.expr(f"(start_offset + n - 1) DIV {budget}"))
+        .select("doc_id", "start_offset", "first_seq", "last_seq")
+    )
+
+
+@pytest.mark.parametrize("n_buckets", [1, 7, 64, 1000])
+def test_pack_distributed_prefix_sum_matches_global_window(spark, n_buckets):
+    docs = docs_fixture(spark)
+    got = {
+        r["doc_id"]: (r["start_offset"], r["first_seq"], r["last_seq"])
+        for r in pack_sequences(docs, budget=64, n_buckets=n_buckets).collect()
+    }
+    want = {
+        r["doc_id"]: (r["start_offset"], r["first_seq"], r["last_seq"])
+        for r in naive_pack(docs, 64).collect()
+    }
+    assert got == want
+
+
+def test_pack_offsets_contiguous_and_seqs_consistent(spark):
+    docs = docs_fixture(spark, n=120, seed=11)
+    rows = sorted(
+        pack_sequences(docs, budget=32).collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows[0]["start_offset"] == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["start_offset"] == prev["start_offset"] + prev["n_tokens"]
+    for r in rows:
+        assert r["first_seq"] == r["start_offset"] // 32
+        assert r["last_seq"] == (r["start_offset"] + r["n_tokens"] - 1) // 32
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+        assert r["n_tokens"] > 0  # empty docs dropped
+
+
+# --- chunk_documents ------------------------------------------------------
+
+
+def test_chunks_cover_all_tokens_and_reconstruct(spark):
+    docs = docs_fixture(spark, n=80, seed=5)
+    chunks = chunk_documents(docs, chunk_size=16, stride=16).collect()  # no overlap
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    originals = {
+        r["doc_id"]: [t for t in r["text"].split() if t]
+        for r in docs.collect()
+        if r["text"].strip()
+    }
+    assert set(by_doc) == set(originals)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_id"])
+        # stride-=-size chunks tile the doc exactly
+        rebuilt = " ".join(r["chunk_text"] for r in rs).split()
+        assert rebuilt == originals[doc_id]
+        for i, r in enumerate(rs):
+            assert r["start_tok"] == i * 16
+            assert r["chunk_len"] == len(r["chunk_text"].split())
+            assert 1 <= r["chunk_len"] <= 16
+
+
+def test_chunk_overlap_and_final_short_chunk(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_size=4, stride=3).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts 0,3,6,9 — the last is a 1-token tail
+    assert [r["start_tok"] for r in rows] == [0, 3, 6, 9]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert rows[-1]["chunk_text"] == "t9"
+    assert rows[-1]["chunk_len"] == 1
+
+
+# --- interleave_sources ---------------------------------------------------
+
+
+def test_interleave_rate_bounds_and_subset_monotonicity(spark):
+    docs = docs_fixture(spark, n=150, seed=9)
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    full = {r["doc_id"] for r in interleave_sources(docs, {f"src{i}": 10000 for i in range(5)}).collect()}
+    assert full == all_ids  # rate 10000 keeps everything
+    none = interleave_sources(docs, {f"src{i}": 0 for i in range(5)}).count()
+    assert none == 0
+    lo = {r["doc_id"] for r in interleave_sources(docs, {f"src{i}": 2000 for i in range(5)}).collect()}
+    hi = {r["doc_id"] for r in interleave_sources(docs, {f"src{i}": 6000 for i in range(5)}).collect()}
+    assert lo <= hi  # raising rates only adds rows — epoch-stable growth
+
+
+def test_interleave_deterministic_across_repartition(spark):
+    docs = docs_fixture(spark, n=150, seed=13)
+    rates = {f"src{i}": 3000 + 1000 * i for i in range(5)}
+    a = {r["doc_id"] for r in interleave_sources(docs, rates).collect()}
+    b = {
+        r["doc_id"]
+        for r in interleave_sources(docs.repartition(13), rates).collect()
+    }
+    assert a == b
+    # decision is exactly the documented bucket predicate
+    buckets = {
+        r["doc_id"]: r["bucket"]
+        for r in docs.select("doc_id", md5_bucket(F.col("doc_id"), 10000).alias("bucket")).collect()
+    }
+    srcs = {r["doc_id"]: r["source"] for r in docs.collect()}
+    expect = {d for d in buckets if buckets[d] < rates[srcs[d]]}
+    assert a == expect
+
+
+def test_interleave_rejects_bad_rates(spark):
+    docs = docs_fixture(spark, n=5)
+    with pytest.raises(ValueError):
+        interleave_sources(docs, {})
+    with pytest.raises(ValueError):
+        interleave_sources(docs, {"src0": 10001})
