@@ -76,8 +76,24 @@ def test_topk_avoids_global_sort(spark, sf_dir):
 
 
 def test_doc_stats_is_map_only(spark, sf_dir):
-    plan = plan_of(REGISTRY["doc_text_analysis"].builder(spark, sf_dir))
-    assert "Exchange" not in plan
+    """No aggregation/join shuffles anywhere in the text-analysis pass.
+    The single permitted exchange is the round-robin rebalance that
+    spreads the CPU-bound map over all cores when the scan is
+    under-partitioned (single-row-group test files) — and that rebalance
+    must be an identity no-op on a well-partitioned input."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        ensure_min_partitions,
+        read_table,
+    )
+
+    plan = plan_of(REGISTRY["doc_text_analysis"].builder(spark, sf_dir), "simple")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # the round-robin rebalance only
+
+    cores = spark.sparkContext.defaultParallelism
+    wide = read_table(spark, sf_dir, "documents").repartition(cores)
+    assert ensure_min_partitions(wide) is wide
 
 
 def test_window_family_single_exchange(spark, sf_dir):
@@ -207,3 +223,46 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     # pruned scan reads only the matching partition directory
     want = o.where(F.col("order_year") == 1995).count()
     assert back.count() == want
+
+
+def test_pack_sequences_no_global_window_over_data(spark, sf_dir):
+    """The prefix sum must be the distributed shape: every window is
+    partitioned (by bucket), so no single-partition window ever sees
+    the data — the classic global-cumsum scale-killer."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+        REGISTRY as FULL_REGISTRY,
+    )
+
+    df = FULL_REGISTRY["pack_sequences_documents"].builder(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the only unpartitioned window (the bucket-prefix rollup) runs over
+    # the n_buckets-row aggregate, which sits under a groupBy — assert
+    # the row-level cumsum window partitions by the bucket column
+    assert "windowspecdefinition(_bkt" in optimized
+    # bucket prefix joins back as a broadcast, never a shuffle join
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+        REGISTRY as FULL_REGISTRY,
+    )
+
+    plan = plan_of(
+        FULL_REGISTRY["chunk_documents_sliding"].builder(spark, sf_dir), "simple"
+    )
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1  # round-robin rebalance only
+    assert "Generate" in plan  # the posexplode expansion
+
+
+def test_interleave_pushes_nothing_and_shuffles_nothing(spark, sf_dir):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+        REGISTRY as FULL_REGISTRY,
+    )
+
+    plan = plan_of(
+        FULL_REGISTRY["interleave_sources_documents"].builder(spark, sf_dir)
+    )
+    assert "Exchange" not in plan  # pure per-row predicate map
