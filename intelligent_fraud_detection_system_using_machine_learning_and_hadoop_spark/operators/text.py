@@ -165,3 +165,76 @@ def bpe_token_count(text_col: Column) -> Column:
     LLM token budgets than whitespace splitting (which undercounts
     punctuation-heavy and code-like text). Pure JVM regex pass."""
     return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def _max_run_sorted(arr_expr: str) -> str:
+    """SQL fragment: highest multiplicity of any element in an array,
+    computed as the longest equal-run of the SORTED array with one
+    struct-state fold — O(n log n) per row, JVM-side, no explode/shuffle.
+    (The naive transform(distinct, d -> count(=d)) is O(distinct·n),
+    quadratic on long documents.)"""
+    return f"""
+      aggregate(
+        array_sort({arr_expr}),
+        struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
+        (acc, x) -> struct(
+          x,
+          IF(x <=> acc.prev, acc.run + 1, 1L),
+          greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))),
+        acc -> acc.best)
+    """
+
+
+def _ngrams(toks_expr: str, n: int) -> str:
+    """SQL fragment: ALL word n-grams (with repeats, unlike the dedup
+    shingler's distinct sets — repetition measurement needs multiplicity)."""
+    return f"""
+      filter(
+        transform({toks_expr},
+          (x, i) -> IF(i + {n} <= size({toks_expr}),
+                       concat_ws(' ', slice({toks_expr}, i + 1, {n})), NULL)),
+        s -> s IS NOT NULL)
+    """
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition signals per document (Rae et al. '21
+    §A1.1 "repetitious text" filters, re-expressed for whitespace
+    corpora): the mass fraction of the most frequent unigram and bigram,
+    and the fraction of trigram occurrences that are repeats. Pure
+    column expressions — the repetition fold runs inside codegen; the
+    filter stays a zero-shuffle map at any corpus size.
+
+    Emits ``top_unigram_frac``, ``top_bigram_frac``,
+    ``dup_trigram_frac`` (all 0.0 when the doc is too short to have the
+    n-gram) and ``pass_repetition`` with Gopher-like thresholds
+    (≤0.2 / ≤0.18 / ≤0.3). Ratios are integer-over-integer doubles, so
+    they reproduce bitwise across engines.
+    """
+    toks = f"filter(split({text_col}, '\\\\s+'), x -> x != '')"
+    bigrams = _ngrams(toks, 2)
+    trigrams = _ngrams(toks, 3)
+    uni = F.expr(
+        f"""IF(size({toks}) > 0,
+               CAST({_max_run_sorted(toks)} AS DOUBLE) / size({toks}), 0.0D)"""
+    )
+    bi = F.expr(
+        f"""IF(size({bigrams}) > 0,
+               CAST({_max_run_sorted(bigrams)} AS DOUBLE) / size({bigrams}), 0.0D)"""
+    )
+    tri = F.expr(
+        f"""IF(size({trigrams}) > 0,
+               CAST(size({trigrams}) - size(array_distinct({trigrams})) AS DOUBLE)
+                 / size({trigrams}), 0.0D)"""
+    )
+    return (
+        df.withColumn("top_unigram_frac", uni)
+        .withColumn("top_bigram_frac", bi)
+        .withColumn("dup_trigram_frac", tri)
+        .withColumn(
+            "pass_repetition",
+            (F.col("top_unigram_frac") <= 0.2)
+            & (F.col("top_bigram_frac") <= 0.18)
+            & (F.col("dup_trigram_frac") <= 0.3),
+        )
+    )

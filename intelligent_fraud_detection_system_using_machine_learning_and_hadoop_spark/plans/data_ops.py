@@ -762,3 +762,61 @@ def interleave_sources_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return interleave_sources(d, _MIX_RATES)
+
+
+@query(
+    "doc_repetition_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id, w, len(w) AS n,
+             list_filter(list_transform(w, (x, i) -> CASE WHEN i + 1 <= len(w)
+                 THEN array_to_string(w[i:i+1], ' ') END), s -> s IS NOT NULL) AS bi,
+             list_filter(list_transform(w, (x, i) -> CASE WHEN i + 2 <= len(w)
+                 THEN array_to_string(w[i:i+2], ' ') END), s -> s IS NOT NULL) AS tri
+      FROM t),
+    uni_top AS (
+      SELECT doc_id, MAX(c) AS topc FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS tok FROM g) GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    bi_top AS (
+      SELECT doc_id, MAX(c) AS topc FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bi) AS tok FROM g) GROUP BY doc_id, tok)
+      GROUP BY doc_id)
+    SELECT g.doc_id,
+           CASE WHEN n > 0 THEN CAST(uni_top.topc AS DOUBLE) / n ELSE 0.0 END AS top_unigram_frac,
+           CASE WHEN len(bi) > 0 THEN CAST(bi_top.topc AS DOUBLE) / len(bi) ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN len(tri) > 0
+                THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                ELSE 0.0 END AS dup_trigram_frac,
+           (CASE WHEN n > 0 THEN CAST(uni_top.topc AS DOUBLE) / n ELSE 0.0 END) <= 0.2
+           AND (CASE WHEN len(bi) > 0 THEN CAST(bi_top.topc AS DOUBLE) / len(bi) ELSE 0.0 END) <= 0.18
+           AND (CASE WHEN len(tri) > 0
+                     THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                     ELSE 0.0 END) <= 0.3 AS pass_repetition
+    FROM g
+    LEFT JOIN uni_top USING (doc_id)
+    LEFT JOIN bi_top USING (doc_id)
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters (top-unigram/top-bigram mass
+    fraction, duplicate-trigram fraction + combined pass flag) as pure
+    column expressions — the repetition fold is an O(n log n) sorted
+    run-length aggregate inside codegen, zero shuffle. The oracle
+    computes the same counts relationally (unnest → count → max)."""
+    from ..operators.text import with_repetition_stats
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    return with_repetition_stats(d).select(
+        "doc_id",
+        "top_unigram_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "pass_repetition",
+    )

@@ -291,3 +291,21 @@ def streaming_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.jobs import stream_stream_click_purchase
 
     return stream_stream_click_purchase(spark, sf_dir)
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-static join: stateless per-micro-batch broadcast
+    enrichment of the event stream with the customer dimension — the
+    remaining streaming join surface after the stream-stream join
+    (no watermark/state; dimension broadcast per batch). Equals the
+    batch left join over availableNow input, which the oracle checks."""
+    from ..streaming.jobs import stream_static_enrich_events
+
+    return stream_static_enrich_events(spark, sf_dir)

@@ -603,3 +603,37 @@ def stream_stream_click_purchase(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_static_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join (§2.9): every event in the stream
+    joined against the static customer dimension. Stateless — no
+    watermark, no join state: each micro-batch joins independently, and
+    Catalyst broadcasts the dimension exactly as it would in batch, so
+    a 100 TB/day stream enriches against a dimension table without a
+    single shuffle of the stream side. Left join keeps events whose
+    user has no customer row. Over availableNow single-batch input the
+    emitted set IS the batch join, which the shared oracle checks."""
+    from ..sources.readers import read_table
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        "c_name",
+        "c_mktsegment",
+    )
+    joined = ev.join(F.broadcast(cust), "user_id", "left")
+    name = f"static_enrich_sink_{next(_sink_ids)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
+    )

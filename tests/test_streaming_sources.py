@@ -87,3 +87,34 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
+    """Stateless stream-static broadcast join over availableNow input
+    must emit exactly the batch left join."""
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        stream_static_enrich_events,
+    )
+
+    got = {
+        tuple(r)
+        for r in stream_static_enrich_events(spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    want = {
+        tuple(r)
+        for r in ev.join(cust, "user_id", "left")
+        .select("event_id", "user_id", "event_type", "c_name", "c_mktsegment")
+        .collect()
+    }
+    assert got == want

@@ -70,3 +70,42 @@ def test_sketch_aggregates_close_to_exact(spark, sf_dir):
     for col, q in (("p50_approx", 0.5), ("p99_approx", 0.99)):
         exact = exact_percentile(l, "l_extendedprice", q)
         assert abs(row[col] - exact) / exact < 0.02
+
+
+def test_repetition_stats_hand_computed(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "a" 3/6 tokens; top bigram "a b" 2/5; trigrams: "a b a","b a c","a c a","c a b","a b d" — all distinct
+            (1, "a b a c a b d"),
+            # all same token: uni 1.0, bigram 1.0, trigrams all equal → dup frac 2/3... wait n=4 tokens "x x x x": trigrams "x x x" ×2 → dup 1/2
+            (2, "x x x x"),
+            (3, "one two"),  # no trigrams → dup 0.0
+            (4, ""),  # no tokens at all → all 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in with_repetition_stats(docs).collect()}
+    r1 = got[1]  # 7 tokens: a,b,a,c,a,b,d → "a"×3/7; bigrams 6: "a b"×2/6
+    assert abs(r1["top_unigram_frac"] - 3 / 7) < 1e-15
+    assert abs(r1["top_bigram_frac"] - 2 / 6) < 1e-15
+    # trigrams: "a b a","b a c","a c a","c a b","a b d" → 5 distinct of 5
+    assert r1["dup_trigram_frac"] == 0.0
+    r2 = got[2]
+    assert r2["top_unigram_frac"] == 1.0
+    assert r2["top_bigram_frac"] == 1.0
+    assert abs(r2["dup_trigram_frac"] - 1 / 2) < 1e-15  # 2 trigrams, 1 distinct
+    assert not r2["pass_repetition"]
+    r3 = got[3]
+    assert abs(r3["top_unigram_frac"] - 0.5) < 1e-15
+    assert r3["dup_trigram_frac"] == 0.0
+    r4 = got[4]
+    assert (
+        r4["top_unigram_frac"] == 0.0
+        and r4["top_bigram_frac"] == 0.0
+        and r4["dup_trigram_frac"] == 0.0
+    )
+    assert r4["pass_repetition"]
