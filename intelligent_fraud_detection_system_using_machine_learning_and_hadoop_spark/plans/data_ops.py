@@ -820,3 +820,39 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_trigram_frac",
         "pass_repetition",
     )
+
+
+@query(
+    "zorder_key_orders",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_custkey % 1024 AS x,
+             (o_orderkey // 7) % 1024 AS y
+      FROM orders)
+    SELECT o_orderkey, x, y,
+           CAST(list_sum(list_transform(generate_series(0, 9),
+             i -> ((x >> i) & 1) * (1 << (2*i))
+                + ((y >> i) & 1) * (1 << (2*i + 1)))) AS BIGINT) AS zval
+    FROM b
+    """,
+)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two bucketed dimensions of
+    orders — the multi-dimensional data-layout primitive behind
+    OPTIMIZE ZORDER BY: range-partitioning on zval gives every file a
+    tight 2-D min/max envelope so parquet stats prune on either
+    predicate (operators/layout.py; the locality property is pinned by
+    pytest)."""
+    from ..operators.layout import zorder_key
+
+    o = read_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 1024).alias("x")
+    y = (F.expr("o_orderkey DIV 7") % 1024).alias("y")
+    b = o.select("o_orderkey", x, y)
+    return b.select(
+        "o_orderkey",
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        zorder_key(F.col("x"), F.col("y"), bits=10).alias("zval"),
+    )

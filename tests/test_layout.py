@@ -1,0 +1,72 @@
+"""Z-order layout operator (operators/layout.py): interleave
+correctness and the multi-dimensional locality property that justifies
+it at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.layout import (
+    write_zordered,
+    zorder_key,
+)
+
+
+def _morton_py(x: int, y: int, bits: int = 10) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_reference_bit_interleave(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(21)
+    pts = [(int(a), int(b)) for a, b in rng.randint(0, 1024, size=(300, 2))]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _morton_py(x, y)
+
+
+def test_zordered_write_gives_tight_2d_envelopes(spark, tmp_path):
+    """Each z-range-partitioned file must cover a small 2-D box: the
+    mean per-file envelope area should be far below the full domain
+    (for an unclustered random layout every file's envelope is ~the
+    whole domain). This is the property that makes parquet min/max
+    stats prune on either dimension."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    n, side = 20_000, 256
+    pts = [(int(a), int(b)) for a, b in rng.randint(0, side, size=(n, 2))]
+    df = spark.createDataFrame(pts, "x long, y long").repartition(8)
+
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, F.col("x"), F.col("y"), n_files=16, bits=8)
+
+    back = spark.read.parquet(out).withColumn(
+        "file", F.input_file_name()
+    )
+    env = (
+        back.groupBy("file")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert sum(r["n"] for r in env) == n
+    domain_area = side * side
+    mean_area = sum((r["dx"] + 1) * (r["dy"] + 1) for r in env) / len(env)
+    # 16 z-range files over a 2-D uniform domain → each covers ~1/16 of
+    # the area (plus boundary slack); random layout would give ~1.0
+    assert mean_area < 0.25 * domain_area
