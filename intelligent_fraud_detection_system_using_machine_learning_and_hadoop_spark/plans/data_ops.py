@@ -856,3 +856,90 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("long").alias("y"),
         zorder_key(F.col("x"), F.col("y"), bits=10).alias("zval"),
     )
+
+
+@query(
+    "token_vocab_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+      FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+    SELECT token, n FROM c
+    ORDER BY n DESC, token ASC LIMIT 50
+    """,
+)
+def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global token frequencies, top-50 (the
+    canonical wordcount). explode → partial-agg count (map-side combine
+    shrinks the shuffle to the distinct vocab) → TakeOrderedAndProject
+    top-k — no global sort ever materializes."""
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf AS DOUBLE)
+               * ((CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n),
+    r AS (
+      SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token ASC) AS rank
+      FROM s)
+    SELECT doc_id, token, score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf with the
+    BM25-style RATIONAL idf (N − df + 0.5)/(df + 0.5) — same document
+    ordering per term as the log form, but transcendental-free so both
+    engines produce bitwise-identical doubles (log/libm rounding varies
+    across engines; see the oracle-parity notes). Three shuffles: tf
+    (doc,token), df (token), and the per-doc top-k window; the doc count
+    joins in as a lazy broadcast 1-row aggregate."""
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", "score", F.col("rank").cast("long").alias("rank"))
+    )

@@ -266,3 +266,15 @@ def test_interleave_pushes_nothing_and_shuffles_nothing(spark, sf_dir):
         FULL_REGISTRY["interleave_sources_documents"].builder(spark, sf_dir)
     )
     assert "Exchange" not in plan  # pure per-row predicate map
+
+
+def test_vocab_topk_uses_take_ordered(spark, sf_dir):
+    """Wordcount top-k must be TakeOrderedAndProject over the partial-
+    aggregated vocab — never a global sort of the counts."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+        REGISTRY as FULL_REGISTRY,
+    )
+
+    plan = plan_of(FULL_REGISTRY["token_vocab_topk"].builder(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan
