@@ -943,3 +943,62 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "token", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+@query(
+    "decontaminate_train_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 4 <= len(w)
+                   THEN array_to_string(w[i:i+4], ' ') END),
+               x -> x IS NOT NULL)) AS sh
+      FROM w),
+    eval_sh AS (
+      SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+    hits AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM train) t
+      JOIN eval_sh USING (shingle))
+    SELECT train.doc_id,
+           hits.doc_id IS NOT NULL AS is_contaminated
+    FROM train LEFT JOIN hits USING (doc_id)
+    """,
+)
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the op every LLM pipeline runs before
+    training): flag training documents sharing any word 5-gram with the
+    held-out eval set (here: doc_id % 50 == 0 stands in for the
+    benchmark). Shape: distinct eval shingles (small — benchmark-sized)
+    are the build side of a left-semi mark join over the exploded train
+    shingle index; ONE shuffle of the train index, and at real scale
+    the eval side broadcasts. Same pigeonhole guarantee as n-gram
+    overlap checkers: any verbatim ≥5-token overlap is caught."""
+    from ..operators.dedup import _shingled
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    sh = _shingled(d, "doc_id", "text", 5)
+    ev = sh.where(F.col("_id") % 50 == 0)
+    train = sh.where(F.col("_id") % 50 != 0)
+    eval_shingles = ev.select(F.explode("_sh").alias("shingle")).distinct()
+    train_ex = train.select("_id", F.explode("_sh").alias("shingle"))
+    contaminated = (
+        train_ex.join(F.broadcast(eval_shingles), "shingle")
+        .select("_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    return (
+        train.select("_id")
+        .join(contaminated, "_id", "left")
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"),
+        )
+    )

@@ -189,3 +189,39 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
         for r in ivf_cosine_topk(emb, q, k=3, n_clusters=16, n_probe=8).collect()
     }
     assert len(ivf & exact) / len(exact) >= 0.5
+
+
+def test_decontamination_flags_exact_5gram_overlap_only(spark):
+    """A train doc copying a 5-token run from the eval set is flagged;
+    one sharing at most 4 consecutive tokens is not (pigeonhole bound
+    of the 5-gram overlap checker)."""
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+        _shingled,
+    )
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [
+            (0, eval_text),  # eval doc (id % 50 == 0)
+            (1, "xx yy beta gamma delta epsilon zeta zz"),  # 5-run copy → hit
+            (2, "xx yy beta gamma delta epsilon qq zz"),  # max 4-run → clean
+            (3, "totally unrelated words here only friend"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    sh = _shingled(docs, "doc_id", "text", 5)
+    ev = sh.where(F.col("_id") % 50 == 0).select(
+        F.explode("_sh").alias("shingle")
+    ).distinct()
+    train = sh.where(F.col("_id") % 50 != 0)
+    hits = {
+        r["_id"]
+        for r in train.select("_id", F.explode("_sh").alias("shingle"))
+        .join(ev, "shingle")
+        .select("_id")
+        .distinct()
+        .collect()
+    }
+    assert hits == {1}
