@@ -182,15 +182,27 @@ def minhash_signatures(
 def _signatures_from_shingled(
     s: DataFrame, num_hashes: int, out_id: str = "_id"
 ) -> DataFrame:
-    ex = s.select("_id", F.explode("_sh").alias("shingle"))
+    """Per-doc MinHash signature as a ZERO-SHUFFLE per-row fold: hash k
+    is ``array_min(transform(_sh, sh -> xxhash64(sh, k)))``. The
+    earlier explode → groupBy(_id) → k·min formulation computed the
+    same values but shuffled the entire exploded shingle index first —
+    at corpus scale that exchange is the whole token footprint.
+    Signature generation is a map; only the k-band buckets (16 longs
+    per doc) ever reach an exchange downstream. Docs with no shingles
+    produce no signature (as before, when they had no rows to group)."""
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.array_min(
+            F.transform("_sh", lambda sh: F.xxhash64(sh, F.lit(i)))
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = ex.groupBy("_id").agg(*mins)
-    return sig.select(
-        F.col("_id").alias(out_id),
-        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"),
+    return (
+        s.where(F.size("_sh") > 0)
+        .select("_id", *mins)
+        .select(
+            F.col("_id").alias(out_id),
+            F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"),
+        )
     )
 
 
