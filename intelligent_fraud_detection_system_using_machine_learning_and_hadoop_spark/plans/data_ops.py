@@ -1002,3 +1002,138 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_contaminated", F.lit(False)).alias("is_contaminated"),
         )
     )
+
+
+@query(
+    "llm_data_pipeline",
+    oracle=f"""
+    WITH q AS ({_SQL_QUALITY}),
+    w0 AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    rep AS (
+      SELECT g.doc_id,
+             (CASE WHEN n > 0 THEN CAST(ut.topc AS DOUBLE) / n ELSE 0.0 END) <= 0.2
+             AND (CASE WHEN len(bi) > 0 THEN CAST(bt.topc AS DOUBLE) / len(bi) ELSE 0.0 END) <= 0.18
+             AND (CASE WHEN len(tri) > 0
+                       THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)
+                       ELSE 0.0 END) <= 0.3 AS pass_rep
+      FROM (
+        SELECT doc_id, w, len(w) AS n,
+               list_filter(list_transform(w, (x, i) -> CASE WHEN i + 1 <= len(w)
+                   THEN array_to_string(w[i:i+1], ' ') END), s -> s IS NOT NULL) AS bi,
+               list_filter(list_transform(w, (x, i) -> CASE WHEN i + 2 <= len(w)
+                   THEN array_to_string(w[i:i+2], ' ') END), s -> s IS NOT NULL) AS tri
+        FROM w0) g
+      LEFT JOIN (
+        SELECT doc_id, MAX(c) AS topc FROM (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(w) AS tok FROM w0) GROUP BY doc_id, tok)
+        GROUP BY doc_id) ut USING (doc_id)
+      LEFT JOIN (
+        SELECT doc_id, MAX(c) AS topc FROM (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id,
+                       unnest(list_filter(list_transform(w, (x, i) -> CASE WHEN i + 1 <= len(w)
+                           THEN array_to_string(w[i:i+1], ' ') END), s -> s IS NOT NULL)) AS tok
+                FROM w0) GROUP BY doc_id, tok)
+        GROUP BY doc_id) bt USING (doc_id)),
+    filtered AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN q ON q.doc_id = d.doc_id
+      JOIN rep ON rep.doc_id = d.doc_id
+      WHERE q.quality_score >= 0.5 AND rep.pass_rep),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS cmd5
+            FROM filtered)
+      GROUP BY cmd5),
+    lw AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    sh5 AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 4 <= len(w)
+                   THEN array_to_string(w[i:i+4], ' ') END),
+               x -> x IS NOT NULL)) AS sh
+      FROM lw),
+    eval_sh AS (
+      SELECT DISTINCT unnest(sh) AS shingle FROM sh5 WHERE doc_id % 50 = 0),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh5 WHERE doc_id % 50 <> 0) t
+      JOIN eval_sh USING (shingle)),
+    clean AS (
+      SELECT f.doc_id, f.text
+      FROM filtered f
+      JOIN keep USING (doc_id)
+      WHERE f.doc_id % 50 <> 0
+        AND f.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens
+      FROM clean)
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_offset,
+           CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             // 2048 AS first_seq
+    FROM t WHERE n_tokens > 0
+    """,
+)
+def llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-data pipeline as ONE lazy composed
+    plan: quality + repetition filters → exact near-dup removal (keep
+    min id) → benchmark decontamination (5-gram overlap vs the eval
+    split) → token-budget sequence packing of the survivors. Composes
+    five already-attested operators (text.py quality/repetition,
+    dedup.py digest + shingles, packing.py prefix sum) without a single
+    intermediate materialization — the shape a 100 TB corpus run takes
+    nightly: two small aggregate shuffles (digest keep-set, eval
+    shingles), one broadcast mark join, one bucketed prefix sum."""
+    from ..operators.dedup import _shingled
+    from ..operators.packing import pack_sequences
+    from ..operators.text import with_quality_score, with_repetition_stats
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    scored = with_repetition_stats(with_quality_score(d))
+    filtered = scored.where(
+        (F.col("quality_score") >= 0.5) & F.col("pass_repetition")
+    ).select("doc_id", "text")
+    keep = (
+        filtered.select(
+            F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("cmd5"),
+            "doc_id",
+        )
+        .groupBy("cmd5")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = filtered.join(keep, "doc_id", "left_semi")
+    sh = _shingled(d, "doc_id", "text", 5)
+    eval_shingles = (
+        sh.where(F.col("_id") % 50 == 0)
+        .select(F.explode("_sh").alias("shingle"))
+        .distinct()
+    )
+    contaminated = (
+        sh.where(F.col("_id") % 50 != 0)
+        .select("_id", F.explode("_sh").alias("shingle"))
+        .join(F.broadcast(eval_shingles), "shingle")
+        .select(F.col("_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = (
+        deduped.where(F.col("doc_id") % 50 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return pack_sequences(clean, budget=2048).select(
+        "doc_id", "n_tokens", "start_offset", "first_seq"
+    )
