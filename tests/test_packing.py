@@ -156,3 +156,38 @@ def test_interleave_rejects_bad_rates(spark):
         interleave_sources(docs, {})
     with pytest.raises(ValueError):
         interleave_sources(docs, {"src0": 10001})
+
+
+# ---------------------------------------------------------------------------
+# property-based differential test: distributed prefix sum vs pure python
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    counts=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    budget=st.integers(1, 64),
+    n_buckets=st.integers(1, 40),
+)
+def test_pack_sequences_matches_python_reference(spark, counts, budget, n_buckets):
+    """For ANY token-count profile, budget, and bucket count — including
+    empty docs, budget 1, more buckets than docs — the distributed
+    prefix sum must equal the sequential Python packing."""
+    rows = [(i * 3 + 1, " ".join(["w"] * c)) for i, c in enumerate(counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["start_offset"], r["first_seq"], r["last_seq"], r["n_seqs"])
+        for r in pack_sequences(docs, budget=budget, n_buckets=n_buckets).collect()
+    }
+    exp = {}
+    offset = 0
+    for i, c in enumerate(counts):
+        if c == 0:
+            continue
+        first, last = offset // budget, (offset + c - 1) // budget
+        exp[i * 3 + 1] = (offset, first, last, last - first + 1)
+        offset += c
+    assert got == exp
