@@ -103,6 +103,15 @@ def pca_scores_via_moments(
     stats = (
         df.groupBy(F.col(categorical_col).alias("__cat")).agg(*aggs).collect()
     )
+    # one-hot moments reconstruction is for LOW-cardinality categoricals
+    # (as one-hot features are generally); a high-cardinality column
+    # would make both the collect and the d×d eigensolve driver-heavy —
+    # fail loudly rather than degrade silently.
+    if len(stats) > 1000:
+        raise ValueError(
+            f"{categorical_col} has {len(stats)} categories; "
+            "pca_scores_via_moments expects a low-cardinality one-hot column"
+        )
     cats = sorted(r["__cat"] for r in stats)  # alphabetAsc = StringIndexer order
     by_cat = {r["__cat"]: r for r in stats}
     n_num, n_cat = len(num), len(cats)

@@ -64,6 +64,12 @@ def pack_sequences(
     offsets broadcast back onto the rows. One plan, fully lazy; the
     only unpartitioned window runs over the ``n_buckets``-row rollup,
     never over the data.
+
+    Buckets split the [0, max_id] VALUE range, so heavily clustered id
+    distributions can skew bucket sizes (correctness is unaffected —
+    only the per-bucket window parallelism). For pathological id
+    layouts substitute a rank-based bucketing (e.g. a pre-computed
+    dense row index) for the floor-divide.
     """
     t = docs.select(
         F.col(id_col).alias("_id"), _token_count(F.col(text_col)).alias("n_tokens")
@@ -162,21 +168,24 @@ def interleave_sources(
     Integer rates make the keep predicate exact (no float thresholds);
     callers derive them from target mixture weights and corpus counts
     (rate_s ∝ weight_s / n_s, scaled to the constraining source).
+
+    The rate map joins in as a broadcast table rather than a literal
+    CASE chain, so a mixture over thousands of sources stays a flat
+    hash lookup instead of a thousand-branch expression.
     """
     if not rates_per_myriad:
         raise ValueError("rates_per_myriad must be non-empty")
     for s, r in rates_per_myriad.items():
         if not (0 <= int(r) <= 10000):
             raise ValueError(f"rate for {s!r} outside [0, 10000]")
-    rate = None
-    for s, r in rates_per_myriad.items():
-        cond = F.when(F.col(source_col) == s, F.lit(int(r)))
-        rate = cond if rate is None else rate.when(F.col(source_col) == s, F.lit(int(r)))
-    rate = rate.otherwise(F.lit(0))
+    rates = docs.sparkSession.createDataFrame(
+        [(s, int(r)) for s, r in rates_per_myriad.items()],
+        f"{source_col} string, _rate int",
+    )
     bucket = md5_bucket(F.col(id_col), 10000)
     return (
         docs.withColumn("bucket", bucket)
-        .withColumn("_rate", rate)
+        .join(F.broadcast(rates), source_col)  # inner: unmapped sources drop
         .where(F.col("bucket") < F.col("_rate"))
         .select(F.col(id_col), F.col(source_col), F.col("bucket"))
     )

@@ -263,9 +263,13 @@ def test_interleave_pushes_nothing_and_shuffles_nothing(spark, sf_dir):
     )
 
     plan = plan_of(
-        FULL_REGISTRY["interleave_sources_documents"].builder(spark, sf_dir)
+        FULL_REGISTRY["interleave_sources_documents"].builder(spark, sf_dir),
+        "simple",
     )
-    assert "Exchange" not in plan  # pure per-row predicate map
+    # per-row predicate map + broadcast of the tiny rates table: the
+    # corpus side never shuffles
+    assert "hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_vocab_topk_uses_take_ordered(spark, sf_dir):
