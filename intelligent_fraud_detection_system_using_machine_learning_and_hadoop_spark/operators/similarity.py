@@ -32,14 +32,19 @@ def cosine_topk(
     query_id_col: str = "query_id",
     k: int = 3,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k per query.
+    """Exact brute-force cosine top-k per query, TWO-PHASE.
 
-    queries is small → broadcast; the corpus is scanned once, scores
-    fold JVM-side, and per-query top-k is a window row_number (at real
-    scale: replace the window with repartition-by-query + mapPartitions
-    heap, or cut the scan with the LSH variant below). Scores are
-    rounded to 6 decimals *before* ranking so ordering is reproducible
-    across engines; vec_id breaks remaining ties.
+    queries is small → broadcast; the corpus is scanned once and scores
+    fold JVM-side. The top-k is two-phase: each map partition
+    pre-reduces to its local top-k per query — a ``groupBy(
+    spark_partition_id, query_id)`` whose partial aggregation completes
+    map-side (collect_list → array_sort → slice k) — so the exchange
+    carries only partitions×queries×k candidate structs instead of every
+    scored corpus row; the final per-query window ranks that sliver.
+    Scores are rounded to 6 decimals *before* ranking so ordering is
+    reproducible across engines; vec_id breaks remaining ties (the
+    negated-score struct sort = score desc, id asc — exact for IEEE
+    doubles).
     """
     from ..sources.readers import ensure_min_partitions
 
@@ -67,11 +72,33 @@ def cosine_topk(
             ),
         )
     )
+    local_topk = (
+        scored.groupBy(F.spark_partition_id().alias("_pid"), F.col("query_id"))
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cos_sim")).alias("_negsim"), F.col("vec_id")
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select("query_id", F.explode("_top").alias("_t"))
+        .select(
+            "query_id",
+            F.col("_t.vec_id").alias("vec_id"),
+            (-F.col("_t._negsim")).alias("cos_sim"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id").asc()
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        local_topk.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rank"))
     )
