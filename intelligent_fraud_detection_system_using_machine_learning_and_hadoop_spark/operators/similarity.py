@@ -72,6 +72,17 @@ def cosine_topk(
             ),
         )
     )
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase exact top-k of ``scored(query_id, vec_id, cos_sim)``:
+    per-map-partition partial top-k (map-side-complete groupBy on
+    ``spark_partition_id`` — collect_list → array_sort on negated-score
+    structs → slice k), then a final per-query window over the
+    partitions×k sliver. Negation round-trips IEEE doubles exactly
+    (signed zeros included), so scores are bit-identical to a direct
+    global rank."""
     local_topk = (
         scored.groupBy(F.spark_partition_id().alias("_pid"), F.col("query_id"))
         .agg(
@@ -188,14 +199,9 @@ def lsh_cosine_topk(
             6,
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rank"))
-    )
+    # same two-phase rank as the exact path: candidate sets are pruned
+    # by bucketing but can still be large at corpus scale
+    return _topk_per_query(scored.select("query_id", "vec_id", "cos_sim"), k)
 
 
 def ivf_cosine_topk(
@@ -266,11 +272,4 @@ def ivf_cosine_topk(
     scored = candidates.withColumn(
         "cos_sim", F.round(_dot(F.col("_u"), F.col("_qu")), 6)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("vec_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", "vec_id", "cos_sim", F.col("rn").cast("long").alias("rank"))
-    )
+    return _topk_per_query(scored.select("query_id", "vec_id", "cos_sim"), k)
