@@ -189,3 +189,58 @@ def interleave_sources(
         .where(F.col("bucket") < F.col("_rate"))
         .select(F.col(id_col), F.col(source_col), F.col("bucket"))
     )
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global training-order permutation for one epoch:
+    every row gets a dense position 0..n−1 ordered by
+    ``md5(seed:id)`` (ties impossible — id appended). A new ``seed``
+    yields an independent permutation; the same seed reproduces it
+    exactly on any engine, partitioning, or run — the property
+    ``df.orderBy(rand())`` lacks.
+
+    Scalably: the md5 key's first byte range-buckets rows (UNIFORM by
+    construction — no skew, unlike value-range bucketing), each bucket
+    ranks locally under a partitioned window, and the 256-row bucket
+    count rollup broadcasts prefix offsets back. No global sort, no
+    single-partition window over data.
+    """
+    if not (1 <= n_buckets <= 65536):
+        raise ValueError("n_buckets must be in [1, 65536]")
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    # bucket = RANGE split of the key's 16-bit prefix (hex sorts
+    # lexicographically = numerically here), so bucket order IS key
+    # order — a modulo would interleave buckets and break the global
+    # rank decomposition
+    b = docs.select(F.col(id_col).alias("_id"), key.alias("_key")).withColumn(
+        "_bkt",
+        F.floor(
+            F.conv(F.substring("_key", 1, 4), 16, 10).cast("long")
+            * n_buckets
+            / 65536
+        ).cast("long"),
+    )
+    ranked = b.withColumn(
+        "_rn",
+        F.row_number().over(W.partitionBy("_bkt").orderBy("_key", "_id")),
+    )
+    totals = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_tot"))
+    prefix = totals.withColumn(
+        "_prefix",
+        F.coalesce(
+            F.sum("_tot").over(W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("_bkt", "_prefix")
+    return (
+        ranked.join(F.broadcast(prefix), "_bkt")
+        .select(
+            F.col("_id").alias(id_col),
+            (F.col("_prefix") + F.col("_rn") - 1).cast("long").alias("epoch_pos"),
+        )
+    )

@@ -1137,3 +1137,26 @@ def llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(clean, budget=2048).select(
         "doc_id", "n_tokens", "start_offset", "first_seq"
     )
+
+
+@query(
+    "epoch_shuffle_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+                  ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))), doc_id)
+                - 1 AS BIGINT) AS epoch_pos
+    FROM documents
+    """,
+)
+def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic epoch shuffle (seed 7): dense training-order
+    positions by md5(seed:id) — reproducible on any engine/partitioning,
+    independent per seed, unlike orderBy(rand()). Spark side is the
+    bucketed distributed rank (hash-uniform buckets + 256-row prefix
+    rollup, operators/packing.py::epoch_shuffle); the oracle is the
+    equivalent single global window."""
+    from ..operators.packing import epoch_shuffle
+
+    d = read_table(spark, sf_dir, "documents")
+    return epoch_shuffle(d, seed=7)

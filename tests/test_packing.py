@@ -191,3 +191,39 @@ def test_pack_sequences_matches_python_reference(spark, counts, budget, n_bucket
         exp[i * 3 + 1] = (offset, first, last, last - first + 1)
         offset += c
     assert got == exp
+
+
+# --- epoch_shuffle --------------------------------------------------------
+
+
+def test_epoch_shuffle_is_dense_seeded_permutation(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.packing import (
+        epoch_shuffle,
+    )
+
+    docs = docs_fixture(spark, n=120, seed=17)
+    n = docs.count()
+    s7 = {r["doc_id"]: r["epoch_pos"] for r in epoch_shuffle(docs, seed=7).collect()}
+    # dense permutation of 0..n-1
+    assert sorted(s7.values()) == list(range(n))
+    # deterministic across repartitioning and bucket counts
+    s7b = {
+        r["doc_id"]: r["epoch_pos"]
+        for r in epoch_shuffle(docs.repartition(11), seed=7, n_buckets=8).collect()
+    }
+    assert s7 == s7b
+    # a different seed gives a different permutation (overwhelmingly)
+    s8 = {r["doc_id"]: r["epoch_pos"] for r in epoch_shuffle(docs, seed=8).collect()}
+    assert s7 != s8
+    # matches the naive single-window rank
+    from pyspark.sql import functions as F
+
+    key = F.md5(F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")))
+    naive = {
+        r["doc_id"]: r["pos"]
+        for r in docs.select(
+            "doc_id",
+            (F.row_number().over(W.orderBy(key, "doc_id")) - 1).alias("pos"),
+        ).collect()
+    }
+    assert s7 == naive
