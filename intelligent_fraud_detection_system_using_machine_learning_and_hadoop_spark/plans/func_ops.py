@@ -384,3 +384,43 @@ def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_long_numbers"),
     )
+
+
+@query("token_freq_cms")
+def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter estimation, completing the
+    mergeable-sketch trio (HLL++ cardinality, GK quantiles, CMS
+    frequencies): one single-pass ``count_min_sketch`` aggregate over
+    the exploded token stream (constant memory, merged across
+    executors exactly like at 1000-executor scale), then the fixed
+    candidate vocabulary is estimated from the merged sketch.
+    Rows-only: sketch internals are engine-specific; pytest pins the
+    CMS guarantee — est ≥ true, est ≤ true + ε·N w.h.p. — against the
+    exact counts."""
+    from ..operators.text import tokens
+
+    eps, confidence, seed = 0.001, 0.99, 42
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    sketch_row = tok.agg(
+        F.count_min_sketch(
+            "token", F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("cms"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    import io
+
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        io.BytesIO(bytes(sketch_row["cms"])).read()
+    )
+    candidates = [
+        r["token"]
+        for r in tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+        .collect()
+    ]
+    rows = [(t, int(cms.estimateCount(t))) for t in sorted(candidates)]
+    return spark.createDataFrame(rows, "token string, est_count long")

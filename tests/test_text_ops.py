@@ -109,3 +109,35 @@ def test_repetition_stats_hand_computed(spark):
         and r4["dup_trigram_frac"] == 0.0
     )
     assert r4["pass_repetition"]
+
+
+def test_cms_token_counts_bound_exact_counts(spark, sf_dir):
+    """Count-min-sketch guarantee: est ≥ true always (one-sided), and
+    est ≤ true + ε·N for the heavy hitters at ε=0.001."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+        REGISTRY,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.text import (
+        tokens,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+    from pyspark.sql import functions as F
+
+    est = {
+        r["token"]: r["est_count"]
+        for r in REGISTRY["token_freq_cms"].builder(spark, sf_dir).collect()
+    }
+    tok = read_table(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    n_total = tok.count()
+    exact = {
+        r["token"]: r["n"]
+        for r in tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert est, "no estimates returned"
+    for t, e in est.items():
+        assert e >= exact[t], (t, e, exact[t])
+        assert e <= exact[t] + 0.001 * n_total + 1, (t, e, exact[t])
