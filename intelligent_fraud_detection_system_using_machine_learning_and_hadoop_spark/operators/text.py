@@ -39,27 +39,24 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(t)
     n_tokens = F.size(toks).cast("long")
     nonspace = F.regexp_replace(t, r"\s", "")
-    return (
-        df.withColumn("n_chars_calc", F.length(t).cast("long"))
-        .withColumn("n_bytes", F.octet_length(t).cast("long"))
-        .withColumn("n_tokens", n_tokens)
-        .withColumn(
-            "n_alpha", F.length(F.regexp_replace(t, r"[^\p{L}]", "")).cast("long")
-        )
-        .withColumn(
-            "n_digit", F.length(F.regexp_replace(t, r"[^\p{N}]", "")).cast("long")
-        )
-        .withColumn(
-            "n_punct",
-            F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")).cast("long"),
-        )
-        .withColumn(
-            "mean_token_len",
-            F.when(
+    # one withColumns call: each withColumn re-analyzes the plan, so a
+    # 7-link chain pays 7 analyses — measurable driver latency on wide
+    # expression trees
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(t).cast("long"),
+            "n_bytes": F.octet_length(t).cast("long"),
+            "n_tokens": n_tokens,
+            "n_alpha": F.length(F.regexp_replace(t, r"[^\p{L}]", "")).cast("long"),
+            "n_digit": F.length(F.regexp_replace(t, r"[^\p{N}]", "")).cast("long"),
+            "n_punct": F.length(
+                F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")
+            ).cast("long"),
+            "mean_token_len": F.when(
                 n_tokens > 0,
                 F.length(nonspace).cast("double") / n_tokens,
             ).otherwise(F.lit(0.0)),
-        )
+        }
     )
 
 
@@ -99,23 +96,23 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     per-language evidence counts. Deterministic CASE precedence so the
     result is oracle-checkable."""
     t = F.lower(F.col(text_col))
-    out = df
-    counts = {}
-    for lang, pat in LANG_PATTERNS.items():
-        counts[lang] = F.regexp_count(t, F.lit(pat)).cast("long")
-        out = out.withColumn(f"{lang}_hits", counts[lang])
+    counts = {
+        lang: F.regexp_count(t, F.lit(pat)).cast("long")
+        for lang, pat in LANG_PATTERNS.items()
+    }
     zh = F.regexp_count(t, F.lit(CJK_PATTERN)).cast("long")
-    out = out.withColumn("zh_hits", zh)
     en, de, fr, es = counts["en"], counts["de"], counts["fr"], counts["es"]
-    return out.withColumn(
-        "lang_guess",
+    cols = {f"{lang}_hits": c for lang, c in counts.items()}
+    cols["zh_hits"] = zh
+    cols["lang_guess"] = (
         F.when(zh >= 3, "zh")
         .when((de > en) & (de > fr) & (de > es), "de")
         .when((fr > en) & (fr > es), "fr")
         .when(es > en, "es")
         .when(en > 0, "en")
-        .otherwise("und"),
+        .otherwise("und")
     )
+    return df.withColumns(cols)
 
 
 #: Polynomial-hash parameters. Token values come from the first 8 hex
@@ -227,14 +224,11 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                CAST(size({trigrams}) - size(array_distinct({trigrams})) AS DOUBLE)
                  / size({trigrams}), 0.0D)"""
     )
-    return (
-        df.withColumn("top_unigram_frac", uni)
-        .withColumn("top_bigram_frac", bi)
-        .withColumn("dup_trigram_frac", tri)
-        .withColumn(
-            "pass_repetition",
-            (F.col("top_unigram_frac") <= 0.2)
-            & (F.col("top_bigram_frac") <= 0.18)
-            & (F.col("dup_trigram_frac") <= 0.3),
-        )
+    return df.withColumns(
+        {"top_unigram_frac": uni, "top_bigram_frac": bi, "dup_trigram_frac": tri}
+    ).withColumn(
+        "pass_repetition",
+        (F.col("top_unigram_frac") <= 0.2)
+        & (F.col("top_bigram_frac") <= 0.18)
+        & (F.col("dup_trigram_frac") <= 0.3),
     )
