@@ -1287,3 +1287,54 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(_cents_sum_double(F.sum(disc_price), 4).alias("volume"))
     )
+
+
+@query(
+    "market_share_by_year",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             sn.n_name AS supp_nation,
+             {_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')}) AS vol_c4
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey)
+    SELECT ship_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol_c4 ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(vol_c4) AS BIGINT) AS DOUBLE) AS mkt_share,
+           {_sql_cents_sum_double("SUM(vol_c4)", 4)} AS total_volume
+    FROM v
+    GROUP BY ship_year
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of total shipping volume per
+    year — conditional aggregation (CASE-sum over the same rows as the
+    total) in ONE pass over the joined fact, supplier and nation
+    broadcast. The share is a ratio of two exact cents-integer sums, so
+    the double division is bit-identical across engines."""
+    from ..sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    vol = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    joined = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.col("n_name").alias("supp_nation"),
+            vol.alias("vol_c4"),
+        )
+    )
+    cond = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", F.col("vol_c4")).otherwise(F.lit(0))
+    )
+    total = F.sum(F.col("vol_c4"))
+    return joined.groupBy("ship_year").agg(
+        (cond.cast("double") / total.cast("double")).alias("mkt_share"),
+        _cents_sum_double(total, 4).alias("total_volume"),
+    )
