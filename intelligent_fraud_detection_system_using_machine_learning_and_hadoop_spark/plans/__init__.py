@@ -1,15 +1,17 @@
 """Query registry assembly + driver-facing registration order.
 
 The driver's correctness gate attests the FIRST 50 registered queries
-(observed in round 1: CORRECTNESS_r01.json held exactly the first 50 in
-registration order), so registration order is part of the verification
-contract. ``_DRIVER_WINDOW`` pins the window explicitly: all 46 DuckDB-
-oracled queries we want hash-attested this round, then the 4 rows-only
-queries the round-1 verdict called out (IVF ANN, multimodal retrieval,
-streaming sessionization, distributed autoencoder). Queries after the
-window keep pytest coverage (and, for the four oracled ones, their
-round-1 green CORRECTNESS rows); the registry itself is unchanged in
-content — only iteration order moves.
+(observed in rounds 1-2: CORRECTNESS_r0*.json hold exactly the first 50
+in registration order), so registration order is part of the
+verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
+
+Round-3 rotation (VERDICT r2, "Next round" item 1): the 22 oracled
+queries that had never appeared in a driver CORRECTNESS file lead the
+window, back-filled to 50 with round-2-green queries (those keep their
+r2 hash-attested rows either way). After this round every oracled query
+in the registry has at least one driver-attested green row. Queries
+outside the window keep pytest + local-gate (tools/check_oracle.py)
+coverage; registry content is unchanged — only iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -18,29 +20,43 @@ from . import func_ops  # noqa: F401  (registers scalar-function families)
 from . import join_ops  # noqa: F401  (registers as-of/range/interval joins)
 from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
-#: First 50 = the driver-attested window: 46 oracled + 4 rows-only.
+#: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # relational core (catalog.py)
+    # --- the 22 oracled queries never attested by the driver (r3 rotation) ---
+    "exists_late_shipments",
+    "suppliers_by_region",
+    "shipmode_priority_counts",
+    "promo_revenue_ratio",
+    "min_price_supplier_per_part",
+    "small_qty_order_revenue",
+    "exclusive_late_suppliers",
+    "dominant_part_suppliers",
+    "nation_pair_volume",
+    "market_share_by_year",
+    "pack_sequences_documents",
+    "chunk_documents_sliding",
+    "interleave_sources_documents",
+    "doc_repetition_filter",
+    "zorder_key_orders",
+    "token_vocab_topk",
+    "tfidf_top_terms",
+    "decontaminate_train_docs",
+    "llm_data_pipeline",
+    "epoch_shuffle_documents",
+    "streaming_join_click_purchase",
+    "streaming_static_enrich",
+    # --- backfill: round-2-green oracled queries (keep their r2 rows) ---
     "pricing_summary",
     "count_distinct_having",
-    "status_priority_counts",
     "scalar_stats_global",
     "window_funcs_orders",
     "semi_anti_join_customers",
     "topk_orders",
     "revenue_by_nation",
     "shipping_priority",
-    "grouping_analytics_orders",
-    "set_ops_custkeys",
     "rule_flags_orders",
-    "json_extract_events",
     "events_hourly",
     "sessionize_events",
-    "pivot_status_by_nation",
-    "scalar_subquery_above_avg",
-    "rolling_anomaly_events",
-    "big_spenders_vs_nation",
-    # training-data pipeline (data_ops.py)
     "doc_text_analysis",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
@@ -51,31 +67,13 @@ _DRIVER_WINDOW = [
     "hash_split_documents",
     "stratified_sample_documents",
     "cogroup_purchase_error_stats",
-    # scalar-function families (func_ops.py)
     "string_funcs_part",
-    "array_funcs_orders",
     "math_null_funcs_lineitem",
-    "stats_moments_by_status",
     "temporal_funcs_orders",
-    "posexplode_doc_tokens",
-    "window_dist_orders",
-    "profile_orders_columns",
-    "doc_redact_pii",
-    # join operators (join_ops.py)
     "asof_click_purchase",
     "range_join_price_bands",
     "interval_overlap_purchase_error",
-    # streaming + robust stats (ml_ops.py)
     "streaming_events_hourly",
-    "streaming_user_stats",
-    "streaming_distinct_pairs",
-    "streaming_rolling_anomaly",
-    "mad_outliers_events",
-    # rows-only attestations the round-1 verdict required in-window
-    "embedding_ivf_topk",
-    "multimodal_feature_search",
-    "streaming_sessionize",
-    "anomaly_autoencoder",
 ]
 
 
