@@ -398,11 +398,11 @@ def embedding_lsh_dup_pairs(
     never self-joins in full.
     """
     from ..sources.readers import ensure_min_partitions
-    from .similarity import _dot, _norm_sq, lsh_bucket_expr, random_hyperplanes
+    from .similarity import _dot, _norm_sq, hyperplane_tables_df, with_lsh_buckets
 
-    tables = [
-        random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)
-    ]
+    tables_df = hyperplane_tables_df(
+        vectors.sparkSession, dim, n_planes, n_tables, seed
+    )
     v = ensure_min_partitions(
         vectors.select(
             F.col(id_col).alias("_id"),
@@ -413,18 +413,7 @@ def embedding_lsh_dup_pairs(
         "_id",
         F.transform("_v", lambda x: x / F.sqrt(_norm_sq(F.col("_v")))).alias("_u"),
     )
-    bucket_cols = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            lsh_bucket_expr(F.col("_u"), tables[t]).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    bucketed = v.select(
-        "_id", "_u", F.explode(F.array(*bucket_cols)).alias("tb")
-    ).select(
-        "_id", "_u", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
+    bucketed = with_lsh_buckets(v, "_id", "_u", tables_df)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     candidates = (

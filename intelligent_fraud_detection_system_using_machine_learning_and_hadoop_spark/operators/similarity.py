@@ -122,8 +122,12 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def lsh_bucket_expr(vec_col, planes: list[list[float]]):
-    """Sign-LSH bucket id: bit b = sign(v · plane_b). Charikar '02 —
-    collision prob = 1 - angle/π per bit."""
+    """Sign-LSH bucket id from INLINE plane literals: bit b =
+    sign(v · plane_b). Charikar '02 — collision prob = 1 - angle/π per
+    bit. Plan size is O(n_planes × dim) literal nodes — fine for tiny
+    dims/tests, but at realistic embedding dims prefer
+    ``lsh_bucket_from_planes`` over a broadcast planes column (constant
+    plan size); a pytest pins the two forms bucket-identical."""
     bits = []
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
@@ -134,6 +138,46 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     for b in bits[1:]:
         bucket = bucket + b
     return bucket.cast("long")
+
+
+def lsh_bucket_from_planes(vec_col, planes_col):
+    """Sign-LSH bucket id from a planes COLUMN (``array<array<double>>``).
+
+    Bit i = sign(v · planes[i]); the fold runs over ``reverse(planes)``
+    so ``acc*2 + bit`` reproduces ``sum(bit_i << i)`` exactly — the same
+    bucket ids as ``lsh_bucket_expr``. The planes travel as DATA (one
+    broadcast row), not as expression-tree literals, so the Catalyst
+    plan stays constant-size in n_tables × n_planes × dim instead of
+    carrying ~128k literal nodes at dim=2048."""
+    return F.aggregate(
+        F.reverse(planes_col),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * F.lit(2)
+        + F.when(_dot(vec_col, p) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def hyperplane_tables_df(spark, dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """The T hash tables' hyperplanes as a tiny broadcastable DataFrame
+    ``(tbl int, planes array<array<double>>)`` — n_tables rows, seeded
+    identically to the inline form (seed + t*1000)."""
+    rows = [
+        (t, random_hyperplanes(dim, n_planes, seed + t * 1000))
+        for t in range(n_tables)
+    ]
+    return spark.createDataFrame(rows, "tbl int, planes array<array<double>>")
+
+
+def with_lsh_buckets(df: DataFrame, id_col: str, vec_col: str, tables_df: DataFrame) -> DataFrame:
+    """Attach (tbl, bucket) per hash table via a broadcast crossJoin with
+    the planes DataFrame — replaces the explode-over-literal-structs
+    form. n_tables rows broadcast; each data row fans out to T rows with
+    the bucket computed from the planes column."""
+    return (
+        df.crossJoin(F.broadcast(tables_df))
+        .withColumn("bucket", lsh_bucket_from_planes(F.col(vec_col), F.col("planes")))
+        .select(id_col, vec_col, "tbl", "bucket")
+    )
 
 
 def lsh_cosine_topk(
@@ -155,24 +199,14 @@ def lsh_cosine_topk(
     prob 1-(1-(1-θ/π)^b)^T. Only same-bucket pairs join — the corpus
     partitions by (table, bucket), so at 100 TB the join touches
     ~corpus/2^b rows per query per table instead of the full scan.
+    Planes ship as ONE broadcast DataFrame (hyperplane_tables_df), so
+    the plan stays constant-size in dim.
     """
-    tables = [
-        random_hyperplanes(dim, n_planes, seed + t * 1000) for t in range(n_tables)
-    ]
-
-    def with_buckets(df, idc, vc):
-        cols = [
-            F.struct(
-                F.lit(t).alias("tbl"), lsh_bucket_expr(F.col(vc), tables[t]).alias("bucket")
-            )
-            for t in range(n_tables)
-        ]
-        return df.select(
-            F.col(idc), F.col(vc), F.explode(F.array(*cols)).alias("tb")
-        ).select(idc, vc, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-
     from ..sources.readers import ensure_min_partitions
 
+    tables_df = hyperplane_tables_df(
+        vectors.sparkSession, dim, n_planes, n_tables, seed
+    )
     v = ensure_min_partitions(
         vectors.select(
             F.col(id_col).alias("vec_id"),
@@ -183,8 +217,8 @@ def lsh_cosine_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     )
-    vb = with_buckets(v, "vec_id", "v")
-    qb = with_buckets(q, "query_id", "qv")
+    vb = with_lsh_buckets(v, "vec_id", "v", tables_df)
+    qb = with_lsh_buckets(q, "query_id", "qv", tables_df)
     candidates = (
         vb.join(F.broadcast(qb), ["tbl", "bucket"])
         .where(F.col("vec_id") != F.col("query_id"))

@@ -225,3 +225,64 @@ def test_decontamination_flags_exact_5gram_overlap_only(spark):
         .collect()
     }
     assert hits == {1}
+
+
+def test_lsh_broadcast_planes_buckets_match_literal_form(spark):
+    """The broadcast-planes bucket fold must reproduce lsh_bucket_expr's
+    inline-literal buckets bit-for-bit (VERDICT r2 item 2)."""
+    import numpy as np
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+        hyperplane_tables_df,
+        lsh_bucket_expr,
+        random_hyperplanes,
+        with_lsh_buckets,
+    )
+
+    dim, n_planes, n_tables, seed = 16, 8, 4, 42
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.standard_normal(dim).tolist()) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    tables_df = hyperplane_tables_df(spark, dim, n_planes, n_tables, seed)
+    via_col = {
+        (r["vec_id"], r["tbl"]): r["bucket"]
+        for r in with_lsh_buckets(df, "vec_id", "v", tables_df).collect()
+    }
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + t * 1000)
+        via_lit = {
+            r["vec_id"]: r["bucket"]
+            for r in df.select(
+                "vec_id", lsh_bucket_expr(F.col("v"), planes).alias("bucket")
+            ).collect()
+        }
+        for vid, b in via_lit.items():
+            assert via_col[(vid, t)] == b, (vid, t)
+
+
+def test_lsh_topk_plan_builds_fast_at_high_dim(spark):
+    """Plan construction + analysis must stay bounded at realistic
+    embedding dims — the planes travel as broadcast data, not as
+    n_tables*n_planes*dim literal expression nodes."""
+    import time
+
+    import numpy as np
+
+    dim = 512
+    rng = np.random.RandomState(11)
+    rows = [(i, rng.standard_normal(dim).tolist()) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(rows[:2], "query_id long, embedding array<double>")
+
+    t0 = time.monotonic()
+    plan_df = lsh_cosine_topk(emb, q, k=2, n_planes=8, dim=dim, n_tables=4)
+    plan_df.schema  # forces analysis
+    elapsed = time.monotonic() - t0
+    assert elapsed < 20.0, f"plan build took {elapsed:.1f}s"
+    # and it actually runs, returning <=k rows per query
+    counts = {
+        r["query_id"]: r["n"]
+        for r in plan_df.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 2 for n in counts.values())
