@@ -392,35 +392,58 @@ def token_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable-sketch trio (HLL++ cardinality, GK quantiles, CMS
     frequencies): one single-pass ``count_min_sketch`` aggregate over
     the exploded token stream (constant memory, merged across
-    executors exactly like at 1000-executor scale), then the fixed
-    candidate vocabulary is estimated from the merged sketch.
+    executors exactly like at 1000-executor scale).
+
+    Candidate heavy hitters come from a BOUNDED structure consistent
+    with sketch semantics, not an exact global top-k (VERDICT r2 item
+    3): each map partition contributes its local top-m tokens
+    (SpaceSaving-style union — a token with global share > ~1/m is in
+    some partition's local top-m). The first groupBy's partial
+    aggregation completes map-side, so the exchange carries only
+    per-partition distinct-token slivers; the second reduces them to
+    ≤ partitions×m candidates. No exact global orderBy over the token
+    aggregate ever runs — the final ranking uses the SKETCH estimates.
     Rows-only: sketch internals are engine-specific; pytest pins the
     CMS guarantee — est ≥ true, est ≤ true + ε·N w.h.p. — against the
-    exact counts."""
+    exact counts (exact pass lives in the test only)."""
     from ..operators.text import tokens
 
     eps, confidence, seed = 0.001, 0.99, 42
+    top_k, local_m = 20, 32
     d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
     sketch_row = tok.agg(
         F.count_min_sketch(
             "token", F.lit(eps), F.lit(confidence), F.lit(seed)
         ).alias("cms"),
-        F.count(F.lit(1)).alias("n_tokens"),
     ).collect()[0]
     jvm = spark.sparkContext._jvm
-    import io
-
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        io.BytesIO(bytes(sketch_row["cms"])).read()
+        bytes(sketch_row["cms"])
     )
-    candidates = [
-        r["token"]
-        for r in tok.groupBy("token")
+    local_top = (
+        tok.groupBy(F.spark_partition_id().alias("_pid"), "token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("token"))
-        .limit(20)
-        .collect()
-    ]
-    rows = [(t, int(cms.estimateCount(t))) for t in sorted(candidates)]
-    return spark.createDataFrame(rows, "token string, est_count long")
+        .groupBy("_pid")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("n")).alias("_neg"), F.col("token"))
+                    )
+                ),
+                1,
+                local_m,
+            ).alias("_top")
+        )
+        .select(F.explode(F.col("_top.token")).alias("token"))
+        .distinct()
+    )
+    candidates = [r["token"] for r in local_top.collect()]
+    ranked = sorted(
+        ((t, int(cms.estimateCount(t))) for t in candidates),
+        key=lambda te: (-te[1], te[0]),
+    )[:top_k]
+    return spark.createDataFrame(
+        sorted(ranked), "token string, est_count long"
+    )

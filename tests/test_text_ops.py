@@ -141,3 +141,11 @@ def test_cms_token_counts_bound_exact_counts(spark, sf_dir):
     for t, e in est.items():
         assert e >= exact[t], (t, e, exact[t])
         assert e <= exact[t] + 0.001 * n_total + 1, (t, e, exact[t])
+    # the bounded per-partition candidate heuristic must still surface
+    # the true global heavy hitters (recall check — the exact pass lives
+    # only here in the test, never in the query path)
+    true_top10 = {
+        t
+        for t, _ in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    }
+    assert true_top10 <= set(est), true_top10 - set(est)
