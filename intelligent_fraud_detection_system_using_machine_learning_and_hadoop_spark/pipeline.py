@@ -9,8 +9,9 @@ of the reference's three entry points (SURVEY.md §3):
 
 Unlike the reference there is no subprocess boundary and no CSV
 exchange between stages — the "plan" is a DataFrame, Catalyst schedules
-it, and the only materialization barriers are the three scalar
-aggregates (min date, q99, error mean/std — SURVEY.md §3 EP1 note).
+it, and the three scalar aggregates the reference materializes eagerly
+(min date, q99, error mean/std — SURVEY.md §3 EP1 note) all stay lazy
+as broadcast 1-row crossJoins inside the plan.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .ml.autoencoder import NumpyAutoencoder, autoencoder_scores, train_autoencoder
 from .ml.preprocess import fit_preprocessor, load_preprocessor, with_date_numeric
-from .ml.scoring import batch_threshold, fit_pca, pca_reconstruction_scores
+from .ml.scoring import fit_pca, pca_reconstruction_scores, with_ml_verdict
 from .operators.rules import RuleConfig, with_rule_flags
 from .functions.exprs import combine_fraud
 
@@ -98,13 +99,10 @@ def score(
         )
 
     scored = flagged.join(errs, row_key).drop(row_key)
-    threshold = batch_threshold(scored)
-    scored = scored.withColumn(
-        "MLFraud",
-        F.when(F.col("ReconstructionError") > F.lit(threshold), "Suspicious").otherwise(
-            "Normal"
-        ),
-    )
+    # batch-relative threshold as a lazy broadcast 1-row crossJoin — the
+    # scalar barrier stays inside the Catalyst plan; no job runs until
+    # the caller's action (VERDICT r2 item 4)
+    scored = with_ml_verdict(scored)
     return scored.withColumn(
         "FraudType", combine_fraud(F.col("RuleFraud"), F.col("MLFraud"))
     )
