@@ -1,12 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decoded / feature-extracted via Arrow-batched ``mapInPandas``.
 
-Training-data-pipeline extension (BASELINE.json north star). The
-image/audio codecs aren't installed in this environment, so the decode
-step is STUBBED behind ``decode_image_stub`` (deterministic fake) /
-``NotImplementedError`` — but the Spark-side plumbing is real and
-tested: binary columns, metadata struct schema, mapInPandas batch
-shapes, partition-size control for large blobs.
+Training-data-pipeline extension (BASELINE.json north star). Image
+DIMENSIONS are real even without codec libraries: PNG/GIF/JPEG/BMP
+container headers are parsed with stdlib ``struct``
+(:func:`parse_image_header`); PIL is used when installed; only bytes
+matching no known magic fall back to ``decode_image_stub``
+(deterministic fake). Pixel-level work (resize re-encode, video frame
+extraction) still needs a codec and is stubbed behind
+``NotImplementedError`` — the Spark-side plumbing is real and tested:
+binary columns, metadata struct schema, mapInPandas batch shapes,
+partition-size control for large blobs.
 """
 
 from __future__ import annotations
@@ -91,11 +95,54 @@ def decode_image_stub(content: bytes) -> tuple[int, int]:
     return (w, h)
 
 
+def parse_image_header(content: bytes) -> tuple[int, int] | None:
+    """True (width, height) from PNG/GIF/JPEG/BMP container headers via
+    stdlib ``struct`` — no codec library needed. Returns None for bytes
+    that match no known magic (e.g. the testdata's UTF-8 payloads), so
+    callers can fall through to the deterministic stub.
+
+    Formats are parsed from their public container specs: PNG IHDR
+    (first chunk, big-endian u32 pair), GIF logical screen descriptor
+    (little-endian u16 pair), BMP BITMAPINFOHEADER (little-endian i32
+    pair), and JPEG SOFn marker scan (big-endian u16 height, width)."""
+    import struct
+
+    c = bytes(content)
+    if len(c) >= 24 and c[:8] == b"\x89PNG\r\n\x1a\n" and c[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", c[16:24])
+        return (int(w), int(h))
+    if len(c) >= 10 and c[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", c[6:10])
+        return (int(w), int(h))
+    if len(c) >= 26 and c[:2] == b"BM":
+        w, h = struct.unpack("<ii", c[18:26])
+        return (int(w), abs(int(h)))
+    if len(c) >= 4 and c[:2] == b"\xff\xd8":
+        # scan segment markers for a start-of-frame (SOF0–SOF15, minus
+        # the DHT/DAC/RST family C4/C8/CC which carry no dimensions)
+        i = 2
+        while i + 9 <= len(c):
+            if c[i] != 0xFF:
+                i += 1
+                continue
+            marker = c[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", c[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", c[i + 5 : i + 9])
+                return (int(w), int(h))
+            i += 2 + seg_len
+    return None
+
+
 def decode_image_dims(content: bytes) -> tuple[int, int]:
-    """(width, height) via PIL when available and the bytes decode;
-    deterministic stub otherwise — so pipelines behave identically in
-    codec-less environments and oracles stay stable on the testdata
-    payloads (UTF-8 text bytes, which no real codec accepts)."""
+    """(width, height): PIL when available and the bytes decode, else a
+    stdlib container-header parse (PNG/GIF/JPEG/BMP — real dims with no
+    codec installed), else the deterministic stub — so pipelines behave
+    identically in codec-less environments and oracles stay stable on
+    the testdata payloads (UTF-8 text bytes, which match no magic)."""
     if _have_pil():
         try:
             import io
@@ -105,7 +152,10 @@ def decode_image_dims(content: bytes) -> tuple[int, int]:
             with Image.open(io.BytesIO(bytes(content))) as im:
                 return (int(im.width), int(im.height))
         except Exception:
-            pass  # not a decodable image → deterministic stub
+            pass  # not a decodable image → header parse / stub
+    parsed = parse_image_header(content)
+    if parsed is not None:
+        return parsed
     return decode_image_stub(content)
 
 

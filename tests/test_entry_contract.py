@@ -116,3 +116,70 @@ def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
     after = compact_parquet(spark, path, target_file_mb=512, sort_within_by=["o_orderkey"])
     assert after < before
     assert spark.read.parquet(path).count() == n
+
+
+def _tiny_png(width: int, height: int) -> bytes:
+    """A fully valid PNG built with stdlib only (signature + IHDR +
+    IDAT + IEND), grayscale, all-zero pixels."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_header_parse_real_formats(spark):
+    """VERDICT r2 item 5: true dims from container headers with no codec
+    library — PNG/GIF/BMP/JPEG; unknown bytes fall back to the stub."""
+    import struct
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.multimodal import (
+        decode_assets,
+        decode_image_stub,
+        parse_image_header,
+    )
+
+    png = _tiny_png(37, 23)
+    assert parse_image_header(png) == (37, 23)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    assert parse_image_header(gif) == (320, 200)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 10
+    assert parse_image_header(bmp) == (640, 480)
+
+    # minimal JPEG: SOI, one APP0 segment, then SOF0 with dims
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 99, 150)  # height, width
+        + b"\x01\x01\x11\x00"
+    )
+    assert parse_image_header(jpeg) == (150, 99)
+
+    text = "not an image at all".encode()
+    assert parse_image_header(text) is None
+
+    # and through the Spark decode path: real dims for the PNG, stub for text
+    assets = spark.createDataFrame(
+        [(1, "image", png, "image/png"), (2, "image", text, None)],
+        "asset_id long, modality string, content binary, mime string",
+    )
+    got = {r["asset_id"]: (r["width"], r["height"]) for r in decode_assets(assets).collect()}
+    assert got[1] == (37, 23)
+    assert got[2] == decode_image_stub(text)
