@@ -5,8 +5,13 @@ ONE JSON line:
    "queries": {name: sec, ...}, "sf": 0.1}
 
 Each query is forced end-to-end with the noop sink (full computation,
-no driver collect cost). Times are per-query wall clock after a session
-warm-up query.
+no driver collect cost). Noise damping (VERDICT r2 item 6): every query
+runs $SPARK_GRAFT_BENCH_REPS times (default 3) in rep-major order — so
+a transient machine-load spike cannot hit all repetitions of one query
+— and the reported time is the per-query MINIMUM (the best estimate of
+code cost on a contended box; the machine can only add time, never
+subtract it). The Spark cache is cleared before every run so a query's
+internal persist() can't warm a later repetition.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ def materialize(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("ifds-bench")
 
@@ -39,12 +45,16 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
 
-    timings: dict[str, float] = {}
-    for name, builder in plans.bench_queries().items():
-        t0 = time.perf_counter()
-        materialize(builder(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    builders = plans.bench_queries()
+    samples: dict[str, list[float]] = {name: [] for name in builders}
+    for _rep in range(reps):
+        for name, builder in builders.items():
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            materialize(builder(spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -54,6 +64,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "stat": "per_query_min",
+                "reps": reps,
+                "spread": {
+                    name: round(max(s) - min(s), 3) for name, s in samples.items()
+                },
             }
         )
     )
