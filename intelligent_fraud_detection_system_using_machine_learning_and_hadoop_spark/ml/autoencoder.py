@@ -207,8 +207,14 @@ def train_autoencoder_distributed(
     arr_df = features_df.select(
         vector_to_array(F.col("features")).alias("_farr")
     ).persist()
-    n_total = arr_df.count()
-    in_dim = len(arr_df.head()["_farr"])
+    # one combined setup job: row count + feature width (a separate
+    # .head() probe would be a second full-stage job per fit)
+    setup = arr_df.agg(
+        F.count(F.lit(1)).alias("__n"), F.max(F.size("_farr")).alias("__d")
+    ).first()
+    n_total, in_dim = setup["__n"], setup["__d"]
+    if not n_total:
+        raise ValueError("train_autoencoder_distributed needs at least 1 row")
 
     model = NumpyAutoencoder(in_dim, hidden, code, seed)
     params = model.params()

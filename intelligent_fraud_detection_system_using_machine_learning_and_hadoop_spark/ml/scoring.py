@@ -74,8 +74,10 @@ def pca_scores_via_moments(
     1. ONE ``groupBy(category)`` aggregate (tiny result: one row per
        category) is collected and the full mean vector and sample
        covariance of the MLlib feature layout — numerics, then
-       alphabetAsc one-hot slots, then the always-zero ``keep``
-       overflow slot — are reconstructed exactly on the driver.
+       alphabetAsc one-hot slots, then the ``keep`` overflow slot
+       (which absorbs NULL categories, exactly as StringIndexer's
+       handleInvalid="keep" does) — are reconstructed exactly on the
+       driver.
     2. The standardized-feature covariance (= correlation matrix) is
        eigensolved there (d×d with d = |numerics| + |categories| + 1 —
        driver-trivial), and the top-k eigenvectors are folded back into
@@ -112,10 +114,17 @@ def pca_scores_via_moments(
             f"{categorical_col} has {len(stats)} categories; "
             "pca_scores_via_moments expects a low-cardinality one-hot column"
         )
-    cats = sorted(r["__cat"] for r in stats)  # alphabetAsc = StringIndexer order
+    # NULL categories are StringIndexer-invalid: handleInvalid="keep"
+    # routes them to the trailing overflow slot, not their own one-hot
+    # column — split them out before the alphabetAsc sort (None is also
+    # unorderable against str).
+    null_r = next((r for r in stats if r["__cat"] is None), None)
+    cats = sorted(
+        r["__cat"] for r in stats if r["__cat"] is not None
+    )  # alphabetAsc = StringIndexer order
     by_cat = {r["__cat"]: r for r in stats}
     n_num, n_cat = len(num), len(cats)
-    d = n_num + n_cat + 1  # + handleInvalid="keep" overflow slot (all zero)
+    d = n_num + n_cat + 1  # + handleInvalid="keep" overflow slot
     N = sum(r["__n"] for r in stats)
     if N < 2:
         raise ValueError("pca_scores_via_moments needs at least 2 rows")
@@ -136,6 +145,12 @@ def pca_scores_via_moments(
         for i in range(n_num):  # Σ x_i·1_c = per-category numeric sum
             m2[i, col] = m2[col, i] = r[f"__s{i}"]
         # cross-category products are all zero (disjoint indicators)
+    if null_r is not None:  # overflow slot moments from the NULL group
+        ov = n_num + n_cat
+        mu[ov] = null_r["__n"] / N
+        m2[ov, ov] = null_r["__n"]  # indicator² = indicator
+        for i in range(n_num):
+            m2[i, ov] = m2[ov, i] = null_r[f"__s{i}"]
     cov = (m2 - N * np.outer(mu, mu)) / (N - 1)  # sample covariance (MLlib ddof=1)
     std = np.sqrt(np.clip(np.diag(cov), 0.0, None))
     nz = std > 1e-15
@@ -161,7 +176,16 @@ def pca_scores_via_moments(
             if nz[col]
             else F.lit(0.0)
         )
-    z.append(F.lit(0.0))  # overflow slot: identically zero at fit time
+    ov = n_num + n_cat  # overflow slot: NULL-category indicator
+    z.append(
+        (
+            F.when(F.col(categorical_col).isNull(), 1.0).otherwise(0.0)
+            - F.lit(float(mu[ov]))
+        )
+        / F.lit(float(std[ov]))
+        if nz[ov]
+        else F.lit(0.0)
+    )
     norm_sq = sum((zi * zi for zi in z), F.lit(0.0))
     proj_sq = F.lit(0.0)
     for j in range(k):

@@ -87,7 +87,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.1,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥
     threshold) via shingle inverted index — no cross join; only docs
@@ -101,10 +101,15 @@ def ngram_jaccard_pairs(
     max_df²/2 candidates. Jaccard is then computed over the filtered
     vocabulary (sizes shrink consistently with intersections) — the
     standard near-dup practice: ubiquitous shingles carry no similarity
-    signal, exactly like stopwords in retrieval. ``max_df=None``
-    restores unfiltered exact semantics; on the shipped testdata no
-    shingle reaches the default cap, so the two are identical there
-    (pinned by pytest)."""
+    signal, exactly like stopwords in retrieval.
+
+    The default ``max_df=None`` keeps exact textbook Jaccard semantics
+    (least surprise for library callers — the cap CHANGES pair scores on
+    any corpus where a shingle exceeds it). Large-corpus callers should
+    opt in explicitly (the registered ``ngram_jaccard_pairs`` catalog
+    query passes ``max_df=1000``); at real corpus scale running without
+    a cap risks a quadratic hot bucket. Cap-vs-exact identity on
+    sub-cap corpora is pinned by pytest."""
     s = _shingled_cached(df, id_col, text_col, n)
     ex = s.select("_id", F.explode("_sh").alias("shingle"))
     # Posting-list formulation: ONE shuffle of the exploded index

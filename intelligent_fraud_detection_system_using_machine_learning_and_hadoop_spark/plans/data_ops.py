@@ -217,9 +217,12 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via shingle inverted
     index (the verification stage of near-dedup; candidate generation
-    at scale is minhash_near_dup below)."""
+    at scale is minhash_near_dup below). Opts into the max_df=1000
+    hot-shingle cap — the 100 TB guard against quadratic hot buckets;
+    no shingle reaches the cap on the shipped testdata, so the exact
+    oracle above still hash-matches (identity pinned by pytest)."""
     d = read_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, threshold=0.05)
+    return ngram_jaccard_pairs(d, threshold=0.05, max_df=1000)
 
 
 @query("minhash_near_dup", bench=True)
@@ -743,7 +746,7 @@ _SQL_MIX_CASE = (
              list_reduce(
                list_prepend(CAST(0 AS BIGINT),
                  list_transform(
-                   list_filter(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), ''), c -> c <> ''),
+                   list_filter(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''), c -> c <> ''),
                    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
                (a, c) -> a * 16 + c) % 10000 AS bucket
       FROM documents)

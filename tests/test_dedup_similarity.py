@@ -52,13 +52,15 @@ def test_minhash_recall_and_precision(spark, sf_dir):
     assert len(lsh & exact) / len(exact) >= 0.9
 
 
-def test_ngram_jaccard_default_cap_is_identity_on_testdata(spark, sf_dir):
-    """No shingle in the shipped corpus reaches the default max_df cap,
-    so the guarded and unfiltered plans must produce identical pairs."""
+def test_ngram_jaccard_catalog_cap_is_identity_on_testdata(spark, sf_dir):
+    """No shingle in the shipped corpus reaches the catalog query's
+    max_df=1000 cap (the library default is max_df=None / exact), so
+    the guarded and unfiltered plans must produce identical pairs —
+    which is why the exact-Jaccard oracle still hash-matches."""
     docs = read_table(spark, sf_dir, "documents")
     capped = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(docs, threshold=0.05).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.05, max_df=1000).collect()
     }
     unfiltered = {
         (r["id_a"], r["id_b"]): r["jaccard"]

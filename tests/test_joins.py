@@ -36,6 +36,42 @@ def _asof_fixture(spark):
     return left, right
 
 
+def test_cogroup_zero_fills_users_without_purchase_or_error(spark, tmp_path):
+    """A user whose only events are click/view/signup must still appear
+    in cogroup_purchase_error_stats with all-zero counts: cogroup only
+    unions keys present on ≥1 grouped side, so the full-key right join
+    is load-bearing (round-2 advice follow-up)."""
+    import datetime as dt
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.data_ops import (
+        cogroup_purchase_error_stats,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, "purchase", base + 300 * s),
+        (1, "error", base),  # purchase 5min after error → close
+        (2, "click", base),  # neither purchase nor error
+        (2, "view", base + s),
+        (2, "signup", base + 2 * s),
+        (3, "error", base),  # error-only user
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["user_id"]: (
+            r["n_purchases"],
+            r["n_errors"],
+            r["purchases_within_10m_after_error"],
+        )
+        for r in cogroup_purchase_error_stats(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 1, 1), 2: (0, 0, 0), 3: (0, 1, 0)}
+
+
 def test_asof_join_backward_inclusive(spark):
     left, right = _asof_fixture(spark)
     out = {

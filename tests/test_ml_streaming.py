@@ -120,6 +120,46 @@ def test_pca_moments_path_matches_mllib_path(spark):
         assert abs(v - fast[key]) <= 1e-9 * scale, key
 
 
+def test_pca_moments_null_category_matches_mllib(spark):
+    """NULL categories must land in the handleInvalid='keep' overflow
+    slot (as StringIndexer routes them), not crash the alphabetAsc sort
+    or get their own one-hot column — pinned differentially vs MLlib."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.scoring import (
+        pca_scores_via_moments,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.preprocess import (
+        with_date_numeric,
+    )
+
+    claims = with_date_numeric(claims_fixture(spark))
+    claims = claims.withColumn(
+        "SubsidyType",
+        F.when(F.col("Aadhaar") % 7 == 0, None).otherwise(F.col("SubsidyType")),
+    )
+    assert claims.where(F.col("SubsidyType").isNull()).count() > 0
+    _, feats = fit_preprocessor(claims)
+    mllib = {
+        r["Aadhaar"]: r["ReconstructionError"]
+        for r in pca_reconstruction_scores(feats, k=3)
+        .select("Aadhaar", "ReconstructionError")
+        .collect()
+    }
+    fast = {
+        r["Aadhaar"]: r["ReconstructionError"]
+        for r in pca_scores_via_moments(
+            claims,
+            id_cols=["Aadhaar"],
+            numeric_cols=["ClaimAmount", "DateNumeric"],
+            categorical_col="SubsidyType",
+            k=3,
+        ).collect()
+    }
+    assert set(mllib) == set(fast)
+    scale = max(max(mllib.values()), 1.0)
+    for key, v in mllib.items():
+        assert abs(v - fast[key]) <= 1e-9 * scale, key
+
+
 def test_distributed_scoring_matches_local_forward(spark):
     claims = claims_fixture(spark, n=100)
     _, feats = fit_preprocessor(claims)
