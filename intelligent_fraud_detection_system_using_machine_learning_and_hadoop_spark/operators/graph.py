@@ -1,0 +1,155 @@
+"""Iterative graph operators: connected components over an edge
+DataFrame, and near-dup cluster labeling built on top of it.
+
+The dedup family (``operators/dedup.py``) emits near-duplicate PAIRS;
+corpus-level dedup needs the transitive closure of those pairs —
+"A≈B, B≈C ⇒ {A,B,C} are one cluster, keep one document". That closure
+is connected components, which no single SQL construct expresses: it is
+the engine's one genuinely iterative algorithm, implemented here as a
+driver-side loop of DataFrame rounds (each round = a constant number of
+shuffles) with convergence detection.
+
+Algorithm: alternating Large-Star / Small-Star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+and Beyond", SoCC 2014). Unlike naive min-label propagation — whose
+round count is the graph DIAMETER (a 1M-link chain of near-dups would
+need 1M shuffles) — alternating stars converges in O(log² n) rounds on
+any graph, and in practice a handful. Each round is expressed with
+joins and aggregates only (no collect_list of neighborhoods, so a
+celebrity node with 10M neighbors never materializes one giant array —
+its neighborhood stays a distributed edge list).
+
+The reference (a 300-line eager pandas pipeline) has no graph surface
+at all; this is part of the LLM-data-pipeline extension mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(e: DataFrame) -> DataFrame:
+    """Undirected canonical edge form: u < v, no self-loops, distinct."""
+    return (
+        e.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _edge_signature(e: DataFrame):
+    """Order-insensitive fingerprint of an edge set — one tiny agg row
+    (count + sum of per-edge hashes). Equality of consecutive
+    signatures is the convergence test; collisions would need two
+    DIFFERENT same-size edge sets whose 64-bit hash sums tie on
+    consecutive rounds of a monotone contraction — not a realistic
+    failure mode, and the cluster identity is pinned by tests."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sum: exact and overflow-proof under ANSI mode
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 32,
+) -> DataFrame:
+    """Component labels for every vertex incident to an edge: returns
+    ``(id, component)`` with ``component`` = the minimum vertex id of
+    the connected component (a deterministic, engine-portable canonical
+    representative). Vertices with no edges are absent — callers
+    left-join and coalesce to self-label singletons.
+
+    Per round (u ranges over BOTH orientations of each edge):
+
+    * **large-star**: every node connects its strictly-larger neighbors
+      to ``m(u) = min(N(u) ∪ {u})`` — expressed as a per-node min
+      aggregate joined back onto the edge list (one shuffle each).
+    * **small-star**: edges oriented large→small; every node rewires
+      its ≤-neighbors and itself to the minimum — same join shape.
+
+    Both steps strictly never increase the sum of edge endpoints, so
+    the convergence signature is monotone; the loop stops when a round
+    is a no-op (star graphs centered at component minima). Lineage is
+    truncated every round with ``localCheckpoint`` — without it the
+    plan doubles per iteration and Catalyst analysis, not the data,
+    becomes the bottleneck (on a cluster with fault-tolerance needs,
+    swap for reliable ``checkpoint``; the loop is agnostic).
+
+    The driver holds only the O(1) convergence signature per round —
+    never vertices or edges — so the loop itself is 100 TB-safe; total
+    cost is O(log² n) rounds × O(|E|) shuffled bytes.
+    """
+    e = _canonical(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+    ).localCheckpoint(eager=True)
+    sig = _edge_signature(e)
+    for _ in range(max_rounds):
+        # ---- large-star ----
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        large = _canonical(
+            nbrs.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # ---- small-star ----
+        s = large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        # canonical keeps u < v, so flipping orients every edge
+        # large→small: group by the larger endpoint; every neighbor
+        # here is < u, hence m = min(N(u) ∪ {u}) = min(N(u)).
+        mins_s = s.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = s.join(mins_s, "u").where(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        selfed = mins_s.select(F.col("u"), F.col("m").alias("v"))
+        e = _canonical(rewired.union(selfed)).localCheckpoint(eager=True)
+        new_sig = _edge_signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # converged: every edge is (component_min, member)
+    return e.select(F.col("v").alias("id"), F.col("u").alias("component")).union(
+        e.select("u", "u").distinct()
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level near-dedup labels: every document mapped to its
+    duplicate-cluster id (min doc id of the transitive closure of
+    ``pairs``), with ``is_canonical`` marking the one row per cluster
+    to KEEP. Singletons label themselves. Downstream dedup is then
+    ``.where("is_canonical")`` — the actual 'drop 30% of the corpus'
+    step of an LLM data pipeline."""
+    labels = connected_components(pairs, "id_a", "id_b")
+    d = docs.select(F.col(id_col).cast("long").alias(id_col))
+    return (
+        d.join(labels, d[id_col] == labels["id"], "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    )

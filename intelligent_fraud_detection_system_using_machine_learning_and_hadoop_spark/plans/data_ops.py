@@ -234,6 +234,59 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(d, threshold=0.5)
 
 
+@query(
+    "near_dup_clusters",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 2 <= len(w)
+                                                THEN array_to_string(w[i:i+2], ' ') END),
+               x -> x IS NOT NULL)) AS sh
+      FROM d WHERE len(w) >= 3),
+    s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s2),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s2),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    e AS (
+      SELECT id_a AS u, id_b AS v
+      FROM pr
+      JOIN sz na ON na.doc_id = id_a
+      JOIN sz nb ON nb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.05),
+    bi AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, bi.v FROM reach r JOIN bi ON r.b = bi.u)
+    SELECT a AS doc_id, min(b) AS cluster_id,
+           (min(b) = a) AS is_canonical
+    FROM reach GROUP BY a
+    """,
+)
+def near_dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level near-dedup: transitive closure of the word-3-gram
+    Jaccard pairs (connected components via alternating large-star /
+    small-star — O(log² n) DataFrame rounds, operators/graph.py), every
+    document labeled with its cluster's min doc_id and the one
+    canonical keeper flagged. The oracle reproduces the closure with a
+    recursive CTE (fine at gate scale; the iterative star algorithm IS
+    the 100 TB form — a recursive self-join would re-derive reachable
+    pairs quadratically in cluster size)."""
+    from ..operators.graph import near_dup_clusters
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.05, max_df=1000)
+    return near_dup_clusters(d, pairs)
+
+
 @query("simhash_near_dup")
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 candidate pairs (rows-only: xxhash64-based)."""

@@ -1,0 +1,99 @@
+"""Connected components (operators/graph.py): differential tests
+against a driver-side union-find on seeded random graphs, the chain
+worst case that defeats naive min-label propagation, and the
+near-dup-cluster composition over the documents testdata."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+    connected_components,
+    near_dup_clusters,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+    read_table,
+)
+
+
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min of component
+    roots: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        roots[r] = min(roots.get(r, r), x)
+    return {x: roots[find(x)] for x in parent}
+
+
+def _cc_labels(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["id"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(80 + 40 * trial)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        expect = _union_find_labels(edges)
+        assert _cc_labels(spark, edges) == expect
+
+
+def test_cc_chain_converges_in_log_rounds(spark):
+    """A 200-link chain has diameter 200 — naive min-propagation needs
+    200 shuffle rounds; alternating stars must finish within the
+    max_rounds=32 cap (O(log² n)) and still label every node with the
+    chain minimum."""
+    edges = [(i, i + 1) for i in range(200)]
+    labels = _cc_labels(spark, edges)
+    assert labels == {i: 0 for i in range(201)}
+
+
+def test_cc_empty_and_single_edge(spark):
+    assert _cc_labels(spark, [(5, 9)]) == {5: 5, 9: 5}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+
+
+def test_near_dup_clusters_labels_whole_corpus(spark, sf_dir):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.05)
+    out = near_dup_clusters(docs, pairs).collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs  # every document labeled exactly once
+    by_id = {r["doc_id"]: r for r in out}
+    # cluster ids are member minima; canonical = the min itself
+    for r in out:
+        assert r["cluster_id"] <= r["doc_id"]
+        assert r["is_canonical"] == (r["cluster_id"] == r["doc_id"])
+    # transitivity spot-check: both endpoints of every pair share a cluster
+    for p in pairs.collect():
+        assert by_id[p["id_a"]]["cluster_id"] == by_id[p["id_b"]]["cluster_id"]
+    # the fixture corpus has true near-dups → at least one multi-doc cluster
+    assert sum(1 for r in out if not r["is_canonical"]) > 0
