@@ -436,3 +436,76 @@ def embedding_lsh_dup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 10,
+) -> DataFrame:
+    """C4-style global line deduplication: every exact line that occurs
+    more than once in the corpus is kept only at its FIRST occurrence
+    (lowest ``(doc_id, position)``) and removed everywhere else;
+    documents are reassembled with their surviving lines in original
+    order. Returns ``(doc_id, text, n_lines, n_kept)`` for every input
+    document (a fully-deduplicated document keeps the row with empty
+    text — the caller decides whether to drop it).
+
+    The standard web-corpus cleanup (C4 / RefinedWeb remove repeated
+    boilerplate lines this way). Scale shape — exactly TWO shuffles of
+    the exploded line table:
+
+    1. first-occurrence selection is ONE window over a line-hash
+       partition key (``row_number() == 1``), not a groupBy-min plus a
+       join back (which would shuffle the lines twice). Lines shuffle
+       as 64-hex md5 keys (+ position ints), never dragging long line
+       text through the exchange twice.
+    2. reassembly is one groupBy(doc) with an in-partition
+       ``array_sort`` — no global sort.
+
+    Short lines (< ``min_chars`` chars: blanks, separators, "Home")
+    are structural, not boilerplate-duplication signal — they are
+    exempted by giving each occurrence a UNIQUE key, which also kills
+    the hot-partition problem (the empty line occurring 10⁹ times would
+    otherwise pile into one window partition).
+    """
+    from pyspark.sql import Window as W
+
+    lines = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("_pos", "_line"),
+    )
+    keyed = lines.withColumn(
+        "_k",
+        F.when(
+            F.length("_line") < min_chars,
+            F.concat(F.lit("u:"), F.col("_doc"), F.lit(":"), F.col("_pos")),
+        ).otherwise(F.md5(F.col("_line"))),
+    )
+    w = W.partitionBy("_k").orderBy("_doc", "_pos")
+    kept = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_doc", "_pos", "_line")
+    )
+    rebuilt = kept.groupBy("_doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_new_text"),
+    )
+    orig = lines.groupBy("_doc").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        orig.join(rebuilt, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.coalesce("_new_text", F.lit("")).alias(text_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     dedup_exact,
+    dedup_lines,
     embedding_cosine_dup_pairs,
     embedding_lsh_dup_pairs,
     minhash_near_dup_pairs,
@@ -232,6 +233,48 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall against ngram_jaccard_pairs)."""
     d = read_table(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(d, threshold=0.5)
+
+
+@query(
+    "line_dedup_documents",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(len(string_split(text, chr(10))))) AS pos
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN length(line) < 10
+                  THEN 'u:' || doc_id || ':' || pos
+                  ELSE md5(line) END AS k
+      FROM l),
+    kept AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+        FROM keyed) WHERE rn = 1),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS new_text
+      FROM kept GROUP BY doc_id),
+    orig AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+    SELECT o.doc_id,
+           COALESCE(r.new_text, '') AS text,
+           o.n_lines,
+           COALESCE(r.n_kept, 0) AS n_kept
+    FROM orig o LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup over the corpus: repeated lines keep
+    only their first (doc_id, position) occurrence, documents reassemble
+    in order (operators/dedup.py::dedup_lines — one window shuffle on
+    md5 line keys + one reassembly groupBy; short lines exempt, which
+    also de-hot-keys the blank line). The shipped corpus is single-line
+    docs, so here it degenerates to exact-text dedup — multi-line
+    semantics are pinned by pytest fixtures."""
+    d = read_table(spark, sf_dir, "documents")
+    return dedup_lines(d)
 
 
 @query(

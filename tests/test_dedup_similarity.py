@@ -288,3 +288,33 @@ def test_lsh_topk_plan_builds_fast_at_high_dim(spark):
         for r in plan_df.groupBy("query_id").agg(F.count("*").alias("n")).collect()
     }
     assert all(n <= 2 for n in counts.values())
+
+
+def test_dedup_lines_keeps_first_occurrence_and_structure(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+        dedup_lines,
+    )
+
+    boiler = "subscribe to our newsletter today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha unique content line\n{boiler}\nbeta unique line"),
+            (2, f"{boiler}\ngamma unique content line\n{boiler}"),
+            (3, boiler),  # fully boilerplate → empty after dedup
+            (4, "ok\ndelta unique content line\nok"),  # short lines exempt
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs, min_chars=10).collect()}
+    assert len(out) == 4
+    # doc 1 holds the first occurrence of the boilerplate → unchanged
+    assert out[1]["text"] == f"alpha unique content line\n{boiler}\nbeta unique line"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    # doc 2 loses BOTH later copies, keeps original line order
+    assert out[2]["text"] == "gamma unique content line"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (3, 1)
+    # doc 3 fully deduplicated → empty text, row still present
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0
+    # short lines are structural: kept even when repeated
+    assert out[4]["text"] == "ok\ndelta unique content line\nok"
+    assert out[4]["n_kept"] == 3
