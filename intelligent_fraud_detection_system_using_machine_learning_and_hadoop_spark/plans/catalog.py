@@ -1338,3 +1338,201 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cond.cast("double") / total.cast("double")).alias("mkt_share"),
         _cents_sum_double(total, 4).alias("total_volume"),
     )
+
+
+@query(
+    "important_parts_value",
+    oracle=f"""
+    WITH rp AS (
+      SELECT l_partkey,
+             CAST(SUM({_sql_cents('l_extendedprice')}
+                      * (100 - {_sql_cents('l_discount')})) AS BIGINT) AS v
+      FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(SUM(v) AS BIGINT) AS tv, COUNT(*) AS np FROM rp)
+    SELECT l_partkey, {_sql_cents_sum_double("SUM(v)", 4)} AS part_value
+    FROM rp, t
+    WHERE v * np * 10 > tv * 12
+    GROUP BY l_partkey, tv
+    """,
+)
+def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value HAVING > threshold-of-global —
+    the grouped aggregate feeds BOTH the per-part rows and (re-aggregated)
+    the global threshold, which joins back as a broadcast 1-row
+    crossJoin: one scan, two agg stages, no eager scalar collect. The
+    'important' test (value > 1.2× the mean part value, spelled as the
+    cross-multiplication v·np·10 > total·12) is pure integer
+    arithmetic — exact on both engines, no float-threshold edge rows,
+    and scale-stable selectivity on uniform data where a Q11-style
+    global-fraction cut is all-or-nothing."""
+    from ..sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    rp = li.groupBy("l_partkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+        ).alias("v")
+    )
+    # decimal(38,0) for the global re-agg and cross-multiplication:
+    # at 100 TB the corpus-wide cents⁴ sum (and v·np) exceeds int64,
+    # while per-part sums stay comfortably long
+    total = rp.agg(
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("tv"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    return (
+        rp.crossJoin(F.broadcast(total))
+        .where(
+            F.col("v").cast("decimal(38,0)") * F.col("np") * 10
+            > F.col("tv") * 12
+        )
+        .select("l_partkey", _cents_sum_double(F.col("v"), 4).alias("part_value"))
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(SUM({_sql_cents('l_extendedprice')}
+                      * (100 - {_sql_cents('l_discount')})) AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey),
+    m AS (SELECT MAX(v) AS mv FROM r)
+    SELECT s_suppkey, s_name, {_sql_cents_sum_double("SUM(v)", 4)} AS total_revenue
+    FROM r JOIN supplier ON l_suppkey = s_suppkey, m
+    WHERE v = mv
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over a grouped aggregate, ties kept —
+    the max joins back as a broadcast 1-row crossJoin and the filter is
+    an exact integer equality (no float-max tie ambiguity). No global
+    sort: the 'top' is an aggregate, not an orderBy."""
+    from ..sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    r = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice")) * (F.lit(100) - _cents(F.col("l_discount")))
+        ).alias("v")
+    )
+    m = r.agg(F.max("v").alias("mv"))
+    return (
+        r.crossJoin(F.broadcast(m))
+        .where(F.col("v") == F.col("mv"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            _cents_sum_double(F.col("v"), 4).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "disjunctive_brand_revenue",
+    oracle=f"""
+    SELECT {_sql_cents_sum_double(
+        f"SUM({_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')}))", 4
+    )} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunction predicate blocks across both
+    join sides. Catalyst splits the disjunction: the common join key
+    stays an equi-join, per-side implied predicates (brand IN ...,
+    size <= 15, quantity <= 30) are derived and pushed into BOTH
+    parquet scans, and the residual OR evaluates post-join — the test
+    that disjunctions don't silently disable pushdown."""
+    from ..sources.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    blocks = (
+        ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(blocks)
+        .agg(
+            _cents_sum_double(
+                F.sum(
+                    _cents(F.col("l_extendedprice"))
+                    * (F.lit(100) - _cents(F.col("l_discount")))
+                ),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(SUM({_sql_cents('c_acctbal')}) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0),
+    rich AS (
+      SELECT c_custkey % 10 AS code, c_acctbal
+      FROM customer, pos
+      WHERE {_sql_cents('c_acctbal')} * n > s
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2001-01-01'))
+    SELECT code, COUNT(*) AS n_cust,
+           {_sql_cents_sum_double(f"SUM({_sql_cents('c_acctbal')})", 2)} AS total_bal
+    FROM rich GROUP BY code
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-average subquery + anti join + grouped
+    rollup. 'Above average balance' is spelled as the exact integer
+    cross-multiplication cents(bal)·n > Σcents(bal) (no float-average
+    threshold edge rows); the average joins in as a broadcast 1-row
+    crossJoin and recent orders anti-join with their date filter pushed
+    to the scan."""
+    from ..sources.readers import read_table
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    pos = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .where(_cents(F.col("c_acctbal")) * F.col("n") > F.col("s"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.groupBy((F.col("c_custkey") % 10).alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            _cents_sum_double(F.sum(_cents(F.col("c_acctbal"))), 2).alias("total_bal"),
+        )
+    )
