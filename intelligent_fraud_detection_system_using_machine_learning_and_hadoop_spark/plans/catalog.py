@@ -1536,3 +1536,30 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents_sum_double(F.sum(_cents(F.col("c_acctbal"))), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "salted_distinct_suppliers",
+    oracle="""
+    SELECT o_custkey, COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_custkey
+    """,
+)
+def salted_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof exact distinct count (operators/skew.py): suppliers
+    per customer counted via hash-sharded two-stage distinct — the hot
+    customer's supplier set spreads over 16 shards instead of one
+    reducer. The oracle is the PLAIN COUNT(DISTINCT): hash-matching it
+    attests the salted decomposition is exact, not approximate."""
+    from ..operators.skew import salted_distinct_count
+    from ..sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    j = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_custkey", "l_suppkey"
+    )
+    return salted_distinct_count(
+        j, ["o_custkey"], "l_suppkey", n_salts=16, out_col="n_suppliers"
+    )
