@@ -190,6 +190,7 @@ def train_autoencoder_distributed(
     epochs: int = 20,
     lr: float = 1e-3,
     seed: int = 42,
+    driver_fan_in: int = 64,
 ) -> tuple[NumpyAutoencoder, list[float]]:
     """Data-parallel full-batch training (SURVEY.md §7 step 6's
     cluster-scale path): per epoch, the current weights broadcast to
@@ -202,6 +203,18 @@ def train_autoencoder_distributed(
     uses, expressed with Spark primitives: features never leave the
     executors; only (n_params)-sized gradient vectors travel. Returns
     (model, per-epoch mean losses).
+
+    When the scan has more than ``driver_fan_in`` partitions, an
+    intermediate executor-side merge stage (treeAggregate's shape,
+    written as a ``groupBy(pid // g).applyInPandas``) combines partials
+    before collect, so the driver receives at most ``driver_fan_in``
+    model-sized vectors per epoch instead of one per data partition —
+    at 10k input partitions the difference between collecting 10k×
+    n_params floats and 64×. Grouping is by contiguous pid ranges and
+    every level sums in pid order, so the fit stays deterministic for a
+    fixed input partitioning and fan-in (float addition is
+    order-sensitive; the order here is a function of (partitioning,
+    driver_fan_in) only).
     """
     spark = features_df.sparkSession
     arr_df = features_df.select(
@@ -262,10 +275,37 @@ def train_autoencoder_distributed(
                     }
                 )
 
-        rows = arr_df.mapInPandas(partials, schema=schema).collect()
+        partial_df = arr_df.mapInPandas(partials, schema=schema)
+        n_parts = arr_df.rdd.getNumPartitions()
+        if n_parts > driver_fan_in:
+            group = -(-n_parts // driver_fan_in)  # ceil: ≤ fan_in groups
+
+            def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("pid")  # pid-order sum within group
+                acc = None
+                for g_arr in pdf["grads"]:
+                    a = np.asarray(g_arr)
+                    acc = a if acc is None else acc + a
+                return pd.DataFrame(
+                    {
+                        "pid": [int(pdf["pid"].iloc[0])],  # min pid = group order
+                        "grads": [acc.tolist()],
+                        "loss_sum": [float(pdf["loss_sum"].sum())],
+                        "cnt": [int(pdf["cnt"].sum())],
+                    }
+                )
+
+            partial_df = (
+                partial_df.groupBy((F.col("pid") / group).cast("int").alias("_g"))
+                .applyInPandas(
+                    lambda pdf: merge_group(pdf.drop(columns="_g", errors="ignore")),
+                    schema=schema,
+                )
+            )
+        rows = partial_df.collect()
         bc.destroy()
-        # merge partials in partition order → deterministic for a fixed
-        # partitioning (float addition is order-sensitive)
+        # merge partials in (group-)partition order → deterministic for
+        # a fixed partitioning (float addition is order-sensitive)
         rows.sort(key=lambda r: r["pid"])
         total = np.zeros(sum(sizes))
         for r in rows:

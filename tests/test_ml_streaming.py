@@ -353,6 +353,37 @@ def test_distributed_training_reduces_loss_and_scores(spark, sf_dir):
     assert row["n"] == feats.count()
 
 
+def test_distributed_training_tree_merge_matches_flat(spark, sf_dir):
+    """Forcing driver_fan_in below the partition count must engage the
+    executor-side merge stage and still produce the SAME full-batch
+    gradients — the tree reorders float addition only across contiguous
+    pid groups, so losses agree to float tolerance and training
+    progresses identically."""
+    import numpy as np
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.autoencoder import (
+        train_autoencoder_distributed,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.ml_ops import (
+        _orders_features,
+    )
+
+    feats = (
+        _orders_features(spark, sf_dir)
+        .select("o_orderkey", "features")
+        .repartition(8)
+    )
+    m_flat, l_flat = train_autoencoder_distributed(
+        feats, epochs=3, lr=1e-2, driver_fan_in=64
+    )
+    m_tree, l_tree = train_autoencoder_distributed(
+        feats, epochs=3, lr=1e-2, driver_fan_in=2
+    )
+    np.testing.assert_allclose(l_tree, l_flat, rtol=1e-9)
+    for a, b in zip(m_flat.params(), m_tree.params()):
+        np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-10)
+
+
 def test_score_is_one_lazy_plan_after_model_load(spark, tmp_path):
     """EP1 laziness (VERDICT r2 item 4): score() must not run any DATA
     job — the batch-relative threshold stays inside the Catalyst plan as
