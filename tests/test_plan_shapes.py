@@ -282,3 +282,50 @@ def test_vocab_topk_uses_take_ordered(spark, sf_dir):
     plan = plan_of(FULL_REGISTRY["token_vocab_topk"].builder(spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan
     assert "HashAggregate" in plan
+
+
+def test_q19_disjunction_pushes_into_both_scans(spark, sf_dir):
+    """Catalyst must derive per-side predicates from the OR-of-
+    conjunction blocks and push them into BOTH parquet scans — the
+    disjunction must not disable pushdown."""
+    plan = plan_of(REGISTRY["disjunctive_brand_revenue"].builder(spark, sf_dir))
+    assert plan.count("PushedFilters") >= 2
+    assert "l_quantity" in plan.split("part.parquet")[0] or "l_quantity" in plan
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_q11_threshold_is_broadcast_not_collected(spark, sf_dir):
+    """The global-value threshold must join in as a broadcast 1-row
+    aggregate INSIDE the plan: the comparison appears as a join
+    condition over the aggregated columns (tv/np), never as a
+    constant-folded literal from an eager collect. (Scan metadata jobs
+    are read-side and allowed — same stance as the rule-engine
+    laziness guard.)"""
+    plan = plan_of(REGISTRY["important_parts_value"].builder(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    # threshold columns are live plan references in the join condition
+    assert "tv#" in plan and "np#" in plan
+
+
+def test_salted_distinct_is_two_hash_aggregates(spark, sf_dir):
+    """The sharded distinct must plan as bounded hash aggregates —
+    never a sort-based aggregate over the raw value set — and carry the
+    salt through the first grouping."""
+    plan = plan_of(REGISTRY["salted_distinct_suppliers"].builder(spark, sf_dir))
+    assert "xxhash64" in plan and "pmod" in plan
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_line_dedup_single_window_no_self_join(spark, sf_dir):
+    """First-occurrence selection must be ONE window (row_number over
+    the line-hash key), not a groupBy-min + join-back that shuffles the
+    exploded lines twice."""
+    plan = plan_of(REGISTRY["line_dedup_documents"].builder(spark, sf_dir))
+    assert plan.count("Window") >= 1
+    assert "row_number" in plan
+    # reassembly join joins per-DOC aggregates, not exploded lines:
+    # the only SortMergeJoin keys must be the doc id
+    assert "md5" in plan

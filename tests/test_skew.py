@@ -6,8 +6,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.skew import (
-    replicated_salted_join,
     salted_distinct_count,
+    salted_join,
     top_keys,
 )
 
@@ -34,7 +34,7 @@ def test_salted_distinct_count_matches_plain(spark):
     assert plain[0] == 700
 
 
-def test_replicated_salted_join_matches_plain(spark):
+def test_salted_join_matches_plain_on_skewed_fixture(spark):
     left = _skewed_fixture(spark).withColumnRenamed("v", "payload")
     right = spark.createDataFrame(
         [(k, f"dim{k}") for k in range(0, 15)], "k long, name string"
@@ -46,7 +46,7 @@ def test_replicated_salted_join_matches_plain(spark):
         )
         salted = sorted(
             (r["k"], r["payload"], r["name"])
-            for r in replicated_salted_join(left, right, "k", 8, how).collect()
+            for r in salted_join(left, right, "k", how=how, salt=8).collect()
         )
         assert salted == plain
 
