@@ -1354,6 +1354,7 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE v * np * 10 > tv * 12
     GROUP BY l_partkey, tv
     """,
+    bench=True,
 )
 def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-group value HAVING > threshold-of-global —
@@ -1407,6 +1408,7 @@ def important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE v = mv
     GROUP BY s_suppkey, s_name
     """,
+    bench=True,
 )
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: argmax over a grouped aggregate, ties kept —
@@ -1453,6 +1455,7 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 20 AND 30)
     """,
+    bench=True,
 )
 def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-conjunction predicate blocks across both
@@ -1506,6 +1509,7 @@ def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_sql_cents_sum_double(f"SUM({_sql_cents('c_acctbal')})", 2)} AS total_bal
     FROM rich GROUP BY code
     """,
+    bench=True,
 )
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-average subquery + anti join + grouped
@@ -1545,6 +1549,7 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_custkey
     """,
+    bench=True,
 )
 def salted_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof exact distinct count (operators/skew.py): suppliers

@@ -264,6 +264,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(r.n_kept, 0) AS n_kept
     FROM orig o LEFT JOIN rebuilt r USING (doc_id)
     """,
+    bench=True,
 )
 def line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global line dedup over the corpus: repeated lines keep
