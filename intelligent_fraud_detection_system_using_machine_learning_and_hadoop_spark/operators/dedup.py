@@ -450,7 +450,8 @@ def dedup_lines(
     documents are reassembled with their surviving lines in original
     order. Returns ``(doc_id, text, n_lines, n_kept)`` for every input
     document (a fully-deduplicated document keeps the row with empty
-    text — the caller decides whether to drop it).
+    text — the caller decides whether to drop it). NULL text is treated
+    as the empty string (one empty line), so no input row is dropped.
 
     The standard web-corpus cleanup (C4 / RefinedWeb remove repeated
     boilerplate lines this way). Scale shape — exactly TWO shuffles of
@@ -463,6 +464,11 @@ def dedup_lines(
        text through the exchange twice.
     2. reassembly is one groupBy(doc) with an in-partition
        ``array_sort`` — no global sort.
+
+    ``n_lines`` is computed shuffle-free on the UN-exploded documents
+    (``size(split(text))``), so the exploded line table is never
+    aggregated a third time; the final doc-keyed join is against the
+    (much smaller) per-document frames only.
 
     Short lines (< ``min_chars`` chars: blanks, separators, "Home")
     are structural, not boilerplate-duplication signal — they are
