@@ -5,13 +5,15 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-3 rotation (VERDICT r2, "Next round" item 1): the 22 oracled
-queries that had never appeared in a driver CORRECTNESS file lead the
-window, back-filled to 50 with round-2-green queries (those keep their
-r2 hash-attested rows either way). After this round every oracled query
-in the registry has at least one driver-attested green row. Queries
-outside the window keep pytest + local-gate (tools/check_oracle.py)
-coverage; registry content is unchanged — only iteration order moves.
+Round-6 rotation (VERDICT r5, "Next round" item 4): the 7 oracled
+queries that have never appeared in any CORRECTNESS_r0*.json lead the
+window, followed by the 4 queries fixed this round (NTZ normalization —
+their green rows attest the fix), back-filled to 50 with queries that
+already hold multiple driver-attested green rows (r2/r4/r5). After this
+round every oracled query in the registry has at least one
+driver-attested row. Queries outside the window keep pytest +
+local-gate (tools/check_oracle.py) coverage; registry content is
+unchanged — only iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -22,7 +24,20 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- the 22 oracled queries never attested by the driver (r3 rotation) ---
+    # --- the 7 oracled queries never attested by the driver (r6 rotation) ---
+    "important_parts_value",
+    "top_revenue_supplier",
+    "disjunctive_brand_revenue",
+    "idle_rich_customers",
+    "salted_distinct_suppliers",
+    "line_dedup_documents",
+    "near_dup_clusters",
+    # --- the 4 queries fixed this round (NTZ ts normalization) ---
+    "streaming_events_hourly",
+    "streaming_join_click_purchase",
+    "interval_overlap_purchase_error",
+    "cogroup_purchase_error_stats",
+    # --- backfill: multiply-attested green queries (r2/r4/r5 rows) ---
     "exists_late_shipments",
     "suppliers_by_region",
     "shipmode_priority_counts",
@@ -43,17 +58,11 @@ _DRIVER_WINDOW = [
     "decontaminate_train_docs",
     "llm_data_pipeline",
     "epoch_shuffle_documents",
-    "streaming_join_click_purchase",
     "streaming_static_enrich",
-    # --- backfill: round-2-green oracled queries (keep their r2 rows) ---
-    "pricing_summary",
     "count_distinct_having",
     "scalar_stats_global",
     "window_funcs_orders",
     "semi_anti_join_customers",
-    "topk_orders",
-    "revenue_by_nation",
-    "shipping_priority",
     "rule_flags_orders",
     "events_hourly",
     "sessionize_events",
@@ -66,14 +75,8 @@ _DRIVER_WINDOW = [
     "corpus_curation",
     "hash_split_documents",
     "stratified_sample_documents",
-    "cogroup_purchase_error_stats",
-    "string_funcs_part",
-    "math_null_funcs_lineitem",
-    "temporal_funcs_orders",
     "asof_click_purchase",
     "range_join_price_bands",
-    "interval_overlap_purchase_error",
-    "streaming_events_hourly",
 ]
 
 

@@ -42,10 +42,19 @@ def read_claims_csv(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one driver testdata table.
 
-    The events table carries parquet TIMESTAMP(NANOS) which Spark has no
-    native type for — read it as long nanos
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
-    microsecond timestamps (floor, matching DuckDB's ``epoch_us``).
+    The events table's ``ts`` column has shipped under three physical
+    encodings across driver testdata generations; normalize all of them
+    to session-timezone TIMESTAMP so downstream event-time code
+    (watermarks, numeric casts) sees one type:
+
+    * TIMESTAMP(NANOS) — Spark has no native type; read as long nanos
+      (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+      microsecond timestamps (floor, matching DuckDB's ``epoch_us``).
+    * timestamp[us] with no timezone — Spark reads TIMESTAMP_NTZ, which
+      is illegal for ``withWatermark`` and numeric casts; under the
+      engine's pinned UTC session timezone (session.py) the cast to
+      TIMESTAMP is wall-clock-identical.
+    * timestamp[us, tz=UTC] — already TIMESTAMP, passes through.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -53,11 +62,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         enable_nanos_reads(spark)
         df = spark.read.parquet(path)
-        ts_field = df.schema["ts"]
-        if isinstance(ts_field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(df)
     return spark.read.parquet(path)
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-timezone TIMESTAMP
+    regardless of physical encoding (bigint nanos, TIMESTAMP_NTZ, or
+    TIMESTAMP). Shared by the batch and streaming event readers so both
+    plans see the same type."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -30,8 +30,13 @@ _sink_ids = count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming source over the events parquet (nanos ts → µs, same
-    conversion as the batch reader so plans are interchangeable)."""
+    """Streaming source over the events parquet, with ``ts`` normalized
+    to session-timezone TIMESTAMP by the same rules as the batch reader
+    (bigint nanos → µs; TIMESTAMP_NTZ → TIMESTAMP, value-identical under
+    the UTC session tz) so batch and stream plans are interchangeable
+    and ``withWatermark`` is always legal."""
+    from ..sources.readers import normalize_event_ts
+
     enable_nanos_reads(spark)
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     stream = (
@@ -39,9 +44,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(zip(raw_schema.names, raw_schema.fields))["ts"].dataType.simpleString() == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def stream_events_hourly(
@@ -118,12 +121,18 @@ def _events_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) ->
     import hashlib
     import tempfile
 
-    key = hashlib.md5(f"{sf_dir}:{n_files}".encode()).hexdigest()[:10]
+    # v2: ts normalized to TIMESTAMP before the rewrite (invalidates
+    # caches written from raw bigint/NTZ encodings)
+    key = hashlib.md5(f"{sf_dir}:{n_files}:v2".encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"ifds_events_stream_{key}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
+        from ..sources.readers import normalize_event_ts
+
         enable_nanos_reads(spark)
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = normalize_event_ts(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        )
         df.repartition(n_files).write.mode("overwrite").parquet(out)
     return out
 
@@ -151,15 +160,15 @@ def stream_user_stats_stateful(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
+    from ..sources.readers import normalize_event_ts
+
     src = _events_multifile_dir(spark, sf_dir, n_files)
     raw_schema = spark.read.parquet(src).schema
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    if dict(zip(raw_schema.names, raw_schema.fields))["ts"].dataType.simpleString() == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     out_type = T.StructType(
         [
@@ -295,16 +304,19 @@ def stream_rolling_anomaly(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
+    from ..sources.readers import normalize_event_ts
+
     enable_nanos_reads(spark)
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ns = dict(zip(raw.schema.names, raw.schema.fields))["ts"].dataType.simpleString() == "bigint"
+    raw = normalize_event_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
 
     # time-ordered multi-file source: split by ts range so micro-batches
     # arrive in event-time order (the ingestion pattern of a real feed)
     import hashlib
     import tempfile
 
-    key = hashlib.md5(f"{sf_dir}:ordered:{n_files}".encode()).hexdigest()[:10]
+    key = hashlib.md5(f"{sf_dir}:ordered:{n_files}:v2".encode()).hexdigest()[:10]
     src = os.path.join(tempfile.gettempdir(), f"ifds_events_ordered_{key}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         raw.repartitionByRange(n_files, "ts").sortWithinPartitions(
@@ -328,8 +340,6 @@ def stream_rolling_anomaly(
         .option("latestFirst", "false")
         .parquet(src)
     )
-    if ns:
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     out_type = T.StructType(
         [
