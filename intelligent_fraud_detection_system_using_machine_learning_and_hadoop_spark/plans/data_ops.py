@@ -1260,3 +1260,229 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return epoch_shuffle(d, seed=7)
+
+
+@query(
+    "temperature_mix_lang",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({_SQL_NTOK}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per),
+    pw AS (
+      SELECT lang, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS p_raw,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
+                             / CAST(total_tokens AS DOUBLE)) * 1e9) AS BIGINT) AS w
+      FROM per, tot),
+    wt AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM pw)
+    SELECT lang, n_docs, n_tokens, p_raw,
+           CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE) AS q_temp,
+           (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) / p_raw AS sample_weight
+    FROM pw, wt
+    """,
+)
+def temperature_mix_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language sampling mixture (the mT5/XLM-R
+    recipe: sample language i with q_i ∝ p_i^τ so low-resource
+    languages are up-weighted). τ = 0.5 → sqrt, chosen deliberately:
+    IEEE-754 sqrt is correctly rounded on every engine, unlike pow,
+    so the mixture is bit-reproducible against the oracle.
+
+    Bit-parity arithmetic: token counts are exact BIGINT sums; p is ONE
+    double division of exact operands; the sqrt weights are quantized to
+    integer 1e-9 units (floor(sqrt(p)·1e9)) so their normalizing sum is
+    an exact integer, not an order-dependent float sum; q and the
+    up/down-sampling factor are then single divisions again.
+
+    Scale: two tiny aggregations (|langs| rows) + broadcast cross-joins
+    of 1-row totals — the 100 TB cost is one map-side-combined count per
+    language, nothing else. The output q_temp feeds
+    ``interleave_sources_documents``-style mixers as the per-language
+    sampling rate."""
+    d = read_table(spark, sf_dir, "documents")
+    from ..operators.text import tokens
+
+    toks = F.size(tokens(F.lower(F.col("text")))).cast("long")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    totals = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    p = F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")
+    pw = per.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        p.alias("p_raw"),
+        F.floor(F.sqrt(p) * F.lit(1e9)).cast("long").alias("w"),
+    )
+    wt = pw.agg(F.sum("w").alias("w_total"))
+    q = F.col("w").cast("double") / F.col("w_total").cast("double")
+    return pw.crossJoin(F.broadcast(wt)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "p_raw",
+        q.alias("q_temp"),
+        (q / F.col("p_raw")).alias("sample_weight"),
+    )
+
+
+@query(
+    "quality_funnel_documents",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(lower(text), '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS BIGINT) AS n_punct,
+             CAST(length(regexp_replace(lower(text), '[^\\p{{N}}]', '', 'g')) AS BIGINT) AS n_digit,
+             CAST(length(regexp_replace(lower(text), '\\s', '', 'g')) AS BIGINT) AS nonspace_len
+      FROM documents),
+    f AS (
+      SELECT n_chars > 0 AS s1,
+             n_chars > 0 AND n_tokens >= 5 AS s2,
+             n_chars > 0 AND n_tokens >= 5
+               AND CAST(nonspace_len AS DOUBLE) / n_tokens >= CAST(3 AS DOUBLE)
+               AND CAST(nonspace_len AS DOUBLE) / n_tokens <= CAST(10 AS DOUBLE) AS s3,
+             n_chars > 0 AND n_tokens >= 5
+               AND CAST(nonspace_len AS DOUBLE) / n_tokens >= CAST(3 AS DOUBLE)
+               AND CAST(nonspace_len AS DOUBLE) / n_tokens <= CAST(10 AS DOUBLE)
+               AND CAST(n_punct AS DOUBLE) / n_chars < CAST(0.2 AS DOUBLE) AS s4,
+             n_chars > 0 AND n_tokens >= 5
+               AND CAST(nonspace_len AS DOUBLE) / n_tokens >= CAST(3 AS DOUBLE)
+               AND CAST(nonspace_len AS DOUBLE) / n_tokens <= CAST(10 AS DOUBLE)
+               AND CAST(n_punct AS DOUBLE) / n_chars < CAST(0.2 AS DOUBLE)
+               AND CAST(n_digit AS DOUBLE) / n_chars < CAST(0.3 AS DOUBLE) AS s5
+      FROM m),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(SUM(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+      FROM f)
+    SELECT * FROM (
+      SELECT 1 AS stage, 'non_empty' AS stage_name, n0 AS n_in, n1 AS n_out,
+             n0 - n1 AS n_dropped, CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) AS survival FROM a
+      UNION ALL
+      SELECT 2, 'min_tokens', n1, n2, n1 - n2, CAST(n2 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM a
+      UNION ALL
+      SELECT 3, 'token_len_band', n2, n3, n2 - n3, CAST(n3 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM a
+      UNION ALL
+      SELECT 4, 'punct_ratio', n3, n4, n3 - n4, CAST(n4 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM a
+      UNION ALL
+      SELECT 5, 'digit_ratio', n4, n5, n4 - n5, CAST(n5 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM a)
+    """,
+)
+def quality_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survival funnel for a C4/Gopher-style quality filter
+    chain (non-empty → min tokens → mean-token-length band → punctuation
+    ratio → digit ratio): how many documents each stage drops, with
+    cumulative survival. The observability report every production
+    curation pipeline prints before committing a filter config.
+
+    One pass: the five cumulative stage flags are pure column
+    expressions evaluated per row, collapsed by a single
+    map-side-combined aggregation into ONE 6-counter row, then unpivoted
+    to 5 rows driver-side-free via ``stack``. At 100 TB this is a single
+    scan with a 1-row shuffle; survival rates are single IEEE divisions
+    of exact counts (bit-stable vs the oracle)."""
+    from ..operators.text import tokens
+
+    t = F.lower(F.col("text"))
+    n_chars = F.coalesce(F.length("text"), F.lit(0)).cast("long")
+    n_tokens = F.size(tokens(t)).cast("long")
+    n_punct = F.length(F.regexp_replace(t, r"[\p{L}\p{N}\s]", "")).cast("long")
+    n_digit = F.length(F.regexp_replace(t, r"[^\p{N}]", "")).cast("long")
+    mean_len = F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_tokens
+    s1 = n_chars > 0
+    s2 = s1 & (n_tokens >= 5)
+    s3 = s2 & (mean_len >= 3.0) & (mean_len <= 10.0)
+    s4 = s3 & (n_punct.cast("double") / n_chars < 0.2)
+    s5 = s4 & (n_digit.cast("double") / n_chars < 0.3)
+
+    def _n(flag):
+        return F.sum(F.when(flag, 1).otherwise(0)).cast("long")
+
+    a = read_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        _n(s1).alias("n1"),
+        _n(s2).alias("n2"),
+        _n(s3).alias("n3"),
+        _n(s4).alias("n4"),
+        _n(s5).alias("n5"),
+    )
+    stages = ", ".join(
+        f"{k}, '{name}', n{k - 1}, n{k}, n{k - 1} - n{k}, "
+        f"CAST(n{k} AS DOUBLE) / CAST(n0 AS DOUBLE)"
+        for k, name in enumerate(
+            ["non_empty", "min_tokens", "token_len_band", "punct_ratio", "digit_ratio"],
+            start=1,
+        )
+    )
+    return a.select(
+        F.expr(
+            f"stack(5, {stages}) AS (stage, stage_name, n_in, n_out, n_dropped, survival)"
+        )
+    )
+
+
+@query(
+    "token_budget_trim",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+)
+def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget trimming: cap every source at a fixed
+    token budget by walking its documents in seeded-hash order
+    (md5(doc_id) — a deterministic uniform shuffle, so the kept subset
+    is an unbiased sample, reproducible on any engine/partitioning) and
+    keeping documents while the running token total fits. This is the
+    "downsample over-represented sources to a target mixture" step of a
+    pretraining-data recipe, stated as one window plan.
+
+    Scale: a single shuffle partitioned by source; the running total is
+    an exact BIGINT prefix sum. Skew note: parallelism is bounded by
+    the number of sources — for a corpus dominated by ONE giant source,
+    swap the window for the hash-bucketed distributed prefix sum in
+    ``operators/packing.py::pack_sequences`` (same semantics, ~uniform
+    buckets); at typical source cardinalities (100s–1000s) the plain
+    window is the cheaper plan."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import tokens
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.lower(F.col("text")))).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 800)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

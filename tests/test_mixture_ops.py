@@ -1,0 +1,95 @@
+"""Semantic properties of the data-mixture operators
+(temperature_mix_lang, quality_funnel_documents, token_budget_trim) —
+the oracle gate pins bit-parity; these pin the math MEANING."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.data_ops import (
+    quality_funnel_documents,
+    temperature_mix_lang,
+    token_budget_trim,
+)
+
+
+@pytest.fixture(scope="module")
+def mix_rows(spark, sf_dir):
+    return {r.lang: r for r in temperature_mix_lang(spark, sf_dir).collect()}
+
+
+def test_temperature_mix_is_a_distribution(mix_rows):
+    assert math.isclose(sum(r.p_raw for r in mix_rows.values()), 1.0, rel_tol=1e-12)
+    # q sums to 1 up to the 1e-9 weight quantization
+    assert math.isclose(sum(r.q_temp for r in mix_rows.values()), 1.0, abs_tol=1e-8)
+
+
+def test_temperature_flattens_toward_uniform(mix_rows):
+    """τ=0.5 must up-weight low-resource languages and down-weight the
+    dominant one, without reordering: q keeps p's ranking but is
+    strictly closer to uniform."""
+    rows = sorted(mix_rows.values(), key=lambda r: r.p_raw)
+    lo, hi = rows[0], rows[-1]
+    assert hi.p_raw > lo.p_raw  # data premise: skewed mixture
+    assert hi.sample_weight < 1.0 < lo.sample_weight
+    # ranking preserved
+    assert [r.lang for r in sorted(rows, key=lambda r: r.q_temp)] == [
+        r.lang for r in rows
+    ]
+    # strictly flatter: max/min ratio shrinks
+    assert hi.q_temp / lo.q_temp < hi.p_raw / lo.p_raw
+    # and the exact exponent: q ∝ sqrt(p)
+    assert math.isclose(
+        hi.q_temp / lo.q_temp, math.sqrt(hi.p_raw / lo.p_raw), rel_tol=1e-6
+    )
+
+
+def test_quality_funnel_is_monotone_chain(spark, sf_dir):
+    rows = {r.stage: r for r in quality_funnel_documents(spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    n0 = rows[1].n_in
+    for k in range(1, 6):
+        r = rows[k]
+        assert r.n_out <= r.n_in
+        assert r.n_dropped == r.n_in - r.n_out
+        assert math.isclose(r.survival, r.n_out / n0, rel_tol=1e-12)
+        if k > 1:
+            assert r.n_in == rows[k - 1].n_out  # stages chain, no gaps
+
+
+def test_token_budget_trim_keeps_maximal_hash_prefix(spark, sf_dir):
+    """Each source's kept set must be exactly the longest prefix of its
+    md5-ordered documents whose token total fits the 800 budget — no
+    doc skipped mid-prefix, and no further doc addable."""
+    import hashlib
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    kept = token_budget_trim(spark, sf_dir).collect()
+    by_source = {}
+    for r in kept:
+        by_source.setdefault(r.source, []).append(r)
+        assert r.cum_tokens <= 800
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    full = {}
+    for d in docs:
+        n_tok = len([t for t in (d.text or "").lower().split() if t])
+        h = hashlib.md5(str(d.doc_id).encode()).hexdigest()
+        full.setdefault(d.source, []).append((h, d.doc_id, n_tok))
+    for source, rows in full.items():
+        rows.sort()
+        cum, prefix = 0, []
+        for h, doc_id, n_tok in rows:
+            cum += n_tok
+            if cum > 800:
+                break
+            prefix.append(doc_id)
+        got = sorted(r.doc_id for r in by_source.get(source, []))
+        assert got == sorted(prefix), f"{source}: kept set is not the maximal prefix"
