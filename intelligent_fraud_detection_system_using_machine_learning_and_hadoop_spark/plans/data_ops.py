@@ -1449,6 +1449,7 @@ def quality_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, n_tokens, cum_tokens
     FROM c WHERE cum_tokens <= 800
     """,
+    bench=True,
 )
 def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget trimming: cap every source at a fixed
