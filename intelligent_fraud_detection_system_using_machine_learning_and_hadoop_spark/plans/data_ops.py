@@ -1487,3 +1487,86 @@ def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= 800)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@query(
+    "unigram_fluency_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest({_SQL_TOKENS}) AS token
+      FROM documents),
+    v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+    vq AS (
+      SELECT token,
+             CAST(floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1e12) AS BIGINT) AS q
+      FROM v, tot),
+    pd AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(q) AS BIGINT) AS sum_q
+      FROM tok t JOIN vq USING (token) GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+           (CAST(pd.sum_q AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE)) / 1e12 AS fluency
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+)
+def unigram_fluency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM fluency score (the CCNet/wordfreq-style LM quality
+    filter, with the geometric mean swapped for an arithmetic mean of
+    token probabilities so the score needs no transcendental — log/exp
+    differ in the last ulp across engines, exact integer sums don't):
+    per document, the mean corpus probability of its tokens. High =
+    stereotypical fluent text, low = rare-token soup (code, noise,
+    boilerplate IDs) — the standard pre-filter signal before expensive
+    model-based scoring.
+
+    Bit-parity: token probabilities are quantized to integer 1e-12
+    units (floor((cnt/total)·1e12)), so per-document sums are exact
+    BIGINTs and the final score is two IEEE divisions of exact
+    operands.
+
+    Scale: the vocabulary aggregation is one map-side-combined shuffle.
+    The token→probability join is the skew trap (stopwords are massive
+    hot keys), so the plan splits the vocabulary: the top-H head by
+    count joins as a BROADCAST map (hot keys never shuffle), and only
+    the de-hot-keyed tail takes the shuffle join — the same
+    posting-list discipline as ``operators/dedup.py``'s hot-shingle
+    split. H=256 covers the Zipf head at any corpus size."""
+    from ..operators.text import tokens
+
+    hot_h = 256
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    vq = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(
+            F.col("cnt").cast("double") / F.col("total").cast("double") * F.lit(1e12)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    # Zipf-head split: top-H tokens by weight join broadcast-side…
+    hot = vq.orderBy(F.desc("q"), F.asc("token")).limit(hot_h)
+    joined_hot = toks.join(F.broadcast(hot), "token")
+    # …and the shuffle join only ever sees de-hot-keyed traffic
+    cold_toks = toks.join(F.broadcast(hot.select("token")), "token", "left_anti")
+    cold_vq = vq.join(F.broadcast(hot.select("token")), "token", "left_anti")
+    joined = joined_hot.unionByName(cold_toks.join(cold_vq, "token"))
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("q").alias("sum_q")
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        (
+            (F.col("sum_q").cast("double") / F.col("n_tokens").cast("double"))
+            / F.lit(1e12)
+        ).alias("fluency"),
+    )

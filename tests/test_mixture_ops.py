@@ -12,6 +12,7 @@ from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.
     quality_funnel_documents,
     temperature_mix_lang,
     token_budget_trim,
+    unigram_fluency_documents,
 )
 
 
@@ -93,3 +94,34 @@ def test_token_budget_trim_keeps_maximal_hash_prefix(spark, sf_dir):
             prefix.append(doc_id)
         got = sorted(r.doc_id for r in by_source.get(source, []))
         assert got == sorted(prefix), f"{source}: kept set is not the maximal prefix"
+
+
+def test_unigram_fluency_matches_naive_recompute(spark, sf_dir):
+    """The hot/cold vocabulary split is a physical strategy only — the
+    score must equal a single-process recomputation of mean quantized
+    unigram probability, and stopword-rich docs must outrank
+    rare-token docs."""
+    from collections import Counter
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    got = {r.doc_id: r for r in unigram_fluency_documents(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    tok = {
+        d.doc_id: [t for t in (d.text or "").lower().split() if t] for d in docs
+    }
+    vocab = Counter(t for ts in tok.values() for t in ts)
+    total = sum(vocab.values())
+    q = {t: math.floor(c / total * 1e12) for t, c in vocab.items()}
+    for doc_id, ts in tok.items():
+        r = got[doc_id]
+        assert r.n_tokens == len(ts)
+        if ts:
+            expect = (float(sum(q[t] for t in ts)) / len(ts)) / 1e12
+            assert r.fluency == pytest.approx(expect, rel=1e-12), doc_id
+        else:
+            assert r.fluency is None
+    scores = [r.fluency for r in got.values() if r.fluency is not None]
+    assert all(0.0 < s <= 1.0 for s in scores)
