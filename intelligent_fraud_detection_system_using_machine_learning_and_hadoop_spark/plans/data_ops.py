@@ -1497,7 +1497,7 @@ def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest({_SQL_TOKENS}) AS token
       FROM documents),
     v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
-    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+    tot AS (SELECT CAST(SUM({_SQL_NTOK}) AS BIGINT) AS total FROM documents),
     vq AS (
       SELECT token,
              CAST(floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1e12) AS BIGINT) AS q
@@ -1534,7 +1534,14 @@ def unigram_fluency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     count joins as a BROADCAST map (hot keys never shuffle), and only
     the de-hot-keyed tail takes the shuffle join — the same
     posting-list discipline as ``operators/dedup.py``'s hot-shingle
-    split. H=256 covers the Zipf head at any corpus size."""
+    split. H=256 covers the Zipf head at any corpus size.
+
+    Subtree-reuse discipline (DataFrame lineage does NOT share common
+    subexpressions): the corpus token TOTAL is computed map-only from
+    per-document counts — never via the exploded index, which would
+    re-run the explode+shuffle — and the |V|-row quantized vocabulary
+    is persisted so its head/tail/limit consumers read it once instead
+    of re-deriving the vocabulary shuffle per consumer."""
     from ..operators.text import tokens
 
     hot_h = 256
@@ -1543,14 +1550,22 @@ def unigram_fluency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("token")
     )
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    vq = vocab.crossJoin(F.broadcast(total)).select(
-        "token",
-        F.floor(
-            F.col("cnt").cast("double") / F.col("total").cast("double") * F.lit(1e12)
+    total = d.agg(
+        F.sum(F.size(tokens(F.lower(F.col("text")))).cast("long")).alias("total")
+    )
+    vq = (
+        vocab.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.floor(
+                F.col("cnt").cast("double")
+                / F.col("total").cast("double")
+                * F.lit(1e12)
+            )
+            .cast("long")
+            .alias("q"),
         )
-        .cast("long")
-        .alias("q"),
+        .persist()
     )
     # Zipf-head split: top-H tokens by weight join broadcast-side…
     hot = vq.orderBy(F.desc("q"), F.asc("token")).limit(hot_h)
