@@ -309,3 +309,30 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_static_enrich_events
 
     return stream_static_enrich_events(spark, sf_dir)
+
+
+@query(
+    "streaming_topk_trending",
+    oracle=f"""
+    WITH {_EVENTS_US},
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events_us GROUP BY date_trunc('hour', ts), event_type),
+    r AS (
+      SELECT hour_ts, event_type, n_events,
+             CAST(row_number() OVER (
+                    PARTITION BY hour_ts
+                    ORDER BY n_events DESC, event_type) AS BIGINT) AS rnk
+      FROM counts)
+    SELECT hour_ts, event_type, n_events, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension: windowed heavy hitters — top-3 trending event
+    types per tumbling hour. The stream maintains incremental windowed
+    counts; the rank runs once on the finished sink. Oracle-checked
+    against the batch date_trunc + row_number plan."""
+    from ..streaming.jobs import stream_topk_trending
+
+    return stream_topk_trending(spark, sf_dir)

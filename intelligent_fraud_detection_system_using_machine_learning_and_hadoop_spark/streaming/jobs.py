@@ -647,3 +647,45 @@ def stream_static_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_id", "user_id", "event_type", "c_name", "c_mktsegment"
     )
+
+
+def stream_topk_trending(
+    spark: SparkSession, sf_dir: str, k: int = 3, watermark: str = "1 hour"
+) -> DataFrame:
+    """Windowed heavy hitters ("trending"): the top-k event types per
+    tumbling hour, computed as an incremental streaming aggregation.
+
+    The STREAM maintains only the windowed counts (complete mode,
+    watermark bounds state on a live run, availableNow drains static
+    input); the top-k rank is applied to the finished sink table
+    batch-side — ranking inside the stream would force the whole
+    ranking to re-run per micro-batch for no semantic gain. Equals the
+    batch date_trunc + row_number plan exactly, which the oracle
+    attests. Ties broken by event_type so the result is deterministic
+    on any engine."""
+    from pyspark.sql import Window as W
+
+    events = read_events_stream(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = f"topk_trending_sink_{next(_sink_ids)}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rank_w = W.partitionBy("hour_ts").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        spark.table(name)
+        .select(F.col("w.start").alias("hour_ts"), "event_type", "n_events")
+        .withColumn("rnk", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

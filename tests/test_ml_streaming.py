@@ -427,3 +427,34 @@ def test_score_is_one_lazy_plan_after_model_load(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # the plan still evaluates correctly
     assert scored.count() == 61
+
+
+def test_streaming_topk_trending_equals_batch(spark, sf_dir):
+    """The incremental windowed-count + sink-side rank must equal the
+    batch date_trunc + row_number heavy-hitters plan exactly."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        stream_topk_trending,
+    )
+
+    rank_w = W.partitionBy("hour_ts").orderBy(F.desc("n_events"), F.asc("event_type"))
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("rnk", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
+    to_set = lambda df: {  # noqa: E731
+        (r.hour_ts, r.event_type, r.n_events, r.rnk) for r in df.collect()
+    }
+    got = to_set(stream_topk_trending(spark, sf_dir))
+    want = to_set(batch)
+    assert got == want and len(got) > 0
