@@ -1585,3 +1585,68 @@ def unigram_fluency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e12)
         ).alias("fluency"),
     )
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS content_md5
+      FROM documents WHERE doc_id % 10 <> 3),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN concat(text, ' [recrawled]')
+                      ELSE text END) AS content_md5
+      FROM documents WHERE doc_id % 10 <> 7),
+    d AS (
+      SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+             CASE WHEN old.doc_id IS NULL THEN 'added'
+                  WHEN new.doc_id IS NULL THEN 'removed'
+                  WHEN old.content_md5 <> new.content_md5 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+    SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus diff between two crawl snapshots: which
+    documents were added, removed, or content-changed — the delta every
+    periodically-recrawled corpus computes before reprocessing, so the
+    expensive downstream pipeline (dedup, scoring, packing) runs on the
+    delta instead of the full corpus.
+
+    The two snapshots are derived deterministically from the documents
+    table (old = ids ≢3 mod 10; new = ids ≢7 mod 10, with ids ≡0 mod 7
+    "re-crawled" to new content) so the op is oracle-checkable; swap the
+    two ``_snapshot`` frames for real old/new scans in production.
+
+    Scale: content equality goes through md5 digests, so the full-outer
+    join carries (id, 32-byte digest) — never the documents' bodies —
+    and joins on doc_id, which bucketed snapshot layouts co-locate
+    (zero-shuffle with both sides bucketed by doc_id; see
+    tests/test_plan_shapes.py::test_bucketed_join_has_no_exchange)."""
+    d = read_table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
+    new = d.where(F.col("doc_id") % 10 != 7).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [recrawled]"))
+            ).otherwise(F.col("text"))
+        ).alias("content_md5"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    return (
+        o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            F.when(F.col("o.doc_id").isNull(), "added")
+            .when(F.col("n.doc_id").isNull(), "removed")
+            .when(F.col("o.content_md5") != F.col("n.content_md5"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+        .where(F.col("status") != "unchanged")
+    )

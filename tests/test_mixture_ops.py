@@ -96,6 +96,36 @@ def test_token_budget_trim_keeps_maximal_hash_prefix(spark, sf_dir):
         assert got == sorted(prefix), f"{source}: kept set is not the maximal prefix"
 
 
+def test_corpus_snapshot_diff_partitions_ids_correctly(spark, sf_dir):
+    """Every id lands in exactly the status its snapshot membership
+    dictates: added = in new only, removed = in old only, changed =
+    recrawled ids present in both; nothing else leaks through."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.data_ops import (
+        corpus_snapshot_diff,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    got = {r.doc_id: r.status for r in corpus_snapshot_diff(spark, sf_dir).collect()}
+    ids = [
+        r.doc_id
+        for r in read_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    for i in ids:
+        in_old, in_new = i % 10 != 3, i % 10 != 7
+        if in_new and not in_old:
+            expect = "added"
+        elif in_old and not in_new:
+            expect = "removed"
+        elif in_old and in_new and i % 7 == 0:
+            expect = "changed"
+        else:
+            expect = None  # unchanged rows are filtered out
+        assert got.get(i) == expect, i
+    assert set(got.values()) == {"added", "removed", "changed"}
+
+
 def test_unigram_fluency_matches_naive_recompute(spark, sf_dir):
     """The hot/cold vocabulary split is a physical strategy only — the
     score must equal a single-process recomputation of mean quantized
