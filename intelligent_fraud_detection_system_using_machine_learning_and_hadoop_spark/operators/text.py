@@ -232,3 +232,50 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("top_bigram_frac") <= 0.18)
         & (F.col("dup_trigram_frac") <= 0.3),
     )
+
+
+def compression_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Compression-ratio quality signal (Gopher/MassiveText's
+    "documents that compress too well are repetitive" filter):
+    ``compression_ratio`` = deflate(text) bytes / utf-8 bytes. Low
+    ratio ⇒ templated/repetitive text; ~1 ⇒ high-entropy (random or
+    encrypted) content — both tails are filter candidates.
+
+    This is the engine's canonical Arrow-batched Python scoring path:
+    zlib has no Catalyst/DuckDB twin, so the op runs as ``mapInPandas``
+    (vectorized Arrow transfer, one Python process per partition — the
+    same plumbing a model-based quality scorer uses) and is pinned by
+    differential pytest instead of a SQL oracle. Zero shuffles: a pure
+    per-row map that scales linearly.
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            raw = [(t or "").encode("utf-8") for t in pdf[text_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [len(b) for b in raw],
+                    "compressed_bytes": [
+                        len(zlib.compress(b, level)) for b in raw
+                    ],
+                    "compression_ratio": [
+                        (len(zlib.compress(b, level)) / len(b)) if b else None
+                        for b in raw
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches,
+        schema=(
+            f"{id_col} long, n_bytes long, compressed_bytes long, "
+            "compression_ratio double"
+        ),
+    )

@@ -1262,10 +1262,9 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_shuffle(d, seed=7)
 
 
-@query(
-    "temperature_mix_lang",
-    oracle=f"""
-    WITH per AS (
+# shared by temperature_mix_lang and mixture_sample_documents
+_SQL_TEMPERATURE_CTES = f"""
+    per AS (
       SELECT lang,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM({_SQL_NTOK}) AS BIGINT) AS n_tokens
@@ -1277,11 +1276,20 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)
                              / CAST(total_tokens AS DOUBLE)) * 1e9) AS BIGINT) AS w
       FROM per, tot),
-    wt AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM pw)
-    SELECT lang, n_docs, n_tokens, p_raw,
-           CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE) AS q_temp,
-           (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) / p_raw AS sample_weight
-    FROM pw, wt
+    wt AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM pw),
+    mix AS (
+      SELECT lang, n_docs, n_tokens, p_raw,
+             CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE) AS q_temp,
+             (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE)) / p_raw AS sample_weight
+      FROM pw, wt)
+"""
+
+
+@query(
+    "temperature_mix_lang",
+    oracle=f"""
+    WITH {_SQL_TEMPERATURE_CTES}
+    SELECT lang, n_docs, n_tokens, p_raw, q_temp, sample_weight FROM mix
     """,
 )
 def temperature_mix_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1650,3 +1658,67 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("status") != "unchanged")
     )
+
+
+_SQL_MD5_PREFIX_U32 = """
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          list_filter(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''), c -> c <> ''),
+          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      (a, c) -> a * 16 + c)
+"""
+
+
+@query(
+    "mixture_sample_documents",
+    oracle=f"""
+    WITH {_SQL_TEMPERATURE_CTES},
+    u AS (
+      SELECT doc_id, lang,
+             CAST({_SQL_MD5_PREFIX_U32} AS DOUBLE) / 4294967296.0 AS u_hash
+      FROM documents)
+    SELECT u.doc_id, u.lang, u.u_hash
+    FROM u JOIN mix ON u.lang = mix.lang
+    WHERE u.u_hash < least(CAST(1 AS DOUBLE), 0.5 * mix.sample_weight)
+    """,
+)
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the temperature mixture: Bernoulli-sample each document
+    with per-language probability min(1, base_rate·sample_weight)
+    (base_rate 0.5), so the kept corpus approaches the τ-tempered
+    language distribution that ``temperature_mix_lang`` computes. The
+    coin is a seeded hash (first 8 md5 hex digits of the id → uniform
+    in [0,1)), not ``rand()`` — the sample is reproducible on any
+    engine, any partitioning, any retry, which is what makes a
+    pretraining data recipe auditable.
+
+    Scale: the |langs|-row weight table broadcast-joins onto the
+    corpus scan — one map-side pass, zero shuffles beyond the tiny
+    mixture aggregation itself."""
+    mix = temperature_mix_lang(spark, sf_dir).select("lang", "sample_weight")
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.select("doc_id", "lang", u.alias("u_hash"))
+        .join(F.broadcast(mix), "lang")
+        .where(F.col("u_hash") < F.least(F.lit(1.0), F.lit(0.5) * F.col("sample_weight")))
+        .select("doc_id", "lang", "u_hash")
+    )
+
+
+@query("doc_compression_quality")
+def doc_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio repetition/entropy signal per document
+    (operators/text.py::compression_quality). Rows-only per the driver
+    contract — zlib has no portable SQL twin; semantics pinned by
+    differential pytest against direct zlib."""
+    from ..operators.text import compression_quality
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    return compression_quality(d)

@@ -96,6 +96,69 @@ def test_token_budget_trim_keeps_maximal_hash_prefix(spark, sf_dir):
         assert got == sorted(prefix), f"{source}: kept set is not the maximal prefix"
 
 
+def test_mixture_sample_is_exact_hash_thresholding(spark, sf_dir, mix_rows):
+    """The sampler must keep exactly the docs whose md5-derived uniform
+    falls under min(1, 0.5·sample_weight) for their language — a full
+    recompute, not a statistical check — and must up-sample low-resource
+    languages relative to the dominant one."""
+    import hashlib
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.data_ops import (
+        mixture_sample_documents,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    kept = {r.doc_id for r in mixture_sample_documents(spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    weights = {lang: r.sample_weight for lang, r in mix_rows.items()}
+    expect, per_lang = set(), {}
+    for d in docs:
+        u = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:8], 16) / 4294967296.0
+        if u < min(1.0, 0.5 * weights[d.lang]):
+            expect.add(d.doc_id)
+        tot, k = per_lang.get(d.lang, (0, 0))
+        per_lang[d.lang] = (tot + 1, k + (d.doc_id in kept))
+    assert kept == expect
+    rates = {lang: k / tot for lang, (tot, k) in per_lang.items()}
+    dominant = max(per_lang, key=lambda lang: per_lang[lang][0])
+    assert all(rates[lang] >= rates[dominant] for lang in rates)
+
+
+def test_compression_quality_matches_direct_zlib(spark, sf_dir):
+    """The Arrow-batched scorer must equal direct zlib on every doc,
+    and a repetitive text must compress better than natural text."""
+    import zlib
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.text import (
+        compression_quality,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    got = {r.doc_id: r for r in compression_quality(d).collect()}
+    for doc in d.select("doc_id", "text").collect():
+        raw = (doc.text or "").encode("utf-8")
+        r = got[doc.doc_id]
+        assert r.n_bytes == len(raw)
+        if raw:
+            assert r.compressed_bytes == len(zlib.compress(raw, 6))
+            assert r.compression_ratio == pytest.approx(
+                len(zlib.compress(raw, 6)) / len(raw), rel=0
+            )
+        else:
+            assert r.compression_ratio is None
+    rep = spark.createDataFrame(
+        [(1, "spam " * 400), (2, " ".join(f"w{i}x{i * 7 % 13}" for i in range(400)))],
+        "doc_id long, text string",
+    )
+    s = {r.doc_id: r.compression_ratio for r in compression_quality(rep).collect()}
+    assert s[1] < s[2]
+
+
 def test_corpus_snapshot_diff_partitions_ids_correctly(spark, sf_dir):
     """Every id lands in exactly the status its snapshot membership
     dictates: added = in new only, removed = in old only, changed =
