@@ -104,3 +104,37 @@ def compact_parquet(
     shutil.rmtree(path)
     os.replace(tmp, path)
     return sum(1 for f in os.listdir(path) if f.startswith("part-"))
+
+
+def write_jsonl_sharded(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    max_records_per_shard: int = 100_000,
+    compression: str | None = "gzip",
+) -> None:
+    """JSONL training-export sink: one JSON object per line, sharded by
+    record count — the interchange format trainer dataloaders consume.
+
+    ``maxRecordsPerFile`` caps shard size WITHOUT a repartition (each
+    writer task rolls to a new file at the cap), so the export adds
+    zero shuffles on top of the upstream plan; gzip per shard keeps the
+    artifacts object-store friendly. Schema nuance: Spark's JSON writer
+    drops null-valued fields per record (standard JSONL-export
+    behavior) — readers that need null keys should read with an
+    explicit schema, as ``read_jsonl`` here does.
+    """
+    writer = (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_shard)
+        .option("dateFormat", "yyyy-MM-dd")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def read_jsonl(spark, path: str, schema) -> DataFrame:
+    """Schema-declared JSONL scan (no inference pass; handles gzip
+    shards transparently)."""
+    return spark.read.schema(schema).option("dateFormat", "yyyy-MM-dd").json(path)
