@@ -399,19 +399,21 @@ def test_score_is_one_lazy_plan_after_model_load(spark, tmp_path):
 
     import os
 
-    tracker = spark.sparkContext.statusTracker()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
 
-    def n_jobs():
-        return len(tracker.getJobIdsForGroup(None) or [])
-
+    # Count jobs in DEDICATED job groups: the global no-group count is
+    # unstable late in a long suite (the retained-jobs buffer evicts
+    # old IDs, shrinking the baseline mid-measurement).
     # cost of loading the persisted PipelineModel alone (metadata reads)
-    j0 = n_jobs()
+    sc.setJobGroup("lazy_probe_load", "model load phase")
     load_preprocessor(os.path.join(model_dir, "preprocessor"))
-    load_jobs = n_jobs() - j0
+    load_jobs = len(tracker.getJobIdsForGroup("lazy_probe_load") or [])
 
-    j1 = n_jobs()
+    sc.setJobGroup("lazy_probe_score", "score phase")
     scored = pipeline.score(claims, model_dir=model_dir)
-    score_jobs = n_jobs() - j1
+    score_jobs = len(tracker.getJobIdsForGroup("lazy_probe_score") or [])
+    sc.setLocalProperty("spark.jobGroup.id", None)
     assert score_jobs <= load_jobs, (
         f"score() ran {score_jobs - load_jobs} data job(s) beyond model load"
     )
