@@ -1307,16 +1307,23 @@ def temperature_mix_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two tiny aggregations (|langs| rows) + broadcast cross-joins
     of 1-row totals — the 100 TB cost is one map-side-combined count per
-    language, nothing else. The output q_temp feeds
+    language, nothing else. The |langs|-row aggregate is persisted
+    because it feeds three consumers (totals, weights, final select) and
+    DataFrame lineage would otherwise re-run the corpus scan+shuffle per
+    consumer. The output q_temp feeds
     ``interleave_sources_documents``-style mixers as the per-language
     sampling rate."""
     d = read_table(spark, sf_dir, "documents")
     from ..operators.text import tokens
 
     toks = F.size(tokens(F.lower(F.col("text")))).cast("long")
-    per = d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(toks).alias("n_tokens"),
+    per = (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks).alias("n_tokens"),
+        )
+        .persist()
     )
     totals = per.agg(F.sum("n_tokens").alias("total_tokens"))
     p = F.col("n_tokens").cast("double") / F.col("total_tokens").cast("double")
