@@ -515,3 +515,96 @@ def dedup_lines(
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+def exact_substring_dup(
+    docs: DataFrame,
+    min_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication profile, the Spark-first re-expression
+    of suffix-array training-data dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): a token span is
+    duplicated iff its ``min_len``-token gram occurs ≥2 times anywhere in
+    the corpus (including twice inside one document). The suffix array's
+    "repeated substring of length ≥ L" test is exactly "some L-gram of
+    the substring is globally repeated", so per-document L-gram
+    duplication counts + the longest CONSECUTIVE run of duplicated gram
+    starts recover the signals the suffix-array pass feeds a trimmer:
+    how much of the doc is boilerplate, and how long its longest cloned
+    span is (run of r grams ⇒ repeated substring of r+L−1 tokens).
+
+    Emits one row per document: ``n_grams`` (gram positions),
+    ``n_dup_grams`` (positions whose gram is globally repeated),
+    ``dup_fraction`` (their ratio; NULL when the doc has < L tokens) and
+    ``max_dup_run`` (longest consecutive duplicated-gram run, in grams).
+
+    Scale shape: grams are built map-side from per-row token arrays
+    (sequence → slice → concat_ws, zero shuffle) and travel as md5
+    digests — 32 bytes regardless of L. One shuffle keys (digest) for
+    the global occurrence count, re-joined to the gram stream (the
+    standard posting-list join; for corpora with pathological hot grams
+    — one boilerplate line re-pasted millions of times — apply the same
+    hot-key split as ``ngram_jaccard_pairs``); the remaining shuffles
+    all key by ``id_col`` (per-doc rollup + gaps-and-islands run
+    detection on the SAME key, so AQE coalesces them onto one
+    exchange). Never materializes a suffix array: the corpus-wide sort
+    the suffix array needs is replaced by the digest aggregation, which
+    is what a 1000-executor cluster can actually do on 100 TB.
+    """
+    from .text import tokens
+
+    L = int(min_len)
+    t = docs.select(
+        F.col(id_col).alias("_id"), tokens(F.lower(F.col(text_col))).alias("_toks")
+    )
+    # map-only gram stream: (id, pos, digest), pos 1-based
+    grams = t.select(
+        "_id",
+        F.posexplode(
+            # NB: Spark's sequence(1, 0) counts DOWN to [1, 0] — short
+            # docs need the explicit empty-array guard
+            F.expr(
+                f"if(size(_toks) >= {L}, "
+                f"transform(sequence(1, size(_toks) - {L - 1}), "
+                f"p -> md5(concat_ws(' ', slice(_toks, p, {L})))), "
+                f"array())"
+            )
+        ).alias("_p0", "digest"),
+    ).select("_id", (F.col("_p0") + 1).alias("pos"), "digest")
+    counts = grams.groupBy("digest").agg(F.count(F.lit(1)).alias("_total"))
+    flagged = grams.join(counts, "digest").select(
+        "_id", "pos", (F.col("_total") >= 2).alias("dup")
+    )
+    per_doc = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("n_dup_grams"),
+    )
+    # gaps-and-islands over duplicated positions: same shuffle key (_id)
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("_id").orderBy("pos"))
+    runs = (
+        flagged.where("dup")
+        .withColumn("_grp", F.col("pos") - rn)
+        .groupBy("_id", "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+        .groupBy("_id")
+        .agg(F.max("_run").cast("long").alias("max_dup_run"))
+    )
+    return (
+        t.select("_id")
+        .join(per_doc, "_id", "left")
+        .join(runs, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            (
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_fraction"),
+            F.coalesce("max_dup_run", F.lit(0)).cast("long").alias("max_dup_run"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Sparse document retrieval: distributed BM25 top-k.
+
+Training-data-pipeline extension (the reference — a 300-line pandas
+fraud scorer, ref scripts/run_pipeline.py — has no retrieval surface;
+this composes the engine's existing tf/df machinery, cf.
+plans/func_ops.py's TF-IDF family, with the two-phase top-k discipline
+of operators/similarity.py).
+
+Scale shape: the corpus never moves. The only shuffles are (a) the
+(doc, term) partial-count aggregation over the rows that actually
+contain a query term — the explode is filtered against the broadcast
+query-term set BEFORE it shuffles, so corpus size only enters as a
+map-side scan — and (b) the per-doc score roll-up, keyed by doc_id over
+that same filtered subset. Document-frequency and corpus stats are
+tiny aggregates re-joined broadcast. Top-k is orderBy+limit, which
+Spark executes as TakeOrderedAndProject (per-partition heap + driver
+merge of k rows), never a global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: Quantization unit for per-term score contributions: contributions are
+#: floored to integer 1e-9 units before the per-doc sum, so the sum is
+#: an exact BIGINT (order-independent on any partitioning — float sums
+#: are not) and the final score is one IEEE division.
+_Q = 1e9
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    log_idf: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for one query over a document corpus:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    ``log_idf=True`` (default, the textbook scorer) uses
+    idf = ln((N − df + 0.5)/(df + 0.5) + 1) — Robertson's formulation,
+    as used by Lucene. ``log_idf=False`` swaps the log for the raw
+    Robertson–Spärck-Jones odds (N − df + 0.5)/(df + 0.5): ln is the
+    one transcendental in BM25 and engines differ in its last ulp, so
+    the log-free form keeps every operation inside correctly-rounded
+    IEEE +,−,×,/ and makes the score bit-reproducible against a SQL
+    oracle. The log is monotone, so single-term rankings are identical;
+    multi-term rankings weight rare terms more sharply (the differential
+    pytest pins the log path against a plain-Python reference instead).
+
+    Ties break by ascending id so the top-k is deterministic on any
+    engine and partitioning.
+
+    Returns (id, score, n_hit_terms) for the k best-scoring documents
+    that contain at least one query term.
+    """
+    terms = [t.lower() for t in query_terms]
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_toks")).select(
+        "_id", "_toks", F.size("_toks").cast("long").alias("dl")
+    )
+    # corpus stats: one broadcast row (N, total token count)
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    # (doc, term) term frequencies — the explode is filtered against the
+    # broadcast literal set BEFORE the shuffle, so only hit rows move.
+    # Cached (bounded lifecycle, eng/cache.py): df-per-term derives from
+    # this same frame, and lineage would otherwise re-run the corpus
+    # explode once per consumer. Footprint ≤ |terms|·N_docs short rows.
+    from ..cache import swap_cache
+
+    tf = swap_cache(
+        "bm25_topk.tf",
+        base.select("_id", "dl", F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf")),
+    )
+    # document frequency per term: |terms| rows, broadcast back
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    odds = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    idf = F.log(odds + F.lit(1.0)) if log_idf else odds
+    contrib = idf * (
+        (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+        )
+    )
+    scored = (
+        j.select("_id", F.floor(contrib * F.lit(_Q)).cast("long").alias("q"))
+        .groupBy("_id")
+        .agg(
+            F.sum("q").alias("score_q"),
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score_q"), F.asc("_id"))
+        .limit(k)
+        .select(
+            F.col("_id").alias(id_col),
+            (F.col("score_q").cast("double") / F.lit(_Q)).alias("score"),
+            "n_hit_terms",
+        )
+    )

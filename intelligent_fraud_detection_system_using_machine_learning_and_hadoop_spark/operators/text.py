@@ -258,16 +258,15 @@ def compression_quality(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             raw = [(t or "").encode("utf-8") for t in pdf[text_col]]
+            # compress ONCE per document; both outputs derive from it
+            comp = [len(zlib.compress(b, level)) for b in raw]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": [len(b) for b in raw],
-                    "compressed_bytes": [
-                        len(zlib.compress(b, level)) for b in raw
-                    ],
+                    "compressed_bytes": comp,
                     "compression_ratio": [
-                        (len(zlib.compress(b, level)) / len(b)) if b else None
-                        for b in raw
+                        (c / len(b)) if b else None for b, c in zip(raw, comp)
                     ],
                 }
             )

@@ -5,12 +5,16 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-6 rotation (VERDICT r5, "Next round" item 4): the 7 oracled
-queries that have never appeared in any CORRECTNESS_r0*.json lead the
-window, followed by the 4 queries fixed this round (NTZ normalization —
-their green rows attest the fix), back-filled to 50 with queries that
-already hold multiple driver-attested green rows (r2/r4/r5). After this
-round every oracled query in the registry has at least one
+Round-7 rotation (VERDICT r6, "Next round" items 1 and 8): the 2
+brand-new round-7 queries (exact-substring dedup, BM25 retrieval) and
+the 7 oracled queries added in round 6 (local-gate green, never
+driver-attested) lead the window, back-filled to 50 with queries that
+already hold multiple driver-attested green rows. The 9 entries
+dropped to make room (count_distinct_having, rule_flags_orders,
+events_hourly, sessionize_events, dedup_exact_documents,
+ngram_jaccard_pairs, embedding_topk_cosine, embedding_cosine_dup,
+multimodal_meta) each carry SIX green driver rows (r1-r6).
+After this round every oracled query in the registry has at least one
 driver-attested row. Queries outside the window keep pytest +
 local-gate (tools/check_oracle.py) coverage; registry content is
 unchanged — only iteration order moves.
@@ -24,7 +28,18 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- the 7 oracled queries never attested by the driver (r6 rotation) ---
+    # --- the 2 round-7 oracled queries (new operator families) ---
+    "exact_substring_dup_documents",
+    "bm25_topk_documents",
+    # --- the 7 round-6 oracled queries never attested by the driver ---
+    "temperature_mix_lang",
+    "quality_funnel_documents",
+    "token_budget_trim",
+    "unigram_fluency_documents",
+    "corpus_snapshot_diff",
+    "mixture_sample_documents",
+    "streaming_topk_trending",
+    # --- r6-attested-once queries kept in window for a second row ---
     "important_parts_value",
     "top_revenue_supplier",
     "disjunctive_brand_revenue",
@@ -32,12 +47,11 @@ _DRIVER_WINDOW = [
     "salted_distinct_suppliers",
     "line_dedup_documents",
     "near_dup_clusters",
-    # --- the 4 queries fixed this round (NTZ ts normalization) ---
     "streaming_events_hourly",
     "streaming_join_click_purchase",
     "interval_overlap_purchase_error",
     "cogroup_purchase_error_stats",
-    # --- backfill: multiply-attested green queries (r2/r4/r5 rows) ---
+    # --- backfill: multiply-attested green queries ---
     "exists_late_shipments",
     "suppliers_by_region",
     "shipmode_priority_counts",
@@ -59,19 +73,10 @@ _DRIVER_WINDOW = [
     "llm_data_pipeline",
     "epoch_shuffle_documents",
     "streaming_static_enrich",
-    "count_distinct_having",
     "scalar_stats_global",
     "window_funcs_orders",
     "semi_anti_join_customers",
-    "rule_flags_orders",
-    "events_hourly",
-    "sessionize_events",
     "doc_text_analysis",
-    "dedup_exact_documents",
-    "ngram_jaccard_pairs",
-    "embedding_topk_cosine",
-    "embedding_cosine_dup",
-    "multimodal_meta",
     "corpus_curation",
     "hash_split_documents",
     "stratified_sample_documents",

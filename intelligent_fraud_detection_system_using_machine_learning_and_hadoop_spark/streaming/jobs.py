@@ -56,8 +56,12 @@ def stream_events_hourly(
 
     Complete output mode so every window is emitted at termination —
     with append mode, windows younger than the watermark at end-of-
-    input would be withheld. The watermark still bounds state for a
-    live continuous run.
+    input would be withheld. NOTE: in complete mode the watermark does
+    NOT evict state (Spark keeps every window to re-emit the full
+    result); that is safe here because availableNow drains a finite
+    input and the query terminates. A LIVE continuous deployment must
+    switch to update/append mode, where the watermark genuinely bounds
+    the windowed state.
     """
     events = read_events_stream(spark, sf_dir)
     agg = (
@@ -655,9 +659,13 @@ def stream_topk_trending(
     """Windowed heavy hitters ("trending"): the top-k event types per
     tumbling hour, computed as an incremental streaming aggregation.
 
-    The STREAM maintains only the windowed counts (complete mode,
-    watermark bounds state on a live run, availableNow drains static
-    input); the top-k rank is applied to the finished sink table
+    The STREAM maintains only the windowed counts. Output mode is
+    ``complete``, where the watermark does NOT evict state — safe here
+    only because availableNow drains a finite input and terminates; a
+    live continuous deployment must run this in update mode (emit
+    changed windows per trigger, watermark evicts closed windows) and
+    rank over the compacted sink instead. The top-k rank is applied to
+    the finished sink table
     batch-side — ranking inside the stream would force the whole
     ranking to re-run per micro-batch for no semantic gain. Equals the
     batch date_trunc + row_number plan exactly, which the oracle

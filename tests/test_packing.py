@@ -227,3 +227,61 @@ def test_epoch_shuffle_is_dense_seeded_permutation(spark):
         ).collect()
     }
     assert s7 == naive
+
+
+# --- budget_trim ----------------------------------------------------------
+
+
+def skewed_docs_fixture(spark, n=400):
+    """One giant source (95% of rows) + a handful of small ones — the
+    exact shape where the per-source window plan loses its parallelism."""
+    rows = []
+    for i in range(n):
+        src = "giant" if i % 20 != 0 else f"small{i % 3}"
+        text = " ".join(f"t{j}" for j in range((i * 13) % 40))
+        rows.append((i * 11 % 4001, text, src))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_budget_trim_strategies_agree(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.packing import (
+        budget_trim,
+    )
+
+    docs = skewed_docs_fixture(spark)
+    key = lambda r: (r["source"], r["doc_id"])  # noqa: E731
+    win = sorted(budget_trim(docs, budget=300, strategy="window").collect(), key=key)
+    bkt = sorted(budget_trim(docs, budget=300, strategy="bucketed").collect(), key=key)
+    assert len(win) > 0
+    assert [tuple(r) for r in win] == [tuple(r) for r in bkt]
+
+
+def test_budget_trim_auto_switches_on_dominant_source(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.packing import (
+        _choose_trim_strategy,
+        budget_trim,
+    )
+
+    docs = skewed_docs_fixture(spark)
+    # the giant source (380 rows) crosses a threshold of 100; nothing
+    # crosses the default multi-million threshold
+    assert _choose_trim_strategy(docs, "source", 100) == "bucketed"
+    assert _choose_trim_strategy(docs, "source", 5_000_000) == "window"
+    # auto output identical regardless of which plan it picks
+    key = lambda r: (r["source"], r["doc_id"])  # noqa: E731
+    auto = sorted(
+        budget_trim(docs, budget=300, strategy="auto", per_source_threshold=100)
+        .collect(),
+        key=key,
+    )
+    win = sorted(budget_trim(docs, budget=300, strategy="window").collect(), key=key)
+    assert [tuple(r) for r in auto] == [tuple(r) for r in win]
+
+
+def test_budget_trim_rejects_bad_strategy(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.packing import (
+        budget_trim,
+    )
+
+    with pytest.raises(ValueError):
+        budget_trim(skewed_docs_fixture(spark, n=20), strategy="nope").collect()
