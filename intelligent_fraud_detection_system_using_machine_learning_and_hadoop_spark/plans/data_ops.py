@@ -1197,21 +1197,44 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END pretraining-data pipeline as ONE lazy composed
-    plan: quality + repetition filters → exact near-dup removal (keep
-    min id) → benchmark decontamination (5-gram overlap vs the eval
-    split) → token-budget sequence packing of the survivors. Composes
-    five already-attested operators (text.py quality/repetition,
-    dedup.py digest + shingles, packing.py prefix sum) without a single
-    intermediate materialization — the shape a 100 TB corpus run takes
-    nightly: two small aggregate shuffles (digest keep-set, eval
-    shingles), one broadcast mark join, one bucketed prefix sum."""
+    """The END-TO-END pretraining-data pipeline: quality + repetition
+    filters → exact near-dup removal (keep min id) → benchmark
+    decontamination (5-gram overlap vs the eval split) → token-budget
+    sequence packing of the survivors. Composes five already-attested
+    operators (text.py quality/repetition, dedup.py digest + shingles,
+    packing.py prefix sum).
+
+    The working set is PERSISTED at every plan fan-out point through
+    the bounded swap-cache (eng/cache.py): the scored corpus before the
+    quality filter, the shingle sets feeding both decontamination
+    sides, and the clean corpus feeding pack_sequences' three
+    prefix-sum consumers. Two distinct at-scale failure modes forced
+    this, both caught by BENCH r7 (77s → ~8s at sf0.1):
+
+    * DataFrame lineage does not share subtrees — the fully-lazy
+      composition re-derived the corpus 16 times (16 parquet scans,
+      each re-running the quality/shingle expression chains).
+    * Filtering directly on derived columns INLINES their whole
+      expression trees into the Filter operator (predicate pushdown
+      re-expands quality_score/pass_repetition per reference: 35s for
+      the filter vs 0.3s over the materialized columns). Persisting
+      ``scored`` makes the filter read stored values.
+
+    At 100 TB a nightly run persists (or checkpoints) exactly these
+    frames; shuffles stay the same: two small aggregates (digest
+    keep-set, eval shingles), one broadcast mark join, one bucketed
+    prefix sum."""
     from ..operators.dedup import _shingled
     from ..operators.packing import pack_sequences
     from ..operators.text import with_quality_score, with_repetition_stats
 
     d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
-    scored = with_repetition_stats(with_quality_score(d))
+    scored = _swap_cache(
+        "llm_data_pipeline.scored",
+        with_repetition_stats(with_quality_score(d)).select(
+            "doc_id", "text", "quality_score", "pass_repetition"
+        ),
+    )
     filtered = scored.where(
         (F.col("quality_score") >= 0.5) & F.col("pass_repetition")
     ).select("doc_id", "text")
@@ -1225,7 +1248,7 @@ def llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     deduped = filtered.join(keep, "doc_id", "left_semi")
-    sh = _shingled(d, "doc_id", "text", 5)
+    sh = _swap_cache("llm_data_pipeline.shingles", _shingled(d, "doc_id", "text", 5))
     eval_shingles = (
         sh.where(F.col("_id") % 50 == 0)
         .select(F.explode("_sh").alias("shingle"))
@@ -1238,9 +1261,11 @@ def llm_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("_id").alias("doc_id"))
         .distinct()
     )
-    clean = (
-        deduped.where(F.col("doc_id") % 50 != 0)
-        .join(contaminated, "doc_id", "left_anti")
+    clean = _swap_cache(
+        "llm_data_pipeline.clean",
+        deduped.where(F.col("doc_id") % 50 != 0).join(
+            contaminated, "doc_id", "left_anti"
+        ),
     )
     return pack_sequences(clean, budget=2048).select(
         "doc_id", "n_tokens", "start_offset", "first_seq"
@@ -1819,4 +1844,251 @@ def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     return bm25_topk(
         d, ["spark", "vector", "hash", "stream", "merge"], k=15, log_idf=False
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from ..operators.pii import PII_PATTERNS
+
+    inject = (
+        "SELECT doc_id, text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' card 4111111111111111' ELSE '' END"
+        " AS txt FROM documents"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(txt, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    has = " OR ".join(
+        f"len(regexp_extract_all(txt, '{pat}')) > 0" for pat in PII_PATTERNS.values()
+    )
+    red = "txt"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '[{kind.upper()}]', 'g')"
+    return (
+        f"WITH t AS ({inject}) "
+        f"SELECT doc_id, {counts}, ({has}) AS has_pii, {red} AS redacted FROM t"
+    )
+
+
+@query("pii_scan_documents", oracle=_pii_oracle_sql())
+def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/pii.py::with_pii_scan):
+    per-kind occurrence counts (email / IPv4 / phone / 16-digit card),
+    a has_pii flag, and the fully redacted text. The testdata corpus
+    carries no organic PII, so the query plants it deterministically
+    from doc_id (ids ≡0 mod 3 gain an e-mail, mod 5 an IP, mod 7 a
+    phone, mod 11 a card — some docs get several) — the oracle then
+    attests detection AND byte-exact redaction output on every
+    pattern; swap the injection for the raw scan in production.
+
+    Scale: pure regexp column expressions in one whole-stage-codegen
+    projection — a linear zero-shuffle map."""
+    from ..operators.pii import with_pii_scan
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" card 4111111111111111")).otherwise(
+            ""
+        ),
+    )
+    scanned = with_pii_scan(d.select("doc_id", txt.alias("txt")), text_col="txt")
+    return scanned.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_card", "has_pii", "redacted"
+    )
+
+
+# md5-u32 fold for an arbitrary token `t` (same arithmetic as
+# packing.md5_bucket / _SQL_MD5_PREFIX_U32, which is doc_id-specific)
+_SQL_TOK_U32 = """
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(
+          list_filter(string_split(substr(md5(t), 1, 8), ''), c -> c <> ''),
+          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+      (a, c) -> a * 16 + c)
+"""
+
+
+@query(
+    "dsir_select_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang = 'en' AS is_target, unnest({_SQL_TOKENS}) AS t
+      FROM documents),
+    tb AS (
+      SELECT doc_id, is_target, {_SQL_TOK_U32} % 1024 AS bucket FROM tok),
+    dc AS (
+      SELECT doc_id, is_target, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tb GROUP BY doc_id, is_target, bucket),
+    bt AS (
+      SELECT bucket, CAST(SUM(c) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS ct
+      FROM dc GROUP BY bucket),
+    tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS total_r,
+                   CAST(SUM(ct) AS BIGINT) AS total_t FROM bt),
+    lm AS (
+      SELECT bucket,
+             CAST(floor(
+               ((CAST(ct + 1 AS DOUBLE) / CAST(total_t + 1024 AS DOUBLE))
+                / (CAST(cr + 1 AS DOUBLE) / CAST(total_r + 1024 AS DOUBLE)))
+               * 1e6) AS BIGINT) AS w
+      FROM bt, tot),
+    sc AS (
+      SELECT doc_id, is_target, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * w) AS BIGINT) AS score_q
+      FROM dc JOIN lm USING (bucket) GROUP BY doc_id, is_target)
+    SELECT doc_id, is_target, n_tokens,
+           CAST(score_q AS DOUBLE) / 1e6 AS score
+    FROM sc ORDER BY score_q DESC, doc_id LIMIT 50
+    """,
+)
+def dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection toward English text
+    (operators/selection.py::dsir_select): hashed-unigram bag scored by
+    the target/raw probability ratio, top-50 kept. The oracled form is
+    the quantized linear-ratio twin; the paper's log-weight estimator
+    (log_weights=True) is pinned by differential pytest
+    (tests/test_selection.py)."""
+    from ..operators.selection import dsir_select
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    return dsir_select(
+        d, F.col("lang") == "en", k=50, n_buckets=1024, log_weights=False
+    )
+
+
+@query(
+    "bigram_fluency_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+    uni AS (SELECT token AS a, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY token),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM uni),
+    pr AS (
+      SELECT doc_id, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i, toks
+      FROM t),
+    pairs AS (SELECT doc_id, toks[i] AS a, toks[i + 1] AS b FROM pr),
+    big AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2 FROM pairs GROUP BY a, b),
+    q AS (
+      SELECT big.a, big.b,
+             CAST(floor(CAST(c2 + 1 AS DOUBLE) / CAST(c1 + vsize AS DOUBLE) * 1e12)
+                  AS BIGINT) AS qv
+      FROM big JOIN uni USING (a), v),
+    pd AS (
+      SELECT pairs.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(qv) AS BIGINT) AS sum_q
+      FROM pairs JOIN q USING (a, b) GROUP BY pairs.doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           (CAST(pd.sum_q AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)) / 1e12 AS fluency
+    FROM t LEFT JOIN pd USING (doc_id)
+    """,
+)
+def bigram_fluency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency (the conditional-probability step from
+    CCNet-style LM perplexity filtering, with the geometric mean
+    swapped for an arithmetic mean of add-one-smoothed conditionals
+    P(b|a) = (cnt(a b)+1)/(cnt(a)+|V|) so the score needs no
+    transcendental — same engineering as ``unigram_fluency_documents``,
+    one Markov order up): per document, the mean corpus probability of
+    each token given its predecessor. Low = token sequences the corpus
+    has never seen (shuffled text, boilerplate IDs) — splits "common
+    words in a plausible ORDER" from "common words in noise", which the
+    unigram score cannot.
+
+    Bit-parity: conditionals are quantized to integer 1e-12 units, so
+    per-document sums are exact BIGINTs and the score is two IEEE
+    divisions.
+
+    Scale: unigram/bigram count tables are map-side-combined aggregate
+    shuffles; V is a 1-row broadcast; the conditional table joins the
+    aggregated bigram counts to the aggregated unigram counts (both
+    already deduplicated — no row blowup). The corpus-sized join (the
+    bigram stream against the conditional table) splits the Zipf head:
+    the top-256 bigrams by count join broadcast-side so hot pairs
+    ("of the") never shuffle — the same discipline as the unigram
+    scorer's hot-token split."""
+    from ..operators.text import tokens
+
+    hot_h = 256
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.lower(F.col("text"))).alias("_toks"))
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "if(size(_toks) >= 2, transform(sequence(1, size(_toks) - 1), "
+                "i -> struct(_toks[i - 1] AS a, _toks[i] AS b)), "
+                "array())"
+            )
+        ).alias("_p"),
+    ).select("doc_id", "_p.a", "_p.b")
+    tok = t.select(F.explode("_toks").alias("a"))
+    uni = tok.groupBy("a").agg(F.count(F.lit(1)).alias("c1"))
+    vsize = uni.agg(F.count(F.lit(1)).alias("vsize"))
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    q = _swap_cache(
+        "bigram_fluency.q",
+        big.join(uni, "a")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "a",
+            "b",
+            "c2",
+            F.floor(
+                (F.col("c2") + 1).cast("double")
+                / (F.col("c1") + F.col("vsize")).cast("double")
+                * F.lit(1e12)
+            )
+            .cast("long")
+            .alias("qv"),
+        ),
+    )
+    # hot = the most FREQUENT bigrams (the keys that would skew the
+    # shuffle), not the highest-probability ones
+    hot = q.orderBy(F.desc("c2"), F.asc("a"), F.asc("b")).limit(hot_h)
+    joined_hot = pairs.join(F.broadcast(hot.select("a", "b", "qv")), ["a", "b"])
+    cold_pairs = pairs.join(F.broadcast(hot.select("a", "b")), ["a", "b"], "left_anti")
+    cold_q = q.select("a", "b", "qv").join(
+        F.broadcast(hot.select("a", "b")), ["a", "b"], "left_anti"
+    )
+    joined = joined_hot.unionByName(cold_pairs.join(cold_q, ["a", "b"]))
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("qv").alias("sum_q"),
+    )
+    return t.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        (
+            (F.col("sum_q").cast("double") / F.col("n_bigrams").cast("double"))
+            / F.lit(1e12)
+        ).alias("fluency"),
     )

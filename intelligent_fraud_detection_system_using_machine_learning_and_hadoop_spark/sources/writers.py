@@ -138,3 +138,24 @@ def read_jsonl(spark, path: str, schema) -> DataFrame:
     """Schema-declared JSONL scan (no inference pass; handles gzip
     shards transparently)."""
     return spark.read.schema(schema).option("dateFormat", "yyyy-MM-dd").json(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """Columnar ORC sink (zlib-compressed by default; Spark's native
+    writer). ORC carries the same pushdown/pruning contract as parquet
+    — min/max stripe statistics serve predicate pushdown, and column
+    projection never reads dropped columns — so warehouse consumers on
+    ORC-first stacks (Hive/Trino) read the export directly."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan through the native vectorized reader (same codepath
+    family as the parquet scans in readers.py — filter pushdown and
+    column pruning verified by tests/test_sources_orc.py)."""
+    return spark.read.orc(path)

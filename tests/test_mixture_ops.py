@@ -243,3 +243,57 @@ def test_jsonl_sharded_round_trip(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in d.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b and back.schema == d.schema
+
+
+def test_bigram_fluency_matches_python_and_orders_sequences(spark):
+    """Differential: Spark bigram fluency == plain-Python reference on a
+    fixture; and a doc whose bigrams the corpus has seen outranks a doc
+    with the SAME tokens in corpus-unseen order (what unigram can't do)."""
+    import math
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+        data_ops,
+    )
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "a b a b c d"),
+        (3, "b a b a b a"),  # same tokens as 1, reversed order
+        (4, "c d c d"),
+        (5, "x"),  # too short for a bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r["doc_id"]: r
+            for r in data_ops.bigram_fluency_documents(spark, td).collect()
+        }
+
+    # python reference
+    toks = {i: t.lower().split() for i, t in rows}
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    for v in toks.values():
+        for w in v:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(v, v[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    V = len(uni)
+    for i, v in toks.items():
+        ps = [
+            math.floor((big[(a, b)] + 1) / (uni[a] + V) * 1e12)
+            for a, b in zip(v, v[1:])
+        ]
+        assert got[i]["n_bigrams"] == len(ps)
+        if ps:
+            assert math.isclose(
+                got[i]["fluency"], (sum(ps) / len(ps)) / 1e12, rel_tol=1e-12
+            )
+        else:
+            assert got[i]["fluency"] is None
+    # "a b" dominates the corpus: doc 1 ("a b a b a b") must outscore
+    # doc 3 (same tokens, order the corpus has seen less)
+    assert got[1]["fluency"] > got[3]["fluency"]

@@ -329,3 +329,46 @@ def test_line_dedup_single_window_no_self_join(spark, sf_dir):
     # reassembly join joins per-DOC aggregates, not exploded lines:
     # the only SortMergeJoin keys must be the doc id
     assert "md5" in plan
+
+
+def test_staged_text_stats_do_not_reexpand_tokenization(spark, sf_dir):
+    """The quality/repetition scorers stage their tokenize/n-gram
+    arrays as intermediate columns because lambda expressions sit
+    outside codegen common-subexpression elimination — textually
+    inlined fragments re-ran split() up to ~9x per row (6.7x slower at
+    sf0.1, BENCH r7). Guard: the optimized plan of each scorer contains
+    at most a few split() occurrences, not the blown-up inlined count."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.text import (
+        with_quality_score,
+        with_repetition_stats,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    for fn, cap in ((with_quality_score, 2), (with_repetition_stats, 2)):
+        optimized = fn(d)._jdf.queryExecution().optimizedPlan().toString()
+        n_split = optimized.count("split(")
+        assert 1 <= n_split <= cap, (fn.__name__, n_split)
+
+
+def test_llm_pipeline_scan_count_is_bounded(spark, sf_dir):
+    """llm_data_pipeline persists its fan-out frames; before that the
+    fully-lazy composition re-derived the corpus via 16 parquet scans
+    (77s at sf0.1). The cached plan reads the parquet at most a handful
+    of times — InMemoryRelation absorbs the fan-out."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.data_ops import (
+        llm_data_pipeline,
+    )
+
+    df = llm_data_pipeline(spark, sf_dir)
+    # NB: textual "Scan parquet" counting is unreliable here because
+    # InMemoryRelation/InMemoryTableScan nodes PRINT their cached child
+    # plans (parquet scans included) even though execution reads the
+    # cached blocks. The load-bearing assertion is that all three
+    # fan-out frames resolve to in-memory scans at all.
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("InMemoryRelation") >= 3, optimized[:2000]
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("InMemoryTableScan") >= 3, phys[:2000]
