@@ -72,13 +72,21 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 def _shingled_cached(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Persisted shingle sets for multi-consumer plans (self-join sides,
-    size lookups, signatures all reuse one computation). Spark's context
-    cleaner drops the cache once the DataFrame is unreachable; at
+    size lookups, signatures all reuse one computation), registered in
+    the bounded swap-cache (eng/cache.py): at most one live copy per
+    (id, text, n) call site, freed by ``release_caches`` — the same
+    lifecycle discipline as the mixture/fluency/pipeline caches. At
     cluster scale this is the standard MEMORY_AND_DISK working set —
     ~the corpus token footprint, spilling if it doesn't fit."""
     from pyspark import StorageLevel
 
-    return _shingled(df, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    from ..cache import swap_cache
+
+    return swap_cache(
+        f"dedup.shingled.{id_col}.{text_col}.{n}",
+        _shingled(df, id_col, text_col, n),
+        storage_level=StorageLevel.MEMORY_AND_DISK,
+    )
 
 
 def ngram_jaccard_pairs(

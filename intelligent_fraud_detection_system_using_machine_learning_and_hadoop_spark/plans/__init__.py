@@ -5,19 +5,19 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-7 rotation (VERDICT r6, "Next round" items 1 and 8): the 5
+Round-7 rotation (VERDICT r6, "Next round" items 1 and 8): the 6
 brand-new round-7 queries (exact-substring dedup, BM25 retrieval, PII
-scan/redaction, DSIR importance selection, bigram-LM fluency) and the
-7 oracled queries added in round 6 (local-gate green, never
-driver-attested) lead the window, back-filled to 50 with queries that
-already hold multiple driver-attested green rows. The 12 entries
-dropped to make room (count_distinct_having, rule_flags_orders,
-events_hourly, sessionize_events, dedup_exact_documents,
-ngram_jaccard_pairs, embedding_topk_cosine, embedding_cosine_dup,
-multimodal_meta — six green rows each, r1-r6 — plus
-exists_late_shipments, suppliers_by_region and
-shipmode_priority_counts, five green rows each) all stay covered by
-the local gate.
+scan/redaction, DSIR importance selection, bigram-LM fluency,
+streaming PII scrub) and the 7 oracled queries added in round 6
+(local-gate green, never driver-attested) lead the window, back-filled
+to 50 with queries that already hold multiple driver-attested green
+rows. The 13 entries dropped to make room (count_distinct_having,
+rule_flags_orders, events_hourly, sessionize_events,
+dedup_exact_documents, ngram_jaccard_pairs, embedding_topk_cosine,
+embedding_cosine_dup, multimodal_meta — six green rows each, r1-r6 —
+plus exists_late_shipments, suppliers_by_region,
+shipmode_priority_counts and promo_revenue_ratio, five green rows
+each) all stay covered by the local gate.
 After this round every oracled query in the registry has at least one
 driver-attested row. Queries outside the window keep pytest +
 local-gate (tools/check_oracle.py) coverage; registry content is
@@ -38,6 +38,7 @@ _DRIVER_WINDOW = [
     "pii_scan_documents",
     "dsir_select_documents",
     "bigram_fluency_documents",
+    "streaming_pii_scan",
     # --- the 7 round-6 oracled queries never attested by the driver ---
     "temperature_mix_lang",
     "quality_funnel_documents",
@@ -59,7 +60,6 @@ _DRIVER_WINDOW = [
     "interval_overlap_purchase_error",
     "cogroup_purchase_error_stats",
     # --- backfill: multiply-attested green queries ---
-    "promo_revenue_ratio",
     "min_price_supplier_per_part",
     "small_qty_order_revenue",
     "exclusive_late_suppliers",

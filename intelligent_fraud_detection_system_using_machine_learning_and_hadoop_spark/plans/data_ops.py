@@ -531,15 +531,23 @@ _SQL_LANG_CASE = """
     bench=True,
 )
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation pipeline in ONE lazy plan: quality filter →
-    exact near-dup removal (keep min id) → language ID → per-language
-    doc + BPE-token budget. The shape every pretraining-data pipeline
-    runs nightly; here it is filter + digest-groupBy + semi-join +
-    map — two shuffles total, all JVM-side."""
+    """End-to-end curation pipeline: quality filter → exact near-dup
+    removal (keep min id) → language ID → per-language doc + BPE-token
+    budget. The shape every pretraining-data pipeline runs nightly;
+    filter + digest-groupBy + semi-join + map — two shuffles total, all
+    JVM-side. The filtered survivors feed TWO consumers (the dedup
+    keep-set and the kept rows), so they are persisted through the
+    bounded swap-cache — same fan-out discipline as
+    ``llm_data_pipeline``, one corpus scan instead of two."""
     from ..operators.text import bpe_token_count
 
     d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
-    filtered = with_quality_score(d).where(F.col("quality_score") >= 0.5)
+    filtered = _swap_cache(
+        "corpus_curation.filtered",
+        with_quality_score(d)
+        .where(F.col("quality_score") >= 0.5)
+        .select("doc_id", "text"),
+    )
     keep = (
         filtered.select(
             F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("cmd5"),
@@ -1889,10 +1897,15 @@ def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure regexp column expressions in one whole-stage-codegen
     projection — a linear zero-shuffle map."""
-    from ..operators.pii import with_pii_scan
-
     d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
-    txt = F.concat(
+    return pii_scan_frame(d)
+
+
+def pii_injected_text():
+    """Deterministic synthetic-PII injection expression (doc_id-keyed;
+    see ``pii_scan_documents``). Shared by the batch query and the
+    streaming scrubber so both attest against the same oracle."""
+    return F.concat(
         F.col("text"),
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -1915,7 +1928,16 @@ def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ""
         ),
     )
-    scanned = with_pii_scan(d.select("doc_id", txt.alias("txt")), text_col="txt")
+
+
+def pii_scan_frame(d: DataFrame) -> DataFrame:
+    """Injection + scan + redaction projection over a documents frame
+    (batch OR streaming — the plan is a stateless map either way)."""
+    from ..operators.pii import with_pii_scan
+
+    scanned = with_pii_scan(
+        d.select("doc_id", pii_injected_text().alias("txt")), text_col="txt"
+    )
     return scanned.select(
         "doc_id", "n_email", "n_ipv4", "n_phone", "n_card", "has_pii", "redacted"
     )
@@ -2092,3 +2114,15 @@ def bigram_fluency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e12)
         ).alias("fluency"),
     )
+
+
+@query("streaming_pii_scan", oracle=_pii_oracle_sql())
+def streaming_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII scrub as an incremental streaming job
+    (streaming/jobs.py::stream_pii_redact): stateless append-mode map
+    over a documents file stream, availableNow over static input —
+    must equal the batch `pii_scan_documents` exactly, so it shares
+    that query's oracle."""
+    from ..streaming.jobs import stream_pii_redact
+
+    return stream_pii_redact(spark, sf_dir)

@@ -697,3 +697,33 @@ def stream_topk_trending(
         .withColumn("rnk", F.row_number().over(rank_w).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous PII scrubbing over a documents file stream: the
+    batch injection+scan+redaction projection (plans/data_ops.py::
+    pii_scan_frame) run incrementally — a STATELESS per-batch map, so
+    append mode needs no watermark and holds no state; new corpus
+    shards are scrubbed as they land, which is how a continuous-ingest
+    pipeline runs the scrub in production. Over static input with an
+    availableNow trigger the result must equal the batch answer
+    exactly, so the query shares the batch oracle byte-for-byte."""
+    from ..plans.data_ops import pii_scan_frame
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = pii_scan_frame(stream)
+    name = f"pii_redact_sink_{next(_sink_ids)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
