@@ -129,11 +129,16 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         from pyspark import StorageLevel
 
+        from ..cache import swap_cache
+
         # the posting map feeds three consumers (hot set, pair expand —
         # and the hot set again under each size join); persist it so the
         # groupBy-shingle shuffle runs ONCE (same working-set contract
-        # as _shingled_cached).
-        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+        # as _shingled_cached; bounded via swap_cache).
+        posts = swap_cache(
+            "dedup.jaccard.posts", posts,
+            storage_level=StorageLevel.MEMORY_AND_DISK,
+        )
         # hot set as a broadcast 1-row array (usually empty): sizes use
         # array_except so the denominator shrinks consistently with the
         # dropped intersections — Jaccard over the filtered vocabulary.
@@ -143,10 +148,12 @@ def ngram_jaccard_pairs(
         # persisted: the filtered-size map (array_except over every
         # doc's shingle set) feeds both join sides — one row per doc,
         # computed once.
-        sizes = (
-            s.crossJoin(F.broadcast(hot))
-            .select("_id", F.size(F.array_except("_sh", "_hot")).alias("_n"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = swap_cache(
+            "dedup.jaccard.sizes",
+            s.crossJoin(F.broadcast(hot)).select(
+                "_id", F.size(F.array_except("_sh", "_hot")).alias("_n")
+            ),
+            storage_level=StorageLevel.MEMORY_AND_DISK,
         )
         posts = posts.where(F.size("_ids") <= max_df)
     else:

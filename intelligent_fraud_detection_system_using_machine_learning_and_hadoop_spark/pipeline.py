@@ -83,8 +83,18 @@ def score(
     row_key = "_row_id"
     # persist after assigning row ids: the id column is evaluated by two
     # consumers (feature branch + join-back) and must not be recomputed
-    # under a different partition layout
-    flagged = flagged.withColumn(row_key, F.monotonically_increasing_id()).persist()
+    # under a different partition layout. Registered in the bounded
+    # swap-cache: the input frame differs per call, so a bare persist
+    # would accumulate one cache per scoring run. Contract: consume the
+    # returned frame before scoring the NEXT batch — starting another
+    # run swaps this cache out (the same guarantee a plain persist
+    # gives under LRU eviction, stated explicitly).
+    from .cache import swap_cache
+
+    flagged = swap_cache(
+        "pipeline.score.flagged",
+        flagged.withColumn(row_key, F.monotonically_increasing_id()),
+    )
 
     if scorer == "autoencoder":
         pre = load_preprocessor(os.path.join(model_dir, "preprocessor"))
