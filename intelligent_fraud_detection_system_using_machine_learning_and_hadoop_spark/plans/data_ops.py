@@ -2216,3 +2216,36 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(column_name, n_rows, n_nulls, n_distinct, min_numeric, max_numeric)"
         )
     )
+
+
+@query("hll_distinct_events")
+def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users three ways: exact countDistinct,
+    a DataSketches HLL estimate, and the estimate's relative error —
+    the approximate-distinct sketch family alongside the CMS heavy
+    hitters (plans/func_ops.py). Rows-only per the driver contract:
+    DuckDB's approx_count_distinct is a different algorithm, so there
+    is no portable SQL twin; the error bound AND sketch mergeability
+    (union of per-group sketches == whole-table sketch — the property
+    that lets 1000 executors sketch independently and merge tiny
+    states instead of shuffling raw user ids) are pinned by
+    tests/test_r7_properties.py::test_hll_sketches_merge_and_bound.
+
+    Scale: the HLL path shuffles ONE ~1.5 KB sketch per group instead
+    of every distinct user id — at 100 TB that is the difference
+    between a metadata-sized exchange and a multi-TB one; exact
+    countDistinct rides the same aggregation for the comparison."""
+    e = read_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_users_hll"),
+    )
+    return per.select(
+        "event_type",
+        "n_users_exact",
+        F.col("n_users_hll").cast("long").alias("n_users_hll"),
+        (
+            F.abs(F.col("n_users_hll") - F.col("n_users_exact")).cast("double")
+            / F.col("n_users_exact").cast("double")
+        ).alias("rel_err"),
+    ).orderBy("event_type")
