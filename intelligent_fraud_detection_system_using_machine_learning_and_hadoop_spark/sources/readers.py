@@ -111,3 +111,57 @@ def read_claims_json(
     CSV reader; schema-declared so no inference pass — on JSON an
     inference pass is a full extra read of the data)."""
     return spark.read.schema(schema).option("dateFormat", "yyyy-MM-dd").json(path)
+
+
+def read_binary_assets(spark: SparkSession, path: str, glob: str | None = None):
+    """Directory of raw files → asset frame via Spark's built-in
+    ``binaryFile`` source: one row per file with the bytes as a
+    ``binary`` column — the standard ingestion path for image/audio/
+    video corpora (multimodal columns are opaque bytes + typed
+    metadata; SURVEY §2 multimodal family). Emits
+    (asset_id, uri, modality, content, mime):
+
+    * asset_id — first 8 md5 hex chars of the uri as a BIGINT
+      (engine-portable, stable across re-scans; same arithmetic as
+      operators/packing.md5_bucket),
+    * modality/mime — guessed from the file extension (opaque bytes
+      otherwise),
+    * content — the raw bytes, ready for
+      operators/multimodal.decode_assets / with_binary_meta.
+
+    Scale: binaryFile is a real FileFormat — partition planning,
+    ``pathGlobFilter`` pruning and ``maxPartitionBytes`` packing all
+    apply, so a billion-file corpus scans like any other source (the
+    driver never lists bytes; executors read their own splits).
+    """
+    from pyspark.sql import functions as F
+
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    modality = (
+        F.when(ext.isin("png", "gif", "jpg", "jpeg", "bmp"), "image")
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+        .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+        .otherwise("binary")
+    )
+    mime = (
+        F.when(ext == "png", "image/png")
+        .when(ext.isin("jpg", "jpeg"), "image/jpeg")
+        .when(ext == "gif", "image/gif")
+        .when(ext == "bmp", "image/bmp")
+        .when(ext == "wav", "audio/wav")
+        .when(ext == "mp4", "video/mp4")
+        .otherwise("application/octet-stream")
+    )
+    return df.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("asset_id"),
+        F.col("path").alias("uri"),
+        modality.alias("modality"),
+        F.col("content"),
+        mime.alias("mime"),
+    )

@@ -219,3 +219,39 @@ def test_real_codec_requires_pil_when_absent():
         pytest.skip("PIL installed — gate is exercised by the PIL test")
     with pytest.raises(NotImplementedError):
         decode_assets(None, real_codec=True)
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    """Directory-of-files ingestion: the binaryFile source reads raw
+    image/text files as binary rows, and the multimodal decode path
+    recovers REAL dims from the PNG header while text bytes fall back
+    to the deterministic stub — end-to-end from filesystem to typed
+    metadata."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.multimodal import (
+        decode_assets,
+        decode_image_stub,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_binary_assets,
+    )
+
+    png = _tiny_png(21, 13)
+    (tmp_path / "img.png").write_bytes(png)
+    (tmp_path / "note.txt").write_text("just text")
+    assets = read_binary_assets(spark, str(tmp_path))
+    rows = {r["uri"].rsplit("/", 1)[-1]: r for r in assets.collect()}
+    assert rows["img.png"]["modality"] == "image"
+    assert rows["img.png"]["mime"] == "image/png"
+    assert rows["note.txt"]["modality"] == "binary"
+    assert len(set(r["asset_id"] for r in rows.values())) == 2
+
+    decoded = {
+        r["asset_id"]: (r["width"], r["height"])
+        for r in decode_assets(assets).collect()
+    }
+    assert decoded[rows["img.png"]["asset_id"]] == (21, 13)
+    assert decoded[rows["note.txt"]["asset_id"]] == decode_image_stub(b"just text")
+
+    # pathGlobFilter prunes at planning time
+    only_png = read_binary_assets(spark, str(tmp_path), glob="*.png")
+    assert only_png.count() == 1
