@@ -558,15 +558,17 @@ def exact_substring_dup(
     Scale shape: grams are built map-side from per-row token arrays
     (sequence → slice → concat_ws, zero shuffle) and travel as md5
     digests — 32 bytes regardless of L. One shuffle keys (digest) for
-    the global occurrence count, re-joined to the gram stream (the
-    standard posting-list join; for corpora with pathological hot grams
-    — one boilerplate line re-pasted millions of times — apply the same
-    hot-key split as ``ngram_jaccard_pairs``); the remaining shuffles
-    all key by ``id_col`` (per-doc rollup + gaps-and-islands run
-    detection on the SAME key, so AQE coalesces them onto one
-    exchange). Never materializes a suffix array: the corpus-wide sort
-    the suffix array needs is replaced by the digest aggregation, which
-    is what a 1000-executor cluster can actually do on 100 TB.
+    the global occurrence count, re-joined to the gram stream as a
+    posting-list join WITH a hot-key split: the ``hot_h`` most frequent
+    digests (a boilerplate line re-pasted millions of times) join
+    broadcast-side and never shuffle — the same discipline as
+    ``ngram_jaccard_pairs``' hot-shingle split and the fluency
+    scorers' Zipf heads. The remaining shuffles all key by ``id_col``
+    (per-doc rollup + gaps-and-islands run detection on the SAME key,
+    so AQE coalesces them onto one exchange). Never materializes a
+    suffix array: the corpus-wide sort the suffix array needs is
+    replaced by the digest aggregation, which is what a 1000-executor
+    cluster can actually do on 100 TB.
     """
     from .text import tokens
 
@@ -589,8 +591,22 @@ def exact_substring_dup(
         ).alias("_p0", "digest"),
     ).select("_id", (F.col("_p0") + 1).alias("pos"), "digest")
     counts = grams.groupBy("digest").agg(F.count(F.lit(1)).alias("_total"))
-    flagged = grams.join(counts, "digest").select(
+    # hot-key split: the most frequent digests join broadcast-side
+    hot_h = 256
+    hot = counts.orderBy(F.desc("_total"), F.asc("digest")).limit(hot_h)
+    flagged_hot = grams.join(F.broadcast(hot), "digest").select(
         "_id", "pos", (F.col("_total") >= 2).alias("dup")
+    )
+    cold_grams = grams.join(
+        F.broadcast(hot.select("digest")), "digest", "left_anti"
+    )
+    cold_counts = counts.join(
+        F.broadcast(hot.select("digest")), "digest", "left_anti"
+    )
+    flagged = flagged_hot.unionByName(
+        cold_grams.join(cold_counts, "digest").select(
+            "_id", "pos", (F.col("_total") >= 2).alias("dup")
+        )
     )
     per_doc = flagged.groupBy("_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
