@@ -314,3 +314,44 @@ def compression_quality(
             "compression_ratio double"
         ),
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    step a multilingual corpus runs before dedup/hashing, since the
+    same visible text can arrive as composed or combining-sequence
+    codepoints and would otherwise hash differently. Spark has no
+    built-in normalizer, so this is an Arrow ``mapInPandas`` pass over
+    ``unicodedata`` (stdlib; NFC is a standard, so the result is
+    byte-identical to any conforming engine — the oracle uses DuckDB's
+    ``nfc_normalize``). Zero shuffles: a linear per-row map, same
+    plumbing as ``compression_quality``."""
+    import unicodedata
+    from typing import Iterator
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    text_col: pdf[text_col],
+                    "normalized": [
+                        unicodedata.normalize(form, t) if t is not None else None
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} long, {text_col} string, normalized string"
+    )

@@ -5,19 +5,20 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-7 rotation (VERDICT r6, "Next round" items 1 and 8): the 7
+Round-7 rotation (VERDICT r6, "Next round" items 1 and 8): the 8
 brand-new round-7 queries (exact-substring dedup, BM25 retrieval, PII
 scan/redaction, DSIR importance selection, bigram-LM fluency,
-streaming PII scrub, single-pass column profiler) and the 7 oracled
-queries added in round 6 (local-gate green, never driver-attested)
-lead the window, back-filled to 50 with queries that already hold
-multiple driver-attested green rows. The 14 entries dropped to make
-room (count_distinct_having, rule_flags_orders, events_hourly,
-sessionize_events, dedup_exact_documents, ngram_jaccard_pairs,
-embedding_topk_cosine, embedding_cosine_dup, multimodal_meta — six
-green rows each, r1-r6 — plus exists_late_shipments,
-suppliers_by_region, shipmode_priority_counts, promo_revenue_ratio
-and scalar_stats_global, five green rows each) all stay covered by
+streaming PII scrub, single-pass column profiler, unicode NFC
+normalization) and the 7 oracled queries added in round 6 (local-gate
+green, never driver-attested) lead the window, back-filled to 50 with
+queries that already hold multiple driver-attested green rows. The 15
+entries dropped to make room (count_distinct_having,
+rule_flags_orders, events_hourly, sessionize_events,
+dedup_exact_documents, ngram_jaccard_pairs, embedding_topk_cosine,
+embedding_cosine_dup, multimodal_meta — six green rows each, r1-r6 —
+plus exists_late_shipments, suppliers_by_region,
+shipmode_priority_counts, promo_revenue_ratio, scalar_stats_global
+and window_funcs_orders, five green rows each) all stay covered by
 the local gate.
 After this round every oracled query in the registry has at least one
 driver-attested row. Queries outside the window keep pytest +
@@ -41,6 +42,7 @@ _DRIVER_WINDOW = [
     "bigram_fluency_documents",
     "streaming_pii_scan",
     "profile_orders",
+    "unicode_normalize_documents",
     # --- the 7 round-6 oracled queries never attested by the driver ---
     "temperature_mix_lang",
     "quality_funnel_documents",
@@ -79,7 +81,6 @@ _DRIVER_WINDOW = [
     "llm_data_pipeline",
     "epoch_shuffle_documents",
     "streaming_static_enrich",
-    "window_funcs_orders",
     "semi_anti_join_customers",
     "doc_text_analysis",
     "corpus_curation",

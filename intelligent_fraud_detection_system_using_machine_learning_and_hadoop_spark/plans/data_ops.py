@@ -2249,3 +2249,50 @@ def hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_users_exact").cast("double")
         ).alias("rel_err"),
     ).orderBy("event_type")
+
+
+@query(
+    "unicode_normalize_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0
+                          THEN ' caf' || chr(101) || chr(769)
+                          ELSE ' plain' END AS txt
+      FROM documents),
+    n AS (SELECT doc_id, txt, nfc_normalize(txt) AS norm FROM t)
+    SELECT doc_id,
+           norm <> txt AS changed,
+           CAST(strlen(txt) AS BIGINT) AS bytes_before,
+           CAST(strlen(norm) AS BIGINT) AS bytes_after,
+           md5(norm) AS norm_md5
+    FROM n
+    """,
+)
+def unicode_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/text.py::
+    normalize_unicode): the corpus-cleaning step that makes composed
+    ('é') and combining-sequence ('e' + U+0301) text hash identically
+    before dedup. The ASCII testdata is already normal, so ids ≡0 mod 2
+    gain a combining sequence deterministically — the oracle (DuckDB
+    ``nfc_normalize``) then attests byte-exact normalization on both
+    the changed and unchanged paths via md5 + byte lengths."""
+    from ..operators.text import normalize_unicode
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    txt = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" café")).otherwise(
+            F.lit(" plain")
+        ),
+    )
+    n = normalize_unicode(
+        d.select("doc_id", txt.alias("txt")), text_col="txt"
+    )
+    return n.select(
+        "doc_id",
+        (F.col("normalized") != F.col("txt")).alias("changed"),
+        F.octet_length("txt").cast("long").alias("bytes_before"),
+        F.octet_length("normalized").cast("long").alias("bytes_after"),
+        F.md5("normalized").alias("norm_md5"),
+    )

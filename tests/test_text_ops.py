@@ -149,3 +149,31 @@ def test_cms_token_counts_bound_exact_counts(spark, sf_dir):
         for t, _ in sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     }
     assert true_top10 <= set(est), true_top10 - set(est)
+
+
+def test_normalize_unicode_forms_and_nulls(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.text import (
+        normalize_unicode,
+    )
+    import pytest
+    import unicodedata
+
+    combining = "café x"  # e + U+0301
+    composed = "café x"
+    df = spark.createDataFrame(
+        [(1, combining), (2, composed), (3, None), (4, "plain")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["normalized"] for r in normalize_unicode(df).collect()}
+    assert got[1] == composed  # NFC composes the sequence
+    assert got[2] == composed  # already-normal text is unchanged
+    assert got[3] is None
+    assert got[4] == "plain"
+    # NFD decomposes back
+    gotd = {
+        r["doc_id"]: r["normalized"]
+        for r in normalize_unicode(df, form="NFD").collect()
+    }
+    assert gotd[2] == unicodedata.normalize("NFD", composed)
+    with pytest.raises(ValueError):
+        normalize_unicode(df, form="NFX")
