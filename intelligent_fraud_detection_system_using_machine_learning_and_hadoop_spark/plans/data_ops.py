@@ -2296,3 +2296,46 @@ def unicode_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("normalized").cast("long").alias("bytes_after"),
         F.md5("normalized").alias("norm_md5"),
     )
+
+
+@query("approx_quantiles_lineitem")
+def approx_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch vs exact quantiles, per return flag: Spark's
+    ``percentile_approx`` (Greenwald-Khanna sketch — mergeable bounded
+    state, the third sketch family next to the CMS heavy hitters and
+    the HLL distinct counts) against the exact ``percentile`` on the
+    same aggregation, with per-quantile relative error. Rows-only per
+    the driver contract (the sketch's outputs are
+    implementation-specific); the error bound is pinned by
+    tests/test_r7_properties.py::test_approx_quantiles_bound.
+
+    Scale: the exact percentile needs the full sorted value set per
+    group; the GK sketch holds O(1/ε) state per group and merges
+    map-side — at 100 TB the sketch is the only viable plan, and this
+    query quantifies exactly what that buys and costs."""
+    li = read_table(spark, sf_dir, "lineitem")
+    qs = [0.5, 0.95, 0.99]
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile(l_extendedprice, array({', '.join(map(str, qs))}))"
+        ).alias("exact"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(*[F.lit(q) for q in qs]), F.lit(10000)
+        ).alias("approx"),
+    )
+    cols = ["l_returnflag"]
+    out = agg
+    for i, q in enumerate(qs):
+        tag = str(q).replace("0.", "p")
+        out = out.withColumns(
+            {
+                f"{tag}_exact": F.col("exact")[i],
+                f"{tag}_approx": F.col("approx")[i].cast("double"),
+                f"{tag}_rel_err": (
+                    F.abs(F.col("approx")[i] - F.col("exact")[i])
+                    / F.abs(F.col("exact")[i])
+                ),
+            }
+        )
+        cols += [f"{tag}_exact", f"{tag}_approx", f"{tag}_rel_err"]
+    return out.select(*cols).orderBy("l_returnflag")

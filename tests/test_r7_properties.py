@@ -159,3 +159,17 @@ def test_hll_sketches_merge_and_bound(spark, sf_dir):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
     ).first()["est"]
     assert merged == whole
+
+
+def test_approx_quantiles_bound(spark, sf_dir):
+    """The GK quantile sketch at accuracy 10000 stays within 1% of the
+    exact per-group quantiles on the testdata."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.data_ops import (
+        approx_quantiles_lineitem,
+    )
+
+    rows = approx_quantiles_lineitem(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for tag in ("p5", "p95", "p99"):
+            assert r[f"{tag}_rel_err"] <= 0.01, (r["l_returnflag"], tag)
