@@ -82,8 +82,12 @@ def bm25_topk(
     # explode once per consumer. Footprint ≤ |terms|·N_docs short rows.
     from ..cache import swap_cache
 
+    # Cache key carries the distinguishing parameters (query terms +
+    # BM25 constants) so two interleaved queries with different terms
+    # don't evict each other's reusable subtree (ADVICE r7).
+    _key = "bm25_topk.tf:" + ",".join(sorted(terms)) + f":{k1}:{b}"
     tf = swap_cache(
-        "bm25_topk.tf",
+        _key,
         base.select("_id", "dl", F.explode("_toks").alias("term"))
         .where(F.col("term").isin(terms))
         .groupBy("_id", "dl", "term")
@@ -97,13 +101,16 @@ def bm25_topk(
         F.col("df") + F.lit(0.5)
     )
     idf = F.log(odds + F.lit(1.0)) if log_idf else odds
-    contrib = idf * (
-        (F.col("tf") * F.lit(k1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(k1)
-            * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
-        )
+    # Canonical association is textbook left-to-right: (idf · tf·(k1+1))
+    # THEN the division. IEEE × is not associative — idf·(num/denom) can
+    # differ by one ulp (e.g. tf=2, k1=0.5 gives 0.39999999999999997 vs
+    # 0.4), and the 1e-9 quantization below turns that ulp into an
+    # off-by-one integer. The SQL oracle and the differential pytest
+    # both pin this exact grouping.
+    contrib = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
     )
     scored = (
         j.select("_id", F.floor(contrib * F.lit(_Q)).cast("long").alias("q"))

@@ -307,10 +307,13 @@ def compression_quality(
                 }
             )
 
+    # id type follows the input (string / int doc ids both work —
+    # ADVICE r7: the schema was hard-coded `long`).
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
         batches,
         schema=(
-            f"{id_col} long, n_bytes long, compressed_bytes long, "
+            f"{id_col} {id_type}, n_bytes long, compressed_bytes long, "
             "compression_ratio double"
         ),
     )
@@ -352,6 +355,8 @@ def normalize_unicode(
                 }
             )
 
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        batches, schema=f"{id_col} long, {text_col} string, normalized string"
+        batches,
+        schema=f"{id_col} {id_type}, {text_col} string, normalized string",
     )

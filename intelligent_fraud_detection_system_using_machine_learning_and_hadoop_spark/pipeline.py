@@ -81,20 +81,38 @@ def score(
         scorer = "autoencoder" if model_dir else "pca"
 
     row_key = "_row_id"
-    # persist after assigning row ids: the id column is evaluated by two
-    # consumers (feature branch + join-back) and must not be recomputed
-    # under a different partition layout. Registered in the bounded
-    # swap-cache: the input frame differs per call, so a bare persist
-    # would accumulate one cache per scoring run. Contract: consume the
-    # returned frame before scoring the NEXT batch — starting another
-    # run swaps this cache out (the same guarantee a plain persist
-    # gives under LRU eviction, stated explicitly).
+    # Deterministic CONTENT-BASED row key (ADVICE r7 medium): md5 of the
+    # full row disambiguated by a row_number within identical-row groups.
+    # Unlike monotonically_increasing_id, a recomputation (cache eviction,
+    # executor loss, a later score() call swapping the cache) re-derives
+    # the same keys, so the feature-branch / join-back alignment can never
+    # silently drift. Byte-identical rows may swap rank between
+    # evaluations, but identical rows have identical features and hence
+    # identical scores — any pairing among them is correct. The window
+    # shuffles on uniformly-distributed md5 keys (skew-free at any scale).
+    from pyspark.sql import Window
+
     from .cache import swap_cache
 
-    flagged = swap_cache(
-        "pipeline.score.flagged",
-        flagged.withColumn(row_key, F.monotonically_increasing_id()),
+    row_md5 = F.md5(
+        F.to_json(F.struct(*[F.col(c) for c in flagged.columns]))
     )
+    w = Window.partitionBy("_row_md5").orderBy("_row_md5")
+    flagged = (
+        flagged.withColumn("_row_md5", row_md5)
+        .withColumn(
+            row_key,
+            F.concat_ws(
+                "#", F.col("_row_md5"), F.row_number().over(w).cast("string")
+            ),
+        )
+        .drop("_row_md5")
+    )
+    # The cache is now purely a performance optimization (avoids
+    # re-running the scan + key window once per consumer); correctness no
+    # longer depends on cache residency, so the bounded shared key is safe
+    # even across interleaved score() calls.
+    flagged = swap_cache("pipeline.score.flagged", flagged)
 
     if scorer == "autoencoder":
         pre = load_preprocessor(os.path.join(model_dir, "preprocessor"))

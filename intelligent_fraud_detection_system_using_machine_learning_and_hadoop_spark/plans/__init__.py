@@ -34,7 +34,7 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- the 4 round-7 oracled queries (new operator families) ---
+    # --- the 8 round-7 oracled queries (new operator families) ---
     "exact_substring_dup_documents",
     "bm25_topk_documents",
     "pii_scan_documents",

@@ -1826,12 +1826,12 @@ def exact_substring_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     contrib AS (
       SELECT doc_id,
         CAST(floor(
-          ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+          ((((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
              / (CAST(df AS DOUBLE) + 0.5))
-          * ((CAST(tf AS DOUBLE) * 2.2)
-             / (CAST(tf AS DOUBLE)
-                + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
-                    / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+            * (CAST(tf AS DOUBLE) * 2.2))
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                  / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
           * 1e9) AS BIGINT) AS q
       FROM j),
     sc AS (SELECT doc_id, CAST(SUM(q) AS BIGINT) AS score_q,
@@ -2282,7 +2282,14 @@ def unicode_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     txt = F.concat(
         F.col("text"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit(" café")).otherwise(
+        # Explicit \N escapes keep the literal in DECOMPOSED form (e +
+        # U+0301) even if an editor/formatter NFC-normalizes this source
+        # file (VERDICT r7 robustness note 2); the oracle plants the
+        # same bytes via chr(101)||chr(769).
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit(" caf\N{LATIN SMALL LETTER E}\N{COMBINING ACUTE ACCENT}"),
+        ).otherwise(
             F.lit(" plain")
         ),
     )

@@ -121,9 +121,10 @@ def read_binary_assets(spark: SparkSession, path: str, glob: str | None = None):
     metadata; SURVEY §2 multimodal family). Emits
     (asset_id, uri, modality, content, mime):
 
-    * asset_id — first 8 md5 hex chars of the uri as a BIGINT
-      (engine-portable, stable across re-scans; same arithmetic as
-      operators/packing.md5_bucket),
+    * asset_id — first 15 md5 hex chars of the uri as a BIGINT (60
+      bits: birthday-collision odds stay below ~0.05% at a billion
+      files, vs ~50% at 77k files for the old 32-bit prefix — ADVICE
+      r7; ``uri`` remains the true primary key),
     * modality/mime — guessed from the file extension (opaque bytes
       otherwise),
     * content — the raw bytes, ready for
@@ -157,7 +158,7 @@ def read_binary_assets(spark: SparkSession, path: str, glob: str | None = None):
         .otherwise("application/octet-stream")
     )
     return df.select(
-        F.conv(F.substring(F.md5(F.col("path")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
         .cast("long")
         .alias("asset_id"),
         F.col("path").alias("uri"),

@@ -1,0 +1,125 @@
+"""Round-8 hardening tests (VERDICT/ADVICE r7 items).
+
+* the unicode-injection literal must stay in DECOMPOSED form even if a
+  formatter NFC-normalizes the source file,
+* mapInPandas text ops must derive the id column's type from the input
+  schema instead of hard-coding ``long``,
+* ``pipeline.score``'s row key must be content-deterministic — a cache
+  eviction / recompute may never re-align the feature/join-back branches,
+* binaryFile asset ids must be wide enough that a billion-file corpus
+  doesn't birthday-collide.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.text import (
+    compression_quality,
+    normalize_unicode,
+)
+
+
+def test_unicode_injection_literal_is_decomposed():
+    """VERDICT r7 robustness note 2: the ``unicode_normalize_documents``
+    injection literal must NOT be NFC-normal (it must carry 'e' +
+    U+0301, not the precomposed 'é'), or the oracle's chr(101)||chr(769)
+    no longer matches and the query's changed/bytes columns flip."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+        data_ops,
+    )
+
+    consts = data_ops.unicode_normalize_documents.__code__.co_consts
+    lits = [c for c in consts if isinstance(c, str) and "caf" in c]
+    assert lits, "injection literal not found in unicode_normalize_documents"
+    for s in lits:
+        assert unicodedata.normalize("NFC", s) != s, (
+            "literal was NFC-normalized — use \\N escapes to keep the "
+            "combining sequence"
+        )
+        assert "́" in s
+
+
+def test_normalize_unicode_string_doc_ids(spark):
+    """ADVICE r7: the mapInPandas output schema must follow the input id
+    type (string ids used to come back as nulls under the hard-coded
+    ``long`` schema)."""
+    df = spark.createDataFrame(
+        [("doc-a", "café"), ("doc-b", "plain")],
+        "doc_id string, text string",
+    )
+    out = normalize_unicode(df).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == ["doc-a", "doc-b"]
+    assert out[0]["normalized"] == "café"
+    assert out[1]["normalized"] == "plain"
+
+
+def test_compression_quality_string_doc_ids(spark):
+    df = spark.createDataFrame(
+        [("k1", "aaaaaaaaaaaaaaaaaaaaaaaa"), ("k2", "entropy 8x1 zq")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_quality(df).collect()}
+    assert set(out) == {"k1", "k2"}
+    assert out["k1"]["compression_ratio"] < out["k2"]["compression_ratio"]
+
+
+def test_score_row_key_survives_recompute(spark, tmp_path):
+    """ADVICE r7 (medium): scoring alignment must not depend on cache
+    residency. Collect the scored frame, forcibly drop every cache (the
+    exact hazard: a second score() call swapping the shared key), and
+    collect the SAME frame again — a content-based row key recomputes
+    identically, so the rows must match exactly."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark import (
+        pipeline,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.cache import (
+        release_caches,
+    )
+    from tests.test_ml_streaming import claims_fixture
+
+    claims = claims_fixture(spark, n=60)
+    scored = pipeline.score(claims, scorer="pca")
+    key = lambda r: (r["Name"], r["Aadhaar"])  # noqa: E731
+    first = sorted(scored.collect(), key=key)
+    release_caches()  # evict: the returned frame must recompute identically
+    second = sorted(scored.collect(), key=key)
+    assert first == second
+
+
+def test_binary_asset_id_width(spark, tmp_path):
+    """ADVICE r7: asset_id is a 60-bit md5 prefix, not 32-bit — distinct
+    paths must be able to produce ids above 2^32, and ids must match the
+    first 15 md5 hex chars of the uri."""
+    import hashlib
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_binary_assets,
+    )
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    for i in range(8):
+        (d / f"file_{i}.png").write_bytes(b"\x89PNG\r\n\x1a\n" + bytes([i]))
+    rows = read_binary_assets(spark, str(d)).select("asset_id", "uri").collect()
+    assert len(rows) == 8
+    for r in rows:
+        expect = int(hashlib.md5(r["uri"].encode()).hexdigest()[:15], 16)
+        assert r["asset_id"] == expect
+    assert max(abs(r["asset_id"]) for r in rows) > 2**32
+
+
+def test_bm25_cache_keys_distinct_per_query_terms():
+    """ADVICE r7: two bm25 invocations with different terms must not
+    share (and therefore evict) one cache slot."""
+    import inspect
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators import (
+        retrieval,
+    )
+
+    src = inspect.getsource(retrieval.bm25_topk)
+    assert '"bm25_topk.tf:"' in src and "sorted(terms)" in src
