@@ -37,8 +37,16 @@ from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the reference's full
     fraud-scoring pipeline (4 rules + verdict combination) over orders."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.cache import (
+        release_caches,
+    )
+
     orders = read_table(spark, "/root/testdata/sf0.001", "orders")
     scored = score_claims(orders, ORDERS_RULES)
+    # long-lived-session hygiene: drop any swap-cache registrations made
+    # during plan construction (the returned plan recomputes them
+    # correctly — row keys are content-deterministic since r8)
+    release_caches()
     return scored.select(
         "o_orderkey",
         "o_custkey",

@@ -1840,6 +1840,7 @@ def exact_substring_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT doc_id, CAST(score_q AS DOUBLE) / 1e9 AS score, n_hit_terms
     FROM sc ORDER BY score_q DESC, doc_id LIMIT 15
     """,
+    bench=True,
 )
 def bm25_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-15 for the query {{spark, vector, hash, stream, merge}}
@@ -1884,7 +1885,7 @@ def _pii_oracle_sql() -> str:
     )
 
 
-@query("pii_scan_documents", oracle=_pii_oracle_sql())
+@query("pii_scan_documents", oracle=_pii_oracle_sql(), bench=True)
 def pii_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction (operators/pii.py::with_pii_scan):
     per-kind occurrence counts (email / IPv4 / phone / 16-digit card),
@@ -1987,6 +1988,7 @@ _SQL_TOK_U32 = """
            CAST(score_q AS DOUBLE) / 1e6 AS score
     FROM sc ORDER BY score_q DESC, doc_id LIMIT 50
     """,
+    bench=True,
 )
 def dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance selection toward English text
@@ -2032,6 +2034,7 @@ def dsir_select_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(pd.sum_q AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE)) / 1e12 AS fluency
     FROM t LEFT JOIN pd USING (doc_id)
     """,
+    bench=True,
 )
 def bigram_fluency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM fluency (the conditional-probability step from
