@@ -123,3 +123,39 @@ def test_bm25_cache_keys_distinct_per_query_terms():
 
     src = inspect.getsource(retrieval.bm25_topk)
     assert '"bm25_topk.tf:"' in src and "sorted(terms)" in src
+
+
+def test_incremental_dedup_classifications(spark):
+    """Hand-built two-snapshot fixture: every status class verified, and
+    the broadcast path keeps the snapshot index off the shuffle."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+        incremental_dedup,
+        snapshot_digest_index,
+    )
+
+    snapshot = spark.createDataFrame(
+        [(1, "old content one"), (2, "old content two")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "old content one"),   # resubmission -> dup_snapshot
+            (11, "brand new"),         # novel, canonical -> kept
+            (12, "brand new"),         # intra-shard dup -> dup_delta
+            (13, "OLD   Content TWO"), # normalized match -> dup_snapshot
+            (14, "unique doc"),        # kept
+        ],
+        "doc_id long, text string",
+    )
+    idx = snapshot_digest_index(snapshot)
+    out = incremental_dedup(delta, idx, broadcast_index=True)
+    got = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert got == {
+        10: "dup_snapshot",
+        11: "kept",
+        12: "dup_delta",
+        13: "dup_snapshot",
+        14: "kept",
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
