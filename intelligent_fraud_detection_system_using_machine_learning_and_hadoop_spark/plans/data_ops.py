@@ -2418,3 +2418,54 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(delta, idx, broadcast_index=True).select(
         "doc_id", "content_md5", "status"
     )
+
+
+@query(
+    "quality_classifier_documents",
+    oracle=f"""
+    WITH w AS (
+      SELECT CAST(b AS BIGINT) AS bucket,
+             CAST(floor(
+               ((CAST(((b + 1) * 2654435761) % 2147483648 AS DOUBLE)
+                 / 1073741824.0) - 1.0) * 1e6) AS BIGINT) AS w_q
+      FROM (SELECT unnest(range(1024)) AS b)),
+    tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents),
+    tb AS (
+      SELECT doc_id, {_SQL_TOK_U32} % 1024 AS bucket FROM tok),
+    dc AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tb GROUP BY doc_id, bucket),
+    sc AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * coalesce(w.w_q, 0)) AS BIGINT) AS logit_q
+      FROM dc LEFT JOIN w USING (bucket) GROUP BY doc_id)
+    SELECT doc_id, n_tokens, logit_q,
+           CAST(logit_q AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1e6) AS logit,
+           logit_q > 0 AS predicted
+    FROM sc
+    """,
+    bench=True,
+)
+def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classifier.py::
+    hashed_linear_scores): a linear classifier over hashed bag-of-words
+    features — the fastText/logistic "looks like curated text" filter
+    of GPT-3/CCNet-style pipelines — scores every document as one exact
+    BIGINT dot product against a broadcast 1024-row weight table.
+
+    The oracled form runs the deterministic synthetic weight table
+    (attests the scoring machinery bit-exactly on every doc); the
+    REAL-model path — MLlib LogisticRegression trained on the same
+    hashed features, exported into the identical (bucket, w_q) shape —
+    is pinned by tests/test_classifier.py (separation on a labeled
+    fixture). Scale: the model never shuffles; two doc-keyed
+    aggregations, corpus never self-joins."""
+    from ..operators.classifier import (
+        hashed_linear_scores,
+        synthetic_quality_weights,
+    )
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    w = synthetic_quality_weights(spark, n_buckets=1024, seed=1)
+    return hashed_linear_scores(d, w, n_buckets=1024)
