@@ -2469,3 +2469,168 @@ def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     w = synthetic_quality_weights(spark, n_buckets=1024, seed=1)
     return hashed_linear_scores(d, w, n_buckets=1024)
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH snap AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+    ch AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice,
+             'R' AS o_orderstatus, 'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+             CAST(NULL AS VARCHAR), 'D', 2
+      FROM orders WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey + 6000000, o_custkey, CAST(42.0 AS DOUBLE), 'N', 'I', 1
+      FROM orders WHERE o_orderkey % 13 = 0),
+    latest AS (
+      SELECT * FROM ch
+      QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1),
+    j AS (
+      SELECT coalesce(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+             CASE WHEN c.op IS NOT NULL AND c.op <> 'D'
+                  THEN c.o_custkey ELSE s.o_custkey END AS o_custkey,
+             CASE WHEN c.op IS NOT NULL AND c.op <> 'D'
+                  THEN c.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+             CASE WHEN c.op IS NOT NULL AND c.op <> 'D'
+                  THEN c.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus,
+             c.op AS op
+      FROM snap s FULL OUTER JOIN latest c ON s.o_orderkey = c.o_orderkey)
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM j WHERE op IS NULL OR op <> 'D'
+    """,
+    bench=True,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames (operators/merge.py::
+    merge_upsert): apply a deterministic changelog to the orders
+    snapshot — updates (keys ≡0 mod 7: price ×1.1, status 'R'), deletes
+    (≡0 mod 11), inserts (≡0 mod 13 re-keyed +6e6), with latest-wins
+    sequencing (keys ≡0 mod 77 receive update seq 1 AND delete seq 2 —
+    the delete must win). The oracle attests the full next snapshot.
+
+    Scale: one key-keyed full-outer join; the latest-change window runs
+    over the BATCH only, never the snapshot — bucketed snapshot layouts
+    make the nightly merge shuffle-free on the big side."""
+    from ..operators.merge import merge_upsert
+
+    o = read_table(spark, sf_dir, "orders")
+    snap = o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    updates = o.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("R").alias("o_orderstatus"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    deletes = o.where(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("long").alias("o_custkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    inserts = o.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 6000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(42.0).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return merge_upsert(
+        snap, changes, keys=["o_orderkey"], broadcast_changes=True
+    )
+
+
+@query(
+    "scd2_customers",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             DATE '2020-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, CAST(c_acctbal + 100.0 AS DOUBLE) AS c_acctbal,
+             c_mktsegment, DATE '2024-06-01' AS eff
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 900000, CAST(0.0 AS DOUBLE), 'NEW', DATE '2024-06-01'
+      FROM customer WHERE c_custkey % 17 = 0),
+    closed AS (
+      SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
+             CASE WHEN u.eff IS NOT NULL THEN u.eff ELSE d.valid_to END AS valid_to,
+             u.eff IS NULL AS is_current
+      FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey),
+    new_versions AS (
+      SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+             u.eff AS valid_from, CAST(NULL AS DATE) AS valid_to,
+             TRUE AS is_current
+      FROM upd u JOIN dim d ON d.c_custkey = u.c_custkey),
+    inserts AS (
+      SELECT u.c_custkey, u.c_acctbal, u.c_mktsegment,
+             u.eff AS valid_from, CAST(NULL AS DATE) AS valid_to,
+             TRUE AS is_current
+      FROM upd u ANTI JOIN dim d ON d.c_custkey = u.c_custkey)
+    SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
+           coalesce(valid_to, DATE '9999-12-31') AS valid_to, is_current
+    FROM (SELECT * FROM closed
+          UNION ALL SELECT * FROM new_versions
+          UNION ALL SELECT * FROM inserts)
+    """,
+)
+def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 maintenance (operators/merge.py
+    ::scd2_apply): a deterministic update batch against the customer
+    dimension — keys ≡0 mod 10 get a new acctbal version (old row
+    closed out at the effective date), keys ≡0 mod 17 arrive re-keyed
+    as brand-new inserts; everything else passes through open-ended.
+    The oracle attests the complete resulting history table.
+
+    Scale: history rows never rejoin anything; one key-keyed left join
+    of current rows against the (small) batch plus an anti-join for
+    inserts — incremental by construction."""
+    from ..operators.merge import scd2_apply
+
+    c = read_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        c.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("2024-06-01").cast("date").alias("effective_date"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 17 == 0).select(
+                (F.col("c_custkey") + 900000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit("2024-06-01").cast("date").alias("effective_date"),
+            )
+        )
+    )
+    out = scd2_apply(dim, updates, keys=["c_custkey"])
+    # open-ended validity surfaces as the conventional SCD2 high date so
+    # the oracle compare has no NULL-vs-NaT ambiguity
+    return out.withColumn(
+        "valid_to",
+        F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date")),
+    )
