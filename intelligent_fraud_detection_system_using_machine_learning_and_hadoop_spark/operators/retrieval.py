@@ -129,3 +129,64 @@ def bm25_topk(
             "n_hit_terms",
         )
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    n_shards: int = 16,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize a sharded inverted index: for every term, posting
+    lists of ``doc:tf`` pairs — the retrieval-infrastructure artifact a
+    corpus-scale search/dedup/decontamination stack builds once and
+    queries forever.
+
+    Returns (term, shard, df, shard_df, postings) where ``postings`` is
+    the shard's comma-joined ``doc:tf`` list sorted by doc id, ``df``
+    the term's TOTAL document frequency and ``shard_df`` the shard's.
+
+    Scale shape — two decisions that matter at 100 TB:
+
+    * **No per-term window.** Posting shards are assigned by a
+      deterministic hash of the doc id (``md5_bucket``), NOT by
+      row_number over a term partition — a stopword's partition would
+      put billions of rows through one reducer. With hash shards the
+      groupBy key is (term, shard), so a hot term fans out over
+      ``n_shards`` reducers and no single output row exceeds
+      ~|corpus|/n_shards postings.
+    * **Total df without a second corpus pass**: per-shard partials
+      (n_terms × n_shards rows — index-sized, not corpus-sized)
+      re-aggregate to term totals and broadcast-join back.
+    """
+    from .packing import md5_bucket
+    from .text import tokens
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .withColumn("shard", md5_bucket(F.col("_id"), n_shards))
+    )
+    shards = tf.groupBy("term", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("shard_df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_id", "tf"))),
+                lambda x: F.concat_ws(":", x["_id"], x["tf"]),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    totals = shards.groupBy("term").agg(
+        F.sum("shard_df").cast("long").alias("df")
+    )
+    if min_df > 1:
+        totals = totals.where(F.col("df") >= min_df)
+    return shards.join(F.broadcast(totals), "term").select(
+        "term", "shard", "df", "shard_df", "postings"
+    )

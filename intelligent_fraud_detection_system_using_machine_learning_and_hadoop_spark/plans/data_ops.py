@@ -2634,3 +2634,42 @@ def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("date")),
     )
+
+
+@query(
+    "inverted_index_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents),
+    tf AS (
+      SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, t),
+    sh AS (
+      SELECT doc_id, term, tf,
+             CAST({_SQL_MD5_PREFIX_U32} % 16 AS BIGINT) AS shard
+      FROM tf),
+    shards AS (
+      SELECT term, shard, CAST(COUNT(*) AS BIGINT) AS shard_df,
+             string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                        ',' ORDER BY doc_id) AS postings
+      FROM sh GROUP BY term, shard),
+    tot AS (
+      SELECT term, CAST(SUM(shard_df) AS BIGINT) AS df
+      FROM shards GROUP BY term)
+    SELECT term, shard, df, shard_df, postings
+    FROM shards JOIN tot USING (term) WHERE df >= 2
+    """,
+    bench=True,
+)
+def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded inverted-index materialization (operators/retrieval.py::
+    build_inverted_index): per (term, doc-hash shard), the sorted
+    ``doc:tf`` posting list plus shard and total document frequencies,
+    min_df = 2. Shards come from a doc-id hash, NOT a per-term window —
+    a stopword's postings fan out over 16 reducers instead of one, so
+    the build cannot skew at corpus scale. Oracle attests every posting
+    byte-exactly."""
+    from ..operators.retrieval import build_inverted_index
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    return build_inverted_index(d, n_shards=16, min_df=2)

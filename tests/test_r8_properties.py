@@ -159,3 +159,26 @@ def test_incremental_dedup_classifications(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_inverted_index_sharding_and_postings(spark):
+    """Hot terms must spread over multiple doc-hash shards (the 100 TB
+    skew defense) and postings must be doc-sorted with correct tf."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.retrieval import (
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "common common rare%d" % (i % 3)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = build_inverted_index(docs, n_shards=4, min_df=1).collect()
+    common = [r for r in idx if r["term"] == "common"]
+    assert len(common) > 1, "hot term must occupy multiple shards"
+    assert sum(r["shard_df"] for r in common) == 40
+    assert all(r["df"] == 40 for r in common)
+    for r in common:
+        pairs = [p.split(":") for p in r["postings"].split(",")]
+        ids = [int(d) for d, _ in pairs]
+        assert ids == sorted(ids)
+        assert all(tf == "2" for _, tf in pairs)
