@@ -153,3 +153,83 @@ def near_dup_clusters(
         )
         .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
     )
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    iters: int = 5,
+    q: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """All-integer PageRank: power iteration in fixed-point arithmetic
+    so every engine computes bit-identical ranks (float PageRank is
+    order-dependent under distributed summation; BIGINT sums are not).
+
+    Per iteration, with Q = ``q`` total rank mass and N nodes:
+
+        contrib(u)  = r_q(u) div outdeg(u)                (integer div)
+        r_q'(v)     = ((Q div N)·(den−num)) div den
+                      + (num · Σ_{u→v} contrib(u)) div den
+
+    i.e. the textbook damped update with every operation an exact
+    BIGINT +, ×, or floor division — reproducible by a SQL engine's
+    recursive CTE byte-for-byte. Mass leaks a few units per division
+    (floor), identically everywhere.
+
+    ``edges`` must be a digraph where EVERY node has outdegree ≥ 1
+    (callers with undirected or bipartite data add reverse edges —
+    which also eliminates dangling-mass handling). Duplicate edges
+    count once.
+
+    Scale shape: the classic edge-partitioned iteration — each round is
+    one join of the N-row rank vector against the edge list (both keyed
+    on the source node; pre-partitioning edges by ``src`` makes the
+    rank join reuse one exchange every round) and one groupBy on the
+    destination. Zero-contribution self-loops are unioned in so sink
+    coverage needs no outer join. Driver holds only the node COUNT.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    n = nodes.count()  # one bounded driver scalar: the node count
+    if n == 0:
+        raise ValueError("empty graph")
+    base_q = ((q // n) * (damp_den - damp_num)) // damp_den
+    # zero-weight self-loops guarantee every node receives a row in the
+    # per-destination aggregation without an outer join
+    e_aug = e.select("_src", "_dst", F.lit(1).alias("_w")).union(
+        nodes.select(
+            F.col("node").alias("_src"),
+            F.col("node").alias("_dst"),
+            F.lit(0).alias("_w"),
+        )
+    )
+    r = nodes.select("node", F.lit(q // n).cast("long").alias("r_q"))
+    for _ in range(iters):
+        flows = (
+            r.join(deg, r["node"] == deg["_src"], "left")
+            .select(
+                "node",
+                F.expr("r_q div coalesce(_deg, 1)").alias("_contrib"),
+            )
+            .join(e_aug, F.col("node") == F.col("_src"))
+            .select("_dst", (F.col("_w") * F.col("_contrib")).alias("_c"))
+        )
+        r = flows.groupBy("_dst").agg(
+            (
+                F.lit(base_q)
+                + F.expr(f"({damp_num} * sum(_c)) div {damp_den}")
+            )
+            .cast("long")
+            .alias("r_q")
+        ).select(F.col("_dst").alias("node"), "r_q")
+    return r.select(
+        "node", "r_q", (F.col("r_q").cast("double") / F.lit(float(q))).alias("rank")
+    )

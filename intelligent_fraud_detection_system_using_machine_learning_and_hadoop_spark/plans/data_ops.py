@@ -2673,3 +2673,60 @@ def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     return build_inverted_index(d, n_shards=16, min_df=2)
+
+
+@query(
+    "pagerank_supplier_part",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+      FROM lineitem),
+    -- NOTE: inside WITH RECURSIVE, DuckDB (1.0) treats a non-recursive
+    -- CTE whose body is a top-level UNION as a recursive union and
+    -- skips the dedup — hence DISTINCT-over-UNION-ALL subqueries here.
+    e AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM base
+            UNION ALL SELECT dst AS src, src AS dst FROM base)),
+    nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    ea AS (SELECT src, dst, 1 AS w FROM e
+           UNION ALL SELECT node, node, 0 FROM nodes),
+    pr(iter, node, r_q) AS (
+      SELECT 0, node, (SELECT 1000000000000 // n FROM nn) FROM nodes
+      UNION ALL
+      SELECT p.iter + 1, ea.dst,
+             (SELECT ((1000000000000 // n) * 15) // 100 FROM nn)
+             + (85 * SUM(ea.w * (p.r_q // d.deg))) // 100
+      FROM pr p
+      JOIN deg d ON d.node = p.node
+      JOIN ea ON ea.src = p.node
+      WHERE p.iter < 5
+      GROUP BY p.iter, ea.dst)
+    SELECT node, CAST(r_q AS BIGINT) AS r_q,
+           CAST(r_q AS DOUBLE) / 1e12 AS rank
+    FROM pr WHERE iter = 5
+    """,
+    bench=True,
+)
+def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-integer PageRank (operators/graph.py::pagerank_quantized)
+    over the supplier↔part co-trading graph from lineitem (parts offset
+    +1e6; reverse edges make the bipartite graph dangling-free): 5
+    fixed-point power iterations whose BIGINT ranks a SQL engine's
+    recursive CTE reproduces bit-for-bit — the iterative-algorithm
+    family (beyond connected components) under full oracle attestation
+    rather than a rows-only check."""
+    from ..operators.graph import pagerank_quantized
+
+    li = read_table(spark, sf_dir, "lineitem")
+    fw = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    edges = fw.union(
+        fw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank_quantized(edges, iters=5)

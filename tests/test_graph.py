@@ -97,3 +97,35 @@ def test_near_dup_clusters_labels_whole_corpus(spark, sf_dir):
         assert by_id[p["id_a"]]["cluster_id"] == by_id[p["id_b"]]["cluster_id"]
     # the fixture corpus has true near-dups → at least one multi-doc cluster
     assert sum(1 for r in out if not r["is_canonical"]) > 0
+
+
+def test_pagerank_quantized_matches_python(spark):
+    """Fixed-point PageRank must be bit-identical to a plain-Python
+    reference of the same integer recurrence (the property the SQL
+    oracle relies on)."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    raw = [(1, 2), (2, 1), (2, 3), (3, 1), (3, 4), (4, 3), (4, 1), (1, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {r["node"]: r["r_q"] for r in pagerank_quantized(edges, iters=6).collect()}
+
+    q = 10**12
+    out = {}
+    for u, v in raw:
+        out.setdefault(u, set()).add(v)
+    nodes = sorted({u for e in raw for u in e})
+    n = len(nodes)
+    base = ((q // n) * 15) // 100
+    r = {v: q // n for v in nodes}
+    for _ in range(6):
+        agg = {v: 0 for v in nodes}
+        for u in nodes:
+            c = r[u] // len(out[u])
+            for v in out[u]:
+                agg[v] += c
+        r = {v: base + (85 * agg[v]) // 100 for v in nodes}
+    assert got == r
+    # rank mass stays within floor-loss of the full budget
+    assert 0.95 * q < sum(got.values()) <= q
