@@ -2730,3 +2730,21 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         fw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank_quantized(edges, iters=5)
+
+
+@query("bpe_tokenize_documents")
+def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization (operators/bpe.py — Sennrich et al. 2016):
+    merges learned deterministically from the 200 lowest-id documents
+    (driver-side, the standard sample-train shape), broadcast, and
+    applied as an Arrow mapInPandas linear map; per doc the word count,
+    BPE token count and fertility. Token budgeting over whitespace
+    counts underestimates; this is the real statistic. Rows-only per
+    the driver contract (no SQL engine can BPE); pinned by differential
+    pytest against an independent Python encoder
+    (tests/test_bpe.py)."""
+    from ..operators.bpe import apply_bpe, learn_bpe_from_corpus
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    merges = learn_bpe_from_corpus(d, n_merges=200, sample_docs=200)
+    return apply_bpe(d, merges)
