@@ -5,25 +5,19 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-7 rotation (VERDICT r6, "Next round" items 1 and 8): the 8
-brand-new round-7 queries (exact-substring dedup, BM25 retrieval, PII
-scan/redaction, DSIR importance selection, bigram-LM fluency,
-streaming PII scrub, single-pass column profiler, unicode NFC
-normalization) and the 7 oracled queries added in round 6 (local-gate
-green, never driver-attested) lead the window, back-filled to 50 with
-queries that already hold multiple driver-attested green rows. The 15
-entries dropped to make room (count_distinct_having,
-rule_flags_orders, events_hourly, sessionize_events,
-dedup_exact_documents, ngram_jaccard_pairs, embedding_topk_cosine,
-embedding_cosine_dup, multimodal_meta — six green rows each, r1-r6 —
-plus exists_late_shipments, suppliers_by_region,
-shipmode_priority_counts, promo_revenue_ratio, scalar_stats_global
-and window_funcs_orders, five green rows each) all stay covered by
-the local gate.
-After this round every oracled query in the registry has at least one
-driver-attested row. Queries outside the window keep pytest +
-local-gate (tools/check_oracle.py) coverage; registry content is
-unchanged — only iteration order moves.
+Round-8 rotation (VERDICT r7 "Next round" items 4 and 8): the 6
+brand-new round-8 oracled queries (cross-snapshot incremental dedup,
+hashed linear quality classifier, MERGE/CDC upsert, SCD2 history,
+sharded inverted index, quantized PageRank) lead; then the staleness
+backlog — the 18 queries whose only driver rows date to r2, the 7 whose
+last row is r5, and the 15 r6 veterans dropped from the r7 window — so
+after this round no oracled query's latest driver attestation is older
+than r7. The final 4 slots take ROWS-ONLY entries for the first time
+(item 8: the driver records rows_match without a hash for queries with
+no oracle): the new BPE tokenizer, two sketch/dedup veterans, plus a
+second row for the r7 flagship exact-substring dedup. Queries outside
+the window keep pytest + local-gate (tools/check_oracle.py) coverage;
+registry content is unchanged — only iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -34,60 +28,62 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- the 8 round-7 oracled queries (new operator families) ---
+    # --- the 6 round-8 oracled queries (new operator families) ---
+    "incremental_dedup_documents",
+    "quality_classifier_documents",
+    "merge_upsert_orders",
+    "scd2_customers",
+    "inverted_index_documents",
+    "pagerank_supplier_part",
+    # --- last driver row r2: the staleness backlog ---
+    "array_funcs_orders",
+    "big_spenders_vs_nation",
+    "doc_redact_pii",
+    "grouping_analytics_orders",
+    "json_extract_events",
+    "mad_outliers_events",
+    "pivot_status_by_nation",
+    "posexplode_doc_tokens",
+    "profile_orders_columns",
+    "rolling_anomaly_events",
+    "scalar_subquery_above_avg",
+    "set_ops_custkeys",
+    "stats_moments_by_status",
+    "status_priority_counts",
+    "streaming_distinct_pairs",
+    "streaming_rolling_anomaly",
+    "streaming_user_stats",
+    "window_dist_orders",
+    # --- last driver row r5 ---
+    "math_null_funcs_lineitem",
+    "pricing_summary",
+    "revenue_by_nation",
+    "shipping_priority",
+    "string_funcs_part",
+    "temporal_funcs_orders",
+    "topk_orders",
+    # --- last driver row r6 (the veterans dropped for the r7 window) ---
+    "count_distinct_having",
+    "dedup_exact_documents",
+    "embedding_cosine_dup",
+    "embedding_topk_cosine",
+    "events_hourly",
+    "exists_late_shipments",
+    "multimodal_meta",
+    "ngram_jaccard_pairs",
+    "promo_revenue_ratio",
+    "rule_flags_orders",
+    "scalar_stats_global",
+    "sessionize_events",
+    "shipmode_priority_counts",
+    "suppliers_by_region",
+    "window_funcs_orders",
+    # --- rows-only tail (driver rows_match attestation, item 8) +
+    #     a second row for the r7 flagship ---
+    "bpe_tokenize_documents",
+    "hll_distinct_events",
+    "minhash_near_dup",
     "exact_substring_dup_documents",
-    "bm25_topk_documents",
-    "pii_scan_documents",
-    "dsir_select_documents",
-    "bigram_fluency_documents",
-    "streaming_pii_scan",
-    "profile_orders",
-    "unicode_normalize_documents",
-    # --- the 7 round-6 oracled queries never attested by the driver ---
-    "temperature_mix_lang",
-    "quality_funnel_documents",
-    "token_budget_trim",
-    "unigram_fluency_documents",
-    "corpus_snapshot_diff",
-    "mixture_sample_documents",
-    "streaming_topk_trending",
-    # --- r6-attested-once queries kept in window for a second row ---
-    "important_parts_value",
-    "top_revenue_supplier",
-    "disjunctive_brand_revenue",
-    "idle_rich_customers",
-    "salted_distinct_suppliers",
-    "line_dedup_documents",
-    "near_dup_clusters",
-    "streaming_events_hourly",
-    "streaming_join_click_purchase",
-    "interval_overlap_purchase_error",
-    "cogroup_purchase_error_stats",
-    # --- backfill: multiply-attested green queries ---
-    "min_price_supplier_per_part",
-    "small_qty_order_revenue",
-    "exclusive_late_suppliers",
-    "dominant_part_suppliers",
-    "nation_pair_volume",
-    "market_share_by_year",
-    "pack_sequences_documents",
-    "chunk_documents_sliding",
-    "interleave_sources_documents",
-    "doc_repetition_filter",
-    "zorder_key_orders",
-    "token_vocab_topk",
-    "tfidf_top_terms",
-    "decontaminate_train_docs",
-    "llm_data_pipeline",
-    "epoch_shuffle_documents",
-    "streaming_static_enrich",
-    "semi_anti_join_customers",
-    "doc_text_analysis",
-    "corpus_curation",
-    "hash_split_documents",
-    "stratified_sample_documents",
-    "asof_click_purchase",
-    "range_join_price_bands",
 ]
 
 
