@@ -2729,7 +2729,7 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fw.union(
         fw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank_quantized(edges, iters=5)
+    return pagerank_quantized(edges, iters=5, broadcast_ranks=True)
 
 
 @query("bpe_tokenize_documents")
