@@ -15,10 +15,17 @@ one — and ``release_caches`` frees everything explicitly
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _ACTIVE_CACHES: dict[str, DataFrame] = {}
+# registry guard: concurrent queries (e.g. two threads driving separate
+# jobs on one SparkSession) must not interleave pop/insert on the dict
+# (ADVICE r7 — correctness always survives via recompute, but a lost
+# handle would leak its persisted plan until release_caches)
+_LOCK = threading.Lock()
 
 
 def swap_cache(
@@ -28,16 +35,19 @@ def swap_cache(
 ) -> DataFrame:
     """Persist ``df`` under ``key``, unpersisting the previous cache
     registered there so a session holds one live copy per call site."""
-    prev = _ACTIVE_CACHES.pop(key, None)
+    with _LOCK:
+        prev = _ACTIVE_CACHES.pop(key, None)
+        _ACTIVE_CACHES[key] = df.persist(storage_level)
     if prev is not None:
         prev.unpersist(blocking=False)
-    _ACTIVE_CACHES[key] = df.persist(storage_level)
     return df
 
 
 def release_caches() -> None:
     """Unpersist every cache registered by ``swap_cache`` (notebook /
     long-lived-session hygiene; blocking so tests can assert emptiness)."""
-    for df in list(_ACTIVE_CACHES.values()):
+    with _LOCK:
+        dfs = list(_ACTIVE_CACHES.values())
+        _ACTIVE_CACHES.clear()
+    for df in dfs:
         df.unpersist(blocking=True)
-    _ACTIVE_CACHES.clear()

@@ -723,3 +723,90 @@ def incremental_dedup(
         .otherwise("kept")
         .alias("status"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public method): cluster normalized embeddings with
+    k-means, then inside each cluster drop every item whose cosine
+    similarity to a LOWER-id cluster-mate reaches ``threshold``. The
+    keep-rule is deterministic (min id wins) and locally checkable, so
+    the pytest can verify it against brute force exactly.
+
+    Returns (id, cell, is_kept, max_sim_lower) — ``max_sim_lower`` is
+    the best similarity to any LOWER-id cluster-mate (null for the
+    cluster's first item), the score the threshold applies to. Note the
+    rule is one-shot, not chained: an item is judged against all
+    lower-id mates, kept or not — deterministic and locally checkable,
+    which is what makes exact differential testing possible.
+
+    Scale shape: the quadratic pairwise work is confined WITHIN cells —
+    Σ|cell|² instead of |corpus|² — which is the paper's entire point;
+    cells are data-adaptive (k-means via MLlib, centroids broadcast)
+    and at 100 TB the corpus is stored partitioned by cell so each
+    cell's self-join is partition-local. Rows-only correctness (k-means
+    cell boundaries are engine-specific); the keep-rule itself is
+    pinned by differential pytest."""
+    import numpy as np  # noqa: F401 — parity with similarity.py deps
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    def _norm_sq(col):
+        return F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: x / F.sqrt(_norm_sq(F.col(vec_col).cast("array<double>"))),
+        ).alias("_u"),
+    )
+    with_vec = v.withColumn("_fv", array_to_vector(F.col("_u")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="cell")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).select("_id", "_u", "cell")
+
+    from ..cache import swap_cache
+
+    assigned = swap_cache("semantic_dedup.assigned", assigned)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_best = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("b._id").alias("_id"),
+            _dot(F.col("a._u"), F.col("b._u")).alias("_sim"),
+        )
+        .groupBy("_id")
+        .agg(F.max("_sim").alias("max_sim_lower"))
+    )
+    return (
+        assigned.join(pair_best, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            (
+                F.col("max_sim_lower").isNull()
+                | (F.col("max_sim_lower") < F.lit(threshold))
+            ).alias("is_kept"),
+            "max_sim_lower",
+        )
+    )

@@ -2748,3 +2748,18 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     merges = learn_bpe_from_corpus(d, n_merges=200, sample_docs=200)
     return apply_bpe(d, merges)
+
+
+@query("semantic_dedup_embeddings")
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators/dedup.py::
+    semantic_dedup — Abbas et al. 2023) over the embeddings table:
+    k-means cells confine the quadratic pairwise work, then items with
+    cosine ≥ 0.97 to a lower-id cluster-mate are dropped. Rows-only per
+    the driver contract (k-means cell boundaries are engine-specific);
+    the keep-rule is pinned exactly by differential pytest
+    (tests/test_dedup_similarity.py::test_semantic_dedup_*)."""
+    from ..operators.dedup import semantic_dedup
+
+    e = ensure_min_partitions(read_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(e, threshold=0.97, n_clusters=16)

@@ -182,3 +182,47 @@ def test_inverted_index_sharding_and_postings(spark):
         ids = [int(d) for d, _ in pairs]
         assert ids == sorted(ids)
         assert all(tf == "2" for _, tf in pairs)
+
+
+def test_semantic_dedup_matches_brute_force_within_cells(spark):
+    """The keep-rule is exact given the cell assignment: recompute it
+    brute-force in Python from the operator's own cells and compare."""
+    import math
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # three tight groups of near-identical vectors + singletons
+    base = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+    rows = []
+    vid = 0
+    for g, v in base.items():
+        for j in range(4):
+            rows.append((vid, [x + (0.001 * j if i == g else 0.0) for i, x in enumerate(v)]))
+            vid += 1
+    rows.append((vid, [0.7, 0.7, 0.1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, threshold=0.95, n_clusters=3).collect()
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    vecs = {i: v for i, v in rows}
+
+    def cos(a, b):
+        ua = [x / math.sqrt(sum(y * y for y in a)) for x in a]
+        ub = [x / math.sqrt(sum(y * y for y in b)) for x in b]
+        return sum(x * y for x, y in zip(ua, ub))
+
+    for r in out:
+        i = r["vec_id"]
+        lower = [j for j in vecs if j < i and cells[j] == cells[i]]
+        sims = [cos(vecs[i], vecs[j]) for j in lower]
+        expect_kept = not sims or max(sims) < 0.95
+        assert r["is_kept"] == expect_kept, (i, sims)
+        if sims:
+            assert r["max_sim_lower"] == pytest.approx(max(sims), abs=1e-9)
+    # each tight group keeps exactly its min id (groups are separable,
+    # so k-means cannot split them at k=3... the singleton lands
+    # somewhere and must survive if dissimilar to its cell-mates)
+    kept = {r["vec_id"] for r in out if r["is_kept"]}
+    assert {0, 4, 8} <= kept
+    assert not ({1, 2, 3, 5, 6, 7, 9, 10, 11} & kept)
