@@ -2763,3 +2763,27 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = ensure_min_partitions(read_table(spark, sf_dir, "embeddings"))
     return semantic_dedup(e, threshold=0.97, n_clusters=16)
+
+
+@query(
+    "streaming_incremental_dedup",
+    oracle=f"""
+    WITH snap AS (
+      SELECT DISTINCT {_SQL_NORM_MD5} AS content_md5
+      FROM documents WHERE doc_id % 10 <> 3)
+    SELECT doc_id, {_SQL_NORM_MD5} AS content_md5,
+           (s.content_md5 IS NOT NULL) AS in_snapshot
+    FROM documents d LEFT JOIN snap s
+      ON {_SQL_NORM_MD5.replace('text', 'd.text')} = s.content_md5
+    WHERE doc_id % 10 = 3
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the cross-snapshot dedup (streaming/jobs.py::
+    stream_incremental_dedup): arriving shards broadcast-join the
+    frozen snapshot digest index per micro-batch — stateless, no
+    watermark, zero state growth. availableNow over static input ≡
+    the batch derivation, so the oracle attests full values."""
+    from ..streaming.jobs import stream_incremental_dedup
+
+    return stream_incremental_dedup(spark, sf_dir)

@@ -727,3 +727,54 @@ def stream_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup against a FROZEN snapshot: each arriving
+    document shard stream-static joins the snapshot's broadcast digest
+    index (operators/dedup.py::snapshot_digest_index) and is flagged
+    ``in_snapshot`` — the streaming twin of the batch
+    ``incremental_dedup_documents`` classifier, restricted to its
+    stateless part (the intra-shard dup_delta pick needs a global
+    window, which the batch op owns; the snapshot membership test is
+    what a landing-zone scrubber runs per micro-batch).
+
+    Stateless append-mode map + broadcast join: no watermark, no state
+    store — arbitrarily long uptime with zero state growth. Over static
+    input with an availableNow trigger the result equals the batch
+    derivation exactly, so the query carries a full value oracle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import snapshot_digest_index
+    from ..sources.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    idx = snapshot_digest_index(d.where(F.col("doc_id") % 10 != 3))
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    delta = stream.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias(
+            "content_md5"
+        ),
+    )
+    out = delta.join(
+        F.broadcast(idx.withColumn("_hit", F.lit(True))), "content_md5", "left"
+    ).select(
+        "doc_id", "content_md5", F.coalesce(F.col("_hit"), F.lit(False)).alias("in_snapshot")
+    )
+    name = f"incr_dedup_sink_{next(_sink_ids)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
