@@ -1,0 +1,106 @@
+"""Behavioral funnel analysis over an event stream.
+
+Analytics extension (the reference — a pandas fraud scorer, ref
+scripts/run_pipeline.py — has no event-sequence surface): the classic
+product-analytics question "of the users who did step 1, how many went
+on to do step 2, then step 3, in order, within a horizon?".
+
+Semantics (the standard first-touch funnel): per user, t₁ = earliest
+step-1 event; tᵢ = earliest step-i event AFTER tᵢ₋₁ and within
+``horizon`` of t₁. A user converts through step i iff tᵢ exists.
+
+Scale shape: one user-keyed conditional aggregation per step — k−1
+user-keyed joins between per-user 1-row frames, each a skew-free
+hash join on user_id (per-step frames shrink monotonically, so later
+joins are cheap; AQE broadcasts them once they fit). The event table
+itself is scanned once per step with the step's type filter pushed
+into the parquet scan — no sessionize-everything pass, no per-user
+event arrays (a hot user with millions of events costs nothing more
+than a cold one).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    horizon: str = "7 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel timestamps: (user, t_1 … t_k) with tᵢ null once
+    the user drops out. ``horizon`` is a SQL interval literal measured
+    from t₁."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        step_events = events.where(F.col(type_col) == s).select(
+            F.col(user_col).alias("user_id"), F.col(ts_col).alias("_ts")
+        )
+        nxt = (
+            step_events.join(cur, "user_id")
+            .where(
+                (F.col("_ts") > F.col(f"t_{i - 1}"))
+                & (F.col("_ts") <= F.col("t_1") + F.expr(f"INTERVAL {horizon}"))
+            )
+            .groupBy("user_id", *[f"t_{j}" for j in range(1, i)])
+            .agg(F.min("_ts").alias(f"t_{i}"))
+        )
+        # keep drop-outs with null tᵢ so one frame carries the whole funnel
+        cur = cur.join(
+            nxt.select("user_id", f"t_{i}"), "user_id", "left"
+        )
+    return cur
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: Sequence[str],
+    horizon: str = "7 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row per funnel step: users reaching it, conversion from the
+    funnel top, conversion from the previous step (IEEE quotients of
+    exact BIGINT counts — oracle-stable)."""
+    per_user = funnel_steps(events, steps, horizon, user_col, ts_col, type_col)
+    counts = per_user.agg(
+        *[
+            F.count(F.col(f"t_{i}")).cast("long").alias(f"n_{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = []
+    for i, s in enumerate(steps, start=1):
+        rows.append(
+            F.struct(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"n_{i}").alias("n_users"),
+                (F.col(f"n_{i}").cast("double") / F.col("n_1").cast("double")).alias(
+                    "conv_from_top"
+                ),
+                (
+                    F.col(f"n_{i}").cast("double")
+                    / F.col(f"n_{max(i - 1, 1)}").cast("double")
+                ).alias("conv_from_prev"),
+            )
+        )
+    return (
+        counts.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("step")
+    )

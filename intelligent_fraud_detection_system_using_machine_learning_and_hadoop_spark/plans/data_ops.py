@@ -2787,3 +2787,56 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_incremental_dedup
 
     return stream_incremental_dedup(spark, sf_dir)
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t_1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.t_1
+        AND e.ts <= t1.t_1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_3
+      FROM events e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t_2
+        AND e.ts <= t1.t_1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    c AS (
+      SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_1,
+             CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS n_2,
+             CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS n_3)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, n_1 AS n_users,
+             CAST(n_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS conv_from_top,
+             CAST(n_1 AS DOUBLE) / CAST(n_1 AS DOUBLE) AS conv_from_prev
+      FROM c
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', n_2,
+             CAST(n_2 AS DOUBLE) / CAST(n_1 AS DOUBLE),
+             CAST(n_2 AS DOUBLE) / CAST(n_1 AS DOUBLE)
+      FROM c
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', n_3,
+             CAST(n_3 AS DOUBLE) / CAST(n_1 AS DOUBLE),
+             CAST(n_3 AS DOUBLE) / CAST(n_2 AS DOUBLE)
+      FROM c)
+    ORDER BY step
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel view→click→purchase within 7 days of the
+    first view (operators/funnel.py::funnel_report): per step, users
+    reaching it and conversion from the top and previous steps. Each
+    step is one user-keyed conditional aggregation with the type
+    filter pushed into the scan — no per-user event arrays, so hot
+    users cost nothing extra at corpus scale."""
+    from ..operators.funnel import funnel_report
+
+    e = read_table(spark, sf_dir, "events")
+    return funnel_report(e, ["view", "click", "purchase"], horizon="7 days")

@@ -226,3 +226,39 @@ def test_semantic_dedup_matches_brute_force_within_cells(spark):
     kept = {r["vec_id"] for r in out if r["is_kept"]}
     assert {0, 4, 8} <= kept
     assert not ({1, 2, 3, 5, 6, 7, 9, 10, 11} & kept)
+
+
+def test_funnel_ordering_and_horizon(spark):
+    """Hand-built funnel: out-of-order steps don't count, the horizon is
+    measured from the FIRST step, drop-outs keep nulls."""
+    import datetime as dt
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.funnel import (
+        funnel_report,
+        funnel_steps,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, typ, hours):
+        return (u, typ, t0 + dt.timedelta(hours=hours))
+
+    rows = [
+        # u1 converts fully in order
+        ev(1, "view", 0), ev(1, "click", 1), ev(1, "purchase", 2),
+        # u2: click BEFORE view — must not count; no click after view
+        ev(2, "click", 0), ev(2, "view", 1), ev(2, "purchase", 2),
+        # u3: click inside horizon, purchase outside 7d horizon
+        ev(3, "view", 0), ev(3, "click", 1), ev(3, "purchase", 24 * 8),
+        # u4: never viewed — not in funnel at all
+        ev(4, "click", 0), ev(4, "purchase", 1),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    per_user = {r["user_id"]: r for r in funnel_steps(e, ["view", "click", "purchase"]).collect()}
+    assert set(per_user) == {1, 2, 3}
+    assert per_user[1]["t_3"] is not None
+    assert per_user[2]["t_2"] is None and per_user[2]["t_3"] is None
+    assert per_user[3]["t_2"] is not None and per_user[3]["t_3"] is None
+    rep = {r["step"]: r for r in funnel_report(e, ["view", "click", "purchase"]).collect()}
+    assert [rep[i]["n_users"] for i in (1, 2, 3)] == [3, 2, 1]
+    assert rep[3]["conv_from_prev"] == 0.5
