@@ -2840,3 +2840,52 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return funnel_report(e, ["view", "click", "purchase"], horizon="7 days")
+
+
+@query(
+    "cusum_change_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT grp, day, cents,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n,
+             CAST(SUM(cents) OVER (PARTITION BY grp) AS BIGINT) AS total
+      FROM daily),
+    d AS (
+      SELECT grp, day, cents, n,
+             cents * n - total - 25 * n AS dev
+      FROM s),
+    pf AS (
+      SELECT grp, day, cents, n,
+             CAST(SUM(dev) OVER (PARTITION BY grp ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pf
+      FROM d),
+    p AS (
+      SELECT grp, day, cents, n, pf,
+             CAST(MIN(pf) OVER (PARTITION BY grp ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pmin
+      FROM pf)
+    SELECT grp AS event_type, day,
+           CAST(cents AS DOUBLE) / 100.0 AS day_value,
+           CAST(pf - least(CAST(0 AS BIGINT), pmin) AS DOUBLE)
+             / (100.0 * CAST(n AS DOUBLE)) AS cusum,
+           (pf - least(CAST(0 AS BIGINT), pmin)) > 500 * n AS is_change
+    FROM p ORDER BY event_type, day
+    """,
+)
+def cusum_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per event type over daily
+    value totals (operators/changepoint.py::cusum_daily): the
+    sequential recurrence reformulated as cumulative-sum minus
+    running-min — two window functions, one shuffle per series — with
+    exact scaled-integer arithmetic (slack 0.25, threshold 5.0 value
+    units) so the SQL oracle matches bit-for-bit."""
+    from ..operators.changepoint import cusum_daily
+
+    e = read_table(spark, sf_dir, "events")
+    return cusum_daily(e, slack_cents=25, threshold_cents=500)

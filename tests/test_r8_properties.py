@@ -262,3 +262,38 @@ def test_funnel_ordering_and_horizon(spark):
     rep = {r["step"]: r for r in funnel_report(e, ["view", "click", "purchase"]).collect()}
     assert [rep[i]["n_users"] for i in (1, 2, 3)] == [3, 2, 1]
     assert rep[3]["conv_from_prev"] == 0.5
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    """The prefix-sum/running-min reformulation must equal the textbook
+    sequential S_i = max(0, S_{i-1} + d_i) exactly — including a series
+    that rises immediately (the P_0 = 0 edge)."""
+    import datetime as dt
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.changepoint import (
+        cusum_daily,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = {"a": [1.0, 1.0, 1.0, 5.0, 6.0, 7.0], "b": [9.0, 1.0, 1.0, 1.0]}
+    rows = [
+        (g, t0 + dt.timedelta(days=i, hours=3), v)
+        for g, series in vals.items()
+        for i, v in enumerate(series)
+    ]
+    e = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    slack_c, thresh_c = 50, 200
+    out = {
+        (r["event_type"], r["day"].day): r
+        for r in cusum_daily(e, slack_cents=slack_c, threshold_cents=thresh_c).collect()
+    }
+    for g, series in vals.items():
+        cents = [int(round(v * 100)) for v in series]
+        n, total = len(cents), sum(cents)
+        s = 0
+        for i, x in enumerate(cents):
+            d = x * n - total - slack_c * n
+            s = max(0, s + d)
+            r = out[(g, i + 1)]
+            assert r["cusum"] == s / (100.0 * n), (g, i)
+            assert r["is_change"] == (s > thresh_c * n), (g, i)
