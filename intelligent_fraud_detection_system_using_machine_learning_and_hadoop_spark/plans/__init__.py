@@ -5,19 +5,20 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-8 rotation (VERDICT r7 "Next round" items 4 and 8): the 6
+Round-8 rotation (VERDICT r7 "Next round" items 4 and 8): the 9
 brand-new round-8 oracled queries (cross-snapshot incremental dedup,
 hashed linear quality classifier, MERGE/CDC upsert, SCD2 history,
-sharded inverted index, quantized PageRank) lead; then the staleness
-backlog — the 18 queries whose only driver rows date to r2, the 7 whose
-last row is r5, and the 15 r6 veterans dropped from the r7 window — so
-after this round no oracled query's latest driver attestation is older
-than r7. The final 4 slots take ROWS-ONLY entries for the first time
-(item 8: the driver records rows_match without a hash for queries with
-no oracle): the new BPE tokenizer, two sketch/dedup veterans, plus a
-second row for the r7 flagship exact-substring dedup. Queries outside
-the window keep pytest + local-gate (tools/check_oracle.py) coverage;
-registry content is unchanged — only iteration order moves.
+sharded inverted index, quantized PageRank, streaming incremental
+dedup, first-touch funnel, CUSUM change-point) lead; then the
+staleness backlog — the 18 queries whose only driver rows date to r2,
+5 of the 7 whose last row is r5 (pricing_summary / revenue_by_nation
+are benched every round and rotate back in r9), and the 15 r6 veterans
+dropped from the r7 window. The final 3 slots take ROWS-ONLY entries
+for the first time (item 8: the driver records rows_match without a
+hash for queries with no oracle): the new BPE tokenizer plus two
+sketch/dedup veterans. Queries outside the window keep pytest +
+local-gate (tools/check_oracle.py) coverage; registry content is
+unchanged — only iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -28,13 +29,16 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- the 6 round-8 oracled queries (new operator families) ---
+    # --- the 9 round-8 oracled queries (new operator families) ---
     "incremental_dedup_documents",
     "quality_classifier_documents",
     "merge_upsert_orders",
     "scd2_customers",
     "inverted_index_documents",
     "pagerank_supplier_part",
+    "streaming_incremental_dedup",
+    "funnel_view_click_purchase",
+    "cusum_change_events",
     # --- last driver row r2: the staleness backlog ---
     "array_funcs_orders",
     "big_spenders_vs_nation",
@@ -54,10 +58,9 @@ _DRIVER_WINDOW = [
     "streaming_rolling_anomaly",
     "streaming_user_stats",
     "window_dist_orders",
-    # --- last driver row r5 ---
+    # --- last driver row r5 (pricing_summary / revenue_by_nation are
+    #     benched every round and rotate back in r9) ---
     "math_null_funcs_lineitem",
-    "pricing_summary",
-    "revenue_by_nation",
     "shipping_priority",
     "string_funcs_part",
     "temporal_funcs_orders",
@@ -78,12 +81,10 @@ _DRIVER_WINDOW = [
     "shipmode_priority_counts",
     "suppliers_by_region",
     "window_funcs_orders",
-    # --- rows-only tail (driver rows_match attestation, item 8) +
-    #     a second row for the r7 flagship ---
+    # --- rows-only tail (driver rows_match attestation, item 8) ---
     "bpe_tokenize_documents",
     "hll_distinct_events",
     "minhash_near_dup",
-    "exact_substring_dup_documents",
 ]
 
 
