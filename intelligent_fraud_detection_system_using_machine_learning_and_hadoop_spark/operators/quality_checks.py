@@ -1,0 +1,140 @@
+"""Declarative data-quality expectations (dbt-tests / Great-
+Expectations shape, reimplemented Spark-first).
+
+Engine-completeness extension (the reference — a pandas scorer, ref
+scripts/run_pipeline.py — validates nothing; a production ingest
+pipeline gates every load on checks like these): declare per-column
+expectations, compile them into ONE aggregation pass over the table,
+and emit a per-check violation report.
+
+Scale shape: every row-level check (not_null, accepted_values, range,
+regex) becomes a ``sum(when(violated, 1))`` term inside a single
+aggregate — one scan, zero shuffles beyond the final 1-row reduce,
+whole-stage-codegen throughout. ``unique`` adds its column to the same
+pass via count-distinct (Spark plans the multi-distinct aggregate with
+one Expand — still one scan). ``ref_integrity`` joins the (usually
+dimension-sized) reference keys broadcast and counts orphans. The
+report is rows = checks, so driver output is bounded by the number of
+declared expectations, never the data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation. ``kind`` ∈ {'not_null', 'unique',
+    'accepted_values', 'range', 'regex', 'ref_integrity'}."""
+
+    name: str
+    kind: str
+    column: str
+    values: tuple = field(default=())  # accepted_values
+    lo: float | None = None  # range (inclusive)
+    hi: float | None = None
+    pattern: str | None = None  # regex (full-match)
+    ref: DataFrame | None = None  # ref_integrity: frame holding ref_col
+    ref_col: str | None = None
+
+
+def _violation(c: Check) -> F.Column:
+    col = F.col(c.column)
+    if c.kind == "not_null":
+        return col.isNull()
+    if c.kind == "accepted_values":
+        return col.isNotNull() & ~col.isin(list(c.values))
+    if c.kind == "range":
+        v = F.lit(False)
+        if c.lo is not None:
+            v = v | (col < F.lit(c.lo))
+        if c.hi is not None:
+            v = v | (col > F.lit(c.hi))
+        return col.isNotNull() & v
+    if c.kind == "regex":
+        # rlike is substring-match; anchor for full-match semantics
+        # (mirrors DuckDB regexp_full_match in the oracle)
+        return col.isNotNull() & ~col.rlike(f"^(?:{c.pattern})$")
+    raise ValueError(f"not a row-level check: {c.kind}")
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate every check; returns one row per check:
+    (check_name, kind, column, n_violations, passed), ordered by name.
+
+    Row-level checks + uniques share ONE aggregation pass; each
+    ref_integrity check is one broadcast anti-join count.
+    """
+    aggs = []
+    for c in checks:
+        if c.kind in ("not_null", "accepted_values", "range", "regex"):
+            aggs.append(
+                F.sum(F.when(_violation(c), 1).otherwise(0))
+                .cast("long")
+                .alias(c.name)
+            )
+        elif c.kind == "unique":
+            # violations = rows beyond the first per value (nulls exempt,
+            # matching SQL UNIQUE semantics)
+            aggs.append(
+                (
+                    F.count(F.col(c.column))
+                    - F.countDistinct(F.col(c.column))
+                )
+                .cast("long")
+                .alias(c.name)
+            )
+        elif c.kind == "ref_integrity":
+            pass  # handled below, needs a join
+        else:
+            raise ValueError(f"unknown check kind: {c.kind}")
+
+    frames = []
+    if aggs:
+        one = df.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                F.lit(c.kind).alias("kind"),
+                F.lit(c.column).alias("column"),
+                F.col(c.name).alias("n_violations"),
+            )
+            for c in checks
+            if c.kind != "ref_integrity"
+        ]
+        frames.append(
+            one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+        )
+    for c in checks:
+        if c.kind != "ref_integrity":
+            continue
+        orphans = (
+            df.select(F.col(c.column))
+            .where(F.col(c.column).isNotNull())
+            .join(
+                F.broadcast(
+                    c.ref.select(F.col(c.ref_col).alias(c.column)).distinct()
+                ),
+                c.column,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        )
+        frames.append(
+            orphans.select(
+                F.lit(c.name).alias("check_name"),
+                F.lit(c.kind).alias("kind"),
+                F.lit(c.column).alias("column"),
+                "n_violations",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.withColumn("passed", F.col("n_violations") == 0).orderBy(
+        "check_name"
+    )

@@ -2889,3 +2889,71 @@ def cusum_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return cusum_daily(e, slack_cents=25, threshold_cents=500)
+
+
+@query(
+    "expectations_orders",
+    oracle="""
+    WITH agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn,
+        CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS uq,
+        CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F','P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS av,
+        CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0 OR o_totalprice > 600000)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rg,
+        CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rx
+      FROM orders),
+    orphans AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders o
+      ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL)
+    SELECT * FROM (
+      SELECT 'custkey_exists' AS check_name, 'ref_integrity' AS kind,
+             'o_custkey' AS "column", (SELECT n FROM orphans) AS n_violations,
+             (SELECT n FROM orphans) = 0 AS passed
+      UNION ALL SELECT 'orderkey_not_null', 'not_null', 'o_orderkey', nn, nn = 0 FROM agg
+      UNION ALL SELECT 'orderkey_unique', 'unique', 'o_orderkey', uq, uq = 0 FROM agg
+      UNION ALL SELECT 'priority_format', 'regex', 'o_orderpriority', rx, rx = 0 FROM agg
+      UNION ALL SELECT 'status_accepted', 'accepted_values', 'o_orderstatus', av, av = 0 FROM agg
+      UNION ALL SELECT 'totalprice_range', 'range', 'o_totalprice', rg, rg = 0 FROM agg)
+    ORDER BY check_name
+    """,
+)
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders (operators/
+    quality_checks.py::run_checks — the dbt-tests/Great-Expectations
+    shape): not-null, uniqueness, accepted values, range, regex format
+    and referential integrity vs customer, compiled into one scan (+
+    one broadcast anti-join for the FK check), reported one row per
+    expectation."""
+    from ..operators.quality_checks import Check, run_checks
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    checks = [
+        Check("orderkey_not_null", "not_null", "o_orderkey"),
+        Check("orderkey_unique", "unique", "o_orderkey"),
+        Check(
+            "status_accepted",
+            "accepted_values",
+            "o_orderstatus",
+            values=("O", "F", "P"),
+        ),
+        Check("totalprice_range", "range", "o_totalprice", lo=0.0, hi=600000.0),
+        Check(
+            "priority_format", "regex", "o_orderpriority", pattern="[1-5]-[A-Z ]+"
+        ),
+        Check(
+            "custkey_exists",
+            "ref_integrity",
+            "o_custkey",
+            ref=c,
+            ref_col="c_custkey",
+        ),
+    ]
+    return run_checks(o, checks)

@@ -297,3 +297,45 @@ def test_cusum_matches_sequential_recurrence(spark):
             r = out[(g, i + 1)]
             assert r["cusum"] == s / (100.0 * n), (g, i)
             assert r["is_change"] == (s > thresh_c * n), (g, i)
+
+
+def test_expectations_detect_planted_violations(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.quality_checks import (
+        Check,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, "1-URGENT", 100),
+            (1, "X", -5.0, "9-BAD", 999),     # dup key, bad status, neg, bad fmt, orphan
+            (None, "F", 20.0, "2-HIGH x", 101),  # null key, trailing junk fails full-match
+        ],
+        "k long, status string, price double, prio string, fk long",
+    )
+    ref = spark.createDataFrame([(100,), (101,)], "rk long")
+    out = {
+        r["check_name"]: r
+        for r in run_checks(
+            df,
+            [
+                Check("k_not_null", "not_null", "k"),
+                Check("k_unique", "unique", "k"),
+                Check("status_ok", "accepted_values", "status", values=("O", "F")),
+                Check("price_ok", "range", "price", lo=0.0),
+                Check("prio_fmt", "regex", "prio", pattern="[1-5]-[A-Z]+"),
+                Check("fk_ok", "ref_integrity", "fk", ref=ref, ref_col="rk"),
+            ],
+        ).collect()
+    }
+    expect = {
+        "k_not_null": 1,
+        "k_unique": 1,
+        "status_ok": 1,
+        "price_ok": 1,
+        "prio_fmt": 2,
+        "fk_ok": 1,
+    }
+    for name, n in expect.items():
+        assert out[name]["n_violations"] == n, name
+        assert out[name]["passed"] is False
