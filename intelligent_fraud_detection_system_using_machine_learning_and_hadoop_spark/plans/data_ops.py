@@ -2957,3 +2957,29 @@ def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return run_checks(o, checks)
+
+
+@query(
+    "label_centroids_embeddings",
+    oracle="""
+    WITH ex AS (
+      SELECT label, p.pos, CAST(embedding[p.pos + 1] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(64)) AS pos) p)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_component
+    FROM ex GROUP BY label, pos ORDER BY label, pos
+    """,
+)
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise per-label embedding centroids in long form
+    (operators/vectors.py::group_centroids_long): the chunk→document /
+    class-centroid pooling primitive. The dimension index joins the
+    shuffle key, so a hot group's reduction spreads across dim× more
+    reducers; quantized-integer sums make the mean bit-exact on any
+    partitioning — which the oracle attests per (label, dim)."""
+    from ..operators.vectors import group_centroids_long
+
+    e = ensure_min_partitions(read_table(spark, sf_dir, "embeddings"))
+    return group_centroids_long(e, group_col="label", vec_col="embedding")

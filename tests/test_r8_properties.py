@@ -339,3 +339,31 @@ def test_expectations_detect_planted_violations(spark):
     for name, n in expect.items():
         assert out[name]["n_violations"] == n, name
         assert out[name]["passed"] is False
+
+
+def test_group_centroids_wide_matches_numpy(spark):
+    import numpy as np
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.vectors import (
+        group_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (int(i % 3), [float(x) for x in rng.standard_normal(8)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "label long, embedding array<float>")
+    out = {r["label"]: r for r in group_centroids(df).collect()}
+    for g in (0, 1, 2):
+        # the column is array<float>: components round-trip float32
+        vs = np.array(
+            [np.array(v, dtype=np.float32) for lbl, v in rows if lbl == g]
+        ).astype(np.float64)
+        # quantized mean: floor each float32-as-double component * 1e6
+        q = np.floor(vs * 1e6).sum(axis=0) / (len(vs) * 1e6)
+        got = np.array(out[g]["centroid"])
+        assert out[g]["n_vectors"] == len(vs)
+        np.testing.assert_allclose(got, q, rtol=0, atol=1e-9)
+    n = group_centroids(df, normalize=True).collect()
+    for r in n:
+        assert abs(sum(x * x for x in r["centroid"]) - 1.0) < 1e-9
