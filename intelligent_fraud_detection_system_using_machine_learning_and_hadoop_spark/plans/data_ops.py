@@ -2971,6 +2971,7 @@ def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_component
     FROM ex GROUP BY label, pos ORDER BY label, pos
     """,
+    bench=True,
 )
 def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise per-label embedding centroids in long form
