@@ -2984,3 +2984,39 @@ def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = ensure_min_partitions(read_table(spark, sf_dir, "embeddings"))
     return group_centroids_long(e, group_col="label", vec_col="embedding")
+
+
+@query(
+    "incremental_agg_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS avg_value,
+           MIN(o_totalprice) AS min_value,
+           MAX(o_totalprice) AS max_value
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/
+    incremental_agg.py): the per-(status, priority) price aggregate is
+    built as TWO independent mergeable states — history (orderdate <
+    1997-01-01) and the delta — then merged; the oracle aggregates the
+    FULL table directly, attesting merge(state(prev), state(delta)) ==
+    state(full) bit-exactly (integer-cent sums, retraction-free
+    algebra). The nightly-pipeline shape: the big side of the merge is
+    the |keys|-row state, never the fact history."""
+    from ..operators.incremental_agg import agg_state, finalize, merge_agg_state
+
+    o = read_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    prev = agg_state(
+        o.where(F.col("o_orderdate") < F.lit("1997-01-01")), keys, "o_totalprice"
+    )
+    delta = agg_state(
+        o.where(F.col("o_orderdate") >= F.lit("1997-01-01")), keys, "o_totalprice"
+    )
+    return finalize(merge_agg_state(prev, delta, keys))

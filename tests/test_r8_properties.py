@@ -367,3 +367,23 @@ def test_group_centroids_wide_matches_numpy(spark):
     n = group_centroids(df, normalize=True).collect()
     for r in n:
         assert abs(sum(x * x for x in r["centroid"]) - 1.0) < 1e-9
+
+
+def test_incremental_agg_merge_equals_full(spark):
+    """Associativity/commutativity of the state algebra: any split of
+    the facts, merged in any order, equals the full-table state."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.incremental_agg import (
+        agg_state,
+        finalize,
+        merge_agg_state,
+    )
+
+    rows = [(i % 3, float(i) * 1.01) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    full = {r["k"]: r for r in finalize(agg_state(df, ["k"], "v")).collect()}
+    a = agg_state(df.where("v < 33"), ["k"], "v")
+    b = agg_state(df.where("v >= 33 and v < 66"), ["k"], "v")
+    c = agg_state(df.where("v >= 66"), ["k"], "v")
+    merged = finalize(merge_agg_state(merge_agg_state(c, a, ["k"]), b, ["k"]))
+    got = {r["k"]: r for r in merged.collect()}
+    assert got == full
