@@ -1,0 +1,99 @@
+"""Term co-occurrence statistics: windowed pair counts and PMI lift.
+
+Text-analysis extension (the reference — a pandas fraud scorer, ref
+scripts/run_pipeline.py — has no text surface): which word pairs occur
+together more often than chance — the statistic behind collocation
+extraction, phrase mining and classical word embeddings (PMI matrices).
+
+lift(a,b) = P(a,b) / (P(a)·P(b)) = (c_ab · T²) / (P · c_a · c_b)
+
+with c_ab the windowed pair count, P total pairs, c_x unigram counts,
+T total tokens. PMI = ln lift is transcendental, so the ORACLED value
+is the lift itself, computed as IEEE doubles in one pinned association
+(every factor cast to double, multiplied left-to-right) — deterministic
+on any engine; the log is one monotone map the caller applies (ranking
+is identical).
+
+Scale shape: pair generation is a per-document positional self-join
+(|pos_b − pos_a| ≤ window, pos_a < pos_b) — doc-keyed, embarrassingly
+parallel, output linear in corpus × window. Pair counts aggregate
+map-side-combined on (a, b); stopword-pair skew is absorbed by partial
+aggregation (each mapper emits one partial row per hot pair). Unigram
+counts and the two scalar totals re-join the vocabulary-keyed pair
+table — vocab-sized, not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    window: int = 5,
+    min_pair_count: int = 2,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_k`` co-occurring term pairs by PMI lift:
+    (term_a, term_b, pair_count, count_a, count_b, lift), term_a <
+    term_b, ties broken by the pair for a total deterministic order."""
+    pos = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    from ..cache import swap_cache
+
+    pos = swap_cache(f"pmi_pairs.pos:{window}", pos)
+    a, b = pos.alias("a"), pos.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._id") == F.col("b._id"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + window),
+        )
+        .select(
+            F.least(F.col("a.tok"), F.col("b.tok")).alias("term_a"),
+            F.greatest(F.col("a.tok"), F.col("b.tok")).alias("term_b"),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+    )
+    uni = pos.groupBy(F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = pairs.agg(
+        F.sum("pair_count").cast("long").alias("p_total")
+    ).crossJoin(uni.agg(F.sum("cnt").cast("long").alias("t_total")))
+    j = (
+        pairs.where(F.col("pair_count") >= min_pair_count)
+        .join(uni.withColumnRenamed("term", "term_a").withColumnRenamed("cnt", "count_a"), "term_a")
+        .join(uni.withColumnRenamed("term", "term_b").withColumnRenamed("cnt", "count_b"), "term_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    # pinned association: ((((cab·T)·T) / P) / ca) / cb — one grouping,
+    # reproducible IEEE-exactly by the SQL oracle
+    lift = (
+        (
+            (
+                F.col("pair_count").cast("double")
+                * F.col("t_total").cast("double")
+                * F.col("t_total").cast("double")
+            )
+            / F.col("p_total").cast("double")
+        )
+        / F.col("count_a").cast("double")
+    ) / F.col("count_b").cast("double")
+    return (
+        j.select(
+            "term_a", "term_b", "pair_count", "count_a", "count_b",
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "term_a", "term_b")
+        .limit(top_k)
+    )

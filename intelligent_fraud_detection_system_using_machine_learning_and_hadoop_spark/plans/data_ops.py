@@ -3020,3 +3020,51 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_orderdate") >= F.lit("1997-01-01")), keys, "o_totalprice"
     )
     return finalize(merge_agg_state(prev, delta, keys))
+
+
+@query(
+    "pmi_cooccurrence_documents",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, u.tok AS tok, u.pos AS pos
+      FROM (SELECT doc_id,
+                   unnest(list_transform(toks, (x, i) -> {{'tok': x, 'pos': i}})) AS u
+            FROM d)),
+    pairs AS (
+      SELECT least(a.tok, b.tok) AS term_a, greatest(a.tok, b.tok) AS term_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_count
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 5
+      GROUP BY 1, 2),
+    uni AS (
+      SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS cnt FROM pos GROUP BY tok),
+    tot AS (
+      SELECT (SELECT CAST(SUM(pair_count) AS BIGINT) FROM pairs) AS p_total,
+             (SELECT CAST(SUM(cnt) AS BIGINT) FROM uni) AS t_total)
+    SELECT p.term_a, p.term_b, p.pair_count,
+           ua.cnt AS count_a, ub.cnt AS count_b,
+           ((((CAST(p.pair_count AS DOUBLE) * CAST(t.t_total AS DOUBLE))
+              * CAST(t.t_total AS DOUBLE))
+             / CAST(t.p_total AS DOUBLE))
+            / CAST(ua.cnt AS DOUBLE)) / CAST(ub.cnt AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN uni ua ON ua.term = p.term_a
+    JOIN uni ub ON ub.term = p.term_b
+    CROSS JOIN tot t
+    WHERE p.pair_count >= 2
+    ORDER BY lift DESC, p.term_a, p.term_b LIMIT 100
+    """,
+)
+def pmi_cooccurrence_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed term co-occurrence with PMI lift (operators/cooccur.py
+    ::pmi_pairs): top-100 pairs co-occurring within 5 tokens more often
+    than chance — collocation/phrase-mining statistics. The lift is the
+    oracle-stable rational form of PMI (the ln is monotone and left to
+    the caller); pair generation is a doc-keyed positional self-join,
+    linear in corpus × window."""
+    from ..operators.cooccur import pmi_pairs
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    return pmi_pairs(d, window=5, min_pair_count=2, top_k=100)

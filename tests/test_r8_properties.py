@@ -387,3 +387,28 @@ def test_incremental_agg_merge_equals_full(spark):
     merged = finalize(merge_agg_state(merge_agg_state(c, a, ["k"]), b, ["k"]))
     got = {r["k"]: r for r in merged.collect()}
     assert got == full
+
+
+def test_pmi_pairs_hand_computed(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+        pmi_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y z"), (3, "z z q")],
+        "doc_id long, text string",
+    )
+    out = {(r["term_a"], r["term_b"]): r for r in pmi_pairs(
+        docs, window=2, min_pair_count=2, top_k=10
+    ).collect()}
+    # window=2, pos_a < pos_b <= pos_a+2:
+    # doc1 pairs: (x,y)@(0,1),(x,x)@(0,2),(y,y)@(1,3),(y,x)@(1,2),(x,y)@(2,3) -> xy:3, xx:1, yy:1
+    # doc2: (x,y),(x,z),(y,z); doc3: (z,z),(z,q),(z,q)
+    assert out[("x", "y")]["pair_count"] == 4
+    assert out[("q", "z")]["pair_count"] == 2
+    assert ("x", "x") not in out  # below min_pair_count
+    # totals: pairs P = 3+1+1 + 3 + 3 = 11, tokens T = 4+3+3 = 10
+    r = out[("x", "y")]
+    assert (r["count_a"], r["count_b"]) == (3, 3)
+    expect = ((((4.0 * 10.0) * 10.0) / 11.0) / 3.0) / 3.0
+    assert r["lift"] == expect
