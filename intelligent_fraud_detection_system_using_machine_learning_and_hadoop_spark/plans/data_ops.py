@@ -3068,3 +3068,93 @@ def pmi_cooccurrence_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
     return pmi_pairs(d, window=5, min_pair_count=2, top_k=100)
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'shared template ' || CAST(doc_id % 5 AS VARCHAR)
+                  ELSE text END AS txt
+      FROM documents),
+    d AS (SELECT DISTINCT source, md5(txt) AS h FROM t)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct content digests they share — the corpus diagnostic
+    run before mixing sources (a high overlap means double-counted
+    training mass). The ASCII testdata has no organic cross-source
+    dups, so ids ≡0 mod 7 collapse onto 5 shared templates
+    deterministically (swap for the raw scan in production); the
+    oracle attests the full matrix.
+
+    Scale: digests group per (digest, source) distinct — one shuffle —
+    and the pair join runs per digest group (bounded by n_sources per
+    digest, never corpus-sized rows)."""
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    txt = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("shared template "), (F.col("doc_id") % 5).cast("string")),
+    ).otherwise(F.col("text"))
+    dg = d.select("source", F.md5(txt).alias("h")).distinct()
+    a, b = dg.alias("a"), dg.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
+    "value_histogram_events",
+    oracle="""
+    WITH s AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+    b AS (
+      SELECT event_type,
+             least(CAST(floor(((value - s.lo) * 20.0) / (s.hi - s.lo))
+                        AS BIGINT), 19) AS bin
+      FROM events, s)
+    SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width value histogram per event type: 20 bins over the
+    global [min, max], the profiler's distribution view. Bin arithmetic
+    is one pinned IEEE association (((v − lo) · 20) / (hi − lo),
+    floored, last bin clamped) so every engine buckets identically; the
+    global extrema join in as a broadcast 1-row crossJoin — one scan,
+    one groupBy shuffle."""
+    e = read_table(spark, sf_dir, "events")
+    s = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = e.crossJoin(F.broadcast(s)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                ((F.col("value") - F.col("lo")) * F.lit(20.0))
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "bin")
+    )
