@@ -51,3 +51,15 @@ def release_caches() -> None:
         _ACTIVE_CACHES.clear()
     for df in dfs:
         df.unpersist(blocking=True)
+
+
+def plan_key(base: str, df: DataFrame) -> str:
+    """Cache key carrying the input frame's semantic plan fingerprint:
+    two invocations over DIFFERENT inputs get distinct slots (no mutual
+    eviction — the ADVICE r7 bm25 finding, generalized), while repeated
+    invocations over the same plan share one bounded slot."""
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # non-JVM frames (connect, mocks): fall back
+        h = "na"
+    return f"{base}:{h}"

@@ -48,7 +48,9 @@ def pmi_pairs(
     )
     from ..cache import swap_cache
 
-    pos = swap_cache(f"pmi_pairs.pos:{window}", pos)
+    from ..cache import plan_key
+
+    pos = swap_cache(plan_key(f"pmi_pairs.pos:{window}", pos), pos)
     a, b = pos.alias("a"), pos.alias("b")
     pairs = (
         a.join(

@@ -783,7 +783,9 @@ def semantic_dedup(
 
     from ..cache import swap_cache
 
-    assigned = swap_cache("semantic_dedup.assigned", assigned)
+    from ..cache import plan_key
+
+    assigned = swap_cache(plan_key("semantic_dedup.assigned", assigned), assigned)
     a, b = assigned.alias("a"), assigned.alias("b")
     pair_best = (
         a.join(

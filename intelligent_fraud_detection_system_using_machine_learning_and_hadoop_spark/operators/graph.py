@@ -209,8 +209,10 @@ def pagerank_quantized(
     # upstream scan + distinct + degree aggregation EVERY round — which
     # profiling showed dominates the whole computation (~2s/round at
     # sf0.1 vs ~0.3s for the round's actual work).
+    from ..cache import plan_key
+
     deg = swap_cache(
-        "pagerank.deg",
+        plan_key("pagerank.deg", e),
         e.groupBy("_src").agg(F.count(F.lit(1)).cast("long").alias("_deg")),
     )
     n = deg.count()  # one bounded driver scalar: the node count
@@ -220,7 +222,7 @@ def pagerank_quantized(
     # zero-weight self-loops guarantee every node receives a row in the
     # per-destination aggregation without an outer join
     e_aug = swap_cache(
-        "pagerank.edges_aug",
+        plan_key("pagerank.edges_aug", e),
         e.select("_src", "_dst", F.lit(1).alias("_w")).union(
             deg.select(
                 F.col("_src"),
