@@ -252,6 +252,12 @@ def pagerank_quantized(
             .cast("long")
             .alias("r_q")
         ).select(F.col("_dst").alias("node"), "r_q")
+        # truncate lineage per round (same discipline as
+        # connected_components): without this the plan tree embeds every
+        # previous iteration and Catalyst planning, not the data,
+        # dominates (plan audit: 108 exchanges printed for 5 rounds).
+        # The rank vector is N rows — the checkpoint is tiny.
+        r = r.localCheckpoint(eager=True)
     return r.select(
         "node", "r_q", (F.col("r_q").cast("double") / F.lit(float(q))).alias("rank")
     )
