@@ -3158,3 +3158,29 @@ def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy("event_type", "bin")
     )
+
+
+@query(
+    "streaming_incremental_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MV maintenance (streaming/jobs.py::
+    stream_incremental_agg): 8 genuine micro-batches each fold their
+    own mergeable partial-aggregate state into the running state via
+    foreachBatch; the drained result must equal the full-table
+    aggregation bit-exactly (integer-cent algebra), which the oracle
+    attests."""
+    from ..streaming.jobs import stream_incremental_agg
+
+    return stream_incremental_agg(spark, sf_dir)

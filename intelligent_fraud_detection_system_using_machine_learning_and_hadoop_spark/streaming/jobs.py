@@ -778,3 +778,54 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_incremental_agg(spark: SparkSession, sf_dir: str, n_files: int = 8) -> DataFrame:
+    """Streaming materialized-view maintenance: per-(event_type) value
+    aggregates folded incrementally, one micro-batch at a time, through
+    the mergeable partial-aggregate algebra (operators/
+    incremental_agg.py) inside ``foreachBatch`` — the production shape
+    for a continuously-maintained dashboard aggregate: each batch
+    contributes its own tiny state, merged into the running state;
+    history is never re-scanned.
+
+    State is held as a DataFrame re-merged per batch (here collected to
+    a local list between batches — the state is |keys| rows by
+    construction; a deployment would write it to a bucketed table).
+    Over a drained availableNow stream the final state must equal the
+    full-table aggregation EXACTLY (the algebra's merge property, which
+    the integer-cent sums make bit-true) — the oracle attests that."""
+    from ..operators.incremental_agg import agg_state, finalize, merge_agg_state
+    from ..sources.readers import normalize_event_ts
+
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    state: dict = {"df": None}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = agg_state(batch_df, ["event_type"], "value")
+        if state["df"] is None:
+            merged = delta
+        else:
+            prev = spark.createDataFrame(state["df"], delta.schema)
+            merged = merge_agg_state(prev, delta, ["event_type"])
+        # |keys| rows by construction — the collect is state-sized,
+        # never batch- or history-sized
+        state["df"] = merged.collect()
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    final = spark.createDataFrame(
+        state["df"],
+        "event_type string, n_rows long, sum_cents long, "
+        "min_value double, max_value double",
+    )
+    return finalize(final).orderBy("event_type")
