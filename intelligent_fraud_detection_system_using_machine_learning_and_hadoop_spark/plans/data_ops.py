@@ -3184,3 +3184,95 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_incremental_agg
 
     return stream_incremental_agg(spark, sf_dir)
+
+
+@query(
+    "incremental_pipeline_documents",
+    oracle=f"""
+    WITH snap AS (
+      SELECT DISTINCT {_SQL_NORM_MD5} AS content_md5
+      FROM documents WHERE doc_id % 10 <> 3),
+    delta AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 20000000 AS doc_id, text
+      FROM documents WHERE doc_id % 30 = 3),
+    d AS (
+      SELECT doc_id, text, {_SQL_NORM_MD5} AS content_md5 FROM delta),
+    j AS (
+      SELECT d.doc_id, d.text, d.content_md5,
+             (s.content_md5 IS NOT NULL) AS in_snap,
+             MIN(d.doc_id) OVER (PARTITION BY d.content_md5) AS min_id
+      FROM d LEFT JOIN snap s USING (content_md5)),
+    kept AS (
+      SELECT doc_id, text, content_md5 FROM j
+      WHERE NOT in_snap AND doc_id = min_id),
+    w AS (
+      SELECT CAST(b AS BIGINT) AS bucket,
+             CAST(floor(
+               ((CAST(((b + 1) * 2654435761) % 2147483648 AS DOUBLE)
+                 / 1073741824.0) - 1.0) * 1e6) AS BIGINT) AS w_q
+      FROM (SELECT unnest(range(1024)) AS b)),
+    tok AS (
+      SELECT doc_id, content_md5, unnest({_SQL_TOKENS}) AS t FROM kept),
+    tb AS (
+      SELECT doc_id, content_md5, {_SQL_TOK_U32} % 1024 AS bucket FROM tok),
+    dc AS (
+      SELECT doc_id, content_md5, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tb GROUP BY 1, 2, 3),
+    sc AS (
+      SELECT doc_id, content_md5, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(SUM(c * coalesce(w.w_q, 0)) AS BIGINT) AS logit_q
+      FROM dc LEFT JOIN w USING (bucket) GROUP BY 1, 2)
+    SELECT doc_id, content_md5, n_tokens, logit_q
+    FROM sc WHERE logit_q > 0 ORDER BY doc_id
+    """,
+)
+def incremental_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END incremental ingest (the round-8 composition twin of
+    ``llm_data_pipeline``): a new shard dedups against the frozen
+    snapshot's broadcast digest index (operators/dedup.py::
+    incremental_dedup, keep-only), then the survivors pass the hashed
+    linear quality classifier (operators/classifier.py — keep
+    logit_q > 0) — the nightly delta path of a production corpus: the
+    full corpus is never touched, every stage broadcast-joins
+    batch-sized state. One lazy composed plan; the oracle attests the
+    full chain's values."""
+    from ..operators.classifier import (
+        hashed_linear_scores,
+        synthetic_quality_weights,
+    )
+    from ..operators.dedup import incremental_dedup, snapshot_digest_index
+
+    d = ensure_min_partitions(read_table(spark, sf_dir, "documents"))
+    snapshot = d.where(F.col("doc_id") % 10 != 3)
+    delta = (
+        d.where(F.col("doc_id") % 10 == 3)
+        .select("doc_id", "text")
+        .unionAll(
+            d.where(F.col("doc_id") % 10 == 1).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            d.where(F.col("doc_id") % 30 == 3).select(
+                (F.col("doc_id") + 20000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    idx = snapshot_digest_index(snapshot)
+    kept = incremental_dedup(delta, idx, broadcast_index=True).where(
+        F.col("status") == "kept"
+    )
+    weights = synthetic_quality_weights(spark, n_buckets=1024, seed=1)
+    scored = hashed_linear_scores(kept, weights, n_buckets=1024)
+    return (
+        kept.select("doc_id", "content_md5")
+        .join(scored.select("doc_id", "n_tokens", "logit_q"), "doc_id")
+        .where(F.col("logit_q") > 0)
+        .select("doc_id", "content_md5", "n_tokens", "logit_q")
+        .orderBy("doc_id")
+    )
