@@ -3230,6 +3230,7 @@ def streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, content_md5, n_tokens, logit_q
     FROM sc WHERE logit_q > 0 ORDER BY doc_id
     """,
+    bench=True,
 )
 def incremental_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END incremental ingest (the round-8 composition twin of
