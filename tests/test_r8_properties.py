@@ -412,3 +412,28 @@ def test_pmi_pairs_hand_computed(spark):
     assert (r["count_a"], r["count_b"]) == (3, 3)
     expect = ((((4.0 * 10.0) * 10.0) / 11.0) / 3.0) / 3.0
     assert r["lift"] == expect
+
+
+def test_observe_stage_metrics_ride_the_action(spark):
+    """Observed metrics must match direct aggregation AND cost no extra
+    job beyond the caller's own action."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.observability import (
+        observe_stage,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 20.5)], "k long, v double"
+    )
+    inst, obs = observe_stage(df, "stage1", value_col="v", null_cols=("v",))
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("observe_probe", "observe phase")
+    rows = inst.collect()
+    n_jobs = len(tracker.getJobIdsForGroup("observe_probe") or [])
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(rows) == 3
+    assert n_jobs == 1, "metrics must ride the single action"
+    m = obs.get
+    assert m["n_rows"] == 3
+    assert m["sum_cents"] == 1000 + 2050
+    assert m["nulls_v"] == 1
