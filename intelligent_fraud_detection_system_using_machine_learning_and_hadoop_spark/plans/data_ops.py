@@ -3277,3 +3277,28 @@ def incremental_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", "content_md5", "n_tokens", "logit_q")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fuzzy_join_part_names",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM n a JOIN n b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: every unordered pair of DISTINCT part
+    names within edit distance 2 (operators/fuzzy.py::
+    edit_distance_join — PassJoin segment blocking, VLDB 2012, so the
+    corpus is never self-cross-joined: candidates come from an
+    equi-join on (owner length, segment index, segment text) and only
+    candidates pay the levenshtein DP). The oracle is the naive
+    all-pairs form — hash equality attests the blocked join misses NO
+    pair (PassJoin's no-false-negative lemma, checked exactly)."""
+    from ..operators.fuzzy import edit_distance_join
+
+    p = read_table(spark, sf_dir, "part").select("p_name").distinct()
+    return edit_distance_join(p, threshold=2, str_col="p_name")
