@@ -261,3 +261,80 @@ def pagerank_quantized(
     return r.select(
         "node", "r_q", (F.col("r_q").cast("double") / F.lit(float(q))).alias("rank")
     )
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Global triangle census of an undirected graph: one row with
+    ``(n_nodes, n_edges, n_wedges, n_triangles, global_clustering)``
+    where wedges = Σ_v C(deg(v), 2) (closed + open paths of length 2)
+    and global_clustering = 3·triangles / wedges — the standard
+    transitivity ratio, one IEEE division of exact BIGINTs.
+
+    Algorithm: degree-ordered orientation ("compact-forward" /
+    Schank-Wagner counting, public): orient every edge from the
+    endpoint with the smaller ``(degree, id)`` rank toward the larger.
+    The oriented out-degree of ANY node is then O(√|E|) (a node of
+    out-degree d has d higher-ranked neighbors, each of degree ≥ its
+    own, so d² ≤ 2|E|) — which bounds the wedge join's fan-out by
+    |E|^1.5 TOTAL regardless of how skewed the raw degree distribution
+    is. A celebrity node with 10⁸ neighbors contributes almost nothing:
+    nearly all its edges point INTO it and never pair up. That bound is
+    the difference between "works on a bounded-degree mesh" and "works
+    on a power-law web graph" at 100 TB.
+
+    Plan shape: degree agg (one shuffle) → orientation joins against
+    the |V|-row degree table → path join keyed on the wedge apex (one
+    shuffle) → closing hash join keyed on the (lo, hi) edge pair (one
+    shuffle) → global count. No driver loops, no collect.
+    """
+    e = _canonical(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+    )
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # rank = (deg, id); orient a -> b iff rank(a) < rank(b)
+    da = deg.select(F.col("u").alias("u"), F.col("deg").alias("_dega"))
+    db = deg.select(F.col("u").alias("v"), F.col("deg").alias("_degb"))
+    ranked = e.join(da, "u").join(db, "v")
+    oriented = ranked.select(
+        F.when(
+            (F.col("_dega") < F.col("_degb"))
+            | ((F.col("_dega") == F.col("_degb")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+        )
+        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+        .alias("_o")
+    ).select("_o.a", "_o.b")
+    # wedges at apex a: unordered pairs of out-neighbors
+    o1 = oriented.select(F.col("a"), F.col("b").alias("b1"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("b2"))
+    paths = o1.join(o2, "a").where(F.col("b1") < F.col("b2"))
+    # close the wedge: the (b1, b2) edge exists in SOME orientation —
+    # joining against the canonical u<v edge list needs b1<b2 only,
+    # which the path filter already guarantees
+    tri = paths.join(
+        e.select(F.col("u").alias("b1"), F.col("v").alias("b2")), ["b1", "b2"]
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    counts = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.expr("sum(deg * (deg - 1)) div 2").cast("long").alias("n_wedges"),
+    )
+    ecount = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        counts.crossJoin(F.broadcast(ecount))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("global_clustering"),
+        )
+    )

@@ -3302,3 +3302,48 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = read_table(spark, sf_dir, "part").select("p_name").distinct()
     return edit_distance_join(p, threshold=2, str_col="p_name")
+
+
+@query(
+    "triangle_count_parts",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM bi GROUP BY u)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e1.v = e2.u
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+           CAST(3 * (SELECT COUNT(*)
+                     FROM e e1 JOIN e e2 ON e1.v = e2.u
+                               JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS DOUBLE)
+             / CAST((SELECT SUM(deg * (deg - 1)) // 2 FROM deg) AS DOUBLE)
+             AS global_clustering
+    """,
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #3 (after connected components and PageRank):
+    triangle census + global clustering coefficient of the part
+    co-order graph (parts appearing on the same order are adjacent).
+    Spark side is degree-ordered "compact-forward" counting
+    (operators/graph.py::triangle_stats) whose oriented wedge join is
+    bounded |E|^1.5 even on power-law graphs; the oracle is the naive
+    u<v<w triple self-join — equality attests the orientation trick
+    loses no triangle."""
+    from ..operators.graph import triangle_stats
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("l_orderkey", "pa")
+    b = li.toDF("l_orderkey", "pb")
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("id_a"), F.col("pb").alias("id_b"))
+        .distinct()
+    )
+    return triangle_stats(e)

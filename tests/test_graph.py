@@ -129,3 +129,64 @@ def test_pagerank_quantized_matches_python(spark):
     assert got == r
     # rank mass stays within floor-loss of the full budget
     assert 0.95 * q < sum(got.values()) <= q
+
+
+class TestTriangleStats:
+    def _brute(self, edges):
+        from itertools import combinations
+
+        adj = {}
+        es = set()
+        for u, v in edges:
+            if u == v:
+                continue
+            a, b = min(u, v), max(u, v)
+            es.add((a, b))
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = sum(
+            1
+            for a, b, c in combinations(sorted(adj), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+        return len(adj), len(es), wedges, tri
+
+    def _run(self, spark, edges):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            triangle_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(int(u), int(v)) for u, v in edges], "id_a long, id_b long"
+        )
+        row = triangle_stats(df).first()
+        n, e, w, t = self._brute(edges)
+        assert (
+            row["n_nodes"],
+            row["n_edges"],
+            row["n_wedges"],
+            row["n_triangles"],
+        ) == (n, e, w, t)
+        if w:
+            assert row["global_clustering"] == 3.0 * t / float(w)
+
+    def test_known_small(self, spark):
+        # K4 (4 triangles... K4 has C(4,3)=4 triangles) plus a pendant
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+        self._run(spark, k4)
+
+    def test_random_graph(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = {
+            (rng.randrange(30), rng.randrange(30)) for _ in range(150)
+        }
+        self._run(spark, [e for e in edges if e[0] != e[1]])
+
+    def test_star_skew(self, spark):
+        # celebrity hub: degree orientation must not blow up or miscount
+        edges = [(0, i) for i in range(1, 40)] + [(1, 2), (2, 3), (3, 1)]
+        self._run(spark, edges)
