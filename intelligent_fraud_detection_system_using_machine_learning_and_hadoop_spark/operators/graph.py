@@ -338,3 +338,43 @@ def triangle_stats(
             ).alias("global_clustering"),
         )
     )
+
+
+def keep_best_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: label every document with its
+    near-dup cluster (transitive closure of ``pairs``) and keep the
+    HIGHEST-``quality_col`` member per cluster (ties → lowest id) —
+    the production dedup keep-rule (CCNet / RefinedWeb style, public):
+    when a boilerplate page and its well-formatted twin collide, drop
+    the boilerplate, not whichever happened to carry the smaller id
+    (``near_dup_clusters``'s min-id rule is the quality-blind
+    baseline).
+
+    Returns (id, cluster_id, quality, keep). One window over
+    ``cluster_id`` after the closure join — cluster sizes are bounded
+    by the dedup threshold's connectivity, and the window shuffle key
+    is the cluster label, so singleton-heavy corpora (the common case)
+    parallelize trivially.
+    """
+    labels = near_dup_clusters(docs, pairs, id_col=id_col)
+    from pyspark.sql import Window
+
+    q = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(quality_col).cast("long").alias("quality"),
+    )
+    j = labels.select(id_col, "cluster_id").join(q, id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc(id_col)
+    )
+    return j.select(
+        id_col,
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

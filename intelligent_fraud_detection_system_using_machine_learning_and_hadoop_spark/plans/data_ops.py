@@ -3347,3 +3347,60 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(e)
+
+
+@query(
+    "canonical_dedup_documents",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 2 <= len(w)
+                                                THEN array_to_string(w[i:i+2], ' ') END),
+               x -> x IS NOT NULL)) AS sh
+      FROM d WHERE len(w) >= 3),
+    s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s2),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s2),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    e AS (
+      SELECT id_a AS u, id_b AS v
+      FROM pr
+      JOIN sz na ON na.doc_id = id_a
+      JOIN sz nb ON nb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.05),
+    bi AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, bi.v FROM reach r JOIN bi ON r.b = bi.u),
+    cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT c.doc_id, c.cluster_id,
+           CAST(dd.n_chars AS BIGINT) AS quality,
+           (row_number() OVER (PARTITION BY c.cluster_id
+                               ORDER BY dd.n_chars DESC, c.doc_id ASC) = 1)
+             AS keep
+    FROM cl c JOIN documents dd USING (doc_id)
+    """,
+)
+def canonical_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical dedup: the same 3-gram-Jaccard closure
+    as ``near_dup_clusters``, but the kept representative is the
+    HIGHEST-quality member (n_chars here; any scorer column works),
+    ties to the lowest doc_id (operators/graph.py::
+    keep_best_representative). This is the keep-rule production
+    pipelines actually apply — `near_dup_clusters` keeps an arbitrary
+    (min-id) member; grading corpora by quality first is what makes
+    dedup IMPROVE the training mix instead of sampling it blindly."""
+    from ..operators.graph import keep_best_representative
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.05, max_df=1000)
+    return keep_best_representative(d, pairs, quality_col="n_chars")

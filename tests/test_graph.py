@@ -190,3 +190,30 @@ class TestTriangleStats:
         # celebrity hub: degree orientation must not blow up or miscount
         edges = [(0, i) for i in range(1, 40)] + [(1, 2), (2, 3), (3, 1)]
         self._run(spark, edges)
+
+
+def test_keep_best_representative(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        keep_best_representative,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (5, 99)],
+        "doc_id long, q long",
+    )
+    # cluster {1,2,3} (chained), singleton 4, singleton 5
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in keep_best_representative(
+            docs, pairs, quality_col="q"
+        ).collect()
+    }
+    # cluster of {1,2,3}: best quality 30 tie between 2 and 3 -> keep 2
+    assert [rows[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [rows[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    # singletons keep themselves
+    assert rows[4]["keep"] and rows[5]["keep"]
+    assert rows[4]["cluster_id"] == 4 and rows[5]["cluster_id"] == 5
