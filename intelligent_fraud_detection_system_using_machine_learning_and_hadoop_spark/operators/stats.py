@@ -1,0 +1,157 @@
+"""Distributed rank statistics: exact Spearman correlation without a
+single-partition global sort.
+
+Analytics extension (the reference — a 300-line pandas fraud scorer —
+has no correlation surface; its nearest kin is the mean/std threshold
+at ref scripts/run_pipeline.py:66). Spearman's rho is the robust
+(rank-based) association measure a feature-engineering pass runs over
+every numeric column pair; the textbook implementation ranks each
+column with ONE global window — which in Spark means
+``Window.orderBy(col)`` with no partition: every row through a single
+reducer, the canonical does-not-scale plan.
+
+Here ranks are computed distributedly, exactly:
+
+* per column, values aggregate to a (value, count) table — ties
+  collapse BEFORE any ordering work;
+* the "< v" cumulative count is a range-bucketed prefix sum (the same
+  idiom as operators/packing.py::pack_sequences): bucket by value
+  range (order-preserving), cumsum inside each bucket under a
+  PARTITIONED window, roll bucket totals (n_buckets rows) into
+  broadcast prefix offsets;
+* the average rank of a tie group is kept as an exact INTEGER by
+  doubling: r2(v) = 2·|{x < v}| + |{x = v}| + 1 = 2·avg_rank(v).
+
+With centered ranks c = r2 − (n+1) (Σc = 0 exactly), Spearman is
+Pearson on ranks: rho = Σc_x·c_y / sqrt(Σc_x² · Σc_y²) — the sums are
+exact BIGINTs (order-independent on any partitioning), and the final
+three operations (BIGINT→DOUBLE casts, one multiply, one sqrt, one
+divide) are correctly-rounded IEEE, so any engine reproduces the float
+bit-for-bit. No approximation anywhere: this is the exact tie-adjusted
+Spearman, just computed in a shuffle-bounded shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def avg_rank2(
+    df: DataFrame, val_col: str, n_buckets: int = 64
+) -> DataFrame:
+    """Exact doubled-average-rank lookup table for one numeric column:
+    (value, r2) with r2 = 2·avg_rank. Rows join this value-keyed table
+    to pick up their rank; massive tie groups make hot join keys, for
+    which the standard salt/broadcast splits apply."""
+    v = F.col(val_col).cast("double")
+    vc = (
+        df.select(v.alias("_v"))
+        .where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    ext = vc.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
+    b = vc.crossJoin(F.broadcast(ext)).withColumn(
+        "_bkt",
+        F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col("_v") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * n_buckets
+                ),
+            )
+        ).cast("long"),
+    )
+    cum = b.withColumn(
+        "_cum_le",
+        F.sum("_cnt").over(
+            W.partitionBy("_bkt").orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    totals = b.groupBy("_bkt").agg(F.sum("_cnt").alias("_tot"))
+    prefix = totals.withColumn(
+        "_prefix",
+        F.coalesce(
+            F.sum("_tot").over(
+                W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_bkt", "_prefix")
+    return (
+        cum.join(F.broadcast(prefix), "_bkt")
+        .withColumn("_lt", F.col("_prefix") + F.col("_cum_le") - F.col("_cnt"))
+        .select(
+            F.col("_v").alias(val_col),
+            (F.lit(2) * F.col("_lt") + F.col("_cnt") + F.lit(1))
+            .cast("long")
+            .alias("r2"),
+        )
+    )
+
+
+def spearman_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact tie-adjusted Spearman rho for every unordered pair of
+    ``cols`` (pairs in the given order): one output row per pair,
+    (col_x, col_y, n, rho). Null-free input assumed (callers filter;
+    the driver tables are null-free in these columns).
+
+    Integer-width note: the raw moments are Σ r2·r2 ≤ 4n³, so BIGINT
+    sums are exact up to n ≈ 1.3·10⁶ rows — beyond that swap the sums
+    to decimal(38,0) (exact to n ≈ 10¹²; the one decimal→double cast
+    at the end costs the last-ulp cross-engine guarantee, nothing
+    else). The magnitude is inherent to exact rank moments, not to
+    this formulation."""
+    keyed = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    withr = keyed
+    for c in cols:
+        r = avg_rank2(keyed, c).withColumnRenamed("r2", f"_r2_{c}")
+        withr = withr.join(r, c)
+    n1 = F.count(F.lit(1)).cast("long") + F.lit(1)  # n + 1
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    # center inside the aggregate: c = r2 − (n+1) needs n, so compute
+    # raw moments instead and center algebraically — with S1 = Σr2 and
+    # Sxy = Σ r2x·r2y:  Σcx·cy = Sxy − (n+1)·S1x − (n+1)·S1y + n·(n+1)²
+    # ... all exact BIGINTs. (Σr2 = n(n+1) identically, so S1 = n(n+1),
+    # and the expression simplifies to Sxy − n·(n+1)².)
+    for c in cols:
+        aggs.append(F.sum(F.col(f"_r2_{c}") * F.col(f"_r2_{c}")).alias(f"_s_{c}_{c}"))
+    for cx, cy in pairs:
+        aggs.append(
+            F.sum(F.col(f"_r2_{cx}") * F.col(f"_r2_{cy}")).alias(f"_s_{cx}_{cy}")
+        )
+    m = withr.agg(*aggs)
+    rows = []
+    for cx, cy in pairs:
+        cxx = F.col(f"_s_{cx}_{cx}") - F.col("n") * (F.col("n") + 1) * (
+            F.col("n") + 1
+        )
+        cyy = F.col(f"_s_{cy}_{cy}") - F.col("n") * (F.col("n") + 1) * (
+            F.col("n") + 1
+        )
+        cxy = F.col(f"_s_{cx}_{cy}") - F.col("n") * (F.col("n") + 1) * (
+            F.col("n") + 1
+        )
+        rows.append(
+            F.struct(
+                F.lit(cx).alias("col_x"),
+                F.lit(cy).alias("col_y"),
+                F.col("n").alias("n"),
+                (
+                    cxy.cast("double")
+                    / F.sqrt(cxx.cast("double") * cyy.cast("double"))
+                ).alias("rho"),
+            )
+        )
+    return m.select(F.explode(F.array(*rows)).alias("_p")).select(
+        "_p.col_x", "_p.col_y", "_p.n", "_p.rho"
+    )

@@ -3404,3 +3404,56 @@ def canonical_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, threshold=0.05, max_df=1000)
     return keep_best_representative(d, pairs, quality_col="n_chars")
+
+
+@query(
+    "spearman_corr_lineitem",
+    oracle="""
+    WITH b AS (SELECT l_quantity AS q, l_extendedprice AS e, l_discount AS d
+               FROM lineitem),
+    r AS (SELECT
+        2*(rank() OVER (ORDER BY q)) + (count(*) OVER (PARTITION BY q)) - 1 AS rq,
+        2*(rank() OVER (ORDER BY e)) + (count(*) OVER (PARTITION BY e)) - 1 AS re,
+        2*(rank() OVER (ORDER BY d)) + (count(*) OVER (PARTITION BY d)) - 1 AS rd
+      FROM b),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(rq*rq) AS BIGINT) AS sqq,
+        CAST(sum(re*re) AS BIGINT) AS see,
+        CAST(sum(rd*rd) AS BIGINT) AS sdd,
+        CAST(sum(rq*re) AS BIGINT) AS sqe,
+        CAST(sum(rq*rd) AS BIGINT) AS sqd,
+        CAST(sum(re*rd) AS BIGINT) AS sed
+      FROM r)
+    SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+           CAST(sqe - n*(n+1)*(n+1) AS DOUBLE)
+             / sqrt(CAST(sqq - n*(n+1)*(n+1) AS DOUBLE)
+                    * CAST(see - n*(n+1)*(n+1) AS DOUBLE)) AS rho
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', n,
+           CAST(sqd - n*(n+1)*(n+1) AS DOUBLE)
+             / sqrt(CAST(sqq - n*(n+1)*(n+1) AS DOUBLE)
+                    * CAST(sdd - n*(n+1)*(n+1) AS DOUBLE))
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', n,
+           CAST(sed - n*(n+1)*(n+1) AS DOUBLE)
+             / sqrt(CAST(see - n*(n+1)*(n+1) AS DOUBLE)
+                    * CAST(sdd - n*(n+1)*(n+1) AS DOUBLE))
+    FROM m
+    """,
+)
+def spearman_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-adjusted Spearman correlation for every pair of
+    (l_quantity, l_extendedprice, l_discount) — operators/stats.py::
+    spearman_pairs. The ranks are distributed (value-level dedup +
+    range-bucketed prefix sum, the pack_sequences idiom), never a
+    single-partition global window; the oracle spells the SAME doubled
+    average ranks with ordinary SQL windows and identical BIGINT
+    moments, so rho matches bit-for-bit."""
+    from ..operators.stats import spearman_pairs
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return spearman_pairs(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
