@@ -104,3 +104,82 @@ def funnel_report(
         .select("r.*")
         .orderBy("step")
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conv_type: str,
+    touch_types: Sequence[str],
+    horizon: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion event splits
+    its value EQUALLY across the user's touch events in the preceding
+    ``horizon`` window (the standard linear model; first-touch is
+    ``funnel_report``'s cousin). Per touch type, one output row:
+
+    * ``n_touches`` — credited touch instances,
+    * ``n_conversions`` — distinct conversions the type participated in,
+    * ``credited_value`` — Σ value·(1/n) in currency units,
+    * ``credited_conversions`` — Σ 1/n conversion credit.
+
+    Exactness discipline: value splits as ``value_cents div n`` and
+    conversion credit as ``10⁶ div n`` — integer floor divisions summed
+    as BIGINTs, so the result is identical under any partitioning and
+    on any engine (float 1/n sums are neither). The sub-cent division
+    remainder is deliberately dropped, identically everywhere.
+    Conversions with NO in-window touch carry no credit (callers union
+    an "(unattributed)" row from a separate anti-join if they need
+    conservation).
+
+    Scale shape: the touch⋈conversion join is user-keyed with the time
+    predicate applied on join — per-user micro cross products bounded
+    by horizon density; the per-conversion fan-in count is a window
+    over the conversion id (skew-free: one conversion's touches are
+    horizon-bounded). For hot users at web scale, pre-bucketing both
+    sides by (user, time-bucket) — operators/joins.py's interval-join
+    discipline — drops in unchanged.
+    """
+    from pyspark.sql import Window
+
+    conv = events.where(F.col(type_col) == conv_type).select(
+        F.col(id_col).alias("_cid"),
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tc"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_vc"),
+    )
+    touch = events.where(F.col(type_col).isin(list(touch_types))).select(
+        F.col(type_col).alias("touch_type"),
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_tt"),
+    )
+    j = touch.join(conv, "_u").where(
+        (F.col("_tt") < F.col("_tc"))
+        & (F.col("_tt") >= F.col("_tc") - F.expr(f"INTERVAL {horizon}"))
+    )
+    n = Window.partitionBy("_cid")
+    credited = j.withColumn("_n", F.count(F.lit(1)).over(n).cast("long"))
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("_cid").cast("long").alias("n_conversions"),
+            F.sum(F.expr("_vc div _n")).cast("long").alias("_cv_q"),
+            F.sum(F.expr("1000000 div _n")).cast("long").alias("_cc_q"),
+        )
+        .select(
+            "touch_type",
+            "n_touches",
+            "n_conversions",
+            (F.col("_cv_q").cast("double") / F.lit(100.0)).alias(
+                "credited_value"
+            ),
+            (F.col("_cc_q").cast("double") / F.lit(1000000.0)).alias(
+                "credited_conversions"
+            ),
+        )
+    )

@@ -3457,3 +3457,44 @@ def spearman_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_pairs(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
+
+
+@query(
+    "attribution_linear_events",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS cid, user_id AS u, ts AS tc,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT event_type AS touch_type, user_id AS u, ts AS tt
+      FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT t.touch_type, c.cid, c.vc
+      FROM touch t JOIN conv c ON t.u = c.u
+      WHERE t.tt < c.tc AND t.tt >= c.tc - INTERVAL 30 MINUTE),
+    w AS (
+      SELECT touch_type, cid, vc,
+             CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n
+      FROM j)
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+           CAST(CAST(sum(vc // n) AS BIGINT) AS DOUBLE) / 100.0
+             AS credited_value,
+           CAST(CAST(sum(1000000 // n) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS credited_conversions
+    FROM w GROUP BY touch_type
+    """,
+)
+def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution over the event stream: each
+    purchase's value splits equally (exact integer-quantized 1/n
+    credits) across the same user's view/click touches in the
+    preceding 30 minutes (operators/funnel.py::linear_attribution —
+    user-keyed join + per-conversion window; floor-division credits
+    keep the sums BIGINT-exact on both engines)."""
+    from ..operators.funnel import linear_attribution
+
+    ev = read_table(spark, sf_dir, "events")
+    return linear_attribution(ev, "purchase", ["view", "click"])

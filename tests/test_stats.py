@@ -62,3 +62,50 @@ def test_spearman_anticorrelated(spark):
     ys = [-x for x in xs]
     df = spark.createDataFrame(list(zip(xs, ys)), "a double, b double")
     assert spearman_pairs(df, ["a", "b"]).first()["rho"] == -1.0
+
+
+def test_linear_attribution_exact(spark):
+    from datetime import datetime
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.funnel import (
+        linear_attribution,
+    )
+
+    T = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(mins):
+        return datetime(2024, 1, 1, 12, 0, 0).replace(minute=mins % 60, hour=12 + mins // 60)
+
+    rows = [
+        # user 1: purchase at 12:40 value 10.00, touches: view 12:15,
+        # click 12:20, view 12:39 (all within 30min? 12:15 is 25min
+        # before -> in; n=3 -> each credit 1000//3=333 cents)
+        (1, 1, at(15), "view", 0.0),
+        (2, 1, at(20), "click", 0.0),
+        (3, 1, at(39), "view", 0.0),
+        (4, 1, at(40), "purchase", 10.0),
+        # user 1: old view OUTSIDE window (12:40 - 30min = 12:10; 12:05 out)
+        (5, 1, at(5), "view", 0.0),
+        # user 2: purchase with NO touches -> unattributed, no credit
+        (6, 2, at(30), "purchase", 99.0),
+        # user 3: single click then purchase value 5.00 -> full credit
+        (7, 3, at(50), "click", 0.0),
+        (8, 3, at(55), "purchase", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r["touch_type"]: r
+        for r in linear_attribution(ev, "purchase", ["view", "click"]).collect()
+    }
+    v, c = got["view"], got["click"]
+    assert v["n_touches"] == 2 and v["n_conversions"] == 1
+    assert c["n_touches"] == 2 and c["n_conversions"] == 2
+    # view: 2 * (1000 div 3) = 666 cents = 6.66
+    assert v["credited_value"] == 6.66
+    # click: 1000 div 3 + 500 = 833 cents... 333 + 500 = 8.33
+    assert c["credited_value"] == 8.33
+    # conversion credits: view 2/3 (quantized), click 1/3 + 1
+    assert v["credited_conversions"] == 2 * (1000000 // 3) / 1e6
+    assert c["credited_conversions"] == (1000000 // 3 + 1000000) / 1e6
