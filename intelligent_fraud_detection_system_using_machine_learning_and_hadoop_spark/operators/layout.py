@@ -61,3 +61,66 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zonemap_prune_report(
+    df: DataFrame,
+    layouts: dict[str, Column],
+    value: Column,
+    cutoff: int,
+) -> DataFrame:
+    """Zone-map (file/row-group min-max statistics) pruning simulator:
+    for each candidate physical LAYOUT — a name → bucket-id expression
+    modeling which file each row would land in — compute how much of
+    the table the predicate ``value >= cutoff`` could SKIP using only
+    per-bucket min/max stats, i.e. exactly what parquet footer stats +
+    Catalyst's file pruning would do after an OPTIMIZE/cluster pass.
+
+    Per layout one row: (layout, n_buckets, n_pruned_buckets,
+    rows_total, rows_pruned, rows_matching, prune_fraction). A bucket
+    prunes iff its zone-map max < cutoff — the same conservative test
+    engines apply; ``rows_matching`` certifies every layout answers
+    identically (pruning changes I/O, never results).
+
+    This is the measurement half of the layout story (``write_zordered``
+    is the action half): at 100 TB the difference between the
+    "arrival" layout and a clustered one is typically the query — the
+    report quantifies it from one cheap stats pass (one groupBy per
+    layout over (bucket) — no data movement beyond the agg shuffle)."""
+    rows = []
+    for name, bucket in layouts.items():
+        zm = (
+            df.select(bucket.cast("long").alias("_b"), value.cast("long").alias("_v"))
+            .groupBy("_b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_rows"),
+                F.max("_v").alias("_mx"),
+                F.sum((F.col("_v") >= cutoff).cast("long")).alias("_match"),
+            )
+        )
+        rows.append(
+            zm.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).cast("long").alias("n_buckets"),
+                F.sum((F.col("_mx") < cutoff).cast("long"))
+                .cast("long")
+                .alias("n_pruned_buckets"),
+                F.sum("_rows").cast("long").alias("rows_total"),
+                F.sum(
+                    F.when(F.col("_mx") < cutoff, F.col("_rows")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("long")
+                .alias("rows_pruned"),
+                F.sum("_match").cast("long").alias("rows_matching"),
+            ).withColumn(
+                "prune_fraction",
+                F.col("rows_pruned").cast("double")
+                / F.col("rows_total").cast("double"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

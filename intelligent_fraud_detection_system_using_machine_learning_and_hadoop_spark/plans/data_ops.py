@@ -3498,3 +3498,74 @@ def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return linear_attribution(ev, "purchase", ["view", "click"])
+
+
+@query(
+    "zonemap_prune_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS dd
+      FROM orders),
+    ext AS (SELECT min(dd) AS mn, max(dd) AS mx FROM base),
+    assigned AS (
+      SELECT o_orderkey, dd,
+             o_orderkey % 64 AS b_arrival,
+             ((dd - mn) * 64) // (mx - mn + 1) AS b_by_date
+      FROM base, ext),
+    cutoff AS (
+      SELECT date_diff('day', DATE '1992-01-01', DATE '1997-01-01') AS c),
+    zm_a AS (
+      SELECT b_arrival AS b, CAST(count(*) AS BIGINT) AS rows_,
+             max(dd) AS mx, CAST(sum(CASE WHEN dd >= c THEN 1 ELSE 0 END) AS BIGINT) AS match_
+      FROM assigned, cutoff GROUP BY b_arrival, c),
+    zm_d AS (
+      SELECT b_by_date AS b, CAST(count(*) AS BIGINT) AS rows_,
+             max(dd) AS mx, CAST(sum(CASE WHEN dd >= c THEN 1 ELSE 0 END) AS BIGINT) AS match_
+      FROM assigned, cutoff GROUP BY b_by_date, c)
+    SELECT 'arrival' AS layout,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN mx < c THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned_buckets,
+           CAST(sum(rows_) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN mx < c THEN rows_ ELSE 0 END) AS BIGINT) AS rows_pruned,
+           CAST(sum(match_) AS BIGINT) AS rows_matching,
+           CAST(CAST(sum(CASE WHEN mx < c THEN rows_ ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(rows_) AS BIGINT) AS DOUBLE) AS prune_fraction
+    FROM zm_a, cutoff GROUP BY c
+    UNION ALL
+    SELECT 'by_date',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN mx < c THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(rows_) AS BIGINT),
+           CAST(sum(CASE WHEN mx < c THEN rows_ ELSE 0 END) AS BIGINT),
+           CAST(sum(match_) AS BIGINT),
+           CAST(CAST(sum(CASE WHEN mx < c THEN rows_ ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(rows_) AS BIGINT) AS DOUBLE)
+    FROM zm_d, cutoff GROUP BY c
+    """,
+)
+def zonemap_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning simulator (operators/layout.py::
+    zonemap_prune_report): how many of 64 model files the predicate
+    ``o_orderdate >= 1997-01-01`` skips under (a) the arrival layout
+    (orderkey-hash buckets — min/max envelopes span the full date
+    range, nothing prunes) vs (b) a date-clustered layout (range
+    buckets — all-but-the-tail prunes). The quantified case for
+    write_zordered/OPTIMIZE-style clustering, from one stats pass."""
+    from ..operators.layout import zonemap_prune_report
+
+    o = read_table(spark, sf_dir, "orders")
+    dd = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    base = o.select("o_orderkey", dd.alias("dd"))
+    ext = base.agg(F.min("dd").alias("_mn"), F.max("dd").alias("_mx"))
+    withb = base.crossJoin(F.broadcast(ext))
+    cutoff = 1827  # days from 1992-01-01 to 1997-01-01 (two leap years)
+    return zonemap_prune_report(
+        withb,
+        {
+            "arrival": F.col("o_orderkey") % 64,
+            "by_date": F.expr("((dd - _mn) * 64) div (_mx - _mn + 1)"),
+        },
+        F.col("dd"),
+        cutoff,
+    )

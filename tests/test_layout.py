@@ -70,3 +70,34 @@ def test_zordered_write_gives_tight_2d_envelopes(spark, tmp_path):
     # 16 z-range files over a 2-D uniform domain → each covers ~1/16 of
     # the area (plus boundary slack); random layout would give ~1.0
     assert mean_area < 0.25 * domain_area
+
+
+def test_zonemap_prune_report(spark):
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.layout import (
+        zonemap_prune_report,
+    )
+
+    # 3 buckets under 'sorted': [0..9], [10..19], [20..29]; cutoff 20
+    # prunes buckets 0 and 1 entirely. 'shuffled' interleaves values so
+    # every bucket's max >= 20 -> nothing prunes.
+    df = spark.createDataFrame([(i,) for i in range(30)], "v long")
+    rep = {
+        r["layout"]: r
+        for r in zonemap_prune_report(
+            df,
+            {
+                "sorted": F.expr("v div 10"),
+                "shuffled": F.expr("v % 3"),
+            },
+            F.col("v"),
+            20,
+        ).collect()
+    }
+    s, h = rep["sorted"], rep["shuffled"]
+    assert (s["n_buckets"], s["n_pruned_buckets"]) == (3, 2)
+    assert (s["rows_total"], s["rows_pruned"], s["rows_matching"]) == (30, 20, 10)
+    assert s["prune_fraction"] == 20.0 / 30.0
+    assert (h["n_pruned_buckets"], h["rows_pruned"]) == (0, 0)
+    assert h["rows_matching"] == 10  # results identical across layouts
