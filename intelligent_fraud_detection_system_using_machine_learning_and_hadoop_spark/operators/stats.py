@@ -111,7 +111,6 @@ def spearman_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         r = avg_rank2(keyed, c).withColumnRenamed("r2", f"_r2_{c}")
         withr = withr.join(r, c)
-    n1 = F.count(F.lit(1)).cast("long") + F.lit(1)  # n + 1
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     pairs = [
         (cols[i], cols[j])
@@ -154,4 +153,78 @@ def spearman_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
         )
     return m.select(F.explode(F.array(*rows)).alias("_p")).select(
         "_p.col_x", "_p.col_y", "_p.n", "_p.rho"
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization report: exact interpolated ``lo``/``hi``
+    percentiles (Spark's exact ``percentile`` aggregate — the same
+    IEEE interpolation the oracle spells out, see
+    plans/catalog.py::_pctile_cte), the count of rows clipped at each
+    tail, and the winsorized mean.
+
+    The mean keeps the exactness discipline: in-range values sum as
+    fixed-point BIGINT cents (order-independent), the two clipped
+    tails contribute ``n_tail · threshold`` with ONE multiply each,
+    and the final expression is a pinned left-to-right
+    ``(mid + n_lo·p_lo + n_hi·p_hi) / n`` — so any engine reproduces
+    the double bitwise. Robust-scaling a feature (or trimming
+    token-count outliers before packing) is this exact shape.
+
+    Scale: one grouped percentile pass (ObjectHashAggregate holding
+    per-group value buffers — exact order statistics need them; swap
+    ``percentile_approx`` in for the GK-sketch 100 TB path), one
+    broadcast join of the |groups|-row threshold table, one grouped
+    fold. No global sort, no single-partition window."""
+    v = F.col(val_col).cast("double")
+    th = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.percentile(v, F.lit(lo)).alias("p_lo"),
+        F.percentile(v, F.lit(hi)).alias("p_hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    j = df.select(
+        F.col(group_col).alias("g"),
+        v.alias("_v"),
+        F.round(v * 100).cast("long").alias("_cents"),
+    ).join(F.broadcast(th), "g")
+    return (
+        j.groupBy("g", "p_lo", "p_hi", "n")
+        .agg(
+            F.sum((F.col("_v") < F.col("p_lo")).cast("long"))
+            .cast("long")
+            .alias("n_below"),
+            F.sum((F.col("_v") > F.col("p_hi")).cast("long"))
+            .cast("long")
+            .alias("n_above"),
+            F.sum(
+                F.when(
+                    (F.col("_v") >= F.col("p_lo")) & (F.col("_v") <= F.col("p_hi")),
+                    F.col("_cents"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("_mid_cents"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "p_lo",
+            "p_hi",
+            "n_below",
+            "n_above",
+            (
+                (
+                    F.col("_mid_cents").cast("double") / F.lit(100.0)
+                    + F.col("n_below").cast("double") * F.col("p_lo")
+                    + F.col("n_above").cast("double") * F.col("p_hi")
+                )
+                / F.col("n").cast("double")
+            ).alias("winsorized_mean"),
+        )
     )

@@ -3569,3 +3569,72 @@ def zonemap_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dd"),
         cutoff,
     )
+
+
+@query(
+    "winsorize_orders_by_status",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderstatus AS g, CAST(o_totalprice AS DOUBLE) AS val,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    o AS (
+      SELECT g, val, cents,
+             row_number() OVER (PARTITION BY g ORDER BY val) AS rn,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM v),
+    pos AS (
+      SELECT g, n,
+             CAST(n - 1 AS DOUBLE) * CAST(0.05 AS DOUBLE) AS h_lo,
+             CAST(n - 1 AS DOUBLE) * CAST(0.95 AS DOUBLE) AS h_hi
+      FROM o GROUP BY g, n),
+    th AS (
+      SELECT o.g, ANY_VALUE(o.n) AS n,
+             CASE WHEN ANY_VALUE(floor(h_lo)) = ANY_VALUE(ceil(h_lo))
+                  THEN MAX(CASE WHEN rn = CAST(floor(h_lo) AS BIGINT)+1 THEN val END)
+                  ELSE (ANY_VALUE(ceil(h_lo)) - ANY_VALUE(h_lo))
+                         * MAX(CASE WHEN rn = CAST(floor(h_lo) AS BIGINT)+1 THEN val END)
+                       + (ANY_VALUE(h_lo) - ANY_VALUE(floor(h_lo)))
+                         * MAX(CASE WHEN rn = CAST(ceil(h_lo) AS BIGINT)+1 THEN val END)
+             END AS p_lo,
+             CASE WHEN ANY_VALUE(floor(h_hi)) = ANY_VALUE(ceil(h_hi))
+                  THEN MAX(CASE WHEN rn = CAST(floor(h_hi) AS BIGINT)+1 THEN val END)
+                  ELSE (ANY_VALUE(ceil(h_hi)) - ANY_VALUE(h_hi))
+                         * MAX(CASE WHEN rn = CAST(floor(h_hi) AS BIGINT)+1 THEN val END)
+                       + (ANY_VALUE(h_hi) - ANY_VALUE(floor(h_hi)))
+                         * MAX(CASE WHEN rn = CAST(ceil(h_hi) AS BIGINT)+1 THEN val END)
+             END AS p_hi
+      FROM o JOIN pos USING (g) GROUP BY o.g)
+    SELECT v.g AS o_orderstatus, ANY_VALUE(th.n) AS n,
+           ANY_VALUE(p_lo) AS p_lo, ANY_VALUE(p_hi) AS p_hi,
+           CAST(sum(CASE WHEN val < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN val > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           (CAST(CAST(sum(CASE WHEN val >= p_lo AND val <= p_hi
+                               THEN cents ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0
+            + CAST(CAST(sum(CASE WHEN val < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                * ANY_VALUE(p_lo)
+            + CAST(CAST(sum(CASE WHEN val > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+                * ANY_VALUE(p_hi))
+             / CAST(ANY_VALUE(th.n) AS DOUBLE) AS winsorized_mean
+    FROM v JOIN th ON v.g = th.g
+    GROUP BY v.g
+    """,
+)
+def winsorize_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators/stats.py::winsorized_stats):
+    exact interpolated p05/p95 of o_totalprice per o_orderstatus, tail
+    clip counts, and the winsorized mean under the integer-cents +
+    pinned-IEEE discipline. The oracle spells the same order-statistic
+    interpolation per group (the _pctile_cte arithmetic, grouped)."""
+    from ..operators.stats import winsorized_stats
+
+    o = read_table(spark, sf_dir, "orders")
+    return winsorized_stats(o, "o_orderstatus", "o_totalprice").select(
+        F.col("o_orderstatus"),
+        "n",
+        "p_lo",
+        "p_hi",
+        "n_below",
+        "n_above",
+        "winsorized_mean",
+    )

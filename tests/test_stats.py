@@ -109,3 +109,36 @@ def test_linear_attribution_exact(spark):
     # conversion credits: view 2/3 (quantized), click 1/3 + 1
     assert v["credited_conversions"] == 2 * (1000000 // 3) / 1e6
     assert c["credited_conversions"] == (1000000 // 3 + 1000000) / 1e6
+
+
+def test_winsorized_stats_hand_computed(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    # group 'a': values 0..20 -> p05 = 1.0, p95 = 19.0 (n=21, exact
+    # positions h = 20*.05 = 1.0 and 19.0 — integral, no interpolation)
+    vals = [("a", float(i)) for i in range(21)]
+    df = spark.createDataFrame(vals, "g string, v double")
+    r = winsorized_stats(df, "g", "v").first()
+    assert (r["p_lo"], r["p_hi"]) == (1.0, 19.0)
+    assert (r["n_below"], r["n_above"]) == (1, 1)  # 0 below, 20 above
+    # winsorized values: 1,1,2..18,19,19 -> mean = (sum(1..19)+1+19)/21
+    expect = (sum(range(1, 20)) + 1 + 19) / 21
+    assert abs(r["winsorized_mean"] - expect) < 1e-12
+
+
+def test_winsorized_stats_interpolated(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        winsorized_stats,
+    )
+
+    # n=4: h_lo = 3*.05 = 0.15 -> between v[0]=10 and v[1]=20:
+    # p05 = (1-0.15)*10 + 0.15*20 = 11.5 ; h_hi = 2.85 -> p95 = 38.5
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0)],
+        "g string, v double",
+    )
+    r = winsorized_stats(df, "g", "v").first()
+    assert r["p_lo"] == (1 - 0.15) * 10 + 0.15 * 20
+    assert r["p_hi"] == (3.0 - 2.85) * 30 + (2.85 - 2.0) * 40
