@@ -294,6 +294,17 @@ def triangle_stats(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
     )
+    # The canonical edge list feeds FIVE consumers (degrees, the
+    # orientation join, the closing join, the edge count, and the wedge
+    # self-join via `oriented`). A LAZY cache is not enough here: the
+    # single final action materializes the tiny agg branches as
+    # concurrent broadcast jobs, which all MISS the unpopulated cache
+    # and re-run the upstream edge construction (often an expensive
+    # distinct over a co-occurrence self-join) in parallel — measured
+    # 42s vs 21s at sf0.1 on the part co-order graph. Eager
+    # localCheckpoint (the connected_components discipline) populates
+    # once and truncates lineage.
+    e = e.localCheckpoint(eager=True)
     both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # rank = (deg, id); orient a -> b iff rank(a) < rank(b)
@@ -309,6 +320,8 @@ def triangle_stats(
         .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
         .alias("_o")
     ).select("_o.a", "_o.b")
+    # two wedge-join consumers — materialize once, same rationale
+    oriented = oriented.localCheckpoint(eager=True)
     # wedges at apex a: unordered pairs of out-neighbors
     o1 = oriented.select(F.col("a"), F.col("b").alias("b1"))
     o2 = oriented.select(F.col("a"), F.col("b").alias("b2"))

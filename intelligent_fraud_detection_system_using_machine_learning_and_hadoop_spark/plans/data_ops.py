@@ -3325,6 +3325,7 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST((SELECT SUM(deg * (deg - 1)) // 2 FROM deg) AS DOUBLE)
              AS global_clustering
     """,
+    bench=True,
 )
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics #3 (after connected components and PageRank):
@@ -3442,6 +3443,7 @@ def canonical_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * CAST(sdd - n*(n+1)*(n+1) AS DOUBLE))
     FROM m
     """,
+    bench=True,
 )
 def spearman_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-adjusted Spearman correlation for every pair of
