@@ -99,3 +99,85 @@ def pmi_pairs(
         .orderBy(F.desc("lift"), "term_a", "term_b")
         .limit(top_k)
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    min_pair_count: int = 5,
+    basket_col: str = "basket_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Classic market-basket association rules over (basket, item)
+    pairs: every DIRECTED rule a→b whose pair support reaches
+    ``min_pair_count`` baskets, with
+
+        support(a→b)    = n_both / N
+        confidence(a→b) = n_both / n_a
+        lift(a→b)       = (n_both · N) / (n_a · n_b)
+
+    — the Agrawal-Srikant Apriori statistics at pair depth (public;
+    frequent-itemset mining beyond pairs composes this same shape per
+    level). All counts are exact BIGINTs; the three ratios are single
+    pinned IEEE divisions (lift multiplies the two integer products
+    first), so any engine reproduces the doubles bitwise.
+
+    Scale shape: the pair count is a basket-keyed self-join —
+    per-basket fan-out C(k,2), shuffled once on the basket key, then
+    map-side-combined on the (a, b) pair key; item counts are a
+    vocabulary-sized aggregate broadcast back twice (antecedent and
+    consequent). The `min_pair_count` filter applies BEFORE the
+    broadcast joins, so only surviving rules pay the metric joins. A
+    pathological basket with 10⁶ items would fan out quadratically —
+    cap basket size upstream (standard practice) or pre-sample items
+    per hot basket."""
+    b = baskets.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = b.agg(
+        F.countDistinct("_b").cast("long").alias("_n")
+    )
+    items = b.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_ni"))
+    l = b.toDF("_b", "_ia")
+    r = b.toDF("_b", "_ib")
+    pairs = (
+        l.join(r, "_b")
+        .where(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .where(F.col("n_both") >= min_pair_count)
+    )
+    directed = pairs.select(
+        F.col("_ia").alias("antecedent"),
+        F.col("_ib").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("_ib").alias("antecedent"),
+            F.col("_ia").alias("consequent"),
+            "n_both",
+        )
+    )
+    ia = items.toDF("antecedent", "n_ant")
+    ic = items.toDF("consequent", "n_cons")
+    return (
+        directed.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ant",
+            "n_cons",
+            (F.col("n_both").cast("double") / F.col("_n").cast("double")).alias(
+                "support"
+            ),
+            (
+                F.col("n_both").cast("double") / F.col("n_ant").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("n_both") * F.col("_n")).cast("double")
+                / (F.col("n_ant") * F.col("n_cons")).cast("double")
+            ).alias("lift"),
+        )
+    )

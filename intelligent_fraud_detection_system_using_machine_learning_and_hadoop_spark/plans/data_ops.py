@@ -3640,3 +3640,44 @@ def winsorize_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_above",
         "winsorized_mean",
     )
+
+
+@query(
+    "association_rules_parts",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b),
+    items AS (SELECT it, CAST(count(*) AS BIGINT) AS ni FROM b GROUP BY it),
+    pairs AS (
+      SELECT x.it AS ia, y.it AS ib, CAST(count(*) AS BIGINT) AS n_both
+      FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+      GROUP BY x.it, y.it
+      HAVING count(*) >= 3),
+    directed AS (
+      SELECT ia AS antecedent, ib AS consequent, n_both FROM pairs
+      UNION ALL
+      SELECT ib, ia, n_both FROM pairs)
+    SELECT d.antecedent, d.consequent, d.n_both,
+           a.ni AS n_ant, c.ni AS n_cons,
+           CAST(d.n_both AS DOUBLE) / CAST(n.nb AS DOUBLE) AS support,
+           CAST(d.n_both AS DOUBLE) / CAST(a.ni AS DOUBLE) AS confidence,
+           CAST(d.n_both * n.nb AS DOUBLE) / CAST(a.ni * c.ni AS DOUBLE) AS lift
+    FROM directed d
+    JOIN items a ON a.it = d.antecedent
+    JOIN items c ON c.it = d.consequent
+    CROSS JOIN n
+    """,
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over orders-as-baskets of parts
+    (operators/cooccur.py::association_rules): directed a→b rules with
+    ≥3 co-orders, exact BIGINT counts, pinned-IEEE support/confidence/
+    lift. The pair self-join is basket-keyed (fan-out bounded by order
+    size), item stats broadcast back — the Apriori pair level in one
+    declarative plan."""
+    from ..operators.cooccur import association_rules
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, min_pair_count=3, basket_col="l_orderkey", item_col="l_partkey"
+    )

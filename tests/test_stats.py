@@ -142,3 +142,31 @@ def test_winsorized_stats_interpolated(spark):
     r = winsorized_stats(df, "g", "v").first()
     assert r["p_lo"] == (1 - 0.15) * 10 + 0.15 * 20
     assert r["p_hi"] == (3.0 - 2.85) * 30 + (2.85 - 2.0) * 40
+
+
+def test_association_rules_hand_computed(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+        association_rules,
+    )
+
+    # baskets: {a,b} x3, {a,c}, {b}, {c} -> N=6 baskets? no: 6 rows...
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "a"), (4, "c"),
+        (5, "b"),
+        (6, "c"),
+    ]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df, min_pair_count=2).collect()
+    }
+    # only pair (a,b) has n_both=3 >= 2; n_a=4, n_b=4, N=6
+    assert set(out) == {("a", "b"), ("b", "a")}
+    r = out[("a", "b")]
+    assert (r["n_both"], r["n_ant"], r["n_cons"]) == (3, 4, 4)
+    assert r["support"] == 3.0 / 6.0
+    assert r["confidence"] == 3.0 / 4.0
+    assert r["lift"] == (3 * 6) / float(4 * 4)
