@@ -228,3 +228,66 @@ def winsorized_stats(
             ).alias("winsorized_mean"),
         )
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    val_col: str,
+    id_col: str,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Equi-depth histogram with EXACT SQL ``ntile`` semantics —
+    computed distributedly, with no global-order window.
+
+    Every row gets its deterministic global rank under the total order
+    ``(value, id)`` (ties broken by the unique id, so the bucketing is
+    reproducible on any engine):
+
+        rank = |{v' < v}| + row_number among equal values ordered by id
+
+    The first term is the value-level range-bucketed prefix sum (the
+    ``avg_rank2`` idiom); the second is a window PARTITIONED by the
+    value — distributed across values, never a single global sort. The
+    ntile bucket then follows from rank arithmetic alone (first
+    ``n mod B`` buckets take ⌈n/B⌉ rows, the rest ⌊n/B⌋ — the standard
+    SQL definition), so the result is bit-identical to
+    ``ntile(B) OVER (ORDER BY v, id)`` while the plan stays
+    shuffle-bounded: value-agg, per-value window, one broadcast of the
+    B-row offsets + the 1-row count.
+
+    Returns one row per bucket: (bucket, n_rows, min_v, max_v) —
+    equi-depth boundaries for drift reports, calibration tables, or
+    equi-height zone layout. Massive tie groups make a hot window
+    partition; salt within the tie group (rank offset + salted
+    row_number) if one value dominates the table."""
+    v = F.col(val_col).cast("double")
+    rows = df.select(v.alias("_v"), F.col(id_col).alias("_id"))
+    # value-level "< v" prefix counts (the avg_rank2 machinery keeps
+    # r2 = 2·lt + cnt + 1, so lt = (r2 − cnt − 1) / 2 — join both)
+    vc = rows.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    r2 = avg_rank2(rows, "_v").toDF("_v", "_r2")
+    pre = vc.join(r2, "_v").select(
+        "_v", F.expr("(_r2 - _cnt - 1) div 2").cast("long").alias("_lt")
+    )
+    w = W.partitionBy("_v").orderBy("_id")
+    ranked = (
+        rows.join(pre, "_v")
+        .withColumn("_rank", F.col("_lt") + F.row_number().over(w))
+    )
+    n = rows.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    B = n_buckets
+    bucketed = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "bucket",
+        F.expr(
+            f"""CASE WHEN (_rank - 1) < (_n % {B}) * ((_n div {B}) + 1)
+                     THEN (_rank - 1) div ((_n div {B}) + 1) + 1
+                     ELSE (_n % {B}) + ((_rank - 1) - (_n % {B}) * ((_n div {B}) + 1))
+                            div (_n div {B}) + 1
+                END"""
+        ).cast("long"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+    )

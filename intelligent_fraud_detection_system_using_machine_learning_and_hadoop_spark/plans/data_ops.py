@@ -3681,3 +3681,29 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return association_rules(
         li, min_pair_count=3, basket_col="l_orderkey", item_col="l_partkey"
     )
+
+
+@query(
+    "equi_depth_hist_orders",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v,
+             ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(v) AS min_v, max(v) AS max_v
+    FROM r GROUP BY bucket
+    """,
+)
+def equi_depth_hist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram of o_totalprice in 16
+    buckets with exact SQL ntile semantics (operators/stats.py::
+    equi_depth_histogram). The oracle IS DuckDB's ntile over a global
+    sort; the Spark side derives the identical bucketing from
+    distributed rank arithmetic — the complement of the existing
+    equi-WIDTH value_histogram_events."""
+    from ..operators.stats import equi_depth_histogram
+
+    o = read_table(spark, sf_dir, "orders")
+    return equi_depth_histogram(o, "o_totalprice", "o_orderkey", 16)

@@ -170,3 +170,42 @@ def test_association_rules_hand_computed(spark):
     assert r["support"] == 3.0 / 6.0
     assert r["confidence"] == 3.0 / 4.0
     assert r["lift"] == (3 * 6) / float(4 * 4)
+
+
+def test_equi_depth_histogram_matches_ntile(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        equi_depth_histogram,
+    )
+
+    rng = random.Random(3)
+    # n=37, B=5 -> first 2 buckets of 8, three of 7; heavy ties
+    rows = [(i, float(rng.randrange(6))) for i in range(37)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["bucket"]: r
+        for r in equi_depth_histogram(df, "v", "id", 5).collect()
+    }
+    ref = (
+        df.withColumn(
+            "bucket", F.ntile(5).over(Window.orderBy(F.col("v"), F.col("id")))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+    want = {r["bucket"]: r for r in ref.collect()}
+    assert set(got) == set(want)
+    for b in want:
+        assert (got[b]["n_rows"], got[b]["min_v"], got[b]["max_v"]) == (
+            want[b]["n_rows"],
+            want[b]["min_v"],
+            want[b]["max_v"],
+        )
