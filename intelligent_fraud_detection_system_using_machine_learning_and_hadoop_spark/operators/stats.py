@@ -291,3 +291,84 @@ def equi_depth_histogram(
         F.min("_v").alias("min_v"),
         F.max("_v").alias("max_v"),
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    val_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population-drift report between a REFERENCE snapshot and a
+    CURRENT one (the monitoring table behind a PSI dashboard): bucket
+    both by the reference's equi-depth decile EDGES and compare the
+    bucket mass.
+
+    Returns one row per bucket: (bucket, n_ref, n_cur, p_ref, p_cur,
+    abs_diff). ``p`` values are single IEEE divisions of exact BIGINT
+    counts and ``abs_diff`` one subtraction — engine-bit-reproducible.
+    The PSI statistic proper multiplies by ln(p/q) — transcendental,
+    so deliberately NOT computed here; callers apply it to the exact
+    fractions (the ranking/thresholding is unchanged, and the exact
+    per-bucket masses are the auditable artifact anyway).
+
+    Buckets are defined by VALUE edges (the max of each reference
+    ntile bucket, edges 1..B−1): a row lands in bucket
+    1 + |{edges e : v > e}|. Both snapshots assign by the same
+    comparison — rows tying an edge go below it, identically
+    everywhere. The edge table is B−1 rows, broadcast; each snapshot
+    pays one scan + one groupBy. Reference deciles come from
+    ``equi_depth_histogram`` — distributed, no global sort."""
+    edges = (
+        equi_depth_histogram(ref, val_col, id_col, n_buckets)
+        .where(F.col("bucket") < n_buckets)
+        .agg(F.sort_array(F.collect_list("max_v")).alias("_edges"))
+    )
+
+    def _assign(df: DataFrame, label: str) -> DataFrame:
+        v = F.col(val_col).cast("double")
+        return (
+            df.select(v.alias("_v"))
+            .crossJoin(F.broadcast(edges))
+            .select(
+                (
+                    F.lit(1)
+                    + F.size(
+                        F.filter("_edges", lambda e: F.col("_v") > e)
+                    )
+                )
+                .cast("long")
+                .alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"n_{label}"))
+        )
+
+    a = _assign(ref, "ref")
+    b = _assign(cur, "cur")
+    tot = (
+        ref.agg(F.count(F.lit(1)).cast("long").alias("_tr"))
+        .crossJoin(cur.agg(F.count(F.lit(1)).cast("long").alias("_tc")))
+    )
+    return (
+        a.join(b, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            (F.col("n_ref").cast("double") / F.col("_tr").cast("double")).alias(
+                "p_ref"
+            ),
+            (F.col("n_cur").cast("double") / F.col("_tc").cast("double")).alias(
+                "p_cur"
+            ),
+        )
+        .withColumn("abs_diff", F.abs(F.col("p_cur") - F.col("p_ref")))
+    )

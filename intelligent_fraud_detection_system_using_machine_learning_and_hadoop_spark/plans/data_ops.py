@@ -3707,3 +3707,49 @@ def equi_depth_hist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders")
     return equi_depth_histogram(o, "o_totalprice", "o_orderkey", 16)
+
+
+@query(
+    "drift_report_orders",
+    oracle="""
+    WITH ref AS (
+      SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+    cur AS (
+      SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS v
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+    nt AS (SELECT v, ntile(10) OVER (ORDER BY v, id) AS b FROM ref),
+    ed AS (SELECT list_sort(list(mx)) AS edges
+           FROM (SELECT b, max(v) AS mx FROM nt WHERE b < 10 GROUP BY b)),
+    ar AS (SELECT 1 + len(list_filter(edges, e -> v > e)) AS bucket
+           FROM ref, ed),
+    ac AS (SELECT 1 + len(list_filter(edges, e -> v > e)) AS bucket
+           FROM cur, ed),
+    gr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_ref FROM ar GROUP BY bucket),
+    gc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_cur FROM ac GROUP BY bucket),
+    tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ref) AS tr,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cur) AS tc)
+    SELECT CAST(COALESCE(gr.bucket, gc.bucket) AS BIGINT) AS bucket,
+           COALESCE(n_ref, 0) AS n_ref,
+           COALESCE(n_cur, 0) AS n_cur,
+           CAST(COALESCE(n_ref, 0) AS DOUBLE) / CAST(tr AS DOUBLE) AS p_ref,
+           CAST(COALESCE(n_cur, 0) AS DOUBLE) / CAST(tc AS DOUBLE) AS p_cur,
+           abs(CAST(COALESCE(n_cur, 0) AS DOUBLE) / CAST(tc AS DOUBLE)
+               - CAST(COALESCE(n_ref, 0) AS DOUBLE) / CAST(tr AS DOUBLE)) AS abs_diff
+    FROM gr FULL JOIN gc ON gr.bucket = gc.bucket
+    CROSS JOIN tot
+    """,
+)
+def drift_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (operators/stats.py::
+    distribution_drift): pre-1996 orders are the reference population,
+    1996+ the current one; both bucket by the reference's equi-depth
+    decile edges and the report carries exact per-bucket masses +
+    fraction deltas (the PSI inputs, minus the transcendental ln —
+    deliberately, for engine bit-parity)."""
+    from ..operators.stats import distribution_drift
+
+    o = read_table(spark, sf_dir, "orders")
+    ref = o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    cur = o.where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+    return distribution_drift(ref, cur, "o_totalprice", "o_orderkey", 10)

@@ -209,3 +209,35 @@ def test_equi_depth_histogram_matches_ntile(spark):
             want[b]["min_v"],
             want[b]["max_v"],
         )
+
+
+def test_distribution_drift_identical_populations(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        distribution_drift,
+    )
+
+    rows = [(i, float(i % 20)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    out = distribution_drift(df, df, "v", "id", 5).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_ref"] == r["n_cur"] and r["abs_diff"] == 0.0
+    assert sum(r["n_ref"] for r in out) == 100
+
+
+def test_distribution_drift_shifted(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        distribution_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    # current population entirely above the reference's top decile edge
+    cur = spark.createDataFrame(
+        [(i, 1000.0 + i) for i in range(50)], "id long, v double"
+    )
+    out = {r["bucket"]: r for r in distribution_drift(ref, cur, "v", "id", 10).collect()}
+    assert out[10]["n_cur"] == 50 and out[10]["p_cur"] == 1.0
+    assert all(out[b]["n_cur"] == 0 for b in range(1, 10))
+    assert out[1]["abs_diff"] == out[1]["p_ref"]
