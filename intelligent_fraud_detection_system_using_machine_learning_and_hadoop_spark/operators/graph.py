@@ -391,3 +391,62 @@ def keep_best_representative(
         "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in which
+    every node has degree ≥ k — the standard density filter for
+    community detection and for pruning weakly-connected noise from
+    similarity graphs before clustering (a near-dup pair graph's
+    2-core, e.g., drops all isolated pair bridges).
+
+    Classic iterative peeling (Seidman 1983, public), as DataFrame
+    rounds: drop nodes with degree < k, recompute degrees, repeat until
+    a fixed point. Each round is one degree aggregation + two
+    semi-joins of the edge list against the surviving-node set; the
+    edge count is monotone decreasing, so convergence is detected from
+    a one-scalar count per round (the connected_components discipline —
+    driver holds O(1) state, lineage truncates per round with an eager
+    localCheckpoint). Round count is bounded by the peel depth —
+    O(log n) on power-law graphs in practice, ≤ n worst case (a path
+    peels one layer per round; ``max_rounds`` guards).
+
+    Returns (id, core_degree) for every node of the k-core, with its
+    degree INSIDE the core. No SQL oracle (iterative fixed point — the
+    driver records a rows-only check); semantics are pinned by a
+    brute-force peeling differential in tests/test_graph.py.
+    """
+    e = _canonical(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+    ).localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("u")
+        e2 = (
+            e.join(keep, "u", "leftsemi")
+            .join(keep.toDF("v"), "v", "leftsemi")
+            .select("u", "v")
+        ).localCheckpoint(eager=True)
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+    both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        both.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+        .select(F.col("u").alias("id"), "core_degree")
+    )

@@ -217,3 +217,53 @@ def test_keep_best_representative(spark):
     # singletons keep themselves
     assert rows[4]["keep"] and rows[5]["keep"]
     assert rows[4]["cluster_id"] == 4 and rows[5]["cluster_id"] == 5
+
+
+class TestKCore:
+    def _brute(self, edges, k):
+        adj = {}
+        for u, v in edges:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj[n]:
+                        adj[m].discard(n)
+                    del adj[n]
+                    changed = True
+        return {n: len(nb) for n, nb in adj.items() if nb}
+
+    def _run(self, spark, edges, k):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            k_core,
+        )
+
+        df = spark.createDataFrame(
+            [(int(u), int(v)) for u, v in edges], "id_a long, id_b long"
+        )
+        got = {r["id"]: r["core_degree"] for r in k_core(df, k).collect()}
+        assert got == self._brute(edges, k)
+
+    def test_triangle_with_pendant(self, spark):
+        self._run(spark, [(1, 2), (2, 3), (3, 1), (3, 4)], 2)
+
+    def test_cascading_peel(self, spark):
+        # path 1-2-3-4-5 plus K4 {10,11,12,13}: 2-core = the K4 only,
+        # reached after the path peels layer by layer (multi-round)
+        path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        k4 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+        self._run(spark, path + k4, 2)
+
+    def test_random_graph(self, spark):
+        import random
+
+        rng = random.Random(11)
+        edges = {(rng.randrange(25), rng.randrange(25)) for _ in range(80)}
+        edges = [e for e in edges if e[0] != e[1]]
+        for k in (2, 3, 4):
+            self._run(spark, edges, k)
