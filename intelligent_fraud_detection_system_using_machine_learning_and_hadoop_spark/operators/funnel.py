@@ -183,3 +183,96 @@ def linear_attribution(
             ),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    epoch: str = "2024-01-01",
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by the period of
+    their FIRST event (the cohort), each cohort tracked over subsequent
+    periods by the fraction still active. One row per (cohort_period,
+    period_offset): (n_active, cohort_size, retention) — exact BIGINT
+    distinct-user counts, retention one IEEE division.
+
+    Scale shape: one user-keyed min-aggregate (first activity), one
+    distinct over (user, period) — both single-shuffle map-combined —
+    then a user-keyed join and a cells-sized aggregation. The cohort
+    size table is |cohorts| rows, broadcast. Period boundaries are
+    integer day arithmetic from a fixed epoch (engine-portable; no
+    week-of-year locale traps)."""
+    p = F.expr(
+        f"datediff(to_date({ts_col}), date'{epoch}') div {period_days}"
+    ).cast("long")
+    ev = events.select(F.col(user_col).alias("_u"), p.alias("_p"))
+    first = ev.groupBy("_u").agg(F.min("_p").alias("cohort_period"))
+    active = ev.distinct()
+    sizes = first.groupBy("cohort_period").agg(
+        F.countDistinct("_u").cast("long").alias("cohort_size")
+    )
+    return (
+        active.join(first, "_u")
+        .groupBy(
+            "cohort_period",
+            (F.col("_p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("_u").cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_period")
+        .select(
+            "cohort_period",
+            "period_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    sequence: for every ordered pair of consecutive events (by ts,
+    ties broken by the unique event id — deterministic on any engine),
+    one (from_type, to_type) transition. Returns per pair: n, plus the
+    row-normalized fraction (one IEEE division of exact counts) — the
+    behavioral transition matrix behind next-action prediction and
+    anomaly path analysis.
+
+    Scale: ONE user-partitioned window (lead) — distributed across
+    users, no global sort — then a cells-sized aggregation and a
+    broadcast of the per-from totals."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "fraction"
+        ),
+    )

@@ -372,3 +372,58 @@ def distribution_drift(
         )
         .withColumn("abs_diff", F.abs(F.col("p_cur") - F.col("p_ref")))
     )
+
+
+def chi_square_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, computed in exact integer arithmetic up to ONE final sum:
+
+        chi² = Σ_cells (O·n − r·c)² / (r·c·n)
+
+    (the algebraic form of Σ (O−E)²/E with E = r·c/n that clears all
+    intermediate fractions). Numerator and denominator are exact
+    BIGINTs per cell; each cell's quotient is one IEEE division whose
+    1e-9-quantized value (floor) sums as a BIGINT — so the statistic
+    is order-independent and engine-bit-reproducible (a raw double sum
+    over cells is neither). Returns one row: (n, n_cells, dof,
+    chi2) with chi2 at 1e-9 resolution.
+
+    Scale: one contingency aggregation (|A|×|B| cells), two marginal
+    roll-ups of that cell table (cell-table-sized, not data-sized),
+    broadcast back. The p-value needs the incomplete gamma —
+    transcendental, caller-side."""
+    cells = (
+        df.groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_o").cast("long").alias("_r"))
+    cb = cells.groupBy("_b").agg(F.sum("_o").cast("long").alias("_c"))
+    n = cells.agg(F.sum("_o").cast("long").alias("_n"))
+    na = cells.agg(F.countDistinct("_a").cast("long").alias("_na"))
+    nb = cells.agg(F.countDistinct("_b").cast("long").alias("_nb"))
+    q = 10**9
+    terms = (
+        cells.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(cb), "_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr(
+                f"CAST(floor(CAST((_o * _n - _r * _c) * (_o * _n - _r * _c) AS DOUBLE)"
+                f" / CAST(_r * _c * _n AS DOUBLE) * {q}) AS BIGINT)"
+            ).alias("_t")
+        )
+    )
+    return (
+        terms.agg(F.sum("_t").cast("long").alias("_chi_q"))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("_n").alias("n"),
+            (F.col("_na") * F.col("_nb")).alias("n_cells"),
+            ((F.col("_na") - 1) * (F.col("_nb") - 1)).alias("dof"),
+            (F.col("_chi_q").cast("double") / F.lit(float(q))).alias("chi2"),
+        )
+    )

@@ -3775,3 +3775,96 @@ def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return k_core(e, 80)
+
+
+@query(
+    "chi_square_orders",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2),
+    r AS (SELECT a, CAST(sum(o) AS BIGINT) AS rr FROM cells GROUP BY a),
+    c AS (SELECT b, CAST(sum(o) AS BIGINT) AS cc FROM cells GROUP BY b),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+                 CAST(count(DISTINCT a) AS BIGINT) AS na,
+                 CAST(count(DISTINCT b) AS BIGINT) AS nb FROM cells),
+    t AS (
+      SELECT CAST(floor(CAST((o * nn - rr * cc) * (o * nn - rr * cc) AS DOUBLE)
+                        / CAST(rr * cc * nn AS DOUBLE) * 1000000000) AS BIGINT) AS tq
+      FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN n)
+    SELECT nn AS n, na * nb AS n_cells, (na - 1) * (nb - 1) AS dof,
+           CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1000000000.0 AS chi2
+    FROM t CROSS JOIN n GROUP BY nn, na, nb
+    """,
+)
+def chi_square_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of o_orderstatus × o_orderpriority
+    (operators/stats.py::chi_square_independence): exact BIGINT
+    contingency/marginal arithmetic, per-cell quotients quantized to
+    1e-9 before the final integer sum — order-independent, oracle
+    bit-exact."""
+    from ..operators.stats import chi_square_independence
+
+    o = read_table(spark, sf_dir, "orders")
+    return chi_square_independence(o, "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "cohort_retention_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS p
+      FROM events),
+    first AS (SELECT u, CAST(min(p) AS BIGINT) AS cohort_period FROM ev GROUP BY u),
+    active AS (SELECT DISTINCT u, p FROM ev),
+    sizes AS (SELECT cohort_period, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort_period)
+    SELECT f.cohort_period,
+           CAST(a.p - f.cohort_period AS BIGINT) AS period_offset,
+           CAST(count(DISTINCT a.u) AS BIGINT) AS n_active,
+           s.cohort_size,
+           CAST(count(DISTINCT a.u) AS BIGINT)::DOUBLE / s.cohort_size::DOUBLE
+             AS retention
+    FROM active a JOIN first f USING (u) JOIN sizes s USING (cohort_period)
+    GROUP BY f.cohort_period, a.p - f.cohort_period, s.cohort_size
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream
+    (operators/funnel.py::cohort_retention): users cohorted by
+    first-activity week (integer day arithmetic from a fixed epoch),
+    exact distinct-active counts per (cohort, offset), one IEEE
+    retention division."""
+    from ..operators.funnel import cohort_retention
+
+    return cohort_retention(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    pairs AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+            FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n, t.n_from,
+           CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS fraction
+    FROM pairs p JOIN tot t USING (from_type)
+    """,
+)
+def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences
+    (operators/funnel.py::event_transitions): one user-partitioned
+    lead window (deterministic (ts, event_id) ordering), cells-sized
+    aggregation, broadcast row normalization."""
+    from ..operators.funnel import event_transitions
+
+    return event_transitions(read_table(spark, sf_dir, "events"))

@@ -241,3 +241,98 @@ def test_distribution_drift_shifted(spark):
     assert out[10]["n_cur"] == 50 and out[10]["p_cur"] == 1.0
     assert all(out[b]["n_cur"] == 0 for b in range(1, 10))
     assert out[1]["abs_diff"] == out[1]["p_ref"]
+
+
+def test_chi_square_perfect_independence(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    # uniform product distribution -> chi2 exactly 0
+    rows = [(a, b) for a in "xy" for b in "pqr" for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").first()
+    assert (r["n"], r["n_cells"], r["dof"]) == (60, 6, 2)
+    assert r["chi2"] == 0.0
+
+
+def test_chi_square_against_python(spark):
+    import random
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    rng = random.Random(9)
+    rows = [
+        (rng.choice("xyz"), rng.choice("pq")) for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_independence(df, "a", "b").first()
+    # python reference with the identical quantization
+    from collections import Counter
+
+    o = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    n = len(rows)
+    q = 0
+    for (a, b), obs in o.items():
+        num = (obs * n - ra[a] * cb[b]) ** 2
+        q += int((float(num) / float(ra[a] * cb[b] * n)) * 1e9 // 1)
+    assert r["chi2"] == q / 1e9
+
+
+def test_cohort_retention_hand(spark):
+    from datetime import datetime
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    def d(day):
+        return datetime(2024, 1, 1 + day)
+
+    rows = [
+        (1, d(0)), (1, d(8)),          # cohort wk0, active wk0+wk1
+        (2, d(1)),                      # cohort wk0, active wk0 only
+        (3, d(7)), (3, d(8)), (3, d(20)),  # cohort wk1, active wk1+wk2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_period"], r["period_offset"]): r
+        for r in cohort_retention(ev).collect()
+    }
+    assert out[(0, 0)]["n_active"] == 2 and out[(0, 0)]["cohort_size"] == 2
+    assert out[(0, 1)]["n_active"] == 1 and out[(0, 1)]["retention"] == 0.5
+    assert out[(1, 0)]["n_active"] == 1 and out[(1, 1)]["n_active"] == 1
+    assert (1, 2) not in out and out[(1, 1)]["cohort_size"] == 1
+
+
+def test_event_transitions_hand(spark):
+    from datetime import datetime
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.funnel import (
+        event_transitions,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "view"),
+        (2, 1, t0, "click"),   # same ts -> event_id breaks tie: view->click
+        (3, 1, datetime(2024, 1, 2), "purchase"),
+        (4, 2, t0, "view"),
+        (5, 2, datetime(2024, 1, 3), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in event_transitions(ev).collect()
+    }
+    assert out[("view", "click")]["n"] == 1
+    assert out[("click", "purchase")]["n"] == 1
+    assert out[("view", "view")]["n"] == 1
+    assert out[("view", "click")]["n_from"] == 2
+    assert out[("view", "click")]["fraction"] == 0.5
