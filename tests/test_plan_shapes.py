@@ -372,3 +372,33 @@ def test_llm_pipeline_scan_count_is_bounded(spark, sf_dir):
     assert optimized.count("InMemoryRelation") >= 3, optimized[:2000]
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert phys.count("InMemoryTableScan") >= 3, phys[:2000]
+
+
+def test_association_rules_broadcasts_item_stats(spark, sf_dir):
+    plan = plan_of(REGISTRY["association_rules_parts"].builder(spark, sf_dir))
+    # item-count + basket-count joins broadcast (dimension-sized);
+    # the basket self-join must stay a shuffled equi-join (corpus-sized)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_join_is_user_keyed_hash_join(spark, sf_dir):
+    plan = plan_of(REGISTRY["attribution_linear_events"].builder(spark, sf_dir))
+    # touch ⋈ conversion must be an equi-join on the user key with the
+    # time predicate as a join condition — never a nested-loop scan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan and "_u" in plan
+
+
+def test_winsorize_threshold_join_broadcasts(spark, sf_dir):
+    plan = plan_of(REGISTRY["winsorize_orders_by_status"].builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # |groups|-row threshold table
+
+
+def test_fuzzy_join_verifies_on_candidates_only(spark, sf_dir):
+    plan = plan_of(REGISTRY["fuzzy_join_part_names"].builder(spark, sf_dir))
+    # the levenshtein DP must sit ABOVE the segment equi-join (verify
+    # phase), and the PassJoin candidate join is a hash/merge equi-join
+    # on (_ls, _j, _seg) — the plan carries both markers
+    assert "levenshtein" in plan
+    assert "_seg" in plan
