@@ -450,3 +450,47 @@ def k_core(
         .where(F.col("core_degree") >= k)
         .select(F.col("u").alias("id"), "core_degree")
     )
+
+
+def dedup_source_flow(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curation accounting for a dedup pass: for every DROPPED document
+    (non-canonical member of a near-dup cluster under the keep-best
+    rule), attribute the loss to the KEPT document's source — one row
+    per (loser_source, winner_source): n_docs_lost plus the losing
+    side's token-weight proxy Σ quality. "src_web loses 40% of its
+    docs to src_books" is the report a data-mixture owner reads after
+    every dedup run: it distinguishes healthy cross-source pruning
+    from one source silently cannibalizing another.
+
+    Composition: ``keep_best_representative`` labels + a cluster-keyed
+    self-join of losers against the one winner row per cluster (the
+    winner side is |clusters| rows — hash join on the cluster label,
+    skew bounded by cluster size)."""
+    labeled = keep_best_representative(docs, pairs, quality_col, id_col)
+    src = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(source_col).alias("_src"),
+    )
+    j = labeled.join(src, id_col)
+    winners = j.where(F.col("keep")).select(
+        F.col("cluster_id"), F.col("_src").alias("winner_source")
+    )
+    losers = j.where(~F.col("keep")).select(
+        "cluster_id",
+        F.col("_src").alias("loser_source"),
+        F.col("quality"),
+    )
+    return (
+        losers.join(winners, "cluster_id")
+        .groupBy("loser_source", "winner_source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_lost"),
+            F.sum("quality").cast("long").alias("quality_lost"),
+        )
+    )

@@ -3868,3 +3868,66 @@ def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.funnel import event_transitions
 
     return event_transitions(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "dedup_source_flow_documents",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               list_transform(w, (x, i) -> CASE WHEN i + 2 <= len(w)
+                                                THEN array_to_string(w[i:i+2], ' ') END),
+               x -> x IS NOT NULL)) AS sh
+      FROM d WHERE len(w) >= 3),
+    s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s2),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s2),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    e AS (
+      SELECT id_a AS u, id_b AS v
+      FROM pr
+      JOIN sz na ON na.doc_id = id_a
+      JOIN sz nb ON nb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.05),
+    bi AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, bi.v FROM reach r JOIN bi ON r.b = bi.u),
+    cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    lab AS (
+      SELECT c.doc_id, c.cluster_id, dd.source,
+             CAST(dd.n_chars AS BIGINT) AS quality,
+             (row_number() OVER (PARTITION BY c.cluster_id
+                                 ORDER BY dd.n_chars DESC, c.doc_id ASC) = 1)
+               AS keep
+      FROM cl c JOIN documents dd USING (doc_id)),
+    w AS (SELECT cluster_id, source AS winner_source FROM lab WHERE keep),
+    l AS (SELECT cluster_id, source AS loser_source, quality
+          FROM lab WHERE NOT keep)
+    SELECT l.loser_source, w.winner_source,
+           CAST(count(*) AS BIGINT) AS n_docs_lost,
+           CAST(sum(l.quality) AS BIGINT) AS quality_lost
+    FROM l JOIN w USING (cluster_id)
+    GROUP BY 1, 2
+    """,
+)
+def dedup_source_flow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup source-flow matrix (operators/graph.py::
+    dedup_source_flow): for the 3-gram-Jaccard near-dup clusters under
+    the keep-best rule, which source loses how many documents (and how
+    much n_chars mass) to which winning source — the report that
+    separates healthy cross-source pruning from silent cannibalism."""
+    from ..operators.graph import dedup_source_flow
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.05, max_df=1000)
+    return dedup_source_flow(d, pairs, quality_col="n_chars")

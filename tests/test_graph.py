@@ -267,3 +267,33 @@ class TestKCore:
         edges = [e for e in edges if e[0] != e[1]]
         for k in (2, 3, 4):
             self._run(spark, edges, k)
+
+
+def test_dedup_source_flow(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        dedup_source_flow,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", 10),
+            (2, "books", 30),   # winner of {1,2,3}
+            (3, "web", 20),
+            (4, "web", 5),      # singleton, never appears in flow
+            (5, "news", 50),    # winner of {5,6}
+            (6, "web", 40),
+        ],
+        "doc_id long, source string, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    flow = {
+        (r["loser_source"], r["winner_source"]): r
+        for r in dedup_source_flow(docs, pairs, "q").collect()
+    }
+    assert set(flow) == {("web", "books"), ("web", "news")}
+    assert flow[("web", "books")]["n_docs_lost"] == 2
+    assert flow[("web", "books")]["quality_lost"] == 30  # 10 + 20
+    assert flow[("web", "news")]["n_docs_lost"] == 1
+    assert flow[("web", "news")]["quality_lost"] == 40
