@@ -116,6 +116,7 @@ def linear_attribution(
     type_col: str = "event_type",
     id_col: str = "event_id",
     value_col: str = "value",
+    raw: bool = False,
 ) -> DataFrame:
     """Linear multi-touch attribution: every conversion event splits
     its value EQUALLY across the user's touch events in the preceding
@@ -163,14 +164,18 @@ def linear_attribution(
     )
     n = Window.partitionBy("_cid")
     credited = j.withColumn("_n", F.count(F.lit(1)).over(n).cast("long"))
+    folded = credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.countDistinct("_cid").cast("long").alias("n_conversions"),
+        F.sum(F.expr("_vc div _n")).cast("long").alias("_cv_q"),
+        F.sum(F.expr("1000000 div _n")).cast("long").alias("_cc_q"),
+    )
+    if raw:
+        # mergeable integer state: every column adds exactly across
+        # disjoint conversion partitions (the streaming fold path)
+        return folded
     return (
-        credited.groupBy("touch_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_touches"),
-            F.countDistinct("_cid").cast("long").alias("n_conversions"),
-            F.sum(F.expr("_vc div _n")).cast("long").alias("_cv_q"),
-            F.sum(F.expr("1000000 div _n")).cast("long").alias("_cc_q"),
-        )
+        folded
         .select(
             "touch_type",
             "n_touches",

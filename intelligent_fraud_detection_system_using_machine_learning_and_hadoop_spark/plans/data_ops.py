@@ -3931,3 +3931,43 @@ def dedup_source_flow_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, threshold=0.05, max_df=1000)
     return dedup_source_flow(d, pairs, quality_col="n_chars")
+
+
+@query(
+    "streaming_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT event_id AS cid, user_id AS u, ts AS tc,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT event_type AS touch_type, user_id AS u, ts AS tt
+      FROM events WHERE event_type IN ('view', 'click')),
+    j AS (
+      SELECT t.touch_type, c.cid, c.vc
+      FROM touch t JOIN conv c ON t.u = c.u
+      WHERE t.tt < c.tc AND t.tt >= c.tc - INTERVAL 30 MINUTE),
+    w AS (
+      SELECT touch_type, cid, vc,
+             CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n
+      FROM j)
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+           CAST(CAST(sum(vc // n) AS BIGINT) AS DOUBLE) / 100.0
+             AS credited_value,
+           CAST(CAST(sum(1000000 // n) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS credited_conversions
+    FROM w GROUP BY touch_type
+    """,
+)
+def streaming_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``attribution_linear_events``: purchases
+    arrive as micro-batches, credit against the static touch history
+    per batch, integer credit state folds additively in foreachBatch
+    (streaming/jobs.py::stream_attribution). Shares the batch oracle
+    byte-for-byte — the drained stream must equal the one-shot batch
+    computation exactly."""
+    from ..streaming.jobs import stream_attribution
+
+    return stream_attribution(spark, sf_dir)

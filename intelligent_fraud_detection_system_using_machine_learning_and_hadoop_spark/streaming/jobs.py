@@ -829,3 +829,82 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str, n_files: int = 8) -
         "min_value double, max_value double",
     )
     return finalize(final).orderBy("event_type")
+
+
+def stream_attribution(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> DataFrame:
+    """Streaming linear multi-touch attribution: PURCHASE events arrive
+    as micro-batches; each batch's conversions compute their quantized
+    1/n credits against the STATIC touch history (operators/funnel.py::
+    linear_attribution with ``raw=True`` — a per-conversion
+    computation, so a conversion's credits are complete within the one
+    batch that carries it), and the per-touch-type integer credit rows
+    fold additively into running state inside ``foreachBatch`` (the
+    stream_incremental_agg discipline: state is |touch types| rows,
+    history never re-scanned, the between-batch collect is state-sized).
+
+    Every state column is an exact BIGINT that ADDS across the disjoint
+    conversion partition — so over a drained availableNow stream the
+    final state equals the batch ``attribution_linear_events`` result
+    bit-for-bit, which is exactly what the shared oracle attests."""
+    from pyspark.sql import functions as F
+
+    from ..operators.funnel import linear_attribution
+    from ..sources.readers import normalize_event_ts, read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("view", "click"))
+
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    state: dict = {"rows": None}
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        convs = batch_df.where(F.col("event_type") == "purchase")
+        if convs.isEmpty():
+            return
+        delta = linear_attribution(
+            touches.unionByName(convs.select(*touches.columns)),
+            "purchase",
+            ["view", "click"],
+            raw=True,
+        )
+        if state["rows"] is None:
+            merged = delta
+        else:
+            prev = spark.createDataFrame(state["rows"], delta.schema)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("touch_type")
+                .agg(
+                    F.sum("n_touches").cast("long").alias("n_touches"),
+                    F.sum("n_conversions").cast("long").alias("n_conversions"),
+                    F.sum("_cv_q").cast("long").alias("_cv_q"),
+                    F.sum("_cc_q").cast("long").alias("_cc_q"),
+                )
+            )
+        state["rows"] = merged.collect()
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    final = spark.createDataFrame(
+        state["rows"],
+        "touch_type string, n_touches long, n_conversions long, "
+        "_cv_q long, _cc_q long",
+    )
+    return final.select(
+        "touch_type",
+        "n_touches",
+        "n_conversions",
+        (F.col("_cv_q").cast("double") / F.lit(100.0)).alias("credited_value"),
+        (F.col("_cc_q").cast("double") / F.lit(1000000.0)).alias(
+            "credited_conversions"
+        ),
+    )
