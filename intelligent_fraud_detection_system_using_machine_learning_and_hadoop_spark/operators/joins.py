@@ -232,3 +232,59 @@ def interval_overlap_join(
         .select(*left_out, *right_out)
         .distinct()
     )
+
+
+def resample_locf(
+    events: DataFrame,
+    grid_start: str,
+    grid_end: str,
+    step: str = "1 day",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Time-grid resampling with last-observation-carried-forward: for
+    every (key, grid point) over ``[grid_start, grid_end]`` at ``step``
+    intervals, the most recent observation at or before the grid point
+    (null until the key's first observation) — the hypertable
+    ``time_bucket_gapfill + locf`` shape, and the feature-store
+    "as-of snapshot at training time T" primitive.
+
+    Pure composition: the grid is ``sequence()`` + explode (no driver
+    loop) crossed with the distinct key set (dimension-sized,
+    broadcast); the fill is one backward :func:`asof_join` — i.e. ONE
+    window shuffle on the key, identical cost to any keyed window at
+    100 TB. Returns (key, grid_ts, value, obs_ts) with ``obs_ts`` the
+    carried observation's timestamp for staleness auditing."""
+    grid_pts = F.explode(
+        F.sequence(
+            F.lit(grid_start).cast("timestamp"),
+            F.lit(grid_end).cast("timestamp"),
+            F.expr(f"INTERVAL {step}"),
+        )
+    ).alias("grid_ts")
+    keys = events.select(F.col(key_col)).distinct()
+    grid = keys.crossJoin(
+        events.sparkSession.range(1).select(grid_pts)
+    )
+    obs = events.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_t"),
+        F.col(ts_col).alias("_obs_ts"),  # payload copy of the obs time
+        F.col(val_col).alias("_obs_val"),
+    )
+    out = asof_join(
+        grid,
+        obs,
+        on=key_col,
+        left_time="grid_ts",
+        right_time="_t",
+        right_cols=["_obs_val", "_obs_ts"],
+        suffix="",
+    )
+    return out.select(
+        F.col(key_col),
+        "grid_ts",
+        F.col("_obs_val").alias("value"),
+        F.col("_obs_ts").alias("obs_ts"),
+    )

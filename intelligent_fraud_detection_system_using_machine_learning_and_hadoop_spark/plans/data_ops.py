@@ -3971,3 +3971,32 @@ def streaming_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_attribution
 
     return stream_attribution(spark, sf_dir)
+
+
+@query(
+    "resample_locf_events",
+    oracle="""
+    WITH grid AS (
+      SELECT u.user_id, g.grid_ts
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                                TIMESTAMP '2024-01-30',
+                                                INTERVAL 1 DAY)) AS grid_ts) g),
+    obs AS (SELECT user_id, ts AS obs_ts, value FROM events)
+    SELECT g.user_id, g.grid_ts, o.value AS value, o.obs_ts
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND o.obs_ts <= g.grid_ts
+    """,
+)
+def resample_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-grid resampling with last-observation-carried-forward
+    per user (operators/joins.py::resample_locf — sequence-generated
+    grid × broadcast key set, one backward as-of window shuffle; the
+    TimescaleDB gapfill+locf / feature-store point-in-time shape). The
+    oracle is DuckDB's native ASOF LEFT JOIN — (user, ts) is unique in
+    the testdata, so tie-breaking never engages and the match is
+    bit-deterministic."""
+    from ..operators.joins import resample_locf
+
+    ev = read_table(spark, sf_dir, "events")
+    return resample_locf(ev, "2024-01-01", "2024-01-30", "1 day")

@@ -232,3 +232,33 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, exact):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+def test_resample_locf(spark):
+    from datetime import datetime
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.joins import (
+        resample_locf,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 2, 5), 10.0),
+            (1, datetime(2024, 1, 4, 1), 20.0),
+            (2, datetime(2024, 1, 1, 0), 7.0),  # exactly ON a grid point
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        (r["user_id"], r["grid_ts"].day): (r["value"], r["obs_ts"])
+        for r in resample_locf(ev, "2024-01-01", "2024-01-05", "1 day").collect()
+    }
+    assert len(out) == 10  # 2 users x 5 grid days
+    # user 1: null until day 2's obs lands (obs at 05:00 > grid 00:00)
+    assert out[(1, 1)][0] is None and out[(1, 2)][0] is None
+    assert out[(1, 3)][0] == 10.0
+    assert out[(1, 4)][0] == 10.0  # day-4 obs at 01:00 is after the grid point
+    assert out[(1, 5)][0] == 20.0
+    # user 2: exact-match observation carries from the first grid point
+    assert all(out[(2, d)][0] == 7.0 for d in range(1, 6))
+    assert out[(2, 1)][1] == datetime(2024, 1, 1, 0)
