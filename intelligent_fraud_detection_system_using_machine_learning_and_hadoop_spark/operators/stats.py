@@ -427,3 +427,57 @@ def chi_square_independence(
             (F.col("_chi_q").cast("double") / F.lit(float(q))).alias("chi2"),
         )
     )
+
+
+def trimmed_mean_by_group(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Per-group trimmed mean via an Arrow GROUPED_AGG ``pandas_udf`` —
+    the one vectorized-UDF flavor the engine's Python surface did not
+    yet exercise (mapInPandas/applyInPandas/cogroup cover the others):
+    each group's values arrive as ONE Arrow-backed pandas Series, the
+    UDF returns a scalar, and Spark runs it inside a hash aggregate
+    (partial aggregation disabled for UDAFs — the group's values ship
+    to one reducer, so group cardinality bounds the transfer, exactly
+    like the exact-percentile aggregate).
+
+    The UDF keeps the exactness discipline: values become integer
+    cents, the trim drops ``floor(n·trim)`` from each end of the
+    SORTED cents (ties interchangeable ⇒ deterministic), and the UDF
+    emits the exact BIGINT sum of the middle — one IEEE division per
+    group at the end. Returns (group, n, n_trimmed_each_end,
+    trimmed_mean)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly (GROUPED_AGG): the type-hint
+    # inference path needs module-level pandas annotations, which this
+    # lazily-importing module deliberately avoids
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _trimmed_sum_cents(v):
+        cents = (v * 100).round().astype("int64").sort_values()
+        k = int(len(cents) * trim)
+        mid = cents.iloc[k : len(cents) - k] if k else cents
+        return int(mid.sum())
+
+    # a GROUPED_AGG UDF cannot share an agg with built-in functions —
+    # two grouped passes, rejoined on the (tiny) group key
+    sums = df.groupBy(F.col(group_col).alias("g")).agg(
+        _trimmed_sum_cents(F.col(val_col).cast("double")).alias("_ts")
+    )
+    counts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    g = sums.join(F.broadcast(counts), "g")
+    k = (F.col("n").cast("double") * F.lit(trim)).cast("long")
+    return g.select(
+        F.col("g").alias(group_col),
+        "n",
+        k.alias("n_trimmed_each_end"),
+        (
+            (F.col("_ts").cast("double") / F.lit(100.0))
+            / (F.col("n") - F.lit(2) * k).cast("double")
+        ).alias("trimmed_mean"),
+    )

@@ -4080,3 +4080,38 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@query(
+    "trimmed_mean_orders",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT g, cents,
+             row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM v),
+    k AS (SELECT g, n, CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT) AS kk
+          FROM r GROUP BY g, n)
+    SELECT r.g AS o_orderstatus, ANY_VALUE(r.n) AS n,
+           ANY_VALUE(k.kk) AS n_trimmed_each_end,
+           (CAST(CAST(sum(CASE WHEN rn > k.kk AND rn <= r.n - k.kk
+                               THEN cents ELSE 0 END) AS BIGINT) AS DOUBLE) / 100.0)
+             / CAST(ANY_VALUE(r.n) - 2 * ANY_VALUE(k.kk) AS DOUBLE)
+             AS trimmed_mean
+    FROM r JOIN k USING (g)
+    GROUP BY r.g
+    """,
+)
+def trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean of o_totalprice per status via an Arrow
+    GROUPED_AGG pandas_udf (operators/stats.py::trimmed_mean_by_group)
+    — integer-cents trim inside the UDF, one IEEE division outside;
+    the oracle spells the identical sorted-trim in SQL windows."""
+    from ..operators.stats import trimmed_mean_by_group
+
+    o = read_table(spark, sf_dir, "orders")
+    return trimmed_mean_by_group(o, "o_orderstatus", "o_totalprice", 0.1)

@@ -336,3 +336,21 @@ def test_event_transitions_hand(spark):
     assert out[("view", "view")]["n"] == 1
     assert out[("view", "click")]["n_from"] == 2
     assert out[("view", "click")]["fraction"] == 0.5
+
+
+def test_trimmed_mean_grouped_udaf(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        trimmed_mean_by_group,
+    )
+
+    # group a: 1..10 -> k=1, trim {1,10}, mean(2..9) = 5.5
+    # group b: 3 values -> k=0, plain mean
+    rows = [("a", float(i)) for i in range(1, 11)] + [
+        ("b", 1.0), ("b", 2.0), ("b", 6.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in trimmed_mean_by_group(df, "g", "v", 0.1).collect()}
+    assert out["a"]["n"] == 10 and out["a"]["n_trimmed_each_end"] == 1
+    assert out["a"]["trimmed_mean"] == 5.5
+    assert out["b"]["n_trimmed_each_end"] == 0
+    assert out["b"]["trimmed_mean"] == 3.0
