@@ -481,3 +481,135 @@ def trimmed_mean_by_group(
             / (F.col("n") - F.lit(2) * k).cast("double")
         ).alias("trimmed_mean"),
     )
+
+
+def _rank_rows(df: DataFrame, val_col: str, id_col: str) -> DataFrame:
+    """Deterministic dense row rank under (value, id): the equi-depth
+    machinery factored out — value-prefix `<` counts + a per-value
+    window ordered by id. Returns the input columns + ``_rank``
+    (1-based) and ``_v`` (the double value)."""
+    v = F.col(val_col).cast("double")
+    rows = df.select(v.alias("_v"), F.col(id_col).alias("_id"))
+    vc = rows.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    r2 = avg_rank2(rows, "_v").toDF("_v", "_r2")
+    pre = vc.join(r2, "_v").select(
+        "_v", F.expr("(_r2 - _cnt - 1) div 2").cast("long").alias("_lt")
+    )
+    w = W.partitionBy("_v").orderBy("_id")
+    return (
+        rows.join(pre, "_v")
+        .withColumn("_rank", (F.col("_lt") + F.row_number().over(w)).cast("long"))
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact quantile normalization: replace each row's value by the
+    GLOBAL distribution's value at the row's within-group quantile —
+    the transform that puts every source's score scale on one footing
+    before cross-source thresholding (the bioinformatics
+    quantile-normalization / score-calibration primitive, distributed).
+
+    For a row with within-group rank r among n_g (deterministic
+    (value, id) order): its target position is the pandas-style
+    interpolated order statistic of the WHOLE column at
+    h = (N−1)·(r−1)/(n_g−1) (degenerate n_g = 1 → h = (N−1)/2), i.e.
+
+        normalized = v_glob[⌊h⌋] + (v_glob[⌈h⌉] − v_glob[⌊h⌋])·(h − ⌊h⌋)
+
+    computed with the SAME IEEE steps on every engine.
+
+    Scale shape — everything stays distributed and exact:
+
+    * within-group ranks: one grouped window over (group) after a
+      group+value-level prefix (here a per-group window ordered by
+      (v, id) — distributed across groups);
+    * the global order-statistic LOOKUP inverts the global rank: the
+      global value table carries each distinct value's rank interval
+      [lo, hi]; probe positions join it by integer-bucketed containment
+      (intervals split per covered bucket of width ⌈N/n_buckets⌉, so
+      the join is an equi-join on the bucket id — no range-join scan,
+      skew bounded by bucket width);
+    * two probes per row (⌊h⌋, ⌈h⌉) ride the same join.
+
+    Returns (group, id, value, normalized)."""
+    rows = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(val_col).cast("double").alias("_v"),
+    )
+    # ---- within-group rank (deterministic) + group sizes ----
+    wg = W.partitionBy("_g").orderBy("_v", "_id")
+    ranked = rows.withColumn("_r", F.row_number().over(wg).cast("long"))
+    sizes = rows.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_ng"))
+    n = rows.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    probe = (
+        ranked.join(F.broadcast(sizes), "_g")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_h",
+            F.when(
+                F.col("_ng") == 1,
+                (F.col("_n") - 1).cast("double") / F.lit(2.0),
+            ).otherwise(
+                (F.col("_n") - 1).cast("double")
+                * (F.col("_r") - 1).cast("double")
+                / (F.col("_ng") - 1).cast("double")
+            ),
+        )
+        .withColumn("_klo", (F.floor("_h") + 1).cast("long"))
+        .withColumn("_khi", (F.ceil("_h") + 1).cast("long"))
+    )
+    # ---- global inverse-rank table: value -> rank interval [lo, hi] ----
+    g = _rank_rows(rows, "_v", "_id")  # reuses the distributed machinery
+    iv = (
+        g.groupBy("_v")
+        .agg(F.min("_rank").alias("_lo"), F.max("_rank").alias("_hi"))
+    )
+    # bucket width from N (1-row broadcast); intervals explode per
+    # covered bucket — total extra rows ≤ N/width + |distinct values|
+    ivb = (
+        iv.crossJoin(F.broadcast(n))
+        .withColumn("_w", F.expr(f"greatest(1L, _n div {n_buckets})"))
+        .withColumn(
+            "_bkt",
+            F.explode(
+                F.sequence(
+                    F.expr("(_lo - 1) div _w"), F.expr("(_hi - 1) div _w")
+                )
+            ),
+        )
+        .select("_bkt", "_v", "_lo", "_hi")
+    )
+
+    def _lookup(k_col: str, out: str) -> DataFrame:
+        p = probe.select(
+            "_g", "_id", F.col(k_col).alias("_k"),
+            F.expr(f"greatest(1L, _n div {n_buckets})").alias("_w"),
+        ).withColumn("_bkt", F.expr("(_k - 1) div _w"))
+        return (
+            p.join(ivb, "_bkt")
+            .where((F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")))
+            .select("_g", "_id", F.col("_v").alias(out))
+        )
+    lo = _lookup("_klo", "_vlo")
+    hi = _lookup("_khi", "_vhi")
+    return (
+        probe.join(lo, ["_g", "_id"])
+        .join(hi, ["_g", "_id"])
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_id").alias(id_col),
+            F.col("_v").alias(val_col),
+            (
+                F.col("_vlo")
+                + (F.col("_vhi") - F.col("_vlo"))
+                * (F.col("_h") - F.floor("_h"))
+            ).alias("normalized"),
+        )
+    )

@@ -4115,3 +4115,45 @@ def trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders")
     return trimmed_mean_by_group(o, "o_orderstatus", "o_totalprice", 0.1)
+
+
+@query(
+    "quantile_normalize_events",
+    oracle="""
+    WITH rows_ AS (
+      SELECT event_type AS g, event_id AS id, CAST(value AS DOUBLE) AS v
+      FROM events),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM rows_),
+    rk AS (
+      SELECT g, id, v,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY v, id) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ng
+      FROM rows_),
+    h AS (
+      SELECT g, id, v,
+             CASE WHEN ng = 1 THEN CAST(nn - 1 AS DOUBLE) / 2.0
+                  ELSE CAST(nn - 1 AS DOUBLE) * CAST(r - 1 AS DOUBLE)
+                       / CAST(ng - 1 AS DOUBLE) END AS hh
+      FROM rk CROSS JOIN n),
+    gv AS (
+      SELECT v, CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS gr
+      FROM rows_)
+    SELECT h.g AS event_type, h.id AS event_id, h.v AS value,
+           lo.v + (hi.v - lo.v) * (hh - floor(hh)) AS normalized
+    FROM h
+    JOIN gv lo ON lo.gr = CAST(floor(hh) AS BIGINT) + 1
+    JOIN gv hi ON hi.gr = CAST(ceil(hh) AS BIGINT) + 1
+    """,
+)
+def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantile normalization of event values across event types
+    (operators/stats.py::quantile_normalize): each type's value
+    distribution maps onto the GLOBAL one via interpolated order
+    statistics — within-type ranks from a grouped window, the global
+    order-statistic lookup via a bucketed rank-interval equi-join (no
+    global sort, no range-join scan). The oracle spells the same
+    arithmetic with SQL windows; doubles match bitwise."""
+    from ..operators.stats import quantile_normalize
+
+    ev = read_table(spark, sf_dir, "events")
+    return quantile_normalize(ev, "event_type", "value", "event_id")

@@ -354,3 +354,42 @@ def test_trimmed_mean_grouped_udaf(spark):
     assert out["a"]["trimmed_mean"] == 5.5
     assert out["b"]["n_trimmed_each_end"] == 0
     assert out["b"]["trimmed_mean"] == 3.0
+
+
+def test_quantile_normalize_exact_vs_python(spark):
+    import math
+    import random
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        quantile_normalize,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(120):
+        g = rng.choice(["a", "b", "c"])
+        # group b shifted and scaled; ties on purpose
+        v = float(rng.randrange(20)) * (3.0 if g == "b" else 1.0)
+        rows.append((g, i, v))
+    rows.append(("solo", 999, 5.0))  # n_g == 1 degenerate case
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        (r["g"], r["id"]): r["normalized"]
+        for r in quantile_normalize(df, "g", "v", "id").collect()
+    }
+    # python reference with identical arithmetic
+    N = len(rows)
+    glob = sorted(rows, key=lambda t: (t[2], t[1]))
+    gvals = [t[2] for t in glob]
+    by_g = {}
+    for g, i, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    want = {}
+    for g, members in by_g.items():
+        members.sort()
+        ng = len(members)
+        for r0, (v, i) in enumerate(members):
+            h = (N - 1) / 2.0 if ng == 1 else float(N - 1) * float(r0) / float(ng - 1)
+            lo, hi = gvals[int(math.floor(h))], gvals[int(math.ceil(h))]
+            want[(g, i)] = lo + (hi - lo) * (h - math.floor(h))
+    assert got == want  # bit-exact, ties and degenerate group included
