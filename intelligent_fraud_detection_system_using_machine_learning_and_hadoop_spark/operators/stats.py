@@ -33,6 +33,7 @@ Spearman, just computed in a shuffle-bounded shape.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -450,13 +451,11 @@ def trimmed_mean_by_group(
     emits the exact BIGINT sum of the middle — one IEEE division per
     group at the end. Returns (group, n, n_trimmed_each_end,
     trimmed_mean)."""
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # functionType passed explicitly (GROUPED_AGG): the type-hint
-    # inference path needs module-level pandas annotations, which this
-    # lazily-importing module deliberately avoids
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def _trimmed_sum_cents(v):
+    # Series -> scalar type hints select the GROUPED_AGG flavor
+    @pandas_udf("long")
+    def _trimmed_sum_cents(v: pd.Series) -> int:
         cents = (v * 100).round().astype("int64").sort_values()
         k = int(len(cents) * trim)
         mid = cents.iloc[k : len(cents) - k] if k else cents
