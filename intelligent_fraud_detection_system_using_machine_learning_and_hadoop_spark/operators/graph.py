@@ -345,9 +345,12 @@ def triangle_stats(
             "n_edges",
             "n_wedges",
             "n_triangles",
-            (
+            # wedge-free graphs (perfect matchings) have no defined
+            # transitivity — null, not a divide-by-zero (ANSI-safe)
+            F.when(
+                F.col("n_wedges") > 0,
                 (F.lit(3) * F.col("n_triangles")).cast("double")
-                / F.col("n_wedges").cast("double")
+                / F.col("n_wedges").cast("double"),
             ).alias("global_clustering"),
         )
     )
