@@ -101,3 +101,51 @@ def test_zonemap_prune_report(spark):
     assert s["prune_fraction"] == 20.0 / 30.0
     assert (h["n_pruned_buckets"], h["rows_pruned"]) == (0, 0)
     assert h["rows_matching"] == 10  # results identical across layouts
+
+
+def test_zordered_write_concentrates_selective_reads(spark, tmp_path):
+    """Physical evidence for the zone-map story: the same rows written
+    (a) round-robin and (b) date-range-clustered; a selective date
+    predicate must touch a small fraction of the clustered layout's
+    files (measured via input_file_name), while the arrival layout
+    scatters it across ~all files."""
+    from pyspark.sql import functions as F
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 1000).cast("int")).alias("d"),
+    )
+    arrival = str(tmp_path / "arrival")
+    clustered = str(tmp_path / "clustered")
+    df.repartition(16).write.parquet(arrival)
+    df.repartitionByRange(16, "d").sortWithinPartitions("d").write.parquet(clustered)
+
+    cutoff = "2022-06-01"  # selects ~10% of the date range
+
+    def files_touched(path):
+        got = (
+            spark.read.parquet(path)
+            .where(F.col("d") >= F.lit(cutoff).cast("date"))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        total = (
+            spark.read.parquet(path)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        return got, total
+
+    a_got, a_total = files_touched(arrival)
+    c_got, c_total = files_touched(clustered)
+    # arrival: matching rows live in EVERY file; clustered: a thin tail
+    assert a_got == a_total
+    assert c_got <= max(2, c_total // 4)
+    # identical answers regardless of layout
+    cnt = lambda p: spark.read.parquet(p).where(
+        F.col("d") >= F.lit(cutoff).cast("date")
+    ).count()
+    assert cnt(arrival) == cnt(clustered)
