@@ -4157,3 +4157,28 @@ def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return quantile_normalize(ev, "event_type", "value", "event_id")
+
+
+@query("anomaly_isoforest")  # randomized model — rows-only driver check
+def anomaly_isoforest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-forest anomaly scores over orders (ml/isoforest.py —
+    seeded sample-bounded training on the driver, broadcast forest,
+    vectorized Arrow scoring; the fraud pipeline's unsupervised
+    complement to the autoencoder/PCA scorers). Rows-only check;
+    determinism + ranking pinned in tests/test_isoforest.py."""
+    from ..ml.isoforest import score_isolation_forest, train_isolation_forest
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("amount"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("double")
+        .alias("day"),
+    )
+    model = train_isolation_forest(
+        o, ["amount", "day"], "o_orderkey", n_trees=32, sample_size=128
+    )
+    scored = score_isolation_forest(o, model, "o_orderkey")
+    return scored.select("o_orderkey", "iforest_score").orderBy(
+        F.desc("iforest_score"), "o_orderkey"
+    ).limit(100)
