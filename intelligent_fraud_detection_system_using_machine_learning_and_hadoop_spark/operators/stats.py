@@ -612,3 +612,68 @@ def quantile_normalize(
             ).alias("normalized"),
         )
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    ts_col: str = "bucket_ts",
+    val_cents_col: str = "value_c",
+    period: int = 24,
+    half_window: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a regular time
+    series (value = trend + seasonal + residual): trend is the
+    centered (2·half_window+1)-point moving average, the seasonal
+    component the per-phase mean of the detrended series, residual the
+    rest — the STL-lite decomposition a monitoring pipeline runs on an
+    hourly metric before alerting on residuals.
+
+    Exactness discipline: the series values arrive as integer cents,
+    the trend window sums BIGINTs (one IEEE division chain per row),
+    the detrended values quantize to 1e-9 integers before the
+    per-phase mean (float sums are order-dependent; BIGINT sums are
+    not), and every division is a pinned two-operand IEEE op — engines
+    agree bitwise.
+
+    Scale note: ``series`` is an AGGREGATED series (one row per
+    bucket), so the single ordered window runs over series-length rows
+    — hours-per-year scale, not event scale; per-key decomposition
+    would partition the window by the key. Returns (ts, value, trend,
+    seasonal, residual) for rows whose trend window is complete."""
+    win = W.orderBy(ts_col).rowsBetween(-half_window, half_window)
+    t = (
+        series.withColumn("_wn", F.count(F.lit(1)).over(win).cast("long"))
+        .withColumn("_ws", F.sum(val_cents_col).over(win).cast("long"))
+        .where(F.col("_wn") == 2 * half_window + 1)
+        .withColumn(
+            "value", F.col(val_cents_col).cast("double") / F.lit(100.0)
+        )
+        .withColumn(
+            "trend",
+            F.col("_ws").cast("double")
+            / F.lit(100.0)
+            / F.lit(float(2 * half_window + 1)),
+        )
+        .withColumn("_detr", F.col("value") - F.col("trend"))
+        .withColumn(
+            "_detr_q", F.floor(F.col("_detr") * F.lit(1e9)).cast("long")
+        )
+        .withColumn("_phase", F.hour(ts_col).cast("long") % period)
+    )
+    seas = t.groupBy("_phase").agg(
+        (
+            F.sum("_detr_q").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e9)
+        ).alias("seasonal")
+    )
+    return (
+        t.join(F.broadcast(seas), "_phase")
+        .select(
+            F.col(ts_col),
+            "value",
+            "trend",
+            "seasonal",
+            (F.col("_detr") - F.col("seasonal")).alias("residual"),
+        )
+    )

@@ -4182,3 +4182,56 @@ def anomaly_isoforest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("o_orderkey", "iforest_score").orderBy(
         F.desc("iforest_score"), "o_orderkey"
     ).limit(100)
+
+
+@query(
+    "seasonal_decompose_events",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT bucket_ts, value_c,
+             CAST(count(*) OVER win AS BIGINT) AS wn,
+             CAST(sum(value_c) OVER win AS BIGINT) AS ws
+      FROM hourly
+      WINDOW win AS (ORDER BY bucket_ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    t AS (
+      SELECT bucket_ts,
+             CAST(value_c AS DOUBLE) / 100.0 AS value,
+             CAST(ws AS DOUBLE) / 100.0 / 25.0 AS trend,
+             CAST(value_c AS DOUBLE) / 100.0 - CAST(ws AS DOUBLE) / 100.0 / 25.0 AS detr,
+             CAST(floor((CAST(value_c AS DOUBLE) / 100.0
+                         - CAST(ws AS DOUBLE) / 100.0 / 25.0) * 1e9) AS BIGINT) AS detr_q,
+             CAST(hour(bucket_ts) AS BIGINT) % 24 AS phase
+      FROM w WHERE wn = 25),
+    seas AS (
+      SELECT phase,
+             CAST(CAST(sum(detr_q) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS BIGINT)::DOUBLE / 1e9 AS seasonal
+      FROM t GROUP BY phase)
+    SELECT t.bucket_ts, t.value, t.trend, s.seasonal,
+           t.detr - s.seasonal AS residual
+    FROM t JOIN seas s USING (phase)
+    """,
+)
+def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the hourly event-value series
+    (operators/stats.py::seasonal_decompose): centered 25-hour moving
+    trend, per-hour-of-day seasonal means of the 1e-9-quantized
+    detrended series, residuals — every division pinned, oracle
+    bitwise. The window runs over the AGGREGATED hourly series
+    (series-length, not event-length)."""
+    from ..operators.stats import seasonal_decompose
+
+    hourly = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_c")
+        )
+    )
+    return seasonal_decompose(hourly)

@@ -393,3 +393,30 @@ def test_quantile_normalize_exact_vs_python(spark):
             lo, hi = gvals[int(math.floor(h))], gvals[int(math.ceil(h))]
             want[(g, i)] = lo + (hi - lo) * (h - math.floor(h))
     assert got == want  # bit-exact, ties and degenerate group included
+
+
+def test_seasonal_decompose_identity(spark):
+    """value == trend + seasonal + residual, exactly (the components
+    are defined by subtraction), and a pure-seasonal series decomposes
+    with near-zero residuals."""
+    from datetime import datetime, timedelta
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        seasonal_decompose,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    # 6 full days, hourly: flat trend 100 + deterministic hour-of-day wave
+    wave = [((h * 7) % 24) - 11.5 for h in range(24)]
+    rows = [
+        (t0 + timedelta(hours=i), int(round((100.0 + wave[i % 24]) * 100)))
+        for i in range(24 * 6)
+    ]
+    df = spark.createDataFrame(rows, "bucket_ts timestamp, value_c long")
+    out = seasonal_decompose(df).collect()
+    assert len(out) == 24 * 6 - 24  # half_window=12 trimmed each end
+    for r in out:
+        assert abs(r["value"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
+        # trend of a zero-mean 24h wave under a 25h window stays ~flat
+        assert abs(r["trend"] - 100.0) < 1.0
+        assert abs(r["residual"]) < 1.0
