@@ -166,3 +166,47 @@ def read_binary_assets(spark: SparkSession, path: str, glob: str | None = None):
         F.col("content"),
         mime.alias("mime"),
     )
+
+
+def read_claims_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = CLAIMS_SCHEMA,
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """Malformed-input-aware claims CSV scan: the production ingest
+    variant of :func:`read_claims_csv`. The reference would crash (or
+    silently coerce) on a bad row inside ``pd.read_csv``
+    (ref scripts/run_pipeline.py:17); a pipeline fed by uploads needs
+    the three standard dispositions, all native Spark CSV-source
+    behavior (JVM-side, no Python in the scan):
+
+    * ``PERMISSIVE`` (default): bad rows yield nulls for unparseable
+      fields and the ORIGINAL line is captured in ``_corrupt_record``
+      for quarantine — select ``WHERE _corrupt_record IS NOT NULL``
+      into a dead-letter sink, everything else flows on;
+    * ``DROPMALFORMED``: bad rows vanish (lossy, auditable only by
+      count delta);
+    * ``FAILFAST``: the scan throws on first corruption (CI gates).
+
+    The corrupt-record column rides the normal scan — one pass, no
+    pre-validation job over the file. (It is only declared under
+    PERMISSIVE: Spark's CSV source treats a declared corrupt-record
+    column as "schema matches" under the other modes, which would
+    defeat the drop/fail semantics.)"""
+    reader = (
+        spark.read.option("header", True)
+        .option("dateFormat", "yyyy-MM-dd")
+        .option("mode", mode)
+    )
+    if mode.upper() == "PERMISSIVE":
+        s = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        reader = reader.option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).schema(s)
+    else:
+        reader = reader.schema(schema)
+    return reader.csv(path)

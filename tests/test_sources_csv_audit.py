@@ -1,0 +1,48 @@
+"""Malformed-CSV dispositions: PERMISSIVE quarantine capture,
+DROPMALFORMED loss, FAILFAST raise — all JVM-side scan behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+    read_claims_csv_audited,
+)
+
+GOOD = "Name,Aadhaar,ClaimAmount,SubsidyType,Date\n" \
+       "A,111111111111,1000,LPG,2024-01-01\n" \
+       "B,222222222222,2000,Farming,2024-01-02\n"
+BAD = "C,not_a_number,xx,Housing,2024-01-03\n"
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    p = tmp_path / "claims.csv"
+    p.write_text(GOOD + BAD)
+    return str(p)
+
+
+def test_permissive_quarantines_bad_rows(spark, csv_path):
+    df = read_claims_csv_audited(spark, csv_path).cache()
+    assert df.count() == 3
+    bad = df.where("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1
+    assert bad[0]["_corrupt_record"].startswith("C,not_a_number")
+    assert bad[0]["Aadhaar"] is None  # unparseable field nulled
+    good = df.where("_corrupt_record IS NULL")
+    assert good.count() == 2
+    df.unpersist()
+
+
+def test_dropmalformed_drops(spark, csv_path):
+    df = read_claims_csv_audited(spark, csv_path, mode="DROPMALFORMED")
+    assert df.count() == 2
+    assert "_corrupt_record" not in df.columns
+
+
+def test_failfast_raises(spark, csv_path):
+    from pyspark.errors.exceptions.captured import SparkException
+
+    df = read_claims_csv_audited(spark, csv_path, mode="FAILFAST")
+    with pytest.raises(Exception):
+        df.collect()
