@@ -36,13 +36,14 @@ def test_permissive_quarantines_bad_rows(spark, csv_path):
 
 def test_dropmalformed_drops(spark, csv_path):
     df = read_claims_csv_audited(spark, csv_path, mode="DROPMALFORMED")
-    assert df.count() == 2
+    # NB: a bare count() short-circuits CSV field parsing (rows are
+    # counted without conversion), so malformed rows would still be
+    # counted — materialize parsed columns to engage the drop
+    assert len(df.collect()) == 2
     assert "_corrupt_record" not in df.columns
 
 
 def test_failfast_raises(spark, csv_path):
-    from pyspark.errors.exceptions.captured import SparkException
-
     df = read_claims_csv_audited(spark, csv_path, mode="FAILFAST")
     with pytest.raises(Exception):
         df.collect()
