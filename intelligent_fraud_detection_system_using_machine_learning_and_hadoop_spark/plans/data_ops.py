@@ -4235,3 +4235,125 @@ def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return seasonal_decompose(hourly)
+
+
+@query(
+    "analytics_pipeline_events",
+    oracle="""
+    WITH f1 AS (
+      SELECT user_id AS u, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    f2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t2
+      FROM events e JOIN f1 ON e.user_id = f1.u
+      WHERE e.event_type = 'click' AND e.ts > f1.t1
+        AND e.ts <= f1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    f3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t3
+      FROM events e JOIN f2 ON e.user_id = f2.u
+      JOIN f1 ON e.user_id = f1.u
+      WHERE e.event_type = 'purchase' AND e.ts > f2.t2
+        AND e.ts <= f1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    funnel AS (
+      SELECT 'funnel' AS metric, s.k AS key, s.n,
+             CAST(s.n AS DOUBLE) / CAST((SELECT count(*) FROM f1) AS DOUBLE) AS frac
+      FROM (SELECT '1:view' AS k, CAST((SELECT count(*) FROM f1) AS BIGINT) AS n
+            UNION ALL
+            SELECT '2:click', CAST((SELECT count(*) FROM f2) AS BIGINT)
+            UNION ALL
+            SELECT '3:purchase', CAST((SELECT count(*) FROM f3) AS BIGINT)) s),
+    seq AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events),
+    tp AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM seq
+           WHERE b IS NOT NULL GROUP BY a, b),
+    tt AS (SELECT a, CAST(sum(n) AS BIGINT) AS nf FROM tp GROUP BY a),
+    transitions AS (
+      SELECT 'transition' AS metric, tp.a || '>' || tp.b AS key, tp.n,
+             CAST(tp.n AS DOUBLE) / CAST(tt.nf AS DOUBLE) AS frac
+      FROM tp JOIN tt USING (a)),
+    conv AS (
+      SELECT event_id AS cid, user_id AS u, ts AS tc
+      FROM events WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT event_type AS touch_type, user_id AS u, ts AS tt_
+      FROM events WHERE event_type IN ('view', 'click')),
+    aj AS (
+      SELECT t.touch_type, c.cid FROM touch t JOIN conv c ON t.u = c.u
+      WHERE t.tt_ < c.tc AND t.tt_ >= c.tc - INTERVAL 30 MINUTE),
+    aw AS (SELECT touch_type, cid,
+                  CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n
+           FROM aj),
+    attribution AS (
+      SELECT 'attribution' AS metric, touch_type AS key,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(1000000 // n) AS BIGINT) AS DOUBLE) / 1000000.0 AS frac
+      FROM aw GROUP BY touch_type),
+    ev AS (SELECT user_id AS u,
+                  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS p
+           FROM events),
+    first AS (SELECT u, CAST(min(p) AS BIGINT) AS cp FROM ev GROUP BY u),
+    sizes AS (SELECT cp, CAST(count(*) AS BIGINT) AS cs FROM first GROUP BY cp),
+    act AS (SELECT DISTINCT u, p FROM ev),
+    retention AS (
+      SELECT 'retention' AS metric,
+             f.cp || ':' || CAST(a.p - f.cp AS BIGINT) AS key,
+             CAST(count(DISTINCT a.u) AS BIGINT) AS n,
+             CAST(count(DISTINCT a.u) AS BIGINT)::DOUBLE / s.cs::DOUBLE AS frac
+      FROM act a JOIN first f USING (u) JOIN sizes s USING (cp)
+      GROUP BY f.cp, a.p - f.cp, s.cs)
+    SELECT * FROM funnel
+    UNION ALL SELECT * FROM transitions
+    UNION ALL SELECT * FROM attribution
+    UNION ALL SELECT * FROM retention
+    """,
+    bench=True,
+)
+def analytics_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END product-analytics pipeline: ONE events scan feeds
+    four attested operator families — the view→click→purchase funnel,
+    the Markov transition matrix, linear attribution, and weekly
+    cohort retention — emitted as a unified long-format report
+    (metric, key, n, frac). The behavioral twin of
+    ``llm_data_pipeline``: a composition re-attesting each operator
+    inside one lazy plan (the shared scan stays a single pushdown-
+    pruned parquet read per branch; every derived frame is
+    dimension-sized)."""
+    from ..operators.funnel import (
+        cohort_retention,
+        event_transitions,
+        funnel_report,
+        linear_attribution,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    fun = funnel_report(ev, ["view", "click", "purchase"]).select(
+        F.lit("funnel").alias("metric"),
+        F.concat_ws(":", F.col("step"), F.col("event_type")).alias("key"),
+        F.col("n_users").alias("n"),
+        F.col("conv_from_top").alias("frac"),
+    )
+    tr = event_transitions(ev).select(
+        F.lit("transition").alias("metric"),
+        F.concat(F.col("from_type"), F.lit(">"), F.col("to_type")).alias("key"),
+        F.col("n"),
+        F.col("fraction").alias("frac"),
+    )
+    at = linear_attribution(ev, "purchase", ["view", "click"]).select(
+        F.lit("attribution").alias("metric"),
+        F.col("touch_type").alias("key"),
+        F.col("n_touches").alias("n"),
+        F.col("credited_conversions").alias("frac"),
+    )
+    re_ = cohort_retention(ev).select(
+        F.lit("retention").alias("metric"),
+        F.concat_ws(":", F.col("cohort_period"), F.col("period_offset")).alias(
+            "key"
+        ),
+        F.col("n_active").alias("n"),
+        F.col("retention").alias("frac"),
+    )
+    return fun.unionByName(tr).unionByName(at).unionByName(re_)
