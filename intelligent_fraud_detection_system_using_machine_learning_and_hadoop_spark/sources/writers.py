@@ -159,3 +159,28 @@ def read_orc(spark, path: str) -> DataFrame:
     family as the parquet scans in readers.py — filter pushdown and
     column pruning verified by tests/test_sources_orc.py)."""
     return spark.read.orc(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """INSERT OVERWRITE with DYNAMIC partition semantics: replace ONLY
+    the partitions present in ``df``, leave every other partition of
+    the target untouched — the idempotent nightly-reprocess write (a
+    static ``mode("overwrite")`` would truncate the whole table; a
+    late-arriving day's recompute must not).
+
+    Implemented with the native
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` session
+    override, scoped to this one write and restored afterwards, so the
+    session's global write behavior is unchanged. File-level semantics
+    only — no table format required (with a catalog table the
+    equivalent is ``INSERT OVERWRITE`` / ``writeTo().overwritePartitions()``)."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

@@ -47,3 +47,30 @@ def test_failfast_raises(spark, csv_path):
     df = read_claims_csv_audited(spark, csv_path, mode="FAILFAST")
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Rewriting one day must not truncate the others (and the session
+    setting must be restored afterwards)."""
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.writers import (
+        overwrite_partitions_dynamic,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1"), (2, "d1"), (3, "d2"), (4, "d3")], "v long, day string"
+    )
+    base.write.partitionBy("day").parquet(path)
+    # recompute ONLY d2 with corrected content
+    fix = spark.createDataFrame([(99, "d2")], "v long, day string")
+    overwrite_partitions_dynamic(fix, path, ["day"])
+    got = {
+        (r["day"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("d1", 1), ("d1", 2), ("d2", 99), ("d3", 4)}
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
