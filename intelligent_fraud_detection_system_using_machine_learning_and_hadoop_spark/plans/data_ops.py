@@ -4357,3 +4357,18 @@ def analytics_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("retention").alias("frac"),
     )
     return fun.unionByName(tr).unionByName(at).unionByName(re_)
+
+
+@query("als_recommend_parts")  # randomized-init model — rows-only check
+def als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded implicit-feedback ALS recommendations (ml/recommend.py):
+    per-customer top-5 parts from the order co-occurrence matrix —
+    MLlib's blocked alternating least squares, the engine's
+    collaborative-filtering surface. Rows-only driver check;
+    determinism + ranking sanity pinned in tests/test_recommend.py."""
+    from ..ml.recommend import implicit_ratings, recommend_parts, train_als
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    model = train_als(implicit_ratings(li, o), rank=8, seed=7)
+    return recommend_parts(model, 5)
