@@ -360,3 +360,38 @@ def normalize_unicode(
         batches,
         schema=f"{id_col} {id_type}, {text_col} string, normalized string",
     )
+
+
+def sentences_udtf(spark):
+    """Register and return the sentence-splitting Python UDTF (Spark 4
+    ``pyspark.sql.functions.udtf`` — the user-defined TABLE function
+    surface: one input row → N output rows via LATERAL join, the
+    API-level generalization of explode for logic that needs Python).
+
+    The split itself is a deterministic regex (terminator run + space),
+    so unlike most UDTF use cases this one is SQL-reproducible — which
+    is exactly why the catalog query carrying it can hold a full value
+    oracle: the UDTF *mechanism* is what's under test, with the logic
+    chosen to stay engine-portable. Each output row: (idx, sentence,
+    n_chars).
+
+    Scale: UDTFs run per-partition in a Python worker over Arrow
+    batches — linear map, no shuffle; the lateral join preserves the
+    driving table's partitioning."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: bigint, sentence: string, n_chars: bigint")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            parts = [
+                s for s in re.split(r"[.!?]+\s+", text) if s.strip() != ""
+            ]
+            for i, s in enumerate(parts):
+                yield i, s, len(s)
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    return SplitSentences

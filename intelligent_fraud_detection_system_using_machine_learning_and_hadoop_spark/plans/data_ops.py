@@ -4372,3 +4372,39 @@ def als_recommend_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     model = train_als(implicit_ratings(li, o), rank=8, seed=7)
     return recommend_parts(model, 5)
+
+
+@query(
+    "udtf_sentences_documents",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[.!?]+\\s+'),
+                         s -> trim(s) <> '') AS ps
+      FROM documents),
+    ex AS (
+      SELECT doc_id,
+             CAST(unnest(range(len(ps))) AS BIGINT) AS idx,
+             unnest(ps) AS sentence
+      FROM parts)
+    SELECT doc_id, idx, sentence,
+           CAST(length(sentence) AS BIGINT) AS n_chars
+    FROM ex
+    """,
+)
+def udtf_sentences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via a Python UDTF LATERAL join
+    (operators/text.py::sentences_udtf — the Spark 4 user-defined
+    TABLE function surface; deliberately regex-deterministic logic so
+    the mechanism itself can carry a full value oracle)."""
+    from ..operators.text import sentences_udtf
+
+    sentences_udtf(spark)
+    d = read_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.sentence, s.n_chars
+        FROM __docs_udtf d, LATERAL split_sentences(d.text) s
+        """
+    )

@@ -177,3 +177,32 @@ def test_normalize_unicode_forms_and_nulls(spark):
     assert gotd[2] == unicodedata.normalize("NFD", composed)
     with pytest.raises(ValueError):
         normalize_unicode(df, form="NFX")
+
+
+def test_sentences_udtf_lateral(spark):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.text import (
+        sentences_udtf,
+    )
+
+    sentences_udtf(spark)
+    df = spark.createDataFrame(
+        [
+            (1, "One. Two sentences! And a third? yes"),
+            (2, "no terminators here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("__t_udtf")
+    rows = spark.sql(
+        "SELECT doc_id, s.idx, s.sentence FROM __t_udtf d, "
+        "LATERAL split_sentences(d.text) s ORDER BY doc_id, idx"
+    ).collect()
+    got = [(r["doc_id"], r["idx"], r["sentence"]) for r in rows]
+    assert got == [
+        (1, 0, "One"),
+        (1, 1, "Two sentences"),
+        (1, 2, "And a third"),
+        (1, 3, "yes"),
+        (2, 0, "no terminators here"),
+    ]  # doc 3 (null) contributes nothing
