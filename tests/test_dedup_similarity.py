@@ -318,3 +318,51 @@ def test_dedup_lines_keeps_first_occurrence_and_structure(spark):
     # short lines are structural: kept even when repeated
     assert out[4]["text"] == "ok\ndelta unique content line\nok"
     assert out[4]["n_kept"] == 3
+
+
+def test_ivf_index_roundtrip_recall_and_pruning(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_query_index,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_clusters=8)
+    got = ivf_query_index(spark, path, queries, k=3, n_probe=8)  # probe ALL
+    exact = cosine_topk(emb, queries, k=3)
+    g = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert g == e  # probing every cell == exact top-k
+    # pruned probe: reads a strict subset of assignment partitions
+    import glob
+
+    n_cells = len(glob.glob(f"{path}/assignments/cell=*"))
+    assert n_cells == 8
+    pruned = ivf_query_index(spark, path, queries, k=3, n_probe=2).collect()
+    # structural guarantees under pruning: <= k per query, every hit
+    # scored identically to the exact path, and some true neighbors
+    # found even on near-random vectors (recall-curve properties live
+    # in the inline-IVF tests; this one pins the PERSISTED lifecycle)
+    per_q = {}
+    for r in pruned:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) <= 3 for v in per_q.values())
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact.collect()
+    }
+    hits = [
+        r for r in pruned if (r["query_id"], r["vec_id"]) in exact_scores
+    ]
+    assert hits and all(
+        r["cos_sim"] == exact_scores[(r["query_id"], r["vec_id"])] for r in hits
+    )
