@@ -1,0 +1,65 @@
+"""Empty-input robustness: every round-8 operator must degrade to an
+empty (or zero-census) result, never a cryptic runtime error — the
+behavior a scheduled pipeline hits on a quiet day."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empties(spark):
+    return {
+        "s": spark.createDataFrame([], "s string"),
+        "e": spark.createDataFrame([], "id_a long, id_b long"),
+        "gv": spark.createDataFrame([], "g string, v double"),
+        "iv": spark.createDataFrame([], "id long, v double"),
+        "ab": spark.createDataFrame([], "a double, b double"),
+        "ev": spark.createDataFrame(
+            [], "event_id long, user_id long, ts timestamp, "
+                "event_type string, value double"
+        ),
+        "bk": spark.createDataFrame([], "basket_id long, item string"),
+    }
+
+
+def test_empty_inputs_degrade_gracefully(spark, empties):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+        association_rules,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.funnel import (
+        cohort_retention,
+        event_transitions,
+        linear_attribution,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fuzzy import (
+        edit_distance_join,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        connected_components,
+        k_core,
+        triangle_stats,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        chi_square_independence,
+        equi_depth_histogram,
+        spearman_pairs,
+        winsorized_stats,
+    )
+
+    em = empties
+    assert edit_distance_join(em["s"], 2, "s").count() == 0
+    assert k_core(em["e"], 2).count() == 0
+    assert connected_components(em["e"]).count() == 0
+    assert equi_depth_histogram(em["iv"], "v", "id", 4).count() == 0
+    assert winsorized_stats(em["gv"], "g", "v").count() == 0
+    assert linear_attribution(em["ev"], "purchase", ["view"]).count() == 0
+    assert cohort_retention(em["ev"]).count() == 0
+    assert event_transitions(em["ev"]).count() == 0
+    assert association_rules(em["bk"]).count() == 0
+    # census-style ops return a zero row, not an error
+    tri = triangle_stats(em["e"]).first()
+    assert (tri["n_nodes"], tri["n_edges"], tri["n_triangles"]) == (0, 0, 0)
+    assert tri["global_clustering"] is None
+    assert spearman_pairs(em["ab"], ["a", "b"]).count() == 1  # NaN rho row
+    assert chi_square_independence(em["gv"], "g", "v").count() == 1
