@@ -908,3 +908,23 @@ def stream_attribution(
             "credited_conversions"
         ),
     )
+
+
+def transform_with_state_available() -> bool:
+    """Probe for Spark 4's ``transformWithStateInPandas`` runtime
+    dependency (the TWS driver worker speaks protobuf to the JVM;
+    without the ``google.protobuf`` package the worker crashes at
+    init — verified empirically in this container). The engine's
+    custom stateful operators therefore ship on
+    ``applyInPandasWithState`` (stream_user_stats_stateful,
+    stream_rolling_anomaly), which has no such dependency; a
+    deployment with protobuf installed can port them to the TWS API
+    (ValueState/ListState/MapState + timers) without changing their
+    state algebra — the per-key fold is API-agnostic. Mirror of the
+    ``kafka_available`` connector-gate discipline."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

@@ -460,3 +460,25 @@ def test_streaming_topk_trending_equals_batch(spark, sf_dir):
     got = to_set(stream_topk_trending(spark, sf_dir))
     want = to_set(batch)
     assert got == want and len(got) > 0
+
+
+def test_transform_with_state_gate(spark):
+    """transformWithStateInPandas (Spark 4's newest stateful API) is
+    protobuf-gated: the API surface must exist on GroupedData, the
+    probe must answer honestly, and — when the dependency is absent —
+    the engine's stateful operators run on applyInPandasWithState
+    instead (attested by the stateful tests above)."""
+    from pyspark.sql.group import GroupedData
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        transform_with_state_available,
+    )
+
+    assert hasattr(GroupedData, "transformWithStateInPandas")
+    avail = transform_with_state_available()
+    try:
+        import google.protobuf  # noqa: F401
+
+        assert avail
+    except ImportError:
+        assert not avail
