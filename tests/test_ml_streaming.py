@@ -482,3 +482,58 @@ def test_transform_with_state_gate(spark):
         assert avail
     except ImportError:
         assert not avail
+
+
+def test_drop_duplicates_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the BOUNDED-state streaming dedup
+    (an id's dedup state evicts once the watermark passes its event
+    time + delay) — duplicates arriving within the window drop, while a
+    re-occurrence after the state expired is re-emitted. The watermark
+    advances one micro-batch behind the data, so a middle batch carries
+    it forward before the late re-occurrence arrives. The unbounded
+    dropDuplicates (stream_distinct_pairs) keeps every key forever;
+    this is the API a forever-running scrubber actually deploys."""
+    import os
+    from datetime import datetime
+
+    d = str(tmp_path)
+    batches = {
+        "b1": [
+            (1, datetime(2024, 1, 1, 0, 0)),
+            (1, datetime(2024, 1, 1, 0, 10)),  # dup within 1h: drop
+            (2, datetime(2024, 1, 1, 0, 20)),
+        ],
+        # advances the watermark to 8:00 (applied from the NEXT batch)
+        "b2": [(4, datetime(2024, 1, 1, 9, 0))],
+        # a batch under the advanced watermark: its cleanup phase
+        # evicts k=1's expired state (expiry 1:00 < wm 8:00)
+        "b3": [(5, datetime(2024, 1, 1, 9, 10))],
+        # k=1 state gone -> re-emitted
+        "b4": [
+            (1, datetime(2024, 1, 1, 9, 30)),
+            (3, datetime(2024, 1, 1, 9, 35)),
+        ],
+    }
+    for name, rows in batches.items():
+        spark.createDataFrame(rows, "k long, ts timestamp").coalesce(
+            1
+        ).write.parquet(os.path.join(d, name))
+    schema = spark.read.parquet(os.path.join(d, "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/b*")
+    )
+    out = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ddww_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r["k"], r["ts"]) for r in spark.table("ddww_t").collect())
+    assert [k for k, _ in got] == [1, 1, 2, 3, 4, 5]
+    # the re-emitted id-1 row is the LATE one (state had expired)
+    assert got[1][1] == datetime(2024, 1, 1, 9, 30)
