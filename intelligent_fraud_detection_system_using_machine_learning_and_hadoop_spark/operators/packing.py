@@ -361,3 +361,102 @@ def epoch_shuffle(
             (F.col("_prefix") + F.col("_rn") - 1).cast("long").alias("epoch_pos"),
         )
     )
+
+
+def weighted_systematic_sample(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: systematic
+    (grid) sampling over the cumulative-weight line — survey-sampling's
+    classic probability-proportional-to-size design (public), done with
+    exact integers so every engine draws the identical sample.
+
+    Lay the items on [0, W) in ``id_col`` order, each owning an
+    interval of its weight; select the k grid positions
+    ``p_j = (W·j) div k`` and keep the item whose interval contains
+    each. Inclusion probability ∝ weight (items with w ≥ W/k are
+    guaranteed in, possibly hit by multiple grid points — reported via
+    ``n_hits``), no RNG, no transcendental: the deterministic stand-in
+    for Efraimidis-Spirakis keys (whose u^(1/w) breaks cross-engine
+    bit-parity).
+
+    Scale shape: the cumulative line is the distributed prefix sum
+    (pack_sequences idiom — per-bucket cumsum + broadcast bucket
+    offsets); the k grid positions are a broadcast ``sequence()``
+    explode; position→interval lookup is a bucketed containment
+    equi-join (intervals split per covered grid bucket), never a
+    range-join scan. Returns (id, weight, start, n_hits)."""
+    t = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).where(F.col("_w") > 0)
+    n_buckets = 64
+    mx = t.agg(F.max("_id").alias("__max_id"))
+    b = t.crossJoin(F.broadcast(mx)).withColumn(
+        "_bkt",
+        F.floor(F.col("_id") * n_buckets / (F.col("__max_id") + 1)).cast("long"),
+    )
+    cum = b.withColumn(
+        "_cum",
+        F.sum("_w").over(
+            W.partitionBy("_bkt").orderBy("_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    totals = b.groupBy("_bkt").agg(F.sum("_w").alias("_tot"))
+    prefix = totals.withColumn(
+        "_prefix",
+        F.coalesce(
+            F.sum("_tot").over(
+                W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_bkt", "_prefix")
+    iv = (
+        cum.join(F.broadcast(prefix), "_bkt")
+        .withColumn("_end", F.col("_prefix") + F.col("_cum"))
+        .withColumn("_start", F.col("_end") - F.col("_w"))
+        .select("_id", "_w", "_start", "_end")
+    )
+    tot = iv.agg(F.max("_end").cast("long").alias("_wtot"))
+    pts = (
+        tot.select(
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_j"), "_wtot"
+        )
+        .withColumn("_p", F.expr(f"(_wtot * _j) div {k}").cast("long"))
+        .select("_p", "_wtot")
+    )
+    # bucketed containment join: both sides key on p div width
+    ivb = (
+        iv.crossJoin(F.broadcast(tot))
+        .withColumn("_wd", F.expr(f"greatest(1L, _wtot div {n_buckets})"))
+        .withColumn(
+            "_gb",
+            F.explode(
+                F.sequence(
+                    F.expr("_start div _wd"),
+                    F.expr("greatest(_start div _wd, (_end - 1) div _wd)"),
+                )
+            ),
+        )
+        .select("_gb", "_id", "_w", "_start", "_end")
+    )
+    hits = (
+        pts.withColumn("_wd", F.expr(f"greatest(1L, _wtot div {n_buckets})"))
+        .withColumn("_gb", F.expr("_p div _wd"))
+        .join(ivb, "_gb")
+        .where((F.col("_p") >= F.col("_start")) & (F.col("_p") < F.col("_end")))
+    )
+    return (
+        hits.groupBy("_id", "_w", "_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_w").alias(weight_col),
+            F.col("_start").alias("start"),
+            "n_hits",
+        )
+    )

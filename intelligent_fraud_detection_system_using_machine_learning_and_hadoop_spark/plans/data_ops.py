@@ -4408,3 +4408,46 @@ def udtf_sentences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_udtf d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+@query(
+    "weighted_sample_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS w
+      FROM documents),
+    tp AS (SELECT * FROM t WHERE w > 0),
+    iv AS (
+      SELECT doc_id, w,
+             CAST(sum(w) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - w AS BIGINT) AS start_,
+             CAST(sum(w) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS end_
+      FROM tp),
+    tot AS (SELECT CAST(max(end_) AS BIGINT) AS W FROM iv),
+    pts AS (
+      SELECT CAST((W * j) // 100 AS BIGINT) AS p
+      FROM tot, (SELECT unnest(range(100)) AS j))
+    SELECT iv.doc_id, iv.w AS n_tokens, iv.start_ AS start,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM pts JOIN iv ON pts.p >= iv.start_ AND pts.p < iv.end_
+    GROUP BY iv.doc_id, iv.w, iv.start_
+    """,
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-weighted systematic sample of 100 documents
+    (operators/packing.py::weighted_systematic_sample): probability ∝
+    token count, no RNG, exact BIGINT cumulative-line arithmetic —
+    the engine-portable stand-in for Efraimidis-Spirakis weighted
+    reservoirs. Distributed prefix sums + bucketed containment join;
+    the oracle is the naive window/containment form."""
+    from ..operators.packing import _token_count, weighted_systematic_sample
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return weighted_systematic_sample(d, 100, "doc_id", "n_tokens")

@@ -285,3 +285,39 @@ def test_budget_trim_rejects_bad_strategy(spark):
 
     with pytest.raises(ValueError):
         budget_trim(skewed_docs_fixture(spark, n=20), strategy="nope").collect()
+
+
+def test_weighted_systematic_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.packing import (
+        weighted_systematic_sample,
+    )
+
+    # 20 docs, one giant (w=1000) among small (w=10): W = 1190, k=10,
+    # step=119 -> the giant (owning >1/10 of the line) MUST be sampled,
+    # with multiple hits; total hits == k exactly
+    rows = [(i, 10) for i in range(19)] + [(99, 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = weighted_systematic_sample(df, 10)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert sum(r["n_hits"] for r in got.values()) == 10
+    assert 99 in got and got[99]["n_hits"] >= 8  # owns 84% of the line
+    # python reference: identical grid arithmetic
+    order = sorted(rows)
+    W = sum(w for _, w in order)
+    starts, acc = {}, 0
+    for i, w in order:
+        starts[i] = (acc, acc + w)
+        acc += w
+    want = {}
+    for j in range(10):
+        p = (W * j) // 10
+        for i, (s, e) in starts.items():
+            if s <= p < e:
+                want[i] = want.get(i, 0) + 1
+    assert {i: r["n_hits"] for i, r in got.items()} == want
+    # uniform weights degenerate to an even systematic pick
+    uni = spark.createDataFrame([(i, 5) for i in range(100)], "doc_id long, n_tokens long")
+    u = weighted_systematic_sample(uni, 10).collect()
+    assert len(u) == 10 and all(r["n_hits"] == 1 for r in u)
