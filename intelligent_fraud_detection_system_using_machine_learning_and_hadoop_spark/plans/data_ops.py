@@ -4451,3 +4451,54 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _token_count(F.col("text")).cast("long").alias("n_tokens")
     )
     return weighted_systematic_sample(d, 100, "doc_id", "n_tokens")
+
+
+@query("hll_overlap_events")  # sketch estimates — no portable SQL twin
+def hll_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from MERGEABLE sketches: for every
+    event-type pair, |A∩B| estimated by inclusion-exclusion over HLL
+    sketches (|A| + |B| − |A∪B|, the union being a SKETCH union — no
+    raw ids move), next to the exact intersection for attestation.
+    This is the sketch-algebra composition a 100 TB audience system
+    runs: per-segment sketches are metadata-sized, any pair/union/
+    overlap query is answered from them alone, and only this gate-
+    scale twin ever touches the raw ids. Rows-only (DataSketches has
+    no DuckDB twin); the error bound is pinned in
+    tests/test_r8b_hypothesis.py territory — see
+    tests/test_stats.py::test_hll_overlap_bound."""
+    e = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
+    )
+    a = sk.toDF("type_a", "sk_a", "n_a")
+    b = sk.toDF("type_b", "sk_b", "n_b")
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        (
+            F.col("n_a")
+            + F.col("n_b")
+            - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+        )
+        .cast("long")
+        .alias("n_overlap_est"),
+    )
+    exact = (
+        e.toDF("type_a", "user_id")
+        .join(e.toDF("type_b", "user_id"), "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_overlap_exact"))
+    )
+    return est.join(exact, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_overlap_est",
+        F.coalesce("n_overlap_exact", F.lit(0)).alias("n_overlap_exact"),
+    )

@@ -420,3 +420,18 @@ def test_seasonal_decompose_identity(spark):
         # trend of a zero-mean 24h wave under a 25h window stays ~flat
         assert abs(r["trend"] - 100.0) < 1.0
         assert abs(r["residual"]) < 1.0
+
+
+def test_hll_overlap_bound(spark, sf_dir):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+        REGISTRY,
+    )
+
+    rows = REGISTRY["hll_overlap_events"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # inclusion-exclusion over HLL: error bounded by the union's
+        # sketch error (~2% at lgK=12) times the union size — allow 5%
+        # of the SMALLER set plus a small absolute floor for tiny sets
+        tol = max(5.0, 0.05 * min(r["n_a"], r["n_b"]))
+        assert abs(r["n_overlap_est"] - r["n_overlap_exact"]) <= tol, r
