@@ -384,8 +384,14 @@ def chi_square_independence(
         chi² = Σ_cells (O·n − r·c)² / (r·c·n)
 
     (the algebraic form of Σ (O−E)²/E with E = r·c/n that clears all
-    intermediate fractions). Numerator and denominator are exact
-    BIGINTs per cell; each cell's quotient is one IEEE division whose
+    intermediate fractions). The difference O·n − r·c is one exact
+    BIGINT (|O·n − r·c| ≤ n², exact while n < 2³¹·⁵ ≈ 3.0e9 rows —
+    the documented width bound, same discipline as spearman_pairs);
+    it is cast to DOUBLE BEFORE squaring, and the denominator is a
+    pinned left-to-right DOUBLE product (r·c)·n — so neither the
+    square (~n⁴) nor the r·c·n product (~n³) ever re-enters BIGINT,
+    and ANSI mode cannot raise ARITHMETIC_OVERFLOW however skewed the
+    marginals. Each cell's quotient is one IEEE division whose
     1e-9-quantized value (floor) sums as a BIGINT — so the statistic
     is order-independent and engine-bit-reproducible (a raw double sum
     over cells is neither). Returns one row: (n, n_cells, dof,
@@ -411,8 +417,11 @@ def chi_square_independence(
         .crossJoin(F.broadcast(n))
         .select(
             F.expr(
-                f"CAST(floor(CAST((_o * _n - _r * _c) * (_o * _n - _r * _c) AS DOUBLE)"
-                f" / CAST(_r * _c * _n AS DOUBLE) * {q}) AS BIGINT)"
+                f"CAST(floor("
+                f"(CAST(_o * _n - _r * _c AS DOUBLE)"
+                f" * CAST(_o * _n - _r * _c AS DOUBLE))"
+                f" / ((CAST(_r AS DOUBLE) * CAST(_c AS DOUBLE))"
+                f" * CAST(_n AS DOUBLE)) * {q}) AS BIGINT)"
             ).alias("_t")
         )
     )
@@ -620,6 +629,7 @@ def seasonal_decompose(
     val_cents_col: str = "value_c",
     period: int = 24,
     half_window: int = 12,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Classical additive seasonal decomposition of a regular time
     series (value = trend + seasonal + residual): trend is the
@@ -627,6 +637,17 @@ def seasonal_decompose(
     component the per-phase mean of the detrended series, residual the
     rest — the STL-lite decomposition a monitoring pipeline runs on an
     hourly metric before alerting on residuals.
+
+    The phase is an EPOCH-HOUR counter modulo ``period``
+    (``unix_timestamp div 3600 % period``), not hour-of-day — so any
+    period works (weekly 168, bi-daily 48); ``hour(ts) % period``
+    would silently collapse phases ≥ 24 (ADVICE r8). With the UTC
+    session timezone the two coincide for the classic period=24.
+
+    ``group_col`` decomposes each key's series independently (trend
+    window, phase means, and residuals all partitioned by the key) —
+    the production multi-series shape; ``None`` keeps the documented
+    single-aggregated-series global window.
 
     Exactness discipline: the series values arrive as integer cents,
     the trend window sums BIGINTs (one IEEE division chain per row),
@@ -636,11 +657,14 @@ def seasonal_decompose(
     agree bitwise.
 
     Scale note: ``series`` is an AGGREGATED series (one row per
-    bucket), so the single ordered window runs over series-length rows
-    — hours-per-year scale, not event scale; per-key decomposition
-    would partition the window by the key. Returns (ts, value, trend,
-    seasonal, residual) for rows whose trend window is complete."""
-    win = W.orderBy(ts_col).rowsBetween(-half_window, half_window)
+    bucket[, key]), so the window runs over series-length rows —
+    hours-per-year scale per key, not event scale; the grouped form
+    keeps every key's window on its own partition. Returns
+    ([group], ts, value, trend, seasonal, residual) for rows whose
+    trend window is complete."""
+    base = W.partitionBy(group_col) if group_col else W
+    win = base.orderBy(ts_col).rowsBetween(-half_window, half_window)
+    phase_keys = ([group_col] if group_col else []) + ["_phase"]
     t = (
         series.withColumn("_wn", F.count(F.lit(1)).over(win).cast("long"))
         .withColumn("_ws", F.sum(val_cents_col).over(win).cast("long"))
@@ -658,9 +682,14 @@ def seasonal_decompose(
         .withColumn(
             "_detr_q", F.floor(F.col("_detr") * F.lit(1e9)).cast("long")
         )
-        .withColumn("_phase", F.hour(ts_col).cast("long") % period)
+        .withColumn(
+            "_phase",
+            F.expr(
+                f"pmod(unix_timestamp({ts_col}) div 3600, {int(period)})"
+            ).cast("long"),
+        )
     )
-    seas = t.groupBy("_phase").agg(
+    seas = t.groupBy(*phase_keys).agg(
         (
             F.sum("_detr_q").cast("double")
             / F.count(F.lit(1)).cast("double")
@@ -668,8 +697,9 @@ def seasonal_decompose(
         ).alias("seasonal")
     )
     return (
-        t.join(F.broadcast(seas), "_phase")
+        t.join(F.broadcast(seas), phase_keys)
         .select(
+            *(([F.col(group_col)] if group_col else [])),
             F.col(ts_col),
             "value",
             "trend",

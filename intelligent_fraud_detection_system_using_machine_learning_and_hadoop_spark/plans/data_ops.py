@@ -3790,8 +3790,10 @@ def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(count(DISTINCT a) AS BIGINT) AS na,
                  CAST(count(DISTINCT b) AS BIGINT) AS nb FROM cells),
     t AS (
-      SELECT CAST(floor(CAST((o * nn - rr * cc) * (o * nn - rr * cc) AS DOUBLE)
-                        / CAST(rr * cc * nn AS DOUBLE) * 1000000000) AS BIGINT) AS tq
+      SELECT CAST(floor(
+               (CAST(o * nn - rr * cc AS DOUBLE) * CAST(o * nn - rr * cc AS DOUBLE))
+               / ((CAST(rr AS DOUBLE) * CAST(cc AS DOUBLE)) * CAST(nn AS DOUBLE))
+               * 1000000000) AS BIGINT) AS tq
       FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN n)
     SELECT nn AS n, na * nb AS n_cells, (na - 1) * (nb - 1) AS dof,
            CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1000000000.0 AS chi2
@@ -4204,7 +4206,7 @@ def anomaly_isoforest(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(value_c AS DOUBLE) / 100.0 - CAST(ws AS DOUBLE) / 100.0 / 25.0 AS detr,
              CAST(floor((CAST(value_c AS DOUBLE) / 100.0
                          - CAST(ws AS DOUBLE) / 100.0 / 25.0) * 1e9) AS BIGINT) AS detr_q,
-             CAST(hour(bucket_ts) AS BIGINT) % 24 AS phase
+             (CAST(epoch(bucket_ts) AS BIGINT) // 3600) % 24 AS phase
       FROM w WHERE wn = 25),
     seas AS (
       SELECT phase,
@@ -4235,6 +4237,65 @@ def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return seasonal_decompose(hourly)
+
+
+@query(
+    "seasonal_decompose_grouped",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bucket_ts, value_c,
+             CAST(count(*) OVER win AS BIGINT) AS wn,
+             CAST(sum(value_c) OVER win AS BIGINT) AS ws
+      FROM hourly
+      WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+    t AS (
+      SELECT event_type, bucket_ts,
+             CAST(value_c AS DOUBLE) / 100.0 AS value,
+             CAST(ws AS DOUBLE) / 100.0 / 25.0 AS trend,
+             CAST(value_c AS DOUBLE) / 100.0 - CAST(ws AS DOUBLE) / 100.0 / 25.0 AS detr,
+             CAST(floor((CAST(value_c AS DOUBLE) / 100.0
+                         - CAST(ws AS DOUBLE) / 100.0 / 25.0) * 1e9) AS BIGINT) AS detr_q,
+             (CAST(epoch(bucket_ts) AS BIGINT) // 3600) % 24 AS phase
+      FROM w WHERE wn = 25),
+    seas AS (
+      SELECT event_type, phase,
+             CAST(CAST(sum(detr_q) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS BIGINT)::DOUBLE / 1e9 AS seasonal
+      FROM t GROUP BY event_type, phase)
+    SELECT t.event_type, t.bucket_ts, t.value, t.trend, s.seasonal,
+           t.detr - s.seasonal AS residual
+    FROM t JOIN seas s USING (event_type, phase)
+    """,
+)
+def seasonal_decompose_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped seasonal decomposition — one independent additive
+    decomposition PER event_type series (operators/stats.py::
+    seasonal_decompose with ``group_col``): every trend window, phase
+    mean, and residual is partitioned by the key, so no global-window
+    single-partition stage exists anywhere in the plan (VERDICT r8
+    item 5 — this is the production multi-series shape; the global
+    variant remains the documented degenerate case). Phase is the
+    epoch-hour counter mod period, valid for any period."""
+    from ..operators.stats import seasonal_decompose
+
+    hourly = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_c")
+        )
+    )
+    return seasonal_decompose(hourly, group_col="event_type")
 
 
 @query(
@@ -4457,8 +4518,12 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap estimation from MERGEABLE sketches: for every
     event-type pair, |A∩B| estimated by inclusion-exclusion over HLL
-    sketches (|A| + |B| − |A∪B|, the union being a SKETCH union — no
-    raw ids move), next to the exact intersection for attestation.
+    sketches (est(A) + est(B) − est(A∪B), every term a SKETCH
+    estimate — no raw ids move — and the result clamped at 0, since
+    union-sketch error on a near-disjoint pair can push the raw
+    difference negative), next to the exact intersection for
+    attestation. The n_a/n_b columns stay exact countDistinct so the
+    attested tolerance is anchored to true set sizes.
     This is the sketch-algebra composition a 100 TB audience system
     runs: per-segment sketches are metadata-sized, any pair/union/
     overlap query is answered from them alone, and only this gate-
@@ -4479,13 +4544,14 @@ def hll_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_b",
         "n_a",
         "n_b",
-        (
-            F.col("n_a")
-            + F.col("n_b")
-            - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
-        )
-        .cast("long")
-        .alias("n_overlap_est"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (
+                F.hll_sketch_estimate("sk_a")
+                + F.hll_sketch_estimate("sk_b")
+                - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+            ).cast("long"),
+        ).alias("n_overlap_est"),
     )
     exact = (
         e.toDF("type_a", "user_id")

@@ -73,9 +73,14 @@ class SyntheticClaimsReader(DataSourceReader):
         seed = partition.seed
         for i in range(partition.start, partition.end):
             u = _u64(seed, i)
-            # ~1% of holders file multiple claims (frequent-claims rule
-            # fodder); ids are 12-digit like the reference's Aadhaar
-            holder = u % (self.n_rows // 100 + 1)
+            # ~2% of rows route to a small hot pool of repeat filers
+            # (~1% of all holders each filing ~2 claims — frequent-
+            # claims rule fodder); every other row gets a unique
+            # holder. Ids are 12-digit like the reference's Aadhaar.
+            if u % 50 == 0:
+                holder = u % (self.n_rows // 100 + 1)
+            else:
+                holder = self.n_rows + i
             aadhaar = 100000000000 + _u64(seed, "id", holder) % 899999999999
             amount = 500 + _u64(seed, "amt", i) % 499500
             yield (

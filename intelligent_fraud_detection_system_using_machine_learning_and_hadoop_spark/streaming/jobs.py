@@ -864,7 +864,10 @@ def stream_attribution(
         .parquet(src)
     )
 
-    state: dict = {"rows": None}
+    # [] (not None): a conversion-free stream must degrade to an empty
+    # result like the batch twin (tests/test_empty_inputs.py), and
+    # createDataFrame(None, schema) would raise instead.
+    state: dict = {"rows": []}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         convs = batch_df.where(F.col("event_type") == "purchase")
@@ -876,7 +879,7 @@ def stream_attribution(
             ["view", "click"],
             raw=True,
         )
-        if state["rows"] is None:
+        if not state["rows"]:
             merged = delta
         else:
             prev = spark.createDataFrame(state["rows"], delta.schema)

@@ -537,3 +537,41 @@ def test_drop_duplicates_within_watermark_bounded_state(spark, tmp_path):
     assert [k for k, _ in got] == [1, 1, 2, 3, 4, 5]
     # the re-emitted id-1 row is the LATE one (state had expired)
     assert got[1][1] == datetime(2024, 1, 1, 9, 30)
+
+
+def test_stream_attribution_quiet_day_returns_empty(spark, tmp_path):
+    """ADVICE r8: a stream with NO purchase events must degrade to an
+    empty attribution result (the batch twin's behavior), not crash on
+    createDataFrame(None, schema)."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        stream_attribution,
+    )
+
+    quiet = str(tmp_path / "quiet_sf")
+    import os
+
+    os.makedirs(quiet, exist_ok=True)
+    rows = [
+        (i, f"2024-01-01 0{i % 10}:00:00", i % 7, t, float(i), "{}")
+        for i, t in enumerate(["view", "click"] * 20)
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(quiet, "events.parquet"))
+    )
+    out = stream_attribution(spark, quiet, n_files=2)
+    assert out.count() == 0
+    assert out.columns == [
+        "touch_type", "n_touches", "n_conversions",
+        "credited_value", "credited_conversions",
+    ]

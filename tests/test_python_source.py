@@ -47,3 +47,17 @@ def test_feeds_rule_pipeline(spark):
     out = score(df, scorer="pca")
     assert out.count() == 400
     assert "FraudType" in out.columns
+
+
+def test_repeat_filer_fraction(spark):
+    # ADVICE r8: the generator must actually produce the documented
+    # "small fraction of repeat filers" — most holders unique, a ~1%
+    # hot pool with multiple claims, never ~100 claims per holder.
+    rows = _read(spark, rows=5000, partitions=8, seed=3).collect()
+    from collections import Counter
+
+    per_holder = Counter(r["Aadhaar"] for r in rows)
+    repeats = {h: c for h, c in per_holder.items() if c > 1}
+    frac_repeat_holders = len(repeats) / len(per_holder)
+    assert 0.001 <= frac_repeat_holders <= 0.03, frac_repeat_holders
+    assert max(per_holder.values()) < 20, max(per_holder.values())

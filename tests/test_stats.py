@@ -435,3 +435,114 @@ def test_hll_overlap_bound(spark, sf_dir):
         # of the SMALLER set plus a small absolute floor for tiny sets
         tol = max(5.0, 0.05 * min(r["n_a"], r["n_b"]))
         assert abs(r["n_overlap_est"] - r["n_overlap_exact"]) <= tol, r
+
+
+def test_chi_square_skewed_no_overflow(spark):
+    """ADVICE r8: (O·n − r·c)² in BIGINT overflows under ANSI mode once
+    n reaches ~1e5-1e6 with skewed marginals (numerator ~n⁴). The
+    difference must be cast to DOUBLE BEFORE squaring. 200k rows with
+    a 99%-mass cell puts the old BIGINT square at ~1.5e21 > 2⁶³."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    n = 200_000
+    df = spark.range(n).selectExpr(
+        "CASE WHEN id % 100 = 0 THEN 'rare' ELSE 'common' END AS a",
+        "CASE WHEN id % 200 = 0 THEN 'r' ELSE 'c' END AS b",
+    )
+    r = chi_square_independence(df, "a", "b").first()  # must not raise
+    assert r["n"] == n and r["n_cells"] == 4 and r["dof"] == 1
+    # python reference with the IDENTICAL IEEE op sequence
+    from collections import Counter
+
+    rows = [
+        ("rare" if i % 100 == 0 else "common", "r" if i % 200 == 0 else "c")
+        for i in range(n)
+    ]
+    o = Counter(rows)
+    ra = Counter(a for a, _ in rows)
+    cb = Counter(b for _, b in rows)
+    import math
+
+    q = 0
+    for (a, b), obs in o.items():
+        d = float(obs * n - ra[a] * cb[b])
+        q += int(math.floor((d * d) / ((float(ra[a]) * float(cb[b])) * float(n)) * 1e9))
+    assert r["chi2"] == q / 1e9
+
+
+def test_seasonal_decompose_weekly_period(spark):
+    """ADVICE r8: phase must be an epoch-hour counter mod period —
+    hour-of-day mod period collapses phases ≥ 24. A period-48 wave
+    over hourly data needs 48 distinct seasonal values."""
+    from datetime import datetime, timedelta
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        seasonal_decompose,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    wave = [((h * 11) % 48) - 23.5 for h in range(48)]
+    rows = [
+        (t0 + timedelta(hours=i), int(round((100.0 + wave[i % 48]) * 100)))
+        for i in range(48 * 6)
+    ]
+    df = spark.createDataFrame(rows, "bucket_ts timestamp, value_c long")
+    out = seasonal_decompose(df, period=48).collect()
+    assert len(out) == 48 * 6 - 24
+    # python reference with the identical op sequence and TRUE 48-way
+    # phases; the old hour-of-day phase folds pairs of wave values
+    # into one bucket and disagrees on almost every seasonal mean
+    import math
+    from collections import defaultdict
+
+    n = 48 * 6
+    vc = [rows[i][1] for i in range(n)]
+    by_phase = defaultdict(list)
+    ref_rows = {}
+    e0 = 1704067200 // 3600  # epoch-hours of 2024-01-01 UTC
+    for i in range(12, n - 12):
+        trend = sum(vc[i - 12 : i + 13]) / 100.0 / 25.0
+        val = vc[i] / 100.0
+        by_phase[(e0 + i) % 48].append((i, val, trend))
+    for p, entries in by_phase.items():
+        s = sum(math.floor((val - trend) * 1e9) for _, val, trend in entries)
+        seas = s / len(entries) / 1e9
+        for i, val, trend in entries:
+            ref_rows[rows[i][0]] = (val, trend, seas)
+    for r in out:
+        val, trend, seas = ref_rows[r["bucket_ts"].replace(tzinfo=None)]
+        assert (r["value"], r["trend"], r["seasonal"]) == (val, trend, seas), r
+        assert abs(r["value"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-9
+
+
+def test_seasonal_decompose_grouped_equals_per_key_global(spark):
+    """The grouped decomposition must equal running the global
+    decomposition independently on each key's series."""
+    from datetime import datetime, timedelta
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        seasonal_decompose,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for gi, g in enumerate(["alpha", "beta"]):
+        for i in range(24 * 5):
+            v = 100.0 + ((i * (7 + gi)) % 24) - 11.5 + gi * 50
+            rows.append((g, t0 + timedelta(hours=i), int(round(v * 100))))
+    df = spark.createDataFrame(rows, "k string, bucket_ts timestamp, value_c long")
+    grouped = {
+        (r["k"], r["bucket_ts"]): (r["value"], r["trend"], r["seasonal"], r["residual"])
+        for r in seasonal_decompose(df, group_col="k").collect()
+    }
+    solo = {}
+    for g in ["alpha", "beta"]:
+        for r in seasonal_decompose(
+            df.where(df.k == g).drop("k")
+        ).collect():
+            solo[(g, r["bucket_ts"])] = (
+                r["value"], r["trend"], r["seasonal"], r["residual"],
+            )
+    assert grouped == solo  # bitwise: identical op sequences per key
