@@ -4568,3 +4568,81 @@ def hll_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap_est",
         F.coalesce("n_overlap_exact", F.lit(0)).alias("n_overlap_exact"),
     )
+
+
+@query(
+    "html_extract_documents",
+    oracle=r"""
+    WITH page AS (
+      SELECT doc_id,
+        '<html><head><title>doc</title><style>.m{color:red}</style><script>var q=1;</script></head><body>'
+        || '<nav><a href="/">Home</a> <a href="/tags">Tags</a> <a href="/login">Login</a></nav><p>'
+        || array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ')
+        || '</p><p>'
+        || regexp_replace(text, '((?:\S+ ){15})', '\1</p><p>', 'g')
+        || '</p><div><a href="/buy">Buy now</a> <a href="/click">Click here</a> limited offer</div>'
+        || '<footer>(c) 2024 <a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer></body></html>'
+        AS html
+      FROM documents),
+    blocks AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(
+            string_split_regex(
+              regexp_replace(
+                regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?i)</?(?:p|div|nav|footer|header|article|section|ul|ol|li|h1|h2|h3|h4|h5|h6|table|tr|td|th|blockquote|body|html|head|title|br|hr)[^>]*>'),
+            b -> struct_pack(
+              txt := trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+              link_len := CAST(coalesce(list_sum(list_transform(
+                regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+                x -> length(x))), 0) AS BIGINT))),
+          s -> length(struct_extract(s, 'txt')) > 0) AS bs
+      FROM page),
+    parts AS (
+      SELECT doc_id, bs,
+        list_filter(bs, s -> length(struct_extract(s, 'txt')) >= 40
+          AND CAST(struct_extract(s, 'link_len') AS DOUBLE)
+              / CAST(length(struct_extract(s, 'txt')) AS DOUBLE) <= 0.3) AS content,
+        list_filter(bs, s -> NOT (length(struct_extract(s, 'txt')) >= 40
+          AND CAST(struct_extract(s, 'link_len') AS DOUBLE)
+              / CAST(length(struct_extract(s, 'txt')) AS DOUBLE) <= 0.3)) AS boiler
+      FROM blocks),
+    agg AS (
+      SELECT doc_id,
+        CAST(len(bs) AS BIGINT) AS n_blocks,
+        CAST(len(content) AS BIGINT) AS n_content_blocks,
+        CAST(coalesce(list_sum(list_transform(content,
+          s -> length(struct_extract(s, 'txt')))), 0) AS BIGINT) AS content_chars,
+        CAST(coalesce(list_sum(list_transform(boiler,
+          s -> length(struct_extract(s, 'txt')))), 0) AS BIGINT) AS boiler_chars,
+        array_to_string(list_transform(content,
+          s -> struct_extract(s, 'txt')), ' ') AS main_text
+      FROM parts)
+    SELECT doc_id, n_blocks, n_content_blocks, content_chars, boiler_chars,
+      main_text,
+      CASE WHEN length(main_text) = 0 THEN 0.0
+           ELSE CAST(len(list_filter(string_split(lower(main_text), ' '),
+                  w -> list_contains(
+                    ['the','a','of','to','and','in','is','for','on','with'],
+                    w))) AS DOUBLE)
+                / CAST(len(string_split(lower(main_text), ' ')) AS DOUBLE)
+      END AS stop_frac
+    FROM agg
+    """,
+    bench=True,
+)
+def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (operators/html.py — jusText-lite
+    boilerplate removal, the first stage of C4/CCNet/RefinedWeb-style
+    web-corpus pipelines): documents deterministically wrapped into
+    synthetic pages (nav chrome, short teaser, 15-word <p> chunks,
+    ad block, link-dense footer), then block-split, per-block link
+    density + length classified, and re-assembled. Entirely per-row
+    array-lambda column expressions — no shuffle, no UDF, no explode;
+    the DuckDB oracle replays the identical synthesis + extraction."""
+    from ..operators.html import html_main_content, wrap_documents_html
+
+    d = read_table(spark, sf_dir, "documents")
+    return html_main_content(wrap_documents_html(d))
