@@ -443,6 +443,7 @@ def k_core(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 64,
+    broadcast_nodes: bool = False,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph in which
     every node has degree ≥ k — the standard density filter for
@@ -476,6 +477,12 @@ def k_core(
         both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("u")
+        if broadcast_nodes:
+            # surviving-node set is |V|-bounded — when the node set is
+            # dimension-sized, broadcasting it turns both per-round
+            # semi-joins map-side and a round never shuffles the edge
+            # list (leave False for web-scale node sets)
+            keep = F.broadcast(keep)
         e2 = (
             e.join(keep, "u", "leftsemi")
             .join(keep.toDF("v"), "v", "leftsemi")

@@ -5,20 +5,18 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-8 rotation (VERDICT r7 "Next round" items 4 and 8): the 9
-brand-new round-8 oracled queries (cross-snapshot incremental dedup,
-hashed linear quality classifier, MERGE/CDC upsert, SCD2 history,
-sharded inverted index, quantized PageRank, streaming incremental
-dedup, first-touch funnel, CUSUM change-point) lead; then the
-staleness backlog — the 18 queries whose only driver rows date to r2,
-5 of the 7 whose last row is r5 (pricing_summary / revenue_by_nation
-are benched every round and rotate back in r9), and the 15 r6 veterans
-dropped from the r7 window. The final 3 slots take ROWS-ONLY entries
-for the first time (item 8: the driver records rows_match without a
-hash for queries with no oracle): the new BPE tokenizer plus two
-sketch/dedup veterans. Queries outside the window keep pytest +
-local-gate (tools/check_oracle.py) coverage; registry content is
-unchanged — only iteration order moves.
+Round-9 rotation (VERDICT r8 "Next round" item 2): the r7-item-8
+rows-only experiment is answered — the driver records ``err:
+no_oracle`` and NO attestation for oracle-less queries — so the 3
+rows-only tail slots are reclaimed. The window now leads with the 2
+new round-9 oracled queries (HTML main-content extraction, grouped
+seasonal decomposition), then ALL 32 oracled queries that have never
+had a driver row (every post-window r8 addition, `expectations_orders`
+through `weighted_sample_documents`), then pricing_summary /
+revenue_by_nation (last attested r5), then 14 of the r7 veterans —
+after this round, zero oracled queries are never-attested. Queries
+outside the window keep pytest + local-gate (tools/check_oracle.py)
+coverage; registry content is unchanged — only iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -29,62 +27,61 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- the 9 round-8 oracled queries (new operator families) ---
-    "incremental_dedup_documents",
-    "quality_classifier_documents",
-    "merge_upsert_orders",
-    "scd2_customers",
-    "inverted_index_documents",
-    "pagerank_supplier_part",
-    "streaming_incremental_dedup",
-    "funnel_view_click_purchase",
-    "cusum_change_events",
-    # --- last driver row r2: the staleness backlog ---
-    "array_funcs_orders",
-    "big_spenders_vs_nation",
-    "doc_redact_pii",
-    "grouping_analytics_orders",
-    "json_extract_events",
-    "mad_outliers_events",
-    "pivot_status_by_nation",
-    "posexplode_doc_tokens",
-    "profile_orders_columns",
-    "rolling_anomaly_events",
-    "scalar_subquery_above_avg",
-    "set_ops_custkeys",
-    "stats_moments_by_status",
-    "status_priority_counts",
-    "streaming_distinct_pairs",
-    "streaming_rolling_anomaly",
-    "streaming_user_stats",
-    "window_dist_orders",
-    # --- last driver row r5 (pricing_summary / revenue_by_nation are
-    #     benched every round and rotate back in r9) ---
-    "math_null_funcs_lineitem",
-    "shipping_priority",
-    "string_funcs_part",
-    "temporal_funcs_orders",
-    "topk_orders",
-    # --- last driver row r6 (the veterans dropped for the r7 window) ---
-    "count_distinct_having",
-    "dedup_exact_documents",
-    "embedding_cosine_dup",
-    "embedding_topk_cosine",
-    "events_hourly",
-    "exists_late_shipments",
-    "multimodal_meta",
-    "ngram_jaccard_pairs",
-    "promo_revenue_ratio",
-    "rule_flags_orders",
-    "scalar_stats_global",
-    "sessionize_events",
-    "shipmode_priority_counts",
-    "suppliers_by_region",
-    "window_funcs_orders",
-    # --- rows-only tail (driver rows_match attestation, item 8) ---
-    "bpe_tokenize_documents",
-    "hll_distinct_events",
-    "minhash_near_dup",
+    # --- the 2 round-9 oracled queries (new operator families) ---
+    "html_extract_documents",
+    "seasonal_decompose_grouped",
+    # --- the 32 oracled queries never driver-attested (all r8
+    #     post-window additions) ---
+    "expectations_orders",
+    "label_centroids_embeddings",
+    "incremental_agg_orders",
+    "pmi_cooccurrence_documents",
+    "source_overlap_matrix",
+    "value_histogram_events",
+    "streaming_incremental_agg",
+    "incremental_pipeline_documents",
+    "fuzzy_join_part_names",
+    "triangle_count_parts",
+    "canonical_dedup_documents",
+    "spearman_corr_lineitem",
+    "attribution_linear_events",
+    "zonemap_prune_orders",
+    "winsorize_orders_by_status",
+    "association_rules_parts",
+    "equi_depth_hist_orders",
+    "drift_report_orders",
+    "chi_square_orders",
+    "cohort_retention_events",
+    "event_transitions",
+    "dedup_source_flow_documents",
+    "streaming_attribution",
+    "resample_locf_events",
+    "cust_order_histogram",
+    "large_volume_customers",
+    "trimmed_mean_orders",
+    "quantile_normalize_events",
+    "seasonal_decompose_events",
+    "analytics_pipeline_events",
+    "udtf_sentences_documents",
+    "weighted_sample_documents",
+    # --- last driver row r5 ---
+    "pricing_summary",
+    "revenue_by_nation",
+    # --- last driver row r7 (oldest veterans, alphabetical) ---
+    "asof_click_purchase",
+    "bigram_fluency_documents",
+    "bm25_topk_documents",
+    "chunk_documents_sliding",
+    "cogroup_purchase_error_stats",
+    "corpus_curation",
+    "corpus_snapshot_diff",
+    "decontaminate_train_docs",
+    "disjunctive_brand_revenue",
+    "doc_repetition_filter",
+    "doc_text_analysis",
+    "dominant_part_suppliers",
+    "dsir_select_documents",
+    "epoch_shuffle_documents",
 ]
 
 

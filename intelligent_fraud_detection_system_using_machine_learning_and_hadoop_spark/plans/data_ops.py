@@ -3292,6 +3292,7 @@ def incremental_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFram
     FROM n a JOIN n b ON a.p_name < b.p_name
     WHERE levenshtein(a.p_name, b.p_name) <= 2
     """,
+    bench=True,
 )
 def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity resolution: every unordered pair of DISTINCT part
@@ -3408,6 +3409,7 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS keep
     FROM cl c JOIN documents dd USING (doc_id)
     """,
+    bench=True,
 )
 def canonical_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonical dedup: the same 3-gram-Jaccard closure
@@ -3773,7 +3775,7 @@ def drift_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(ref, cur, "o_totalprice", "o_orderkey", 10)
 
 
-@query("k_core_parts")  # iterative fixed point — no SQL oracle (rows-only)
+@query("k_core_parts", bench=True)  # iterative fixed point — no SQL oracle (rows-only)
 def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """80-core of the part co-order graph (operators/graph.py::k_core —
     iterative peeling, eager per-round checkpoints, O(1) driver
@@ -3784,15 +3786,22 @@ def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import k_core
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.toDF("l_orderkey", "pa")
-    b = li.toDF("l_orderkey", "pb")
     e = (
-        a.join(b, "l_orderkey")
-        .where(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("id_a"), F.col("pb").alias("id_b"))
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.u").alias("id_a"), F.col("p.v").alias("id_b"))
         .distinct()
     )
-    return k_core(e, 80)
+    return k_core(e, 80, broadcast_nodes=True)
 
 
 @query(
@@ -4164,6 +4173,7 @@ def trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN gv lo ON lo.gr = CAST(floor(hh) AS BIGINT) + 1
     JOIN gv hi ON hi.gr = CAST(ceil(hh) AS BIGINT) + 1
     """,
+    bench=True,
 )
 def quantile_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantile normalization of event values across event types

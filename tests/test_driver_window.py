@@ -16,25 +16,13 @@ def test_first_50_queries_are_the_driver_window():
     assert list(plans.queries())[:50] == plans._DRIVER_WINDOW
 
 
-#: Rows-only queries deliberately rotated into the window (VERDICT r7
-#: item 8): the driver records a rows_match-only row for them.
-ROWS_ONLY_IN_WINDOW = {
-    "bpe_tokenize_documents",
-    "hll_distinct_events",
-    "minhash_near_dup",
-}
-
-
-def test_every_window_query_is_oracled_or_declared_rows_only():
+def test_every_window_query_is_oracled():
+    # the r7 rows-only experiment is closed (the driver records
+    # err:no_oracle and NO attestation for oracle-less queries —
+    # VERDICT r8 item 2), so every window slot must carry an oracle
     osql = plans.oracle_sql()
-    missing = [
-        n
-        for n in plans._DRIVER_WINDOW
-        if n not in osql and n not in ROWS_ONLY_IN_WINDOW
-    ]
+    missing = [n for n in plans._DRIVER_WINDOW if n not in osql]
     assert not missing, f"window queries without an oracle: {missing}"
-    # and the declared rows-only tail must really have no oracle
-    assert not [n for n in ROWS_ONLY_IN_WINDOW if n in osql]
 
 
 def test_window_has_no_duplicates():
