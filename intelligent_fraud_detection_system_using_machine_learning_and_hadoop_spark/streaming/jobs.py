@@ -780,6 +780,36 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _make_incremental_agg_fold(spark: SparkSession, state: dict):
+    """The foreachBatch fold for ``stream_incremental_agg``, factored
+    out so the crash-replay contract is directly testable.
+
+    foreachBatch is AT-LEAST-ONCE on failure: a crashed batch is
+    re-invoked with the SAME batch_id. Additive state folding becomes
+    exactly-once the standard way — record the last applied id in the
+    state and skip replays (tests/test_ml_streaming.py pins that a
+    same-id re-invocation is a no-op)."""
+    from ..operators.incremental_agg import agg_state, merge_agg_state
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_batch"]:
+            return
+        state["last_batch"] = batch_id
+        if batch_df.isEmpty():
+            return
+        delta = agg_state(batch_df, ["event_type"], "value")
+        if state["df"] is None:
+            merged = delta
+        else:
+            prev = spark.createDataFrame(state["df"], delta.schema)
+            merged = merge_agg_state(prev, delta, ["event_type"])
+        # |keys| rows by construction — the collect is state-sized,
+        # never batch- or history-sized
+        state["df"] = merged.collect()
+
+    return fold
+
+
 def stream_incremental_agg(spark: SparkSession, sf_dir: str, n_files: int = 8) -> DataFrame:
     """Streaming materialized-view maintenance: per-(event_type) value
     aggregates folded incrementally, one micro-batch at a time, through
@@ -787,7 +817,9 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str, n_files: int = 8) -
     incremental_agg.py) inside ``foreachBatch`` — the production shape
     for a continuously-maintained dashboard aggregate: each batch
     contributes its own tiny state, merged into the running state;
-    history is never re-scanned.
+    history is never re-scanned. The fold is exactly-once under
+    foreachBatch's at-least-once retry contract via the last-applied
+    batch_id guard (``_make_incremental_agg_fold``).
 
     State is held as a DataFrame re-merged per batch (here collected to
     a local list between batches — the state is |keys| rows by
@@ -806,20 +838,8 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str, n_files: int = 8) -
         .parquet(src)
     )
 
-    state: dict = {"df": None}
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        delta = agg_state(batch_df, ["event_type"], "value")
-        if state["df"] is None:
-            merged = delta
-        else:
-            prev = spark.createDataFrame(state["df"], delta.schema)
-            merged = merge_agg_state(prev, delta, ["event_type"])
-        # |keys| rows by construction — the collect is state-sized,
-        # never batch- or history-sized
-        state["df"] = merged.collect()
+    state: dict = {"df": None, "last_batch": -1}
+    fold = _make_incremental_agg_fold(spark, state)
 
     q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
     q.awaitTermination()
@@ -831,45 +851,19 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str, n_files: int = 8) -
     return finalize(final).orderBy("event_type")
 
 
-def stream_attribution(
-    spark: SparkSession, sf_dir: str, n_files: int = 8
-) -> DataFrame:
-    """Streaming linear multi-touch attribution: PURCHASE events arrive
-    as micro-batches; each batch's conversions compute their quantized
-    1/n credits against the STATIC touch history (operators/funnel.py::
-    linear_attribution with ``raw=True`` — a per-conversion
-    computation, so a conversion's credits are complete within the one
-    batch that carries it), and the per-touch-type integer credit rows
-    fold additively into running state inside ``foreachBatch`` (the
-    stream_incremental_agg discipline: state is |touch types| rows,
-    history never re-scanned, the between-batch collect is state-sized).
-
-    Every state column is an exact BIGINT that ADDS across the disjoint
-    conversion partition — so over a drained availableNow stream the
-    final state equals the batch ``attribution_linear_events`` result
-    bit-for-bit, which is exactly what the shared oracle attests."""
+def _make_attribution_fold(spark: SparkSession, state: dict, touches: DataFrame):
+    """The foreachBatch fold for ``stream_attribution``, factored out
+    so the crash-replay contract is directly testable: a same-batch_id
+    re-invocation (foreachBatch's at-least-once failure mode) must be
+    a no-op on the additive credit state."""
     from pyspark.sql import functions as F
 
     from ..operators.funnel import linear_attribution
-    from ..sources.readers import normalize_event_ts, read_table
-
-    ev = read_table(spark, sf_dir, "events")
-    touches = ev.where(F.col("event_type").isin("view", "click"))
-
-    src = _events_multifile_dir(spark, sf_dir, n_files)
-    raw_schema = spark.read.parquet(src).schema
-    stream = normalize_event_ts(
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-
-    # [] (not None): a conversion-free stream must degrade to an empty
-    # result like the batch twin (tests/test_empty_inputs.py), and
-    # createDataFrame(None, schema) would raise instead.
-    state: dict = {"rows": []}
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_batch"]:
+            return
+        state["last_batch"] = batch_id
         convs = batch_df.where(F.col("event_type") == "purchase")
         if convs.isEmpty():
             return
@@ -894,6 +888,50 @@ def stream_attribution(
                 )
             )
         state["rows"] = merged.collect()
+
+    return fold
+
+
+def stream_attribution(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> DataFrame:
+    """Streaming linear multi-touch attribution: PURCHASE events arrive
+    as micro-batches; each batch's conversions compute their quantized
+    1/n credits against the STATIC touch history (operators/funnel.py::
+    linear_attribution with ``raw=True`` — a per-conversion
+    computation, so a conversion's credits are complete within the one
+    batch that carries it), and the per-touch-type integer credit rows
+    fold additively into running state inside ``foreachBatch`` (the
+    stream_incremental_agg discipline: state is |touch types| rows,
+    history never re-scanned, the between-batch collect is state-sized).
+
+    Every state column is an exact BIGINT that ADDS across the disjoint
+    conversion partition — so over a drained availableNow stream the
+    final state equals the batch ``attribution_linear_events`` result
+    bit-for-bit, which is exactly what the shared oracle attests. The
+    fold is exactly-once under foreachBatch's at-least-once retry
+    contract via the last-applied batch_id guard
+    (``_make_attribution_fold``)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import normalize_event_ts, read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("view", "click"))
+
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    # [] (not None): a conversion-free stream must degrade to an empty
+    # result like the batch twin (tests/test_empty_inputs.py), and
+    # createDataFrame(None, schema) would raise instead.
+    state: dict = {"rows": [], "last_batch": -1}
+    fold = _make_attribution_fold(spark, state, touches)
 
     q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
     q.awaitTermination()
