@@ -4674,3 +4674,145 @@ def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return html_main_content(wrap_documents_html(d))
+
+
+def _synthesize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic messy URLs per document (mixed-case scheme/host,
+    default port, tracking params, fragment; path keyed on doc_id mod
+    50 so canonicalization COLLAPSES tracking-variant duplicates).
+    Test-harness input side only — a real deployment feeds crawled
+    URLs straight to operators/urls.py; the oracle re-synthesizes the
+    identical strings in ANSI SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit("-News.COM:443/articles/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/item-"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?utm_source=feed&id="),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("&utm_content="),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("&fbclid=ZZ"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("&sort=new")).otherwise(
+                F.lit("")
+            ),
+            F.lit("#frag"),
+        ).alias("url"),
+    )
+
+
+_URL_SYNTH_SQL = """
+      SELECT doc_id,
+        'HTTPS://WWW.' || source || '-News.COM:443/articles/'
+        || CAST(doc_id % 7 AS VARCHAR) || '/item-' || CAST(doc_id % 50 AS VARCHAR)
+        || '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+        || '&utm_content=' || CAST(doc_id AS VARCHAR)
+        || CASE WHEN doc_id % 3 = 0
+                THEN '&fbclid=ZZ' || CAST(doc_id AS VARCHAR) ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN '&sort=new' ELSE '' END
+        || '#frag' AS url
+      FROM documents
+"""
+
+_URL_PARSE_SQL = r"""
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
+          '^www\.', ''), ':(443|80)$', '') AS host,
+        CASE WHEN regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) = ''
+             THEN '/' ELSE regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1)
+        END AS path,
+        list_sort(list_filter(
+          list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                      p -> p <> ''),
+          p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+                    OR starts_with(p, 'gclid=') OR starts_with(p, 'ref=')))) AS kept,
+        list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                    p -> p <> '') AS params
+      FROM raw
+"""
+
+_URL_FEAT_SQL = """
+      SELECT doc_id, url, host,
+        CASE WHEN len(string_split(host, '.')) >= 2
+             THEN array_to_string(
+               (string_split(host, '.'))[len(string_split(host, '.')) - 1
+                                         : len(string_split(host, '.'))], '.')
+             ELSE host END AS registered_domain,
+        CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
+             AS BIGINT) AS path_depth,
+        CAST(len(kept) AS BIGINT) AS n_params_kept,
+        CAST(len(params) - len(kept) AS BIGINT) AS n_params_dropped,
+        scheme || '://' || host || path
+        || CASE WHEN len(kept) > 0
+                THEN '?' || array_to_string(kept, '&') ELSE '' END
+          AS canonical_url
+      FROM parsed
+"""
+
+
+@query(
+    "url_canonicalize_documents",
+    oracle=(
+        "WITH raw AS (" + _URL_SYNTH_SQL + "),\n"
+        "parsed AS (" + _URL_PARSE_SQL + "),\n"
+        "feat AS (" + _URL_FEAT_SQL + ")\n"
+        "SELECT doc_id, url, canonical_url, host, registered_domain,\n"
+        "       path_depth, n_params_kept, n_params_dropped\n"
+        "FROM feat"
+    ),
+)
+def url_canonicalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/urls.py::with_url_parts — the
+    C4/CCNet URL-dedup stage): RFC 3986-style scheme/host lowering,
+    www + default-port strip, fragment drop, tracking-param removal
+    with the surviving params SORTED. Per-row regex/array column
+    expressions — zero shuffle; the oracle replays the identical
+    synthesis and normalization in ANSI SQL."""
+    from ..operators.urls import with_url_parts
+
+    return with_url_parts(_synthesize_urls(spark, sf_dir)).select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "host",
+        "registered_domain",
+        "path_depth",
+        "n_params_kept",
+        "n_params_dropped",
+    )
+
+
+@query(
+    "domain_stats_documents",
+    oracle=(
+        "WITH raw AS (" + _URL_SYNTH_SQL + "),\n"
+        "parsed AS (" + _URL_PARSE_SQL + "),\n"
+        "feat AS (" + _URL_FEAT_SQL + ")\n"
+        "SELECT registered_domain,\n"
+        "  CAST(count(*) AS BIGINT) AS n_urls,\n"
+        "  CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_canonical,\n"
+        "  CAST(sum(path_depth) AS BIGINT)::DOUBLE\n"
+        "    / CAST(count(*) AS BIGINT)::DOUBLE AS mean_path_depth,\n"
+        "  CAST(sum(n_params_dropped) AS BIGINT) AS n_tracking_dropped\n"
+        "FROM feat GROUP BY registered_domain"
+    ),
+)
+def domain_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain crawl report (operators/urls.py::
+    domain_stats): page count vs DISTINCT canonical resources — the
+    post-canonicalization dedup denominator; tracking-param variants
+    of the same article collapse — plus exact mean path depth and
+    stripped-tracking totals. One domain-keyed aggregation."""
+    from ..operators.urls import domain_stats, with_url_parts
+
+    return domain_stats(with_url_parts(_synthesize_urls(spark, sf_dir)))
