@@ -4598,10 +4598,9 @@ def hll_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "html_extract_documents",
-    oracle=r"""
-    WITH page AS (
+#: HTML synthesis + extraction oracle CTE bodies, shared between
+#: html_extract_documents and the composed web_corpus_pipeline.
+_HTML_ORACLE_CTES = r"""page AS (
       SELECT doc_id,
         '<html><head><title>doc</title><style>.m{color:red}</style><script>var q=1;</script></head><body>'
         || '<nav><a href="/">Home</a> <a href="/tags">Tags</a> <a href="/login">Login</a></nav><p>'
@@ -4647,18 +4646,23 @@ def hll_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
           s -> length(struct_extract(s, 'txt')))), 0) AS BIGINT) AS boiler_chars,
         array_to_string(list_transform(content,
           s -> struct_extract(s, 'txt')), ' ') AS main_text
-      FROM parts)
-    SELECT doc_id, n_blocks, n_content_blocks, content_chars, boiler_chars,
-      main_text,
-      CASE WHEN length(main_text) = 0 THEN 0.0
-           ELSE CAST(len(list_filter(string_split(lower(main_text), ' '),
-                  w -> list_contains(
-                    ['the','a','of','to','and','in','is','for','on','with'],
-                    w))) AS DOUBLE)
-                / CAST(len(string_split(lower(main_text), ' ')) AS DOUBLE)
-      END AS stop_frac
-    FROM agg
-    """,
+      FROM parts),
+    ex AS (
+      SELECT doc_id, n_blocks, n_content_blocks, content_chars, boiler_chars,
+        main_text,
+        CASE WHEN length(main_text) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(string_split(lower(main_text), ' '),
+                    w -> list_contains(
+                      ['the','a','of','to','and','in','is','for','on','with'],
+                      w))) AS DOUBLE)
+                  / CAST(len(string_split(lower(main_text), ' ')) AS DOUBLE)
+        END AS stop_frac
+      FROM agg)"""
+
+
+@query(
+    "html_extract_documents",
+    oracle="WITH " + _HTML_ORACLE_CTES + " SELECT * FROM ex",
     bench=True,
 )
 def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4678,8 +4682,10 @@ def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synthesize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic messy URLs per document (mixed-case scheme/host,
-    default port, tracking params, fragment; path keyed on doc_id mod
-    50 so canonicalization COLLAPSES tracking-variant duplicates).
+    default port, tracking params, fragment; path/id keyed on doc_id
+    mod 140/70 — multiples of the mod-20 source assignment — so docs
+    congruent mod 140 share a canonical resource and canonicalization
+    COLLAPSES their tracking-variant URLs).
     Test-harness input side only — a real deployment feeds crawled
     URLs straight to operators/urls.py; the oracle re-synthesizes the
     identical strings in ANSI SQL."""
@@ -4692,9 +4698,9 @@ def _synthesize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("-News.COM:443/articles/"),
             (F.col("doc_id") % 7).cast("string"),
             F.lit("/item-"),
-            (F.col("doc_id") % 50).cast("string"),
+            (F.col("doc_id") % 140).cast("string"),
             F.lit("?utm_source=feed&id="),
-            (F.col("doc_id") % 50).cast("string"),
+            (F.col("doc_id") % 70).cast("string"),
             F.lit("&utm_content="),
             F.col("doc_id").cast("string"),
             F.when(
@@ -4712,8 +4718,8 @@ def _synthesize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 _URL_SYNTH_SQL = """
       SELECT doc_id,
         'HTTPS://WWW.' || source || '-News.COM:443/articles/'
-        || CAST(doc_id % 7 AS VARCHAR) || '/item-' || CAST(doc_id % 50 AS VARCHAR)
-        || '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+        || CAST(doc_id % 7 AS VARCHAR) || '/item-' || CAST(doc_id % 140 AS VARCHAR)
+        || '?utm_source=feed&id=' || CAST(doc_id % 70 AS VARCHAR)
         || '&utm_content=' || CAST(doc_id AS VARCHAR)
         || CASE WHEN doc_id % 3 = 0
                 THEN '&fbclid=ZZ' || CAST(doc_id AS VARCHAR) ELSE '' END
@@ -4816,3 +4822,130 @@ def domain_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.urls import domain_stats, with_url_parts
 
     return domain_stats(with_url_parts(_synthesize_urls(spark, sf_dir)))
+
+
+@query(
+    "auc_orders",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice AS s,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    r AS (
+      SELECT y,
+             2*(rank() OVER (ORDER BY s)) + (count(*) OVER (PARTITION BY s)) - 1 AS r2
+      FROM b),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS np,
+                 CAST(sum(y * r2) AS BIGINT) AS pr
+          FROM r)
+    SELECT n, np AS n_pos, n - np AS n_neg,
+           CASE WHEN np > 0 AND n - np > 0 THEN
+             CAST(pr - np * (np + 1) AS DOUBLE)
+               / CAST(2 * np * (n - np) AS DOUBLE)
+           END AS auc
+    FROM m
+    """,
+)
+def auc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC (ml/evaluate.py::exact_auc — the
+    Mann-Whitney rank formulation over the engine's doubled-average-
+    rank machinery): does order value predict URGENT priority? The
+    ranks are value-deduped equi-depth prefix sums — never MLlib's
+    single-sort path — and every intermediate is a BIGINT, so the one
+    final IEEE division matches the SQL-window oracle bitwise. (The
+    priority is independent of price in the generator, so the
+    attested AUC sits near 0.5 — the value is the bit-exact
+    plumbing, not the signal.)"""
+    from ..ml.evaluate import exact_auc
+
+    o = read_table(spark, sf_dir, "orders")
+    return exact_auc(
+        o.withColumn("is_urgent", (F.col("o_orderpriority") == "1-URGENT").cast("int")),
+        "o_totalprice",
+        "is_urgent",
+    )
+
+
+@query(
+    "web_corpus_pipeline",
+    oracle=(
+        "WITH " + _HTML_ORACLE_CTES + ",\n"
+        "raw AS (" + _URL_SYNTH_SQL + "),\n"
+        "parsed AS (" + _URL_PARSE_SQL + "),\n"
+        "feat AS (" + _URL_FEAT_SQL + "),\n"
+        """j AS (
+      SELECT e.doc_id, e.content_chars, e.stop_frac,
+             f.canonical_url, f.registered_domain
+      FROM ex e JOIN feat f USING (doc_id)),
+    keepmin AS (
+      SELECT canonical_url, min(doc_id) AS doc_id FROM j GROUP BY canonical_url),
+    uniq AS (SELECT j.* FROM j JOIN keepmin USING (canonical_url, doc_id)),
+    kept AS (SELECT * FROM uniq WHERE content_chars >= 200),
+    a1 AS (SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_pages,
+                  CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_unique
+           FROM j GROUP BY 1),
+    a2 AS (SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_kept,
+                  CAST(sum(content_chars) AS BIGINT) AS chars_kept,
+                  CAST(sum(CAST(floor(stop_frac * 1000000000) AS BIGINT))
+                       AS BIGINT) AS sq
+           FROM kept GROUP BY 1)
+    SELECT a1.registered_domain, n_pages, n_unique,
+           coalesce(n_kept, 0) AS n_kept,
+           coalesce(chars_kept, 0) AS content_chars_kept,
+           CASE WHEN coalesce(n_kept, 0) > 0 THEN
+             CAST(sq AS DOUBLE) / CAST(n_kept AS DOUBLE) / 1000000000.0
+           END AS mean_stop_frac
+    FROM a1 LEFT JOIN a2 USING (registered_domain)"""
+    ),
+    bench=True,
+)
+def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-corpus curation chaining the round-9 families:
+    synthetic crawl pages → HTML main-content extraction
+    (operators/html.py) joined with canonicalized URLs
+    (operators/urls.py) → canonical-URL dedup (keep the lowest doc_id
+    per canonical resource — tracking-param variants collapse) → a
+    content-length quality cut → per-registrable-domain corpus report
+    (pages, unique resources, kept docs, kept chars, mean stopword
+    fraction via 1e-9-quantized BIGINT sums — no order-dependent float
+    accumulation anywhere). The doc-keyed join and two domain-keyed
+    aggregations are the only shuffles; everything upstream is per-row
+    column expressions."""
+    from ..operators.html import html_main_content, wrap_documents_html
+    from ..operators.urls import with_url_parts
+
+    d = read_table(spark, sf_dir, "documents")
+    ex = html_main_content(wrap_documents_html(d))
+    urls = with_url_parts(_synthesize_urls(spark, sf_dir)).select(
+        "doc_id", "canonical_url", "registered_domain"
+    )
+    j = ex.select("doc_id", "content_chars", "stop_frac").join(urls, "doc_id")
+    keepmin = j.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id"))
+    uniq = j.join(keepmin, ["canonical_url", "doc_id"])
+    kept = uniq.where(F.col("content_chars") >= 200)
+    a1 = j.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.countDistinct("canonical_url").cast("long").alias("n_unique"),
+    )
+    a2 = kept.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("content_chars").cast("long").alias("chars_kept"),
+        F.sum(F.floor(F.col("stop_frac") * F.lit(1e9)).cast("long"))
+        .cast("long")
+        .alias("sq"),
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+    return a1.join(a2, "registered_domain", "left").select(
+        "registered_domain",
+        "n_pages",
+        "n_unique",
+        n_kept.alias("n_kept"),
+        F.coalesce(F.col("chars_kept"), F.lit(0))
+        .cast("long")
+        .alias("content_chars_kept"),
+        F.when(
+            n_kept > 0,
+            F.col("sq").cast("double") / n_kept.cast("double") / F.lit(1e9),
+        ).alias("mean_stop_frac"),
+    )

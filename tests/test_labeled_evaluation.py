@@ -132,3 +132,48 @@ def test_supervised_rf_beats_unsupervised_on_labeled_set(labeled, spark):
         labelCol="label", metricName="areaUnderROC"
     ).evaluate(rf2.transform(te))
     assert auc == auc2
+
+
+def test_exact_auc_differential(spark):
+    """exact_auc vs a plain-Python tie-adjusted Mann-Whitney AUC, and
+    the degenerate single-class NULL."""
+    import random
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.ml.evaluate import (
+        exact_auc,
+    )
+
+    rng = random.Random(11)
+    # heavy ties (scores drawn from 20 values), label correlated
+    rows = []
+    for _ in range(500):
+        s = float(rng.randrange(20))
+        y = 1 if rng.random() < (s + 1) / 40 else 0
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = exact_auc(df, "score", "y").first()
+
+    # python reference: avg ranks with ties
+    svals = sorted(s for s, _ in rows)
+    import bisect
+
+    def avg_rank2x(v):  # doubled average rank
+        lt = bisect.bisect_left(svals, v)
+        eq = bisect.bisect_right(svals, v) - lt
+        return 2 * lt + eq + 1
+
+    n = len(rows)
+    n_pos = sum(y for _, y in rows)
+    pos_r2 = sum(avg_rank2x(s) for s, y in rows if y)
+    auc = float(pos_r2 - n_pos * (n_pos + 1)) / float(2 * n_pos * (n - n_pos))
+    assert (got["n"], got["n_pos"], got["n_neg"]) == (n, n_pos, n - n_pos)
+    assert got["auc"] == auc  # bit-exact
+    assert 0.6 < got["auc"] < 0.9  # the planted signal is visible
+
+    # perfect separation -> exactly 1.0; single class -> NULL
+    sep = spark.createDataFrame(
+        [(float(i), 1 if i >= 50 else 0) for i in range(100)], "score double, y int"
+    )
+    assert exact_auc(sep, "score", "y").first()["auc"] == 1.0
+    one = spark.createDataFrame([(1.0, 1), (2.0, 1)], "score double, y int")
+    assert exact_auc(one, "score", "y").first()["auc"] is None
