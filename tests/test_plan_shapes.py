@@ -402,3 +402,47 @@ def test_fuzzy_join_verifies_on_candidates_only(spark, sf_dir):
     # on (_ls, _j, _seg) — the plan carries both markers
     assert "levenshtein" in plan
     assert "_seg" in plan
+
+
+def test_html_extraction_is_shuffle_free(spark, sf_dir):
+    """HTML main-content extraction is per-row array lambdas — the
+    physical plan must contain NO exchange at all."""
+    plan = plan_of(REGISTRY["html_extract_documents"].builder(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_url_canonicalization_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(REGISTRY["url_canonicalize_documents"].builder(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_domain_stats_single_aggregation(spark, sf_dir):
+    """Domain roll-up: only aggregation exchanges — the countDistinct
+    expands to the standard two-phase distinct aggregate (partial by
+    (domain, url) → dedup → count), so ≤ 4 exchanges total and no
+    joins or windows anywhere."""
+    plan = plan_of(REGISTRY["domain_stats_documents"].builder(spark, sf_dir))
+    assert plan.count("Exchange") <= 4
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_triangle_census_has_no_wedge_join(spark, sf_dir):
+    """The census must count via adjacency-array intersection, not by
+    materializing the wedge fan-out: no join keyed on the (b1, b2)
+    pair, and the intersection expression is present."""
+    df = REGISTRY["triangle_count_parts"].builder(spark, sf_dir)
+    plan = plan_of(df)
+    assert "array_intersect" in plan
+    assert "b1" not in plan and "b2" not in plan
+
+
+def test_equi_depth_bucket_barrier_present(spark, sf_dir):
+    """avg_rank2's bucket frame must end in repartition(_bkt): the
+    exchange is the projection barrier that keeps the lambda-built
+    bucket id out of window partition specs (Spark 4.1 rebinding bug)
+    and the partitioning its cumsum window and totals agg reuse.
+    (The runtime ReuseExchange dedup is an AQE-internal detail not
+    visible to explain(); the barrier column IS.)"""
+    plan = plan_of(REGISTRY["spearman_corr_lineitem"].builder(spark, sf_dir))
+    assert "hashpartitioning(_bkt" in plan
