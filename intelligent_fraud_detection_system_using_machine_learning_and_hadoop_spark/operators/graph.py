@@ -63,6 +63,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 32,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Component labels for every vertex incident to an edge: returns
     ``(id, component)`` with ``component`` = the minimum vertex id of
@@ -89,6 +90,19 @@ def connected_components(
     The driver holds only the O(1) convergence signature per round —
     never vertices or edges — so the loop itself is 100 TB-safe; total
     cost is O(log² n) rounds × O(|E|) shuffled bytes.
+
+    Small-graph fast path: near-dup pair graphs are usually TINY
+    relative to the corpus (thresholded similarity keeps only real
+    duplicates — 590 edges across 5,000 sf0.1 documents), and the star
+    rounds' fixed per-round job overhead dominates there (measured
+    5.7s for those 590 edges). When the edge count — already
+    materialized by the convergence signature — is ≤
+    ``driver_threshold``, the closure is solved driver-side with
+    min-label union-find over the BOUNDED edge list and returned as
+    one createDataFrame: the broadcast-join analogue of AQE's runtime
+    strategy switch, with the identical (id, component=min id) output.
+    Above the threshold the distributed rounds run unchanged; the
+    collect is bounded by the threshold constant by construction.
     """
     e = _canonical(
         edges.select(
@@ -96,6 +110,31 @@ def connected_components(
         )
     ).localCheckpoint(eager=True)
     sig = _edge_signature(e)
+    if sig[0] <= driver_threshold:
+        rows = e.collect()  # bounded: sig[0] == |E| <= driver_threshold
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            u, v = row["u"], row["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by MIN label: the surviving root is the
+                # component minimum, matching the distributed rounds
+                parent[max(ru, rv)] = min(ru, rv)
+        labels = [(n, find(n)) for n in parent]
+        return e.sparkSession.createDataFrame(
+            labels, "id long, component long"
+        )
     for _ in range(max_rounds):
         # ---- large-star ----
         nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

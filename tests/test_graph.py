@@ -297,3 +297,30 @@ def test_dedup_source_flow(spark):
     assert flow[("web", "books")]["quality_lost"] == 30  # 10 + 20
     assert flow[("web", "news")]["n_docs_lost"] == 1
     assert flow[("web", "news")]["quality_lost"] == 40
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The small-graph union-find fast path must produce the identical
+    (id, component=min id) labeling as the alternating-star rounds."""
+    import random
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(17)
+    # a few hundred edges: chains, a star, random cross-links, dups
+    edges = [(i, i + 1) for i in range(0, 40)]          # one long chain
+    edges += [(100, 100 + i) for i in range(1, 20)]     # a star
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(80)]
+    edges += [(300, 301), (301, 300), (300, 301)]       # dups + reverse
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        (r["id"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    slow = {
+        (r["id"], r["component"])
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == slow and fast
