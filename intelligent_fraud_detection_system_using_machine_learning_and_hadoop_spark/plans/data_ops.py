@@ -4949,3 +4949,46 @@ def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sq").cast("double") / n_kept.cast("double") / F.lit(1e9),
         ).alias("mean_stop_frac"),
     )
+
+
+@query(
+    "stratified_sample_documents",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rn AS BIGINT) AS sample_rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: EXACTLY 5 documents per
+    source stratum, chosen by ranking on md5(doc_id) — a seedless,
+    engine-portable stand-in for per-stratum uniform draws (the md5
+    order is uniform over ids and identical in every engine, unlike
+    rand(seed), whose stream is engine-specific). One window
+    PARTITIONED by the stratum — each stratum sorts independently, no
+    global order, scales to any stratum count; a mega-stratum costs
+    one partition's sort of its own rows only. Complements the
+    weighted (PPS), hash-split, mixture, and epoch-shuffle samplers:
+    this is the fixed-quota-per-group design (equal representation
+    regardless of stratum size — the eval-set construction shape)."""
+    d = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .where(F.col("sample_rank") <= 5)
+    )
