@@ -4952,7 +4952,7 @@ def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stratified_sample_documents",
+    "quota_sample_documents",
     oracle="""
     WITH r AS (
       SELECT doc_id, source, n_chars,
@@ -4965,7 +4965,7 @@ def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r WHERE rn <= 5
     """,
 )
-def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: EXACTLY 5 documents per
     source stratum, chosen by ranking on md5(doc_id) — a seedless,
     engine-portable stand-in for per-stratum uniform draws (the md5
