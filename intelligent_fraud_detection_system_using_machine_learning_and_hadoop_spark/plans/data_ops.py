@@ -4992,3 +4992,18 @@ def quota_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("sample_rank") <= 5)
     )
+
+
+@query(
+    "streaming_html_extract",
+    oracle="WITH " + _HTML_ORACLE_CTES + " SELECT * FROM ex",
+)
+def streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``html_extract_documents`` (streaming/
+    jobs.py::stream_html_extract): the same per-row wrap→extract
+    lambda pipeline as a stateless append-mode stream — no watermark,
+    no state store, zero state growth — drained with availableNow so
+    the batch value oracle attests it in full."""
+    from ..streaming.jobs import stream_html_extract
+
+    return stream_html_extract(spark, sf_dir)

@@ -969,3 +969,38 @@ def transform_with_state_available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def stream_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HTML main-content extraction: arriving page shards run
+    the identical per-row wrap→extract column pipeline as the batch
+    ``html_extract_documents`` (operators/html.py) — the landing-zone
+    shape for a continuous crawl: boilerplate is stripped the moment a
+    page lands, before anything stateful touches it.
+
+    Entirely STATELESS append-mode maps (array lambdas, no watermark,
+    no state store, no shuffle) — arbitrarily long uptime with zero
+    state growth, and over static input with an availableNow trigger
+    the result equals the batch derivation exactly, so the query
+    carries the batch's full value oracle."""
+    from ..operators.html import html_main_content, wrap_documents_html
+
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = html_main_content(wrap_documents_html(stream))
+    name = f"html_extract_sink_{next(_sink_ids)}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
