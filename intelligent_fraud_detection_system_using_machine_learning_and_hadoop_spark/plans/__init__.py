@@ -8,12 +8,14 @@ verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 Round-9 rotation (VERDICT r8 "Next round" item 2): the r7-item-8
 rows-only experiment is answered — the driver records ``err:
 no_oracle`` and NO attestation for oracle-less queries — so the 3
-rows-only tail slots are reclaimed. The window now leads with the 2
-new round-9 oracled queries (HTML main-content extraction, grouped
-seasonal decomposition), then ALL 32 oracled queries that have never
-had a driver row (every post-window r8 addition, `expectations_orders`
+rows-only tail slots are reclaimed. The window now leads with the 8
+new round-9 oracled queries (HTML main-content extraction + its
+streaming twin, grouped seasonal decomposition, URL canonicalization
++ domain stats, exact ROC-AUC, the composed web-corpus pipeline, the
+fixed-quota sampler), then ALL 32 oracled queries that had never had
+a driver row (every post-window r8 addition, `expectations_orders`
 through `weighted_sample_documents`), then pricing_summary /
-revenue_by_nation (last attested r5), then 14 of the r7 veterans —
+revenue_by_nation (last attested r5), then 8 of the r7 veterans —
 after this round, zero oracled queries are never-attested. Queries
 outside the window keep pytest + local-gate (tools/check_oracle.py)
 coverage; registry content is unchanged — only iteration order moves.
@@ -27,9 +29,15 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- the 2 round-9 oracled queries (new operator families) ---
+    # --- the 8 round-9 oracled queries (new operator families) ---
     "html_extract_documents",
+    "streaming_html_extract",
     "seasonal_decompose_grouped",
+    "url_canonicalize_documents",
+    "domain_stats_documents",
+    "auc_orders",
+    "web_corpus_pipeline",
+    "quota_sample_documents",
     # --- the 32 oracled queries never driver-attested (all r8
     #     post-window additions) ---
     "expectations_orders",
@@ -76,12 +84,6 @@ _DRIVER_WINDOW = [
     "corpus_curation",
     "corpus_snapshot_diff",
     "decontaminate_train_docs",
-    "disjunctive_brand_revenue",
-    "doc_repetition_filter",
-    "doc_text_analysis",
-    "dominant_part_suppliers",
-    "dsir_select_documents",
-    "epoch_shuffle_documents",
 ]
 
 
