@@ -5007,3 +5007,84 @@ def streaming_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_html_extract
 
     return stream_html_extract(spark, sf_dir)
+
+
+@query(
+    "entity_resolution_parts",
+    oracle="""
+    WITH RECURSIVE ids AS (
+      SELECT p_name,
+             CAST(min(p_partkey) AS BIGINT) AS nid,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(max(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+               AS quality_cents
+      FROM part GROUP BY p_name),
+    pr AS (
+      SELECT a.nid AS u, b.nid AS v
+      FROM ids a JOIN ids b ON a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+    -- NOTE: inside WITH RECURSIVE, DuckDB (1.0) treats a non-recursive
+    -- CTE whose body is a top-level UNION as a recursive union and
+    -- skips the dedup — hence DISTINCT-over-UNION-ALL subqueries here.
+    bi AS (SELECT DISTINCT u, v FROM (
+            SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr)),
+    reach(a, b) AS (
+      SELECT nid, nid FROM ids
+      UNION
+      SELECT r.a, bi.v FROM reach r JOIN bi ON r.b = bi.u),
+    cl AS (SELECT a AS nid, min(b) AS cluster_id FROM reach GROUP BY a)
+    SELECT i.p_name, c.cluster_id, i.n_rows, i.quality_cents,
+           (row_number() OVER (PARTITION BY c.cluster_id
+                               ORDER BY i.quality_cents DESC, i.nid ASC) = 1)
+             AS keep
+    FROM cl c JOIN ids i USING (nid)
+    """,
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end over part names: PassJoin
+    edit-distance blocking (operators/fuzzy.py::edit_distance_join, no
+    all-pairs scan) → transitive closure of the match pairs
+    (operators/graph.py::connected_components — small-graph union-find
+    fast path or alternating stars) → quality-aware canonical pick per
+    entity cluster (highest max-retail-price variant, ties to the
+    lowest node id) — the classic warehouse dedup: 'cold widget' /
+    'old widget' variants resolve to one surviving record. Every stage
+    reuses an already-oracled operator; the oracle replays the chain
+    with levenshtein + a recursive-CTE closure."""
+    from pyspark.sql import Window
+
+    from ..operators.fuzzy import edit_distance_join
+    from ..operators.graph import connected_components
+
+    p = read_table(spark, sf_dir, "part")
+    ids = p.groupBy("p_name").agg(
+        F.min("p_partkey").cast("long").alias("nid"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.max(F.round(F.col("p_retailprice") * 100).cast("long"))
+        .cast("long")
+        .alias("quality_cents"),
+    )
+    pairs = edit_distance_join(
+        ids.select("p_name"), threshold=2, str_col="p_name"
+    )
+    ia = ids.select(F.col("p_name").alias("name_a"), F.col("nid").alias("id_a"))
+    ib = ids.select(F.col("p_name").alias("name_b"), F.col("nid").alias("id_b"))
+    edges = pairs.join(ia, "name_a").join(ib, "name_b").select("id_a", "id_b")
+    labels = connected_components(edges)
+    out = ids.join(labels, ids["nid"] == labels["id"], "left").select(
+        "p_name",
+        F.coalesce("component", F.col("nid")).alias("cluster_id"),
+        "n_rows",
+        "quality_cents",
+        "nid",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_cents"), F.asc("nid")
+    )
+    return out.select(
+        "p_name",
+        "cluster_id",
+        "n_rows",
+        "quality_cents",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
