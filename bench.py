@@ -118,7 +118,10 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    assert len(line) < 1900, f"final bench line {len(line)} chars >= 1900"
+    # explicit raise, not assert — must survive `python -O` (the driver
+    # captures only a ~2KB stdout tail; an oversized line hides the run)
+    if len(line) >= 1900:
+        raise RuntimeError(f"final bench line {len(line)} chars >= 1900")
     print(line)
 
 

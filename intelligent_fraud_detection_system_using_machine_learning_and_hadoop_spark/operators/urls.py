@@ -59,8 +59,14 @@ def with_url_parts(
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     hostport = F.lower(F.regexp_extract(u, r"^[^:]+://([^/?#]*)", 1))
-    host = F.regexp_replace(
-        F.regexp_replace(hostport, r"^www\.", ""), r":(443|80)$", ""
+    host_www = F.regexp_replace(hostport, r"^www\.", "")
+    # Default-port strip is scheme-conditioned (RFC 3986 §6.2.3):
+    # 'http://h:443/' and 'https://h:80/' are NON-default ports naming
+    # distinct resources and must NOT collapse with the portless URL.
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host_www, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host_www, r":80$", ""))
+        .otherwise(host_www)
     )
     path = F.regexp_extract(u, r"^[^:]+://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)

@@ -46,7 +46,9 @@ def query(name: str, oracle: str | None = None, bench: bool = False):
         # a duplicate name would silently REPLACE an existing query —
         # and with it its oracle and driver-window slot (bitten in r9:
         # a new sampler reused an r8 name and evicted it)
-        assert name not in REGISTRY, f"duplicate query registration: {name}"
+        # explicit raise, not assert — must survive `python -O`
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = QuerySpec(fn, oracle, bench)
         return fn
 

@@ -4731,9 +4731,17 @@ _URL_SYNTH_SQL = """
 _URL_PARSE_SQL = r"""
       SELECT doc_id, url,
         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-        regexp_replace(regexp_replace(
-          lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
-          '^www\.', ''), ':(443|80)$', '') AS host,
+        CASE lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+          WHEN 'https' THEN regexp_replace(regexp_replace(
+            lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
+            '^www\.', ''), ':443$', '')
+          WHEN 'http' THEN regexp_replace(regexp_replace(
+            lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
+            '^www\.', ''), ':80$', '')
+          ELSE regexp_replace(
+            lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
+            '^www\.', '')
+        END AS host,
         CASE WHEN regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) = ''
              THEN '/' ELSE regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1)
         END AS path,

@@ -794,8 +794,8 @@ def _make_incremental_agg_fold(spark: SparkSession, state: dict):
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state["last_batch"]:
             return
-        state["last_batch"] = batch_id
         if batch_df.isEmpty():
+            state["last_batch"] = batch_id
             return
         delta = agg_state(batch_df, ["event_type"], "value")
         if state["df"] is None:
@@ -806,6 +806,11 @@ def _make_incremental_agg_fold(spark: SparkSession, state: dict):
         # |keys| rows by construction — the collect is state-sized,
         # never batch- or history-sized
         state["df"] = merged.collect()
+        # Record the applied id LAST: if the merge/collect above throws,
+        # the at-least-once re-invocation with the same batch_id must
+        # retry the work, not skip it (recording first would silently
+        # drop the batch — at-most-once, not exactly-once).
+        state["last_batch"] = batch_id
 
     return fold
 
@@ -863,9 +868,9 @@ def _make_attribution_fold(spark: SparkSession, state: dict, touches: DataFrame)
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state["last_batch"]:
             return
-        state["last_batch"] = batch_id
         convs = batch_df.where(F.col("event_type") == "purchase")
         if convs.isEmpty():
+            state["last_batch"] = batch_id
             return
         delta = linear_attribution(
             touches.unionByName(convs.select(*touches.columns)),
@@ -888,6 +893,10 @@ def _make_attribution_fold(spark: SparkSession, state: dict, touches: DataFrame)
                 )
             )
         state["rows"] = merged.collect()
+        # Record the applied id only after the state update succeeds
+        # (see _make_incremental_agg_fold): a mid-batch failure must be
+        # retried on the same-id re-invocation, not skipped.
+        state["last_batch"] = batch_id
 
     return fold
 

@@ -617,3 +617,68 @@ def test_foreachbatch_replay_is_idempotent(spark, sf_dir):
     assert sorted(map(tuple, st2["rows"])) == snap2
     fold2(half_b, 1)
     assert sorted(map(tuple, st2["rows"])) != snap2
+
+
+def test_foreachbatch_failed_batch_is_retried(spark, sf_dir):
+    """ADVICE r9: the last-applied-id guard must be recorded AFTER the
+    state update. If the fold crashes mid-batch (the at-least-once
+    replay scenario), the re-invocation with the SAME batch_id must
+    redo the work — recording the id first would skip the retry and
+    silently drop the batch (at-most-once)."""
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        _make_attribution_fold,
+        _make_incremental_agg_fold,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+
+    class _Boom(Exception):
+        pass
+
+    class _ExplodingBatch:
+        """Wraps a real batch but blows up inside the fold's Spark work
+        (agg_state/linear_attribution call .groupBy / .where on it)."""
+
+        def __init__(self, df):
+            self._df = df
+
+        def isEmpty(self):
+            return False
+
+        def __getattr__(self, name):
+            raise _Boom(name)
+
+    # --- incremental aggregate MV fold: crash, then successful retry ---
+    state = {"df": None, "last_batch": -1}
+    fold = _make_incremental_agg_fold(spark, state)
+    try:
+        fold(_ExplodingBatch(ev), 0)
+    except _Boom:
+        pass
+    assert state["last_batch"] == -1  # crash must NOT mark batch applied
+    fold(ev, 0)  # same-id retry does the work
+    assert state["last_batch"] == 0
+    assert state["df"]  # the batch's data landed
+
+    # --- attribution fold: same contract ---
+    touches = ev.where(F.col("event_type").isin("view", "click"))
+    st2 = {"rows": [], "last_batch": -1}
+    fold2 = _make_attribution_fold(spark, st2, touches)
+
+    class _ExplodingConvs:
+        def where(self, *_a, **_k):
+            raise _Boom("where")
+
+    try:
+        fold2(_ExplodingConvs(), 0)
+    except _Boom:
+        pass
+    assert st2["last_batch"] == -1
+    fold2(ev, 0)  # retry succeeds
+    assert st2["last_batch"] == 0
+    assert st2["rows"]

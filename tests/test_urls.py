@@ -61,3 +61,26 @@ def test_tracking_variants_collapse_in_domain_stats(spark):
     assert stats["a.com"]["n_tracking_dropped"] == 3
     assert stats["b.net"]["n_urls"] == 1
     assert stats["a.com"]["mean_path_depth"] == 1.0
+
+
+def test_non_default_ports_not_stripped(spark):
+    """ADVICE r9: port stripping is scheme-conditioned. 'https://h:80/'
+    and 'http://h:443/' carry NON-default ports — distinct resources
+    per RFC 3986 — and must not collapse with the portless URL."""
+    rows = _parse(
+        spark,
+        [
+            "https://example.com:80/a",   # non-default: keep
+            "http://example.com:443/a",   # non-default: keep
+            "https://example.com:8443/a", # never default: keep
+            "ftp://example.com:80/a",     # unknown scheme: keep
+        ],
+    )
+    assert rows["https://example.com:80/a"]["host"] == "example.com:80"
+    assert rows["http://example.com:443/a"]["host"] == "example.com:443"
+    assert rows["https://example.com:8443/a"]["host"] == "example.com:8443"
+    assert rows["ftp://example.com:80/a"]["host"] == "example.com:80"
+    assert (
+        rows["https://example.com:80/a"]["canonical_url"]
+        == "https://example.com:80/a"
+    )
