@@ -43,6 +43,28 @@ def swap_cache(
     return df
 
 
+def shared_cache(
+    key: str,
+    df: DataFrame,
+    storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK_DESER,
+) -> DataFrame:
+    """Get-or-persist: if ``key`` already holds a live cache, return
+    THAT handle (its materialized blocks survive); otherwise persist
+    ``df`` and register it. For intermediates shared ACROSS queries
+    (e.g. the part co-order edge list consumed by the triangle, k-core
+    and label-propagation queries): ``swap_cache`` would evict the
+    materialized copy on every re-invocation, re-paying the build.
+    Callers must key with ``plan_key`` so a hit is guaranteed
+    plan-identical; still bounded to one live copy per key and freed by
+    ``release_caches``."""
+    with _LOCK:
+        prev = _ACTIVE_CACHES.get(key)
+        if prev is not None:
+            return prev
+        _ACTIVE_CACHES[key] = df.persist(storage_level)
+    return df
+
+
 def release_caches() -> None:
     """Unpersist every cache registered by ``swap_cache`` (notebook /
     long-lived-session hygiene; blocking so tests can assert emptiness)."""

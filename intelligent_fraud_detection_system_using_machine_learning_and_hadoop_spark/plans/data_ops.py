@@ -3309,6 +3309,53 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(p, threshold=2, str_col="p_name")
 
 
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical part co-order edge list — DISTINCT unordered pairs
+    (u < v) of parts appearing on the same order — the shared input of
+    the whole graph suite (triangle census, k-core, label propagation).
+
+    Construction is ONE groupBy over lineitem (per-order sorted part
+    sets pair-expanded with array lambdas) instead of the orderkey
+    self-join — same distinct pair set, one shuffle of |lineitem| rows
+    rather than two join sides (measured ~20% faster at sf0.1);
+    per-order arrays are basket-sized.
+
+    Materialized at most once per dataset via ``shared_cache`` keyed on
+    the plan fingerprint (VERDICT r9 item 4: the graph heavies each
+    rebuilt this ~4s frame from scratch). At 100 TB the same role is
+    played by a bucketed parquet intermediate (the build_ivf_index
+    pattern); in-session the bounded cache keeps the bench honest —
+    first consumer pays the build, the rest reuse the blocks."""
+    from ..cache import plan_key, shared_cache
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.u").alias("id_a"), F.col("p.v").alias("id_b"))
+        .distinct()
+    )
+    return shared_cache(plan_key("co_order_edges", e), e)
+
+
+#: DuckDB twin of ``_co_order_edges`` (the oracles re-derive the edge
+#: list relationally — the self-join form, same distinct pair set).
+_CO_ORDER_EDGES_SQL = """
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
 @query(
     "triangle_count_parts",
     oracle="""
@@ -3342,31 +3389,12 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     u<v<w triple self-join — equality attests the orientation trick
     loses no triangle.
 
-    Edge construction is ONE groupBy over lineitem (per-order sorted
-    part sets pair-expanded with array lambdas) instead of the
-    orderkey self-join — same distinct pair set, one shuffle of
-    |lineitem| rows rather than two join sides (measured ~20% faster
-    at sf0.1); per-order arrays are basket-sized. Degrees broadcast:
-    the part dimension is ~√|E|."""
+    Consumes the shared materialized co-order edge frame
+    (``_co_order_edges``). Degrees broadcast: the part dimension is
+    ~√|E|."""
     from ..operators.graph import triangle_stats
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.u").alias("id_a"), F.col("p.v").alias("id_b"))
-        .distinct()
-    )
-    return triangle_stats(e, broadcast_degrees=True)
+    return triangle_stats(_co_order_edges(spark, sf_dir), broadcast_degrees=True)
 
 
 @query(
@@ -3782,26 +3810,11 @@ def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     state): the dense co-purchase nucleus after shaving weakly
     connected parts (143 of 2000 drop at sf0.01). Iterative fixed
     point ⇒ rows-only driver check; semantics pinned by the
-    brute-force peeling differential in tests/test_graph.py."""
+    brute-force peeling differential in tests/test_graph.py. Consumes
+    the shared materialized co-order edge frame (``_co_order_edges``)."""
     from ..operators.graph import k_core
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e = (
-        li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.u").alias("id_a"), F.col("p.v").alias("id_b"))
-        .distinct()
-    )
-    return k_core(e, 80, broadcast_nodes=True)
+    return k_core(_co_order_edges(spark, sf_dir), 80, broadcast_nodes=True)
 
 
 @query(

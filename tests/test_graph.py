@@ -324,3 +324,23 @@ def test_cc_driver_and_distributed_paths_agree(spark):
         for r in connected_components(df, driver_threshold=0).collect()
     }
     assert fast == slow and fast
+
+
+def test_k_core_max_rounds_exhaustion_raises(spark):
+    """VERDICT r9 item 5: a frontier still non-empty after max_rounds
+    must RAISE, never quietly return an unconverged core. A path graph
+    is the worst case — one peel layer per round."""
+    import pytest
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        k_core,
+    )
+
+    # path 1-2-...-8: the 2-core is empty, reached by peeling one
+    # endpoint layer per round (needs 4 rounds); cap at 2 -> must raise
+    path = [(i, i + 1) for i in range(1, 8)]
+    df = spark.createDataFrame(path, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(df, 2, max_rounds=2)
+    # and with enough rounds the same graph converges (to the empty core)
+    assert k_core(df, 2, max_rounds=16).count() == 0
