@@ -571,6 +571,78 @@ def k_core(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan,
+    Albert, Kumara 2007), made fully deterministic: every node starts
+    labeled with its own id; each round every node adopts the label
+    most frequent among its neighbors, ties broken by the SMALLEST
+    label; the round count is FIXED (``rounds``), not run to a
+    fixed point — asynchronous/random-order LPA is nondeterministic
+    and synchronous LPA can 2-cycle on bipartite structures, so a
+    bounded synchronous schedule is the only variant a SQL oracle can
+    replay bit-for-bit. The result after R rounds is a well-defined
+    function of the edge set (each round = one keyed aggregation),
+    which the DuckDB twin chains as R plain CTEs.
+
+    Scale shape (the PageRank discipline): the bidirected edge list is
+    built once, pre-partitioned by the aggregation key ``u`` and
+    checkpointed; per round the |V|-row label table joins in
+    (broadcast when ``broadcast_labels`` — right for dimension-sized
+    node sets; hash join otherwise) followed by two keyed aggregations
+    whose first key is ``u``. The per-node argmax is
+    ``max(struct(cnt, -label))`` — one aggregate, no window, no
+    per-node neighbor array ever materialized (a celebrity node's
+    neighborhood stays a distributed edge list). Driver state is O(1);
+    labels are eagerly checkpointed per round (lineage re-planning
+    costs more than the |V|-row checkpoint — measured on pagerank).
+
+    Returns (id, community) for every non-isolated node."""
+    e = _canonical(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+    )
+    both = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        both.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        lb = F.broadcast(labels) if broadcast_labels else labels
+        nbr = both.join(lb, both["v"] == lb["id"]).select(both["u"], lb["label"])
+        counts = nbr.groupBy("u", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        labels = (
+            counts.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("neg_label")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("u").alias("id"),
+                (-F.col("m.neg_label")).cast("long").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("label").alias("community"))
+
+
 def dedup_source_flow(
     docs: DataFrame,
     pairs: DataFrame,

@@ -3817,6 +3817,50 @@ def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_co_order_edges(spark, sf_dir), 80, broadcast_nodes=True)
 
 
+def _lpa_oracle_sql(rounds: int) -> str:
+    """DuckDB twin of operators/graph.py::label_propagation — the
+    fixed synchronous schedule unrolled as ``rounds`` plain CTEs
+    (deterministic argmax = row_number ordered cnt DESC, label ASC,
+    exactly Spark's max(struct(cnt, -label)))."""
+    ctes = [
+        "e AS (" + _CO_ORDER_EDGES_SQL + ")",
+        "bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
+        "r0 AS (SELECT DISTINCT u AS id, u AS label FROM bi)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT u AS id, label
+      FROM (SELECT bi.u, l.label, CAST(count(*) AS BIGINT) AS cnt
+            FROM bi JOIN r{i - 1} l ON bi.v = l.id GROUP BY 1, 2)
+      QUALIFY row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label ASC) = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT id, CAST(label AS BIGINT) AS community FROM r{rounds}"
+    )
+
+
+@query("label_propagation_parts", oracle=_lpa_oracle_sql(4), bench=True)
+def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #5 (completing the suite after connected
+    components, PageRank, triangles, k-core): community detection on
+    the part co-order graph by deterministic synchronous label
+    propagation (operators/graph.py::label_propagation — 4 fixed
+    rounds, min-label tie-break, one keyed argmax aggregation per
+    round, no windows, labels broadcast at this dimension-sized |V|).
+    Consumes the shared materialized co-order edge frame. Full-value
+    oracle: the bounded synchronous schedule is replayed by DuckDB as
+    4 chained CTEs — per-node community ids must match exactly."""
+    from ..operators.graph import label_propagation
+
+    return label_propagation(
+        _co_order_edges(spark, sf_dir), rounds=4, broadcast_labels=True
+    )
+
+
 @query(
     "chi_square_orders",
     oracle="""

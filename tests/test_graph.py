@@ -344,3 +344,66 @@ def test_k_core_max_rounds_exhaustion_raises(spark):
         k_core(df, 2, max_rounds=2)
     # and with enough rounds the same graph converges (to the empty core)
     assert k_core(df, 2, max_rounds=16).count() == 0
+
+
+class TestLabelPropagation:
+    """Differential: deterministic synchronous LPA (min-label
+    tie-break, fixed rounds) vs a brute-force Python replay."""
+
+    @staticmethod
+    def _brute(edges, rounds):
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(set)
+        for u, v in edges:
+            if u != v:
+                adj[u].add(v)
+                adj[v].add(u)
+        labels = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n in adj:
+                c = Counter(labels[m] for m in adj[n])
+                best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            labels = new
+        return labels
+
+    def _run(self, spark, edges, rounds):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            label_propagation,
+        )
+
+        df = spark.createDataFrame(
+            [(int(u), int(v)) for u, v in edges], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["community"]
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == self._brute(edges, rounds)
+
+    def test_two_cliques_with_bridge(self, spark):
+        k4a = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        k4b = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+        self._run(spark, k4a + k4b + [(4, 10)], 4)
+
+    def test_star_and_path(self, spark):
+        star = [(1, i) for i in range(2, 8)]
+        path = [(20, 21), (21, 22), (22, 23)]
+        self._run(spark, star + path, 3)
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        # duplicates/reversed forms must not double-count neighbors
+        self._run(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1)], 4)
+
+    def test_broadcast_matches_hash_join(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            label_propagation,
+        )
+
+        edges = [(1, 2), (2, 3), (3, 4), (4, 1), (10, 11), (11, 12)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = sorted(map(tuple, label_propagation(df, 3, broadcast_labels=True).collect()))
+        b = sorted(map(tuple, label_propagation(df, 3, broadcast_labels=False).collect()))
+        assert a == b
