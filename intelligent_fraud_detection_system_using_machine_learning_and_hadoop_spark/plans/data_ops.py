@@ -3862,6 +3862,45 @@ def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gini_by_status_orders",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT o_orderstatus, cents,
+             CAST(row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cents) AS BIGINT) AS i
+      FROM c),
+    g AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(i * cents) AS BIGINT) AS w
+      FROM r GROUP BY o_orderstatus)
+    SELECT o_orderstatus, n AS n_rows, s AS sum_cents,
+           CASE WHEN n * s = 0 THEN NULL
+                ELSE CAST(2 * w - (n + 1) * s AS DOUBLE)
+                     / CAST(n * s AS DOUBLE) END AS gini
+    FROM g
+    """,
+)
+def gini_by_status_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Income-inequality-style concentration report: exact Gini
+    coefficient of order value per o_orderstatus, computed on Spark
+    4's ``applyInArrow`` grouped-map surface (operators/arrow_ops.py::
+    grouped_gini — all-integer cents arithmetic, one IEEE division,
+    int64 dot fast path with an exact big-int fallback). The oracle is
+    the aggregation-form twin (rank window + BIGINT sums — also the
+    operator's own scale path for row-scale keys); bit equality
+    attests the Arrow path computes the identical statistic."""
+    from ..operators.arrow_ops import grouped_gini
+
+    o = read_table(spark, sf_dir, "orders")
+    return grouped_gini(o, "o_orderstatus", "o_totalprice")
+
+
+@query(
     "chi_square_orders",
     oracle="""
     WITH cells AS (
