@@ -5,20 +5,18 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-9 rotation (VERDICT r8 "Next round" item 2): the r7-item-8
-rows-only experiment is answered — the driver records ``err:
-no_oracle`` and NO attestation for oracle-less queries — so the 3
-rows-only tail slots are reclaimed. The window now leads with the 8
-new round-9 oracled queries (HTML main-content extraction + its
-streaming twin, grouped seasonal decomposition, URL canonicalization
-+ domain stats, exact ROC-AUC, the composed web-corpus pipeline, the
-fixed-quota sampler), then ALL 32 oracled queries that had never had
-a driver row (every post-window r8 addition, `expectations_orders`
-through `weighted_sample_documents`), then pricing_summary /
-revenue_by_nation (last attested r5), then 8 of the r7 veterans —
-after this round, zero oracled queries are never-attested. Queries
-outside the window keep pytest + local-gate (tools/check_oracle.py)
-coverage; registry content is unchanged — only iteration order moves.
+Round-10 rotation (VERDICT r9 "Next round" item 1 + the playbook's
+least-recently-attested discipline): the window leads with
+``entity_resolution_parts`` — the one oracled query never
+driver-attested (it landed in the r9 end-of-round snapshot commit,
+after the r9 window froze) — then the new round-10 oracled queries
+(label propagation communities, the applyInArrow Gini), then ALL 42
+oracled queries whose last driver row is round 7 (the oldest cohort),
+then the alphabetically-first queries of the round-8 cohort to fill
+50. After this round every oracled query has a driver row from r7 or
+later and none is never-attested. Queries outside the window keep
+pytest + local-gate (tools/check_oracle.py) coverage; registry content
+is unchanged — only iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -29,68 +27,70 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- the 8 round-9 oracled queries (new operator families) ---
-    "html_extract_documents",
-    "streaming_html_extract",
-    "seasonal_decompose_grouped",
-    "url_canonicalize_documents",
-    "domain_stats_documents",
-    "auc_orders",
-    "web_corpus_pipeline",
-    "quota_sample_documents",
-    # --- the 32 oracled queries never driver-attested (all r8
-    #     post-window additions) ---
-    "expectations_orders",
-    "label_centroids_embeddings",
-    "incremental_agg_orders",
-    "pmi_cooccurrence_documents",
-    "source_overlap_matrix",
-    "value_histogram_events",
-    "streaming_incremental_agg",
-    "incremental_pipeline_documents",
-    "fuzzy_join_part_names",
-    "triangle_count_parts",
-    "canonical_dedup_documents",
-    "spearman_corr_lineitem",
-    "attribution_linear_events",
-    "zonemap_prune_orders",
-    "winsorize_orders_by_status",
-    "association_rules_parts",
-    "equi_depth_hist_orders",
-    "drift_report_orders",
-    "chi_square_orders",
-    "cohort_retention_events",
-    "event_transitions",
-    "dedup_source_flow_documents",
-    "streaming_attribution",
-    "resample_locf_events",
-    "cust_order_histogram",
-    "large_volume_customers",
-    "trimmed_mean_orders",
-    "quantile_normalize_events",
-    "seasonal_decompose_events",
-    "analytics_pipeline_events",
-    "udtf_sentences_documents",
-    "weighted_sample_documents",
-    # --- last driver row r5 ---
-    "pricing_summary",
-    "revenue_by_nation",
-    # --- last driver row r7 (oldest veterans, alphabetical) ---
-    "asof_click_purchase",
-    "bigram_fluency_documents",
-    "bm25_topk_documents",
-    "chunk_documents_sliding",
-    "cogroup_purchase_error_stats",
-    "corpus_curation",
-    "corpus_snapshot_diff",
-    "decontaminate_train_docs",
+    # --- never driver-attested (r9 snapshot commit) ---
+    "entity_resolution_parts",
+    # --- new round-10 oracled queries ---
+    "label_propagation_parts",
+    "gini_by_status_orders",
+    # --- the 42 oracled queries last attested round 7 (oldest cohort) ---
+    "disjunctive_brand_revenue",
+    "doc_repetition_filter",
+    "doc_text_analysis",
+    "dominant_part_suppliers",
+    "dsir_select_documents",
+    "epoch_shuffle_documents",
+    "exact_substring_dup_documents",
+    "exclusive_late_suppliers",
+    "hash_split_documents",
+    "idle_rich_customers",
+    "important_parts_value",
+    "interleave_sources_documents",
+    "interval_overlap_purchase_error",
+    "line_dedup_documents",
+    "llm_data_pipeline",
+    "market_share_by_year",
+    "min_price_supplier_per_part",
+    "mixture_sample_documents",
+    "nation_pair_volume",
+    "near_dup_clusters",
+    "pack_sequences_documents",
+    "pii_scan_documents",
+    "profile_orders",
+    "quality_funnel_documents",
+    "range_join_price_bands",
+    "salted_distinct_suppliers",
+    "semi_anti_join_customers",
+    "small_qty_order_revenue",
+    "stratified_sample_documents",
+    "streaming_events_hourly",
+    "streaming_join_click_purchase",
+    "streaming_pii_scan",
+    "streaming_static_enrich",
+    "streaming_topk_trending",
+    "temperature_mix_lang",
+    "tfidf_top_terms",
+    "token_budget_trim",
+    "token_vocab_topk",
+    "top_revenue_supplier",
+    "unicode_normalize_documents",
+    "unigram_fluency_documents",
+    "zorder_key_orders",
+    # --- round-8-cohort fill (alphabetically first, last attested r8) ---
+    "array_funcs_orders",
+    "big_spenders_vs_nation",
+    "count_distinct_having",
+    "cusum_change_events",
+    "dedup_exact_documents",
 ]
 
 
 def _apply_driver_window() -> None:
-    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    # explicit raises, not asserts — must survive `python -O`
+    if len(_DRIVER_WINDOW) != 50:
+        raise ValueError(f"driver window must be 50, got {len(_DRIVER_WINDOW)}")
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
-    assert not missing, f"window names not registered: {missing}"
+    if missing:
+        raise ValueError(f"window names not registered: {missing}")
     ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
     ordered.update({n: s for n, s in REGISTRY.items() if n not in ordered})
     REGISTRY.clear()
