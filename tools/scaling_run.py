@@ -1,0 +1,97 @@
+"""Scale-curve measurement (VERDICT r9 item 2): run the bench heavies
+at two scale factors and report per-query wall time, output rows, and
+the time ratio. Times use the bench.py discipline — noop sink, cache
+cleared per run, per-query MIN over reps, plus the frozen calibration
+probe at each scale so machine contention is visible in the record.
+
+    python tools/scaling_run.py /root/testdata/sf0.1 testdata_sf1 3
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark import (
+    get_spark,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.cache import (
+    release_caches,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+    REGISTRY,
+)
+
+HEAVIES = [
+    "k_core_parts",
+    "triangle_count_parts",
+    "pagerank_supplier_part",
+    "label_propagation_parts",
+    "spearman_corr_lineitem",
+    "llm_data_pipeline",
+    "exact_substring_dup_documents",
+    "canonical_dedup_documents",
+    "quantile_normalize_events",
+]
+
+
+def probe(spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.groupBy("l_returnflag").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - t0
+
+
+def run_once(spark, name: str, sf_dir: str, want_rows: bool):
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    df = REGISTRY[name].builder(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    rows = df.count() if want_rows else None  # untimed, first rep only
+    release_caches()
+    return dt, rows
+
+
+def main() -> None:
+    lo = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    hi = sys.argv[2] if len(sys.argv) > 2 else "testdata_sf1"
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    spark = get_spark("ifds-scaling")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    out: dict = {"lo": lo, "hi": hi, "reps": reps, "queries": {}}
+    for sf_key, sf_dir in (("lo", lo), ("hi", hi)):
+        out[f"probe_{sf_key}"] = round(min(probe(spark, sf_dir) for _ in range(5)), 3)
+    for name in HEAVIES:
+        rec = {}
+        for sf_key, sf_dir in (("lo", lo), ("hi", hi)):
+            times, rows = [], None
+            for i in range(reps):
+                dt, r = run_once(spark, name, sf_dir, want_rows=(i == 0))
+                if r is not None:
+                    rows = r
+                times.append(dt)
+                print(
+                    json.dumps(
+                        {"q": name, "sf": sf_key, "sec": round(dt, 2), "rows": rows}
+                    ),
+                    flush=True,
+                )
+            rec[f"sec_{sf_key}"] = round(min(times), 2)
+            rec[f"rows_{sf_key}"] = rows
+        rec["ratio"] = round(rec["sec_hi"] / rec["sec_lo"], 1)
+        out["queries"][name] = rec
+    print("RESULT " + json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
