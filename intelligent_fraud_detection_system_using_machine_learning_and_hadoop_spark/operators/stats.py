@@ -99,12 +99,15 @@ def spearman_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
     (col_x, col_y, n, rho). Null-free input assumed (callers filter;
     the driver tables are null-free in these columns).
 
-    Integer-width note: the raw moments are Σ r2·r2 ≤ 4n³, so BIGINT
-    sums are exact up to n ≈ 1.3·10⁶ rows — beyond that swap the sums
-    to decimal(38,0) (exact to n ≈ 10¹²; the one decimal→double cast
-    at the end costs the last-ulp cross-engine guarantee, nothing
-    else). The magnitude is inherent to exact rank moments, not to
-    this formulation."""
+    Integer-width note: the raw moments are Σ r2·r2 ≤ 4n³ — BIGINT
+    sums overflow past n ≈ 1.3·10⁶ rows (the r10 sf1 scale-curve run
+    hit exactly this: ANSI ARITHMETIC_OVERFLOW at n = 6·10⁶), so the
+    moments are DECIMAL: r2 cast to decimal(13,0), products
+    decimal(27,0), sums exact to n ≈ 10¹² — still one map-side-combined
+    aggregation, no extra pass. The decimal→double cast at the end
+    rounds to nearest exactly like BIGINT→double, so the oracle's
+    BIGINT twin stays bitwise at gate scales. The magnitude is
+    inherent to exact rank moments, not to this formulation."""
     keyed = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
     withr = keyed
     for c in cols:
@@ -121,24 +124,25 @@ def spearman_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
     # Sxy = Σ r2x·r2y:  Σcx·cy = Sxy − (n+1)·S1x − (n+1)·S1y + n·(n+1)²
     # ... all exact BIGINTs. (Σr2 = n(n+1) identically, so S1 = n(n+1),
     # and the expression simplifies to Sxy − n·(n+1)².)
+    def _d(name: str):  # doubled rank as decimal(13,0): r2 ≤ 2n ≤ 2·10¹²
+        return F.col(name).cast("decimal(13,0)")
+
     for c in cols:
-        aggs.append(F.sum(F.col(f"_r2_{c}") * F.col(f"_r2_{c}")).alias(f"_s_{c}_{c}"))
+        aggs.append(F.sum(_d(f"_r2_{c}") * _d(f"_r2_{c}")).alias(f"_s_{c}_{c}"))
     for cx, cy in pairs:
         aggs.append(
-            F.sum(F.col(f"_r2_{cx}") * F.col(f"_r2_{cy}")).alias(f"_s_{cx}_{cy}")
+            F.sum(_d(f"_r2_{cx}") * _d(f"_r2_{cy}")).alias(f"_s_{cx}_{cy}")
         )
     m = withr.agg(*aggs)
+    # centering term n·(n+1)² in decimal too (overflows BIGINT at
+    # n ≥ 2.1·10⁶; value ≤ 1e37 fits decimal(38,0))
+    nd = F.col("n").cast("decimal(13,0)")
+    center = nd * (nd + 1) * (nd + 1)
     rows = []
     for cx, cy in pairs:
-        cxx = F.col(f"_s_{cx}_{cx}") - F.col("n") * (F.col("n") + 1) * (
-            F.col("n") + 1
-        )
-        cyy = F.col(f"_s_{cy}_{cy}") - F.col("n") * (F.col("n") + 1) * (
-            F.col("n") + 1
-        )
-        cxy = F.col(f"_s_{cx}_{cy}") - F.col("n") * (F.col("n") + 1) * (
-            F.col("n") + 1
-        )
+        cxx = F.col(f"_s_{cx}_{cx}") - center
+        cyy = F.col(f"_s_{cy}_{cy}") - center
+        cxy = F.col(f"_s_{cx}_{cy}") - center
         rows.append(
             F.struct(
                 F.lit(cx).alias("col_x"),

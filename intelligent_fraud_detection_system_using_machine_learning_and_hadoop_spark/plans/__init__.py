@@ -32,6 +32,7 @@ _DRIVER_WINDOW = [
     # --- new round-10 oracled queries ---
     "label_propagation_parts",
     "gini_by_status_orders",
+    "bfs_distances_parts",
     # --- the 42 oracled queries last attested round 7 (oldest cohort) ---
     "disjunctive_brand_revenue",
     "doc_repetition_filter",
@@ -80,7 +81,6 @@ _DRIVER_WINDOW = [
     "big_spenders_vs_nation",
     "count_distinct_having",
     "cusum_change_events",
-    "dedup_exact_documents",
 ]
 
 

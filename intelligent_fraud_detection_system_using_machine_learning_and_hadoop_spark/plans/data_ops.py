@@ -3895,6 +3895,44 @@ def label_propagation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bfs_distances_parts",
+    oracle="WITH RECURSIVE e AS ("
+    + _CO_ORDER_EDGES_SQL
+    + """),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    walk(id, d) AS (
+      SELECT DISTINCT u AS id, 0 FROM bi WHERE u < 10
+      UNION
+      SELECT bi.v AS id, w.d + 1 FROM walk w JOIN bi ON bi.u = w.id
+      WHERE w.d < 3
+    )
+    SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id
+    """,
+)
+def bfs_distances_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #6: multi-source BFS hop distance on the part
+    co-order graph from the seed set {p_partkey < 10} capped at 3 hops
+    (operators/graph.py::bfs_distances — Pregel frontier expansion, a
+    node settles exactly once so total work ≤ 2|E| across all rounds;
+    broadcast frontier at this dimension-sized |V|). The
+    "blast-radius" primitive: distance from known-bad entities.
+    Consumes the shared co-order edge intermediate. Exact recursive-CTE
+    twin: UNION-distinct (node, depth) states, min per node —
+    deterministic, so the oracle matches every (id, dist) row."""
+    from ..operators.graph import bfs_distances
+
+    seeds = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 10)
+        .select("p_partkey")
+    )
+    return bfs_distances(
+        _co_order_edges(spark, sf_dir), seeds, max_hops=3,
+        broadcast_frontier=True,
+    )
+
+
+@query(
     "gini_by_status_orders",
     oracle="""
     WITH c AS (

@@ -407,3 +407,64 @@ class TestLabelPropagation:
         a = sorted(map(tuple, label_propagation(df, 3, broadcast_labels=True).collect()))
         b = sorted(map(tuple, label_propagation(df, 3, broadcast_labels=False).collect()))
         assert a == b
+
+
+class TestBfsDistances:
+    @staticmethod
+    def _brute(edges, seeds, max_hops):
+        from collections import defaultdict, deque
+
+        adj = defaultdict(set)
+        for u, v in edges:
+            if u != v:
+                adj[u].add(v)
+                adj[v].add(u)
+        dist = {s: 0 for s in seeds if s in adj}
+        dq = deque(dist)
+        while dq:
+            n = dq.popleft()
+            if dist[n] >= max_hops:
+                continue
+            for m in adj[n]:
+                if m not in dist:
+                    dist[m] = dist[n] + 1
+                    dq.append(m)
+        return dist
+
+    def _run(self, spark, edges, seeds, max_hops, **kw):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            bfs_distances,
+        )
+
+        e = spark.createDataFrame(
+            [(int(u), int(v)) for u, v in edges], "id_a long, id_b long"
+        )
+        s = spark.createDataFrame([(int(x),) for x in seeds], "id long")
+        got = {
+            r["id"]: r["dist"]
+            for r in bfs_distances(e, s, max_hops=max_hops, **kw).collect()
+        }
+        assert got == self._brute(edges, seeds, max_hops)
+
+    def test_path_with_cap(self, spark):
+        # path 1-..-8, seed 1, cap 3: nodes 5.. unreachable in the output
+        self._run(spark, [(i, i + 1) for i in range(1, 8)], [1], 3)
+
+    def test_multi_source_min(self, spark):
+        # two seeds on one path: distance is the min over sources
+        self._run(spark, [(i, i + 1) for i in range(1, 10)], [1, 9], 4)
+
+    def test_seed_not_in_graph_ignored(self, spark):
+        self._run(spark, [(1, 2), (2, 3)], [1, 99], 5)
+
+    def test_disconnected_component_absent(self, spark):
+        self._run(spark, [(1, 2), (10, 11)], [1], 5)
+
+    def test_hash_join_mode_matches(self, spark):
+        self._run(
+            spark,
+            [(1, 2), (2, 3), (3, 4), (2, 5)],
+            [1],
+            8,
+            broadcast_frontier=False,
+        )
