@@ -377,6 +377,63 @@ def distribution_drift(
     )
 
 
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS trend) with EXACT
+    integer moments: ``x_col`` and ``y_col`` must already be integer
+    columns (callers quantize — epoch days, cents). With the five
+    moments n, Σx, Σy, Σxy, Σx² accumulated as decimal(38,0) (exact —
+    no BIGINT ceiling however large the group; the spearman_pairs
+    overflow lesson applied proactively):
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    Numerator/denominator are exact decimals cast to DOUBLE for ONE
+    division; the intercept pins the IEEE order (Σy − slope·Σx) then
+    /n — the oracle spells the identical expression tree, so both are
+    bit-reproducible. Degenerate groups (constant x → zero
+    denominator) yield NULL slope/intercept rather than ±inf.
+
+    One map-side-combined keyed aggregation — no window, no second
+    pass; scales like any hash agg (skewed group = one reducer key,
+    salt if a single group exceeds an executor). The per-segment
+    trend-line primitive: "is this status's order value drifting up?"
+    """
+    d38 = "decimal(38,0)"
+    x = F.col(x_col).cast(d38)
+    y = F.col(y_col).cast(d38)
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "double"
+    )
+    den = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "double"
+    )
+    slope = F.when(den != 0.0, num / den)
+    intercept = F.when(
+        den != 0.0,
+        (F.col("_sy").cast("double") - (num / den) * F.col("_sx").cast("double"))
+        / F.col("_n").cast("double"),
+    )
+    return m.select(
+        group_col,
+        F.col("_n").cast("long").alias("n_rows"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
 def chi_square_independence(
     df: DataFrame, col_a: str, col_b: str
 ) -> DataFrame:

@@ -33,6 +33,7 @@ _DRIVER_WINDOW = [
     "label_propagation_parts",
     "gini_by_status_orders",
     "bfs_distances_parts",
+    "ols_trend_orders",
     # --- the 42 oracled queries last attested round 7 (oldest cohort) ---
     "disjunctive_brand_revenue",
     "doc_repetition_filter",
@@ -80,7 +81,6 @@ _DRIVER_WINDOW = [
     "array_funcs_orders",
     "big_spenders_vs_nation",
     "count_distinct_having",
-    "cusum_change_events",
 ]
 
 

@@ -3933,6 +3933,56 @@ def bfs_distances_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ols_trend_orders",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderstatus AS g,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders),
+    m AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM b GROUP BY g)
+    SELECT g AS o_orderstatus, CAST(n AS BIGINT) AS n_rows,
+      CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+           THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+      CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0
+           THEN (CAST(sy AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE) END AS intercept
+    FROM m
+    """,
+)
+def ols_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order-value trend line: exact-moment OLS of
+    o_totalprice (integer cents) against the order date (epoch days)
+    per o_orderstatus (operators/stats.py::grouped_ols — decimal(38,0)
+    moments, one keyed aggregation, pinned IEEE slope/intercept
+    expression trees mirrored in the HUGEINT DuckDB twin). The
+    "is this segment drifting?" primitive, bitwise attested."""
+    from ..operators.stats import grouped_ols
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("_x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_y"),
+    )
+    return grouped_ols(o, "o_orderstatus", "_x", "_y")
+
+
+@query(
     "gini_by_status_orders",
     oracle="""
     WITH c AS (
