@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -446,3 +447,31 @@ def test_equi_depth_bucket_barrier_present(spark, sf_dir):
     visible to explain(); the barrier column IS.)"""
     plan = plan_of(REGISTRY["spearman_corr_lineitem"].builder(spark, sf_dir))
     assert "hashpartitioning(_bkt" in plan
+
+
+def test_ols_trend_single_aggregation_pruned_scan(spark, sf_dir):
+    """grouped_ols must be ONE two-phase keyed aggregate: a single
+    Exchange (the final-agg shuffle; AQE may add nothing else), a
+    partial HashAggregate below it (map-side combine of the five
+    decimal moments), no join, no window, and the parquet scan pruned
+    to exactly the two source columns."""
+    plan = plan_of(REGISTRY["ols_trend_orders"].builder(spark, sf_dir))
+    # formatted mode prints each node in the tree AND a detail block
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial + final
+    assert "Join" not in plan and "Window" not in plan
+    assert "o_orderstatus:string,o_totalprice:double" in plan.replace(" ", "")
+
+
+def test_gini_arrow_grouped_map_single_exchange(spark, sf_dir):
+    """applyInArrow Gini: pruned scan -> ONE group Exchange -> sort ->
+    FlatMapGroupsInArrow. Cents quantization must sit BELOW the
+    exchange (computed scan-side, shuffled as a long, not re-derived
+    per group)."""
+    plan = plan_of(REGISTRY["gini_by_status_orders"].builder(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "FlatMapGroupsInArrow" in plan
+    assert "Join" not in plan and "Window" not in plan
+    # cents computed below the shuffle: the Exchange's Input already
+    # carries the quantized long column
+    assert re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*_cents", plan)
