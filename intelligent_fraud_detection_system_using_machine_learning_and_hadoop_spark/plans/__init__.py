@@ -34,6 +34,7 @@ _DRIVER_WINDOW = [
     "gini_by_status_orders",
     "bfs_distances_parts",
     "ols_trend_orders",
+    "streaming_cc_parts",
     # --- the 42 oracled queries last attested round 7 (oldest cohort) ---
     "disjunctive_brand_revenue",
     "doc_repetition_filter",
@@ -80,7 +81,6 @@ _DRIVER_WINDOW = [
     # --- round-8-cohort fill (alphabetically first, last attested r8) ---
     "array_funcs_orders",
     "big_spenders_vs_nation",
-    "count_distinct_having",
 ]
 
 

@@ -3933,6 +3933,38 @@ def bfs_distances_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_cc_parts",
+    oracle="""WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_quantity >= 45 AND b.l_quantity >= 45),
+    bi AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+    reach(a, b) AS (
+      SELECT u, u FROM bi
+      UNION
+      SELECT r.a, bi.v FROM reach r JOIN bi ON r.b = bi.u),
+    cl AS (SELECT a AS id, CAST(min(b) AS BIGINT) AS component
+           FROM reach GROUP BY a)
+    SELECT id, component FROM cl ORDER BY id
+    """,
+)
+def streaming_cc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING graph maintenance (streaming/jobs.py::
+    stream_incremental_cc): connected components of the BULK co-order
+    graph (lines with l_quantity >= 45 — sparser, genuinely
+    multi-component) folded incrementally — each lineitem micro-batch (order-keyed
+    file split, so per-order pair expansion is exact) merges its edges
+    into the running labeling via the contracted-graph trick (the
+    |V|-row star forest IS the state; old edges never re-read). Drained
+    stream ≡ batch CC over all co-order edges, which the min-label
+    recursive-CTE oracle attests value-for-value."""
+    from ..streaming.jobs import stream_incremental_cc
+
+    return stream_incremental_cc(spark, sf_dir)
+
+
+@query(
     "ols_trend_orders",
     oracle="""
     WITH b AS (

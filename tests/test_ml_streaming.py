@@ -682,3 +682,74 @@ def test_foreachbatch_failed_batch_is_retried(spark, sf_dir):
     fold2(ev, 0)  # retry succeeds
     assert st2["last_batch"] == 0
     assert st2["rows"]
+
+
+def test_incremental_cc_fold_contract(spark, sf_dir):
+    """The contracted-graph CC fold: replay of an applied batch is a
+    no-op; a crashed batch is retried (last_batch recorded only after
+    the state update); incremental folding over two halves equals
+    batch CC over the union."""
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        connected_components,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        _make_incremental_cc_fold,
+    )
+
+    def li(rows):
+        return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    # orders: o1={1,2}, o2={2,3} in batch A; o3={10,11}, o4={3,4} in B
+    batch_a = li([(1, 1), (1, 2), (2, 2), (2, 3)])
+    batch_b = li([(3, 10), (3, 11), (4, 3), (4, 4)])
+
+    state = {"rows": [], "last_batch": -1}
+    fold = _make_incremental_cc_fold(spark, state)
+    fold(batch_a, 0)
+    snap = sorted(state["rows"])
+    assert snap  # components {1,2,3}
+    fold(batch_a, 0)  # replay: no-op
+    assert sorted(state["rows"]) == snap
+    fold(batch_b, 1)
+    got = {m: c for c, m in state["rows"]}
+    # batch CC over ALL edges must agree
+    all_edges = (
+        li([(1, 1), (1, 2), (2, 2), (2, 3), (3, 10), (3, 11), (4, 3), (4, 4)])
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.u").alias("id_a"), F.col("p.v").alias("id_b"))
+    )
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(all_edges).collect()
+    }
+    assert got == want  # {1,2,3,4} -> 1 ; {10,11} -> 10
+
+    # crash mid-batch: retry with the same id must redo the work
+    class _Boom(Exception):
+        pass
+
+    class _ExplodingBatch:
+        def groupBy(self, *_a, **_k):
+            raise _Boom("groupBy")
+
+    st2 = {"rows": [], "last_batch": -1}
+    fold2 = _make_incremental_cc_fold(spark, st2)
+    try:
+        fold2(_ExplodingBatch(), 0)
+    except _Boom:
+        pass
+    assert st2["last_batch"] == -1
+    fold2(batch_a, 0)
+    assert st2["last_batch"] == 0 and st2["rows"]
