@@ -9,11 +9,12 @@ Round-10 rotation (VERDICT r9 "Next round" item 1 + the playbook's
 least-recently-attested discipline): the window leads with
 ``entity_resolution_parts`` — the one oracled query never
 driver-attested (it landed in the r9 end-of-round snapshot commit,
-after the r9 window froze) — then the new round-10 oracled queries
-(label propagation communities, the applyInArrow Gini), then ALL 42
-oracled queries whose last driver row is round 7 (the oldest cohort),
-then the alphabetically-first queries of the round-8 cohort to fill
-50. After this round every oracled query has a driver row from r7 or
+after the r9 window froze) — then the five new round-10 oracled
+queries (label propagation communities, the applyInArrow Gini,
+multi-source BFS distances, per-group exact-moment OLS, streaming
+incremental connected components), then ALL 42 oracled queries whose
+last driver row is round 7 (the oldest cohort), then the
+alphabetically-first queries of the round-8 cohort to fill 50. After this round every oracled query has a driver row from r7 or
 later and none is never-attested. Queries outside the window keep
 pytest + local-gate (tools/check_oracle.py) coverage; registry content
 is unchanged — only iteration order moves.
