@@ -377,6 +377,44 @@ def distribution_drift(
     )
 
 
+def dyadic_ewma(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    depth: int = 16,
+) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2 truncated at
+    ``depth`` lags — the classic trend smoother, made BIT-EXACT across
+    engines by construction instead of by order-pinning:
+
+        ewma(t) = Σ_{j=0..depth−1} x_{t−j} · 2^−(j+1)
+
+    over INTEGER inputs (callers quantize to cents). Every weight is
+    dyadic, so each product is an exact double, and with x < 2³⁰ the
+    full sum carries ≤ 30 integer + ``depth`` fractional bits — under
+    the 53-bit mantissa, so EVERY summation order gives the identical
+    exact double. No pinned association, no quantization step: the
+    oracle just writes the same Σ lag(x)·w and equality is bitwise.
+    (Weights sum to 1 − 2^−depth; at depth 16 the deliberate 0.0015%
+    low-bias beats renormalizing, which would break dyadic exactness.)
+
+    Rows with fewer than ``depth`` predecessors in their key get NULL
+    (no partial-window ramp-in ambiguity). One key-partitioned window
+    ordered by ``order_cols`` (callers supply a tiebreaker column so
+    the order — hence lag assignment — is total). ``depth`` chained
+    ``lag`` calls over ONE window frame = a single shuffle, all inside
+    whole-stage codegen; at any scale this is the cheapest possible
+    exact sequential smoother."""
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    x = F.col(value_col).cast("double")
+    terms = [F.lag(x, j).over(w) * F.lit(2.0 ** -(j + 1)) for j in range(depth)]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t  # any association is exact — see docstring
+    return df.withColumn("ewma", total)
+
+
 def grouped_ols(
     df: DataFrame,
     group_col: str,

@@ -9,10 +9,10 @@ Round-10 rotation (VERDICT r9 "Next round" item 1 + the playbook's
 least-recently-attested discipline): the window leads with
 ``entity_resolution_parts`` — the one oracled query never
 driver-attested (it landed in the r9 end-of-round snapshot commit,
-after the r9 window froze) — then the five new round-10 oracled
+after the r9 window froze) — then the six new round-10 oracled
 queries (label propagation communities, the applyInArrow Gini,
 multi-source BFS distances, per-group exact-moment OLS, streaming
-incremental connected components), then ALL 42 oracled queries whose
+incremental connected components, dyadic EWMA smoothing), then ALL 42 oracled queries whose
 last driver row is round 7 (the oldest cohort), then the
 alphabetically-first queries of the round-8 cohort to fill 50. After this round every oracled query has a driver row from r7 or
 later and none is never-attested. Queries outside the window keep
@@ -36,6 +36,7 @@ _DRIVER_WINDOW = [
     "bfs_distances_parts",
     "ols_trend_orders",
     "streaming_cc_parts",
+    "ewma_events",
     # --- the 42 oracled queries last attested round 7 (oldest cohort) ---
     "disjunctive_brand_revenue",
     "doc_repetition_filter",
@@ -81,7 +82,6 @@ _DRIVER_WINDOW = [
     "zorder_key_orders",
     # --- round-8-cohort fill (alphabetically first, last attested r8) ---
     "array_funcs_orders",
-    "big_spenders_vs_nation",
 ]
 
 

@@ -3964,6 +3964,52 @@ def streaming_cc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_incremental_cc(spark, sf_dir)
 
 
+def _ewma_oracle_sql(depth: int = 16) -> str:
+    """DuckDB twin of dyadic_ewma over events: the identical
+    Σ lag(cents, j)·2^−(j+1) — dyadic weights as exact round-trip
+    float literals, so equality is bitwise with NO pinned association
+    (every summation order is exact; see operators/stats.py)."""
+    # exponent-form literals: DuckDB parses plain decimal literals
+    # (e.g. 0.001953125) as DECIMAL and does decimal arithmetic —
+    # last-ulp drift vs the double path. 17 significant digits with an
+    # exponent always parse as DOUBLE and round-trip the dyadic weight
+    # exactly.
+    terms = " + ".join(
+        f"lag(cents, {j}) OVER w * {2.0 ** -(j + 1):.17e}" for j in range(depth)
+    )
+    return f"""
+    WITH b AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents, ts
+      FROM events)
+    SELECT event_id, event_type, cents, {terms} AS ewma
+    FROM b
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """
+
+
+@query("ewma_events", oracle=_ewma_oracle_sql(16))
+def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exponential smoothing of the value series
+    (operators/stats.py::dyadic_ewma — α=1/2 truncated at 16 lags,
+    dyadic weights ⇒ bit-exact doubles under ANY summation order, one
+    key-partitioned window, whole-stage codegen throughout). Rows with
+    fewer than 16 predecessors are NULL by design. The trend-smoother
+    member of the time-series family (beside seasonal decomposition,
+    CUSUM and LOCF resampling), attested value-for-value."""
+    from ..operators.stats import dyadic_ewma
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+    )
+    return dyadic_ewma(e, "event_type", ["ts", "event_id"], "cents").select(
+        "event_id", "event_type", "cents", "ewma"
+    )
+
+
 @query(
     "ols_trend_orders",
     oracle="""
