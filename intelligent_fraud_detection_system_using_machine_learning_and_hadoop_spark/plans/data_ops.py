@@ -3375,6 +3375,10 @@ def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):
             e.write.mode("overwrite").parquet(dest)
+        # NOTE deliberately no sibling pruning: several datasets (the
+        # three gate scales + sf1) are live at once and fingerprints
+        # can't tell a stale generation from a sibling scale; dirs are
+        # MBs and bounded by the dataset count.
         return spark.read.parquet(dest)
     except Exception:
         return shared_cache(plan_key("co_order_edges", e), e)
