@@ -140,6 +140,8 @@ def main() -> None:
             "stat": "per_query_min",
             "reps": reps,
             "probe_sec": probe_sec,
+            # total / probe: the contention-invariant cross-round number
+            "total_over_probe": round(total / probe_sec, 1),
         },
         separators=(",", ":"),
     )
