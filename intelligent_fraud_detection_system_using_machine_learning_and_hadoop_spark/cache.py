@@ -85,3 +85,26 @@ def plan_key(base: str, df: DataFrame) -> str:
     except Exception:  # non-JVM frames (connect, mocks): fall back
         h = "na"
     return f"{base}:{h}"
+
+
+def dataset_fingerprint(path: str) -> str:
+    """Content fingerprint of an on-disk dataset (file or parquet dir):
+    md5 of every file's name+size+mtime_ns. Cache keys derived from a
+    dataset path MUST include this — a path alone goes stale when the
+    dataset is regenerated in place (testdata_sf1/sf3 are generated
+    artifacts), silently reusing an intermediate computed on old data
+    (ADVICE r10, streaming stream-source cache). Raises OSError if the
+    path is unreadable so callers choose their own fallback."""
+    import hashlib
+    import os
+
+    sig = hashlib.md5()
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
+    else:
+        st = os.stat(path)
+        sig.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return sig.hexdigest()

@@ -62,12 +62,17 @@ def grouped_gini(
     def _gini(table: pa.Table) -> pa.Table:
         cents = np.sort(table.column("_cents").to_numpy(zero_copy_only=False))
         n = int(cents.size)
-        s = int(cents.sum())
-        # int64 dot bound: W ≤ n·(n+1)/2·max_cents. Guard with headroom.
-        if n and (n * (n + 1) // 2) * int(cents[-1]) < 2**62:
+        # Both Σx and the dot can wrap int64 silently; bound BOTH with
+        # the absolute max (negative values overflow too) and fall back
+        # to exact Python ints past the guard.
+        abs_max = int(max(abs(int(cents[0])), abs(int(cents[-1])))) if n else 0
+        if n and n * abs_max < 2**62 and (n * (n + 1) // 2) * abs_max < 2**62:
+            s = int(cents.sum())
             w = int(np.dot(np.arange(1, n + 1, dtype=np.int64), cents))
         else:  # exact big-int fallback
-            w = sum(i * int(x) for i, x in enumerate(cents.tolist(), 1))
+            vals = [int(x) for x in cents.tolist()]
+            s = sum(vals)
+            w = sum(i * x for i, x in enumerate(vals, 1))
         num = 2 * w - (n + 1) * s
         den = n * s
         gini = float(num) / float(den) if den else None
@@ -83,5 +88,6 @@ def grouped_gini(
     cents = df.select(
         group_col,
         F.round(F.col(value_col) * scale).cast("long").alias("_cents"),
-    )
+    ).filter(F.col("_cents").isNotNull())  # SQL-agg null semantics: nulls
+    # don't participate (a NaN would poison the numpy sum/sort).
     return cents.groupBy(group_col).applyInArrow(_gini, schema=out_schema)

@@ -24,8 +24,11 @@ Here ranks are computed distributedly, exactly:
 
 With centered ranks c = r2 − (n+1) (Σc = 0 exactly), Spearman is
 Pearson on ranks: rho = Σc_x·c_y / sqrt(Σc_x² · Σc_y²) — the sums are
-exact BIGINTs (order-independent on any partitioning), and the final
-three operations (BIGINT→DOUBLE casts, one multiply, one sqrt, one
+exact DECIMALs (Σ rank² ≈ 4n³ overflows BIGINT past n≈1.3e6, found by
+the sf1 scaling run; decimal→double rounds identically to
+bigint→double so the oracle's BIGINT/HUGEINT twins stay bitwise at
+gate scales), order-independent on any partitioning, and the final
+three operations (exact→DOUBLE casts, one multiply, one sqrt, one
 divide) are correctly-rounded IEEE, so any engine reproduces the float
 bit-for-bit. No approximation anywhere: this is the exact tie-adjusted
 Spearman, just computed in a shuffle-bounded shape.
@@ -424,9 +427,12 @@ def grouped_ols(
     """Per-group simple linear regression (OLS trend) with EXACT
     integer moments: ``x_col`` and ``y_col`` must already be integer
     columns (callers quantize — epoch days, cents). With the five
-    moments n, Σx, Σy, Σxy, Σx² accumulated as decimal(38,0) (exact —
-    no BIGINT ceiling however large the group; the spearman_pairs
-    overflow lesson applied proactively):
+    moments n, Σx, Σy, Σxy, Σx² accumulated as decimal(38,0). Exact
+    for the documented domains (epoch days ≈ 10⁴, cents ≲ 10¹³: the
+    largest product fits 26 digits, leaving ≥10¹² rows of summation
+    headroom before the 38-digit cap — far past BIGINT's n≈10⁵ ceiling
+    on Σx²; NOT unconditionally unbounded, since Spark caps decimal
+    arithmetic at precision 38):
 
         slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
         intercept = (Σy − slope·Σx) / n
@@ -443,8 +449,11 @@ def grouped_ols(
     trend-line primitive: "is this status's order value drifting up?"
     """
     d38 = "decimal(38,0)"
-    x = F.col(x_col).cast(d38)
-    y = F.col(y_col).cast(d38)
+    # Inputs at decimal(18,0), not 38: an 18×18-digit product fits
+    # decimal(37,0) EXACTLY (38,0×38,0 would hit Spark's precision-38
+    # cap and could overflow to null under the old cast — ADVICE r10).
+    x = F.col(x_col).cast("decimal(18,0)")
+    y = F.col(y_col).cast("decimal(18,0)")
     m = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast(d38).alias("_n"),
         F.sum(x).alias("_sx"),

@@ -3331,7 +3331,6 @@ def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-run cache isolation honestly — the build is data prep, the
     scan is the query. Falls back to an in-session bounded cache
     (``shared_cache``) if the warehouse dir is unwritable."""
-    import hashlib
     import os
 
     from ..cache import plan_key, shared_cache
@@ -3353,24 +3352,18 @@ def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sig = hashlib.md5()
+    from ..cache import dataset_fingerprint
+
     li_path = os.path.join(sf_dir, "lineitem.parquet")
     try:
-        if os.path.isdir(li_path):
-            for root, _dirs, files in sorted(os.walk(li_path)):
-                for f in sorted(files):
-                    st = os.stat(os.path.join(root, f))
-                    sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
-        else:
-            st = os.stat(li_path)
-            sig.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        fp = dataset_fingerprint(li_path)
     except OSError:
         return shared_cache(plan_key("co_order_edges", e), e)
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     dest = os.path.join(
-        repo_root, "spark-warehouse", "co_order_edges", sig.hexdigest()
+        repo_root, "spark-warehouse", "co_order_edges", fp
     )
     try:
         if not os.path.exists(os.path.join(dest, "_SUCCESS")):

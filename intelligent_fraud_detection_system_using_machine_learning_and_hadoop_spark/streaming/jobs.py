@@ -1029,7 +1029,18 @@ def _lineitem_multifile_by_order_dir(
     import hashlib
     import tempfile
 
-    key = hashlib.md5(f"{sf_dir}:{n_files}:{min_qty}:v2".encode()).hexdigest()[:10]
+    from ..cache import dataset_fingerprint
+
+    # Content fingerprint, not just the path: a regenerated dataset at
+    # the same path must never reuse the stale stream source (ADVICE
+    # r10 — the _co_order_edges discipline, shared helper).
+    try:
+        fp = dataset_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+    except OSError:
+        fp = "nofp"
+    key = hashlib.md5(
+        f"{sf_dir}:{n_files}:{min_qty}:{fp}:v2".encode()
+    ).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"ifds_lineitem_stream_{key}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
