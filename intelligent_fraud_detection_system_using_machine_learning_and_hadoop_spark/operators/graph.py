@@ -483,6 +483,7 @@ def k_core(
     dst: str = "id_b",
     max_rounds: int = 64,
     broadcast_nodes: bool = False,
+    rounds: int | None = None,
 ) -> DataFrame:
     """The k-core of an undirected graph: the maximal subgraph in which
     every node has degree ≥ k — the standard density filter for
@@ -516,9 +517,23 @@ def k_core(
     joins hash-partition, still frontier-proportional).
 
     Returns (id, core_degree) for every node of the k-core, with its
-    degree INSIDE the core. No SQL oracle (iterative fixed point — the
-    driver records a rows-only check); semantics are pinned by a
-    brute-force peeling differential in tests/test_graph.py.
+    degree INSIDE the core.
+
+    ``rounds`` switches to the BOUNDED SYNCHRONOUS schedule (the
+    label_propagation discipline that makes a SQL value oracle
+    possible): run exactly ``rounds`` peel rounds — each round removes
+    ALL nodes with current degree < k simultaneously and maintains
+    induced degrees — and return every survivor with its maintained
+    degree, convergence NOT required. The result after R rounds is a
+    well-defined function of the edge set that DuckDB replays as R
+    chained CTEs (re-deriving each round's induced-subgraph degrees,
+    keeping 0-degree survivors — exactly this loop's state). Once the
+    frontier empties, remaining rounds are no-ops on BOTH sides, so
+    any R ≥ the peel depth yields the true k-core; the early break
+    keeps Spark's cost at the peel depth. ``rounds=None`` keeps the
+    run-to-convergence contract (raise past ``max_rounds``; semantics
+    additionally pinned by the brute-force peeling differential in
+    tests/test_graph.py).
     """
     e = _canonical(
         edges.select(
@@ -531,9 +546,11 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    converged = False
+    for _ in range(rounds if rounds is not None else max_rounds):
         frontier = deg.where(F.col("deg") < k).select("u")
         if frontier.isEmpty():
+            converged = True
             break
         fb = F.broadcast(frontier) if broadcast_nodes else frontier
         # per node: how many of its edges end in THIS round's frontier.
@@ -564,11 +581,13 @@ def k_core(
             )
             .localCheckpoint(eager=True)
         )
-    else:
-        raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
-    return deg.where(F.col("deg") >= k).select(
-        F.col("u").alias("id"), F.col("deg").alias("core_degree")
-    )
+    if rounds is None:
+        if not converged:
+            raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+        deg = deg.where(F.col("deg") >= k)
+    # bounded mode: survivors as-is (deg < k only possible pre-
+    # convergence; the oracle replays the identical truncated state)
+    return deg.select(F.col("u").alias("id"), F.col("deg").alias("core_degree"))
 
 
 def label_propagation(
