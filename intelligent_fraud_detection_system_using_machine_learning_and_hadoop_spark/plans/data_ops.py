@@ -3975,6 +3975,99 @@ def bfs_distances_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sssp_oracle_sql(rounds: int) -> str:
+    """DuckDB twin of operators/graph.py::shortest_paths — the fixed
+    synchronous Bellman-Ford relaxation unrolled as ``rounds`` chained
+    CTEs over the rarity-weighted co-order graph. Round i re-derives
+    the full min-combine d_i(v) = min(d_{i-1}(v), min_u d_{i-1}(u)+w);
+    Spark's frontier optimization yields the identical per-round state
+    (re-relaxing an unimproved node is a no-op under min). MATERIALIZED
+    to stop DuckDB's CTE inlining from re-expanding the chain (the
+    k_core oracle lesson)."""
+    ctes = [
+        "lp AS MATERIALIZED "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """we AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(100 - least(count(*), 99) AS BIGINT) AS wt
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )""",
+        "bi AS MATERIALIZED "
+        "(SELECT u, v, wt FROM we UNION ALL SELECT v AS u, u AS v, wt FROM we)",
+        """d0 AS MATERIALIZED (
+      SELECT DISTINCT CAST(p.p_partkey AS BIGINT) AS id,
+             CAST(0 AS BIGINT) AS dist
+      FROM part p JOIN bi ON bi.u = p.p_partkey WHERE p.p_partkey < 10
+    )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT id, dist FROM d{i - 1}
+        UNION ALL
+        SELECT bi.v AS id, d.dist + bi.wt AS dist
+        FROM d{i - 1} d JOIN bi ON bi.u = d.id
+      ) GROUP BY id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT id, dist FROM d{rounds}"
+    )
+
+
+@query("shortest_paths_parts", oracle=_sssp_oracle_sql(6), bench=True)
+def shortest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #7, completing the suite's one missing
+    primitive (VERDICT r10 item 5): multi-source WEIGHTED shortest
+    paths (operators/graph.py::shortest_paths — bounded-round frontier
+    Bellman-Ford, 6 rounds, per-round keyed min-aggs, pre-partitioned
+    bidirected edges, eager checkpoints) from the seed set
+    {p_partkey < 10} on the co-order graph weighted by co-purchase
+    RARITY: wt = 100 − least(co_order_count, 99) ∈ [1, 99], an exact
+    data-derived integer so every path sum is an exact BIGINT. The
+    "cheapest route to a known-bad entity" primitive. Full-value
+    oracle: the fixed synchronous schedule replayed as 6 unrolled
+    min-combine CTEs — every (id, dist) row must match."""
+    from ..operators.graph import shortest_paths
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+    )
+    edges = pairs.groupBy("u", "v").agg(
+        (F.lit(100) - F.least(F.count(F.lit(1)), F.lit(99)))
+        .cast("long")
+        .alias("w")
+    )
+    seeds = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 10)
+        .select("p_partkey")
+    )
+    return shortest_paths(
+        edges, seeds, rounds=6, src="u", dst="v", weight="w",
+        broadcast_frontier=True,
+    )
+
+
 @query(
     "streaming_cc_parts",
     oracle="""WITH RECURSIVE e AS (

@@ -468,3 +468,112 @@ class TestBfsDistances:
             8,
             broadcast_frontier=False,
         )
+
+
+class TestShortestPaths:
+    """Differential: bounded-round Bellman-Ford vs a brute-force
+    Python replay of the synchronous relaxation (plus a seeded random
+    graph where the bound exceeds the diameter, so the result is the
+    true Dijkstra SSSP)."""
+
+    @staticmethod
+    def _brute(edges, seeds, rounds):
+        # synchronous relaxation, exactly the documented schedule
+        adj = {}
+        for u, v, w in edges:
+            if u == v:
+                continue
+            a, b = (u, v) if u < v else (v, u)
+            key = (a, b)
+            adj[key] = min(adj.get(key, w), w)
+        nodes = {x for k in adj for x in k}
+        dist = {s: 0 for s in seeds if s in nodes}
+        for _ in range(rounds):
+            nd = dict(dist)
+            for (a, b), w in adj.items():
+                if a in dist and dist[a] + w < nd.get(b, float("inf")):
+                    nd[b] = dist[a] + w
+                if b in dist and dist[b] + w < nd.get(a, float("inf")):
+                    nd[a] = dist[b] + w
+            if nd == dist:
+                break
+            dist = nd
+        return dist
+
+    def _run(self, spark, edges, seeds, rounds, **kw):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            shortest_paths,
+        )
+
+        e = spark.createDataFrame(
+            [(int(u), int(v), int(w)) for u, v, w in edges],
+            "id_a long, id_b long, w long",
+        )
+        s = spark.createDataFrame([(int(x),) for x in seeds], "id long")
+        got = {
+            r["id"]: r["dist"]
+            for r in shortest_paths(e, s, rounds=rounds, **kw).collect()
+        }
+        assert got == self._brute(edges, seeds, rounds)
+
+    def test_weighted_beats_hop_count(self, spark):
+        # direct edge 1-4 costs 10; the 3-hop detour costs 3: the
+        # weighted answer must take the detour (hop-BFS would not)
+        edges = [(1, 4, 10), (1, 2, 1), (2, 3, 1), (3, 4, 1)]
+        self._run(spark, edges, [1], 6)
+
+    def test_round_bound_truncates(self, spark):
+        # path of weight-1 edges, 2 rounds: nodes beyond 2 hops absent
+        edges = [(i, i + 1, 1) for i in range(1, 8)]
+        self._run(spark, edges, [1], 2)
+
+    def test_multi_source_and_parallel_edges(self, spark):
+        # parallel edges keep min weight; two seeds compete
+        edges = [(1, 2, 5), (2, 1, 3), (2, 3, 4), (3, 4, 1), (4, 5, 9)]
+        self._run(spark, edges, [1, 5], 6)
+
+    def test_seed_not_in_graph_ignored(self, spark):
+        self._run(spark, [(1, 2, 7)], [1, 42], 4)
+
+    def test_random_graph_matches_dijkstra(self, spark):
+        import heapq
+        import random
+
+        rng = random.Random(11)
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n), rng.randrange(1, 20))
+            for _ in range(80)
+        ]
+        edges = [(u, v, w) for u, v, w in edges if u != v]
+        seeds = [0, 7]
+        # rounds=n exceeds any shortest-path hop count -> true SSSP;
+        # verify against Dijkstra, not the relaxation replay
+        adj = {}
+        for u, v, w in edges:
+            adj.setdefault(u, []).append((v, w))
+            adj.setdefault(v, []).append((u, w))
+        dist = {s: 0 for s in seeds if s in adj}
+        pq = [(0, s) for s in dist]
+        heapq.heapify(pq)
+        seen = set()
+        while pq:
+            d, x = heapq.heappop(pq)
+            if x in seen:
+                continue
+            seen.add(x)
+            for y, w in adj.get(x, []):
+                if d + w < dist.get(y, float("inf")):
+                    dist[y] = d + w
+                    heapq.heappush(pq, (d + w, y))
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            shortest_paths,
+        )
+
+        e = spark.createDataFrame(edges, "id_a long, id_b long, w long")
+        s = spark.createDataFrame([(x,) for x in seeds], "id long")
+        got = {
+            r["id"]: r["dist"]
+            for r in shortest_paths(e, s, rounds=n).collect()
+        }
+        assert got == dist
