@@ -299,6 +299,34 @@ def streaming_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_left_outer_click_purchase",
+    oracle=f"""
+    WITH {{events_us}},
+    c AS (SELECT user_id, event_id, ts FROM events_us WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events_us WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c LEFT JOIN p ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """.format(events_us=_EVENTS_US),
+)
+def streaming_left_outer_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9's missing join flavor (VERDICT r10 item 6): stream-stream
+    LEFT OUTER join with watermark null-emission — unmatched clicks
+    emit a NULL purchase_id once the watermark proves no match can
+    arrive. Null emission needs a batch AFTER the watermark advance, so
+    the job stages both sides as ordered 3-file sources whose two
+    far-future sentinel batches advance the (min-across-inputs) global
+    watermark and trigger the eviction scan (streaming/jobs.py::
+    stream_stream_click_purchase_left_outer). The drained result equals
+    the batch LEFT interval join exactly, which this oracle attests."""
+    from ..streaming.jobs import stream_stream_click_purchase_left_outer
+
+    return stream_stream_click_purchase_left_outer(spark, sf_dir)
+
+
+@query(
     "streaming_static_enrich",
     oracle="""
     SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment

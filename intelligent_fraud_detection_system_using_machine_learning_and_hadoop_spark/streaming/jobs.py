@@ -619,6 +619,169 @@ def stream_stream_click_purchase(
     return spark.table(name)
 
 
+def _sentinel_staged_dir(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    side: str,
+    sentinel_ts: list,
+) -> str:
+    """Materialize a (user_id, event_id, ts) frame as an ORDERED
+    multi-file stream source: file 00 = all real rows, then one
+    single-row sentinel file per ``sentinel_ts`` (user_id/event_id
+    = −1). Lexicographic names + strictly increasing mtimes pin the
+    FileStreamSource pickup order, so ``maxFilesPerTrigger=1`` yields
+    one deterministic micro-batch per file. Keyed by the dataset
+    content fingerprint (stale-regeneration-proof)."""
+    import glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..cache import dataset_fingerprint
+
+    try:
+        fp = dataset_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        fp = "nofp"
+    sig = hashlib.md5(
+        f"{sf_dir}:{side}:{sentinel_ts}:{fp}:v1".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ifds_ssjoin_{side}_{sig}")
+    if os.path.exists(os.path.join(out, "_READY")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    def _write_one(frame: DataFrame, name: str, mtime: float) -> None:
+        tmp = out + "__tmp"
+        frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(out, name)
+        shutil.copy(part, dest)
+        shutil.rmtree(tmp)
+        os.utime(dest, (mtime, mtime))
+
+    base = 1_000_000_000.0  # fixed epoch so reruns are deterministic
+    _write_one(df, "00.parquet", base)
+    for i, ts in enumerate(sentinel_ts, 1):
+        sent = spark.createDataFrame(
+            [(-1, -1, ts)], "user_id long, event_id long, ts timestamp"
+        )
+        _write_one(sent, f"{i:02d}.parquet", base + 60 * i)
+    with open(os.path.join(out, "_READY"), "w"):
+        pass
+    return out
+
+
+def stream_stream_click_purchase_left_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM LEFT OUTER join with watermark null-emission — the
+    one join flavor the inner variant above doesn't cover: every click
+    joined to same-user purchases within ``within`` after it, and
+    clicks with NO such purchase emitted with a NULL purchase_id once
+    the watermark proves no match can still arrive.
+
+    Structured Streaming emits an outer join's null rows only when a
+    LATER micro-batch's watermark expires the row's state — measured
+    here on a single-batch availableNow drain: unmatched rows are
+    silently withheld (the watermark advances at end-of-batch N but the
+    eviction scan runs in batch N+1, which never comes). The job
+    therefore stages each side as an ordered 3-file source
+    (``maxFilesPerTrigger=1``): batch 1 = all real rows (every match
+    happens here), batches 2-3 = single far-future sentinel rows on
+    BOTH sides — both, because the global watermark is the MIN across
+    watermarked inputs, so one stuck side pins it. Batch 2's sentinels
+    advance the watermark past every real click's expiry; batch 3's
+    eviction scan then flushes every real unmatched click. Sentinels
+    (negative ids) are filtered from the result; the sentinel rows'
+    own state dies with the drained query. The drained result is
+    therefore EXACTLY the batch left interval join, which the DuckDB
+    oracle attests — matched rows once per match, unmatched rows once
+    with NULL.
+
+    At cluster scale this is the standard pattern: a live deployment's
+    watermark advances from ordinary data flow and emits outer rows
+    continuously with bounded state (clicks older than
+    watermark − ``within`` are evicted); the sentinel staging is only
+    how a FINITE drain reproduces that steady-state semantics."""
+    from ..sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    bounds = ev.agg(F.max("ts").alias("mx")).collect()[0]
+    import datetime
+
+    mx = bounds["mx"]
+    # sentinel 1 must clear every real click's expiry:
+    # wm_after_b2 = S1 − watermark > max_ts + within  (margins below)
+    s1 = mx + datetime.timedelta(hours=4)
+    s2 = mx + datetime.timedelta(hours=8)
+    clicks_dir = _sentinel_staged_dir(
+        spark,
+        ev.where(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        ),
+        sf_dir,
+        "clicks",
+        [s1, s2],
+    )
+    purch_dir = _sentinel_staged_dir(
+        spark,
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        ),
+        sf_dir,
+        "purchases",
+        [s1, s2],
+    )
+    schema = "user_id long, event_id long, ts timestamp"
+    clicks = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(clicks_dir)
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(purch_dir)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+        "left_outer",
+    ).select("click_id", "purchase_id")
+    name = f"ss_louter_sink_{next(_sink_ids)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).where(F.col("click_id") >= 0)
+
+
 def stream_static_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-STATIC enrichment join (§2.9): every event in the stream
     joined against the static customer dimension. Stateless — no
