@@ -226,26 +226,9 @@ def _signatures_from_shingled(
     )
 
 
-def minhash_near_dup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash-LSH candidate pairs, verified with exact Jaccard.
-
-    bands×rows = num_hashes; with 16 bands of 4 rows, a pair at
-    Jaccard j collides with prob 1-(1-j⁴)¹⁶ (≈0.99 at j=0.7). The
-    exact-Jaccard verify join gives precision 1 — output only contains
-    true ≥threshold pairs; LSH only bounds recall. At 100 TB only
-    same-bucket candidates shuffle, never all pairs.
-    """
-    rows_per_band = num_hashes // bands
-    s = _shingled_cached(df, id_col, text_col, n)
-    sig = _signatures_from_shingled(s, num_hashes)
+def _lsh_buckets(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(_id, band, bucket) membership rows from MinHash signatures —
+    one xxhash64 over each band's signature slice."""
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -255,9 +238,82 @@ def minhash_near_dup_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
+    return sig.select(
         "_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _drop_hot_shingles(s: DataFrame, max_shingle_df: int) -> DataFrame:
+    """Remove shingles whose document frequency exceeds
+    ``max_shingle_df`` from every document's shingle set — the Zipf
+    head is a small broadcastable list (the ngram_jaccard hot-shingle
+    discipline), so this is one keyed count plus a map-side
+    array_except."""
+    hot = (
+        s.select(F.explode("_sh").alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_shingle_df)
+        .agg(F.collect_list("_g").alias("_hot"))
+    )
+    return s.crossJoin(F.broadcast(hot)).select(
+        "_id", F.array_except("_sh", "_hot").alias("_sh")
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard.
+
+    bands×rows = num_hashes; with 16 bands of 4 rows, a pair at
+    Jaccard j collides with prob 1-(1-j⁴)¹⁶ (≈0.99 at j=0.7). The
+    exact-Jaccard verify join gives precision 1 — output only contains
+    true ≥threshold pairs; LSH only bounds recall. At 100 TB only
+    same-bucket candidates shuffle, never all pairs.
+
+    Two OPTIONAL low-entropy-corpus safeguards (VERDICT r10: the sf3
+    scaling run measured ~n² PAIR OUTPUT on a 31-word-vocab corpus —
+    the banding was fine, the true-pair density wasn't; a real 100 TB
+    run on boilerplate-heavy data hits the same wall). Both default
+    off, so default output is unchanged:
+
+    * ``max_bucket_size`` — per-(band,bucket) candidate ceiling: only
+      the ``max_bucket_size`` smallest doc ids in a bucket generate
+      pairs (deterministic truncation; a size-m bucket emits
+      C(cap,2) instead of C(m,2) candidates). Bounds candidate AND
+      true-pair output; costs recall only on pairs whose every shared
+      band is oversubscribed. Audit what was dropped with
+      :func:`minhash_bucket_report`.
+    * ``max_shingle_df`` — document-frequency ceiling on shingles:
+      shingles appearing in more than this many docs are removed from
+      every shingle set before signatures AND exact verify (Jaccard is
+      then over the reduced space — boilerplate stops gluing unrelated
+      docs into one bucket). The standard stop-shingle practice.
+    """
+    rows_per_band = num_hashes // bands
+    s = _shingled_cached(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        s = _drop_hot_shingles(s, max_shingle_df)
+    sig = _signatures_from_shingled(s, num_hashes)
+    buckets = _lsh_buckets(sig, bands, rows_per_band)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy("_id")
+        buckets = (
+            buckets.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -287,6 +343,60 @@ def minhash_near_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_bucket_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """The EXPLICIT truncation report companion to
+    :func:`minhash_near_dup_pairs` run with the same parameters: one
+    row per (band, bucket) with ``n_docs``, ``truncated`` (would the
+    ``max_bucket_size`` ceiling bite), ``n_docs_dropped`` and
+    ``n_pairs_dropped`` (C(m,2) − C(cap,2)). A silent cap reads as
+    "covered everything" when it didn't — run this next to any capped
+    dedup pass and publish the totals. One keyed count over the bucket
+    membership rows; no pair expansion."""
+    rows_per_band = num_hashes // bands
+    s = _shingled_cached(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        s = _drop_hot_shingles(s, max_shingle_df)
+    sig = _signatures_from_shingled(s, num_hashes)
+    counts = (
+        _lsh_buckets(sig, bands, rows_per_band)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    cap = F.lit(max_bucket_size).cast("long") if max_bucket_size is not None else None
+    if cap is None:
+        return counts.select(
+            "band",
+            "bucket",
+            "n_docs",
+            F.lit(False).alias("truncated"),
+            F.lit(0).cast("long").alias("n_docs_dropped"),
+            F.lit(0).cast("long").alias("n_pairs_dropped"),
+        )
+    kept = F.least(F.col("n_docs"), cap)
+    pairs = lambda m: (m * (m - F.lit(1).cast("long"))) / F.lit(2)  # noqa: E731
+    return counts.select(
+        "band",
+        "bucket",
+        "n_docs",
+        (F.col("n_docs") > cap).alias("truncated"),
+        F.greatest(F.col("n_docs") - cap, F.lit(0).cast("long")).alias(
+            "n_docs_dropped"
+        ),
+        (pairs(F.col("n_docs")) - pairs(kept)).cast("long").alias(
+            "n_pairs_dropped"
+        ),
     )
 
 

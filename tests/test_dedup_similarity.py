@@ -366,3 +366,102 @@ def test_ivf_index_roundtrip_recall_and_pruning(spark, sf_dir, tmp_path):
     assert hits and all(
         r["cos_sim"] == exact_scores[(r["query_id"], r["vec_id"])] for r in hits
     )
+
+
+class TestMinhashPairCap:
+    """VERDICT r10 item 4: the low-entropy-corpus safeguards. A tiny
+    vocabulary makes true near-dup pair density ~n² (the measured sf3
+    canonical_dedup blowup); the per-(band,bucket) ceiling must bound
+    pair OUTPUT, stay a strict subset of the uncapped result, default
+    to off, and report its truncation explicitly."""
+
+    @staticmethod
+    def _low_entropy_docs(spark, n_docs=40):
+        # every doc drawn from a 4-word vocab -> everything near-dups
+        words = ["alpha", "beta", "gamma", "delta"]
+        rows = [
+            (i, " ".join(words[(i + j) % 4] for j in range(12)))
+            for i in range(n_docs)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cap_off_is_identity(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+            minhash_near_dup_pairs,
+        )
+
+        docs = self._low_entropy_docs(spark)
+        base = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_near_dup_pairs(docs, threshold=0.3).collect()
+        }
+        explicit_off = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_near_dup_pairs(
+                docs, threshold=0.3, max_bucket_size=None, max_shingle_df=None
+            ).collect()
+        }
+        assert base == explicit_off and base
+
+    def test_cap_bounds_output_and_is_subset(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+            minhash_near_dup_pairs,
+        )
+
+        docs = self._low_entropy_docs(spark)
+        cap = 5
+        uncapped = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_near_dup_pairs(docs, threshold=0.3).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_near_dup_pairs(
+                docs, threshold=0.3, max_bucket_size=cap
+            ).collect()
+        }
+        assert capped <= uncapped
+        # hard output bound: <= bands * C(cap, 2) distinct pairs
+        assert len(capped) <= 16 * cap * (cap - 1) // 2
+        assert len(capped) < len(uncapped)  # the ceiling actually bit
+
+    def test_truncation_report_arithmetic(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+            minhash_bucket_report,
+        )
+
+        docs = self._low_entropy_docs(spark)
+        cap = 5
+        rep = minhash_bucket_report(docs, max_bucket_size=cap).collect()
+        assert any(r["truncated"] for r in rep)
+        for r in rep:
+            m, dropped, pd = r["n_docs"], r["n_docs_dropped"], r["n_pairs_dropped"]
+            assert r["truncated"] == (m > cap)
+            assert dropped == max(m - cap, 0)
+            kept = min(m, cap)
+            assert pd == m * (m - 1) // 2 - kept * (kept - 1) // 2
+        # and with no cap the report is all-clear
+        clear = minhash_bucket_report(docs).collect()
+        assert all(
+            not r["truncated"] and r["n_pairs_dropped"] == 0 for r in clear
+        )
+
+    def test_stop_shingle_cutoff_unglues_boilerplate(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.dedup import (
+            minhash_near_dup_pairs,
+        )
+
+        # docs 1-6 share ONLY a long boilerplate footer that dominates
+        # the shingle set; unique short bodies otherwise. With the
+        # footer shingles df-dropped, nothing pairs.
+        footer = " ".join(f"boilerplate{w} footer{w} legal{w}" for w in range(10))
+        rows = [
+            (i, f"unique body {i} zig{i} zag{i} " + footer)
+            for i in range(1, 7)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        glued = minhash_near_dup_pairs(docs, threshold=0.3).count()
+        unglued = minhash_near_dup_pairs(
+            docs, threshold=0.3, max_shingle_df=3
+        ).count()
+        assert glued > 0 and unglued == 0
