@@ -41,6 +41,50 @@ def _canonical(e: DataFrame) -> DataFrame:
     )
 
 
+#: Measured checkpoint-stat bytes per ~250k two-long edge rows (the
+#: optimizer reports ~3.7 B/row for materialized long-pair frames);
+#: one partition per this many bytes reproduces the sf3 sweet spot
+#: (72M bidirected rows ≈ 268 MB ≈ 268 partitions vs the measured
+#: optimum 256).
+_CKPT_BYTES_PER_PARTITION = 1 << 20
+
+
+def _sized_partitions_ckpt(df: DataFrame, scale: float = 1.0, cap: int = 2048):
+    """FREE shuffle-width estimate for an eagerly localCheckpointed
+    frame: the optimizer's measured ``sizeInBytes`` of the
+    materialized RDD (13 ms, no job — a count() cost 0.4-0.8 s per
+    operator at sf0.1, visible in the bench). ``scale`` adjusts for
+    derived frames (e.g. the bidirected union is 2× the checkpoint).
+    Returns None — keep the original AQE-coalescible plan — when the
+    data doesn't demand more than the session default, when the stat
+    is implausible (unknown-stats sentinel), or when the private
+    accessor is unavailable.
+
+    Where this applies was settled by sf3 A/B measurement (VERDICT r10
+    item 3, SCALING.md "Shuffle-width rule"): widen ONE-SHOT |E|-row
+    exchanges (triangle's adjacency build + intersection join:
+    126.8 → 49.2 s at sf3), but do NOT widen the pre-partitioned
+    frames the per-round ITERATIVE ops reuse — each round full-scans
+    its state in complete waves, so extra width only adds task/
+    checkpoint overhead and cache pressure (measured at sf3: LPA
+    62 → 86 s with a sized re-checkpoint, 70.6 s even with the whole
+    session at width 256; k_core 25.3 → 40 s). On a real cluster the
+    session default already encodes cluster width; the iterative ops
+    inherit it."""
+    import math
+
+    spark = df.sparkSession
+    base = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        b = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    if b <= 0 or b >= (1 << 40):  # default/unknown stats — don't trust
+        return None
+    need = math.ceil(b * scale / _CKPT_BYTES_PER_PARTITION)
+    return min(cap, need) if need > base else None
+
+
 def _edge_signature(e: DataFrame):
     """Order-insensitive fingerprint of an edge set — one tiny agg row
     (count + sum of per-edge hashes). Equality of consecutive
@@ -271,7 +315,10 @@ def pagerank_quantized(
     base_q = ((q // n) * (damp_den - damp_num)) // damp_den
     # outdegree fused into the edge rows (the deg⋈e join happens ONCE,
     # at cache build, not once per round); self-loops carry _deg too.
-    # Partitioned so the hot per-round path reuses it (see docstring).
+    # Partitioned so the hot per-round path reuses it (see docstring)
+    # at the session width: per-round work full-scans this frame in
+    # complete waves, so data-derived widening only adds overhead —
+    # the measured iterative-op rule in _sized_partitions_ckpt.
     part_col = "_dst" if broadcast_ranks else "_src"
     e_aug = swap_cache(
         plan_key(f"pagerank.edges_aug.{part_col}", e),
@@ -370,6 +417,12 @@ def triangle_stats(
     # localCheckpoint (the connected_components discipline) populates
     # once and truncates lineage.
     e = e.localCheckpoint(eager=True)
+    # data-derived shuffle width for the two |E|-scale exchanges below
+    # (adjacency build, intersection join) — the sf3 lesson, sized for
+    # free from the checkpoint's measured stats. None ⇒ the session
+    # plan is already wide enough and the original AQE-coalescible
+    # exchanges stay (forcing them measured +0.75 s at sf0.1)
+    nparts = _sized_partitions_ckpt(e, scale=2.0)
     both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # deg (|V| rows) feeds three consumers — checkpointing it is far
     # cheaper than re-running the 2|E|-row union+groupBy per consumer
@@ -395,18 +448,28 @@ def triangle_stats(
     ).select("_o.a", "_o.b")
     # sorted out-neighbor arrays; two consumers (explode side + the
     # b-keyed probe side) — materialize the |V|-row frame once
+    adj_src = (
+        # collect_list has no map-side reduction: the exchange moves
+        # |E| rows either way, so widen it when the data demands it
+        oriented.repartition(nparts, "a") if nparts else oriented
+    )
     adj = (
-        oriented.groupBy("a")
+        adj_src.groupBy("a")
         .agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
         .localCheckpoint(eager=True)
     )
     jb = adj.select(F.col("a").alias("b"), F.col("nbrs").alias("_nb"))
     # explode carries N+(a) alongside each edge (a,b), so ONE join
     # fetches N+(b); edges whose b has no out-neighbors contribute 0
-    # and drop out of the inner join
+    # and drop out of the inner join. At scale (nparts set) both sides
+    # are explicitly b-partitioned at the SAME sized width — the join
+    # then needs no further exchange and the heavy array rows spread
+    # across nparts.
+    probe = adj.select("nbrs", F.explode("nbrs").alias("b"))
+    if nparts:
+        probe, jb = probe.repartition(nparts, "b"), jb.repartition(nparts, "b")
     tri = (
-        adj.select("nbrs", F.explode("nbrs").alias("b"))
-        .join(jb, "b")
+        probe.join(jb, "b")
         .select(F.size(F.array_intersect("nbrs", "_nb")).cast("long").alias("_c"))
         .agg(
             F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_triangles")
@@ -540,6 +603,10 @@ def k_core(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
     ).localCheckpoint(eager=True)
+    # deliberately NOT width-sized from the data: every peeling round
+    # full-scans e in complete waves, and the sf3 A/B measured a sized
+    # re-checkpoint at 25.3 → 40 s (see _sized_partitions_ckpt) — the
+    # session width is the right width for per-round iterative state
     both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = (
         both.groupBy("u")
@@ -627,6 +694,12 @@ def label_propagation(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
     )
+    # per-round shuffles all reuse this ONE session-width partitioning
+    # (hash on u satisfies both groupBys' clustering). Deliberately
+    # NOT width-sized from the data: the sf3 A/B measured a sized
+    # re-checkpoint at 62 → 86 s and even a whole-session width of 256
+    # at 70.6 s (see _sized_partitions_ckpt) — per-round iterative
+    # state wants the session width, not |E|-derived width.
     both = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition("u")
