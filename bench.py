@@ -83,6 +83,30 @@ def main() -> None:
 
     probe_sec = round(min(calibration_probe() for _ in range(5)), 4)
 
+    def previous_bench() -> tuple[str, dict] | None:
+        """Latest driver-recorded BENCH_r{N}.json with a probe — the
+        cross-round comparison base (VERDICT r10 item 8: r11 is the
+        first round with probes on BOTH sides, so the judge can
+        separate contention from regression numerically)."""
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        best = None
+        for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = re.search(r"BENCH_r(\d+)\.json$", f)
+            if not m:
+                continue
+            try:
+                parsed = json.load(open(f)).get("parsed") or {}
+            except Exception:
+                continue
+            if parsed.get("probe_sec") and parsed.get("queries"):
+                n = int(m.group(1))
+                if best is None or n > best[0]:
+                    best = (n, parsed)
+        return (f"r{best[0]}", best[1]) if best else None
+
     builders = plans.bench_queries()
     # untimed warm-up pass: first execution pays one-off codegen /
     # page-cache / shuffle-service costs that are not the query's cost
@@ -107,6 +131,29 @@ def main() -> None:
 
     timings = {name: round(min(s), 2) for name, s in samples.items()}
     total = round(sum(timings.values()), 2)
+    # Probe-normalized cross-round ratios: (t_now/probe_now) divided by
+    # (t_prev/probe_prev) per shared query. ≈1.0 = pure contention
+    # drift; an isolated high value = a real per-query regression.
+    prev = previous_bench()
+    norm_vs_prev: dict = {}
+    if prev is not None:
+        prev_name, prev_parsed = prev
+        pq, pp = prev_parsed["queries"], float(prev_parsed["probe_sec"])
+        ratios = {
+            name: round((min(s) / probe_sec) / (pq[name] / pp), 2)
+            for name, s in samples.items()
+            if name in pq and pq[name] > 0
+        }
+        shared_now = sum(min(samples[n]) for n in ratios)
+        shared_prev = sum(pq[n] for n in ratios)
+        norm_vs_prev = {
+            "base": prev_name,
+            "n_shared": len(ratios),
+            "total_norm_ratio": round(
+                (shared_now / probe_sec) / (shared_prev / pp), 3
+            ),
+            "per_query": ratios,
+        }
     # Diagnostics go on their OWN earlier line: the driver captures only
     # a ~2 KB tail of stdout and must see the final line whole
     # (VERDICT r8 item 1 — the r8 single 4 KB line was unparseable).
@@ -126,6 +173,7 @@ def main() -> None:
                     name: round(min(s) / probe_sec, 2)
                     for name, s in samples.items()
                 },
+                "norm_vs_prev": norm_vs_prev,
             },
             separators=(",", ":"),
         )

@@ -5,19 +5,19 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-10 rotation (VERDICT r9 "Next round" item 1 + the playbook's
-least-recently-attested discipline): the window leads with
-``entity_resolution_parts`` — the one oracled query never
-driver-attested (it landed in the r9 end-of-round snapshot commit,
-after the r9 window froze) — then the six new round-10 oracled
-queries (label propagation communities, the applyInArrow Gini,
-multi-source BFS distances, per-group exact-moment OLS, streaming
-incremental connected components, dyadic EWMA smoothing), then ALL 42 oracled queries whose
-last driver row is round 7 (the oldest cohort), then the
-alphabetically-first queries of the round-8 cohort to fill 50. After this round every oracled query has a driver row from r7 or
-later and none is never-attested. Queries outside the window keep
-pytest + local-gate (tools/check_oracle.py) coverage; registry content
-is unchanged — only iteration order moves.
+Round-11 rotation (VERDICT r10 "Next round" item 1 + the playbook's
+least-recently-attested discipline): the window leads with the three
+NEW round-11 oracled queries (``k_core_parts`` — promoted this round
+from rows-only to a 10-round unrolled-CTE value oracle;
+``shortest_paths_parts`` — bounded-round weighted Bellman-Ford;
+``streaming_left_outer_click_purchase`` — stream-stream LEFT OUTER
+join with watermark null-emission), then ALL 46 oracled queries whose
+last hash-attested driver row is round 8 (the oldest cohort), filled
+to 50 with the alphabetically-first round-9-cohort query. After this
+round no oracled query's last driver row is older than round 9 and
+none is never-attested. Queries outside the window keep pytest +
+local-gate (tools/check_oracle.py) coverage; registry content is
+unchanged — only iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -28,60 +28,59 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- never driver-attested (r9 snapshot commit) ---
-    "entity_resolution_parts",
-    # --- new round-10 oracled queries ---
-    "label_propagation_parts",
-    "gini_by_status_orders",
-    "bfs_distances_parts",
-    "ols_trend_orders",
-    "streaming_cc_parts",
-    "ewma_events",
-    # --- the 42 oracled queries last attested round 7 (oldest cohort) ---
-    "disjunctive_brand_revenue",
-    "doc_repetition_filter",
-    "doc_text_analysis",
-    "dominant_part_suppliers",
-    "dsir_select_documents",
-    "epoch_shuffle_documents",
-    "exact_substring_dup_documents",
-    "exclusive_late_suppliers",
-    "hash_split_documents",
-    "idle_rich_customers",
-    "important_parts_value",
-    "interleave_sources_documents",
-    "interval_overlap_purchase_error",
-    "line_dedup_documents",
-    "llm_data_pipeline",
-    "market_share_by_year",
-    "min_price_supplier_per_part",
-    "mixture_sample_documents",
-    "nation_pair_volume",
-    "near_dup_clusters",
-    "pack_sequences_documents",
-    "pii_scan_documents",
-    "profile_orders",
-    "quality_funnel_documents",
-    "range_join_price_bands",
-    "salted_distinct_suppliers",
-    "semi_anti_join_customers",
-    "small_qty_order_revenue",
-    "stratified_sample_documents",
-    "streaming_events_hourly",
-    "streaming_join_click_purchase",
-    "streaming_pii_scan",
-    "streaming_static_enrich",
-    "streaming_topk_trending",
-    "temperature_mix_lang",
-    "tfidf_top_terms",
-    "token_budget_trim",
-    "token_vocab_topk",
-    "top_revenue_supplier",
-    "unicode_normalize_documents",
-    "unigram_fluency_documents",
-    "zorder_key_orders",
-    # --- round-8-cohort fill (alphabetically first, last attested r8) ---
-    "array_funcs_orders",
+    # --- new round-11 oracled queries (never attested) ---
+    "k_core_parts",
+    "shortest_paths_parts",
+    "streaming_left_outer_click_purchase",
+    # --- the 46 oracled queries last hash-attested round 8 ---
+    "big_spenders_vs_nation",
+    "count_distinct_having",
+    "cusum_change_events",
+    "dedup_exact_documents",
+    "doc_redact_pii",
+    "embedding_cosine_dup",
+    "embedding_topk_cosine",
+    "events_hourly",
+    "exists_late_shipments",
+    "funnel_view_click_purchase",
+    "grouping_analytics_orders",
+    "incremental_dedup_documents",
+    "inverted_index_documents",
+    "json_extract_events",
+    "mad_outliers_events",
+    "math_null_funcs_lineitem",
+    "merge_upsert_orders",
+    "multimodal_meta",
+    "ngram_jaccard_pairs",
+    "pagerank_supplier_part",
+    "pivot_status_by_nation",
+    "posexplode_doc_tokens",
+    "profile_orders_columns",
+    "promo_revenue_ratio",
+    "quality_classifier_documents",
+    "rolling_anomaly_events",
+    "rule_flags_orders",
+    "scalar_stats_global",
+    "scalar_subquery_above_avg",
+    "scd2_customers",
+    "sessionize_events",
+    "set_ops_custkeys",
+    "shipmode_priority_counts",
+    "shipping_priority",
+    "stats_moments_by_status",
+    "status_priority_counts",
+    "streaming_distinct_pairs",
+    "streaming_incremental_dedup",
+    "streaming_rolling_anomaly",
+    "streaming_user_stats",
+    "string_funcs_part",
+    "suppliers_by_region",
+    "temporal_funcs_orders",
+    "topk_orders",
+    "window_dist_orders",
+    "window_funcs_orders",
+    # --- round-9-cohort fill (alphabetically first, last attested r9) ---
+    "analytics_pipeline_events",
 ]
 
 
