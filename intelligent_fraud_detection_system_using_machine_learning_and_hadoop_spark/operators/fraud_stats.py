@@ -1,0 +1,168 @@
+"""Statistical fraud-screening primitives: Benford's-law digit tests
+and trailing-time-window velocity rules.
+
+Fraud-analytics extensions of the reference's four static rules
+(``/root/reference/scripts/run_pipeline.py:22-43``): auditors' two
+standard first-pass screens over a claims/transactions ledger are
+(a) first-significant-digit distribution vs Benford's law — fabricated
+amounts over-represent high leading digits — and (b) velocity checks —
+too many events from one entity inside a short trailing window.
+
+Both are pure column-expression plans (zero Python in the hot path):
+
+* ``benford_profile`` is one scan + one tiny groupBy(group, digit)
+  whose output is ≤ 9·|groups| rows; the chi-square statistic uses the
+  1e-9-quantized-BIGINT-sum discipline (operators/stats.py::
+  chi_square_independence) so the 9-term float sum is
+  order-independent and any engine reproduces it bitwise. Expected
+  Benford masses log10(1+1/d) enter as pinned ``%.17e`` double
+  literals on BOTH engine sides (the playbook's exact-round-trip
+  rule), never via each engine's own log10.
+* ``velocity_flags`` is one per-key window shuffle with a RANGE frame
+  on epoch seconds — the frame is defined by VALUE, not row position,
+  so same-second ties are peers on every engine and the result is
+  deterministic without a tiebreaker. Trailing sums use exact integer
+  cents. At 100 TB this is the same shape as any keyed window: one
+  shuffle on the entity key, AQE-splittable, no self-join blowup
+  (the naive form is an |events|² time-range self-join).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: log10(1 + 1/d) for d = 1..9, as exact-round-trip literals shared
+#: with the SQL oracle (f"{p:.17e}" — exponent form so DuckDB parses
+#: DOUBLE, not DECIMAL).
+BENFORD_P = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_profile(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per (group, leading digit 1-9): observed count, group total,
+    observed fraction, Benford's expected mass, and the group's
+    chi-square goodness-of-fit statistic (repeated on each of the
+    group's 9 rows).
+
+    Amounts quantize to integer cents (round half-up, the ledger
+    convention shared by every oracle here); the leading digit is the
+    first character of the cents integer — exact, no float log10.
+    Digits a group never produced still contribute (0−e)²/e: the digit
+    spine 1..9 cross-joins the (tiny) group list, so the statistic is
+    the true 8-degrees-of-freedom chi-square, not a partial sum.
+
+    Chi-square arithmetic: e_d = N·p_d and (n_d−e_d)²/e_d are IEEE
+    doubles with identical operand trees on both engines; each per-
+    digit quotient is floor-quantized to 1e-9 and summed as
+    decimal(38,0) — order-independent — with ONE final double division
+    (Σq/1e9). Rows with non-positive amounts are excluded (no leading
+    digit).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    obs = (
+        df.where(cents > 0)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+        )
+        .groupBy("grp", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    digits = obs.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    spine = obs.select("grp").distinct().crossJoin(F.broadcast(digits))
+    p_expr = F.lit(None).cast("double")
+    for d, p in zip(range(9, 0, -1), reversed(BENFORD_P)):
+        p_expr = F.when(F.col("digit") == d, F.lit(p)).otherwise(p_expr)
+    full = (
+        spine.join(obs, ["grp", "digit"], "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)).cast("long"))
+        .withColumn(
+            "n_total",
+            F.sum("n_obs").over(Window.partitionBy("grp")).cast("long"),
+        )
+        .withColumn("expected_p", p_expr)
+    )
+    e = F.col("n_total").cast("double") * F.col("expected_p")
+    dev = F.col("n_obs").cast("double") - e
+    contrib = dev * dev / e
+    q = F.floor(contrib * F.lit(1e9)).cast("decimal(38,0)")
+    return (
+        full.withColumn(
+            "chi2",
+            (
+                F.sum(q).over(Window.partitionBy("grp")).cast("double")
+                / F.lit(1e9)
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "digit",
+            "n_obs",
+            "n_total",
+            (F.col("n_obs").cast("double") / F.col("n_total").cast("double")).alias(
+                "obs_frac"
+            ),
+            "expected_p",
+            "chi2",
+        )
+        .orderBy(group_col, "digit")
+    )
+
+
+def benford_oracle_case() -> str:
+    """The pinned-literal CASE mapping digit → Benford mass, shared by
+    the DuckDB oracle so both engines evaluate the SAME doubles."""
+    whens = " ".join(
+        f"WHEN {d} THEN {p:.17e}" for d, p in zip(range(1, 10), BENFORD_P)
+    )
+    return f"CASE digit {whens} END"
+
+
+def velocity_flags(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+    count_threshold: int = 5,
+    cents_threshold: int = 500_00,
+) -> DataFrame:
+    """Per event: trailing-window activity of its entity — event count
+    and exact cents total over the preceding ``window_seconds``
+    (inclusive of the current event) — plus the two classic velocity
+    flags (count ≥ threshold, spend ≥ threshold).
+
+    RANGE frame on epoch seconds: peers are defined by timestamp VALUE
+    (ties all enter each other's frames symmetrically), so the output
+    is engine-independent with no tiebreaker column, unlike a ROWS
+    frame. One shuffle, on the entity key."""
+    epoch_s = F.col(ts_col).cast("long")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = events.select(
+        F.col("event_id"),
+        F.col(key_col).alias("entity"),
+        epoch_s.alias("epoch_s"),
+        cents.alias("cents"),
+    )
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("epoch_s")
+        .rangeBetween(-window_seconds, 0)
+    )
+    return base.select(
+        "event_id",
+        F.col("entity").alias(key_col),
+        "epoch_s",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
+        F.sum("cents").over(w).cast("long").alias("cents_trailing"),
+        (F.count(F.lit(1)).over(w) >= count_threshold).alias("velocity_flag"),
+        (F.sum("cents").over(w) >= cents_threshold).alias("spend_flag"),
+    )

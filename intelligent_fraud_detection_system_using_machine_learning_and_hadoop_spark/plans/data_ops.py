@@ -5527,3 +5527,99 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_cents",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def _benford_oracle() -> str:
+    from ..operators.fraud_stats import benford_oracle_case
+
+    return f"""
+    WITH d AS (
+      SELECT o_orderstatus AS grp,
+             CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+    obs AS (
+      SELECT grp, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY grp, digit),
+    spine AS (
+      SELECT grp, digit
+      FROM (SELECT DISTINCT grp FROM obs)
+      CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit)),
+    full_t AS (
+      SELECT s.grp, s.digit,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+      FROM spine s LEFT JOIN obs o
+        ON s.grp = o.grp AND s.digit = o.digit),
+    tot AS (
+      SELECT grp, digit, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY grp) AS BIGINT) AS n_total,
+             {benford_oracle_case()} AS expected_p
+      FROM full_t),
+    q AS (
+      SELECT grp, digit, n_obs, n_total, expected_p,
+             CAST(floor(
+               (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               / (CAST(n_total AS DOUBLE) * expected_p) * 1e9
+             ) AS BIGINT) AS contrib_q
+      FROM tot)
+    SELECT grp AS o_orderstatus, digit, n_obs, n_total,
+           CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_frac,
+           expected_p,
+           CAST(SUM(contrib_q) OVER (PARTITION BY grp) AS DOUBLE) / 1e9 AS chi2
+    FROM q ORDER BY o_orderstatus, digit
+    """
+
+
+@query("benford_orders", oracle=_benford_oracle())
+def benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen per order status (operators/
+    fraud_stats.py::benford_profile) — the auditor's classic
+    fabricated-amounts test: per (status, leading digit 1-9) the
+    observed count/fraction, the Benford expectation log10(1+1/d)
+    (pinned %.17e literals shared with the oracle), and the group's
+    exact chi-square statistic via the 1e-9-quantized BIGINT-sum
+    discipline. One scan + one 27-row aggregate; digits a group never
+    produced still contribute via the broadcast digit spine."""
+    from ..operators.fraud_stats import benford_profile
+
+    o = read_table(spark, sf_dir, "orders")
+    return benford_profile(o, "o_totalprice", "o_orderstatus")
+
+
+@query(
+    "velocity_flags_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, epoch_s,
+             CAST(COUNT(*) OVER tw AS BIGINT) AS n_trailing,
+             CAST(SUM(cents) OVER tw AS BIGINT) AS cents_trailing
+      FROM b
+      WINDOW tw AS (PARTITION BY user_id ORDER BY epoch_s
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, epoch_s, n_trailing, cents_trailing,
+           n_trailing >= 3 AS velocity_flag,
+           cents_trailing >= 20000 AS spend_flag
+    FROM w
+    """,
+)
+def velocity_flags_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-time-window velocity screen (operators/fraud_stats.py::
+    velocity_flags): per event, its entity's event count and exact
+    cents total over the preceding hour (RANGE frame on epoch seconds
+    — peers defined by timestamp VALUE, so same-second ties need no
+    tiebreaker), with the two classic fraud flags (≥3 events or
+    ≥200.00 spend within the hour). One entity-keyed window shuffle —
+    the 100 TB shape; the naive form is a quadratic time-range
+    self-join."""
+    from ..operators.fraud_stats import velocity_flags
+
+    e = read_table(spark, sf_dir, "events")
+    return velocity_flags(
+        e, window_seconds=3600, count_threshold=3, cents_threshold=200_00
+    )

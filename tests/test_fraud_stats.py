@@ -1,0 +1,138 @@
+"""Differentials for operators/fraud_stats.py (Benford digit test,
+trailing-window velocity flags) — pure-Python reimplementations on
+planted data, exact-arithmetic edge cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+    BENFORD_P,
+    benford_profile,
+    velocity_flags,
+)
+
+
+class TestBenford:
+    def test_expected_masses(self):
+        assert len(BENFORD_P) == 9
+        assert abs(sum(BENFORD_P) - 1.0) < 1e-12
+        assert abs(BENFORD_P[0] - math.log10(2)) < 1e-15
+
+    def test_hand_computed_counts_and_chi2(self, spark):
+        # group 'a': amounts 1.00, 1.50, 19.99, 2.00 -> digits 1,1,1,2
+        # group 'b': 9.00, 0.05 -> digits 9, 5 (0.05 = 5 cents)
+        rows = [
+            ("a", 1.00), ("a", 1.50), ("a", 19.99), ("a", 2.00),
+            ("b", 9.00), ("b", 0.05),
+            ("b", 0.0), ("b", -3.0),  # non-positive cents: excluded
+        ]
+        df = spark.createDataFrame(rows, "g string, amount double")
+        out = benford_profile(df, "amount", "g").collect()
+        assert len(out) == 18  # 2 groups x full digit spine
+        got = {(r["g"], r["digit"]): r for r in out}
+        assert got[("a", 1)]["n_obs"] == 3
+        assert got[("a", 2)]["n_obs"] == 1
+        assert got[("a", 3)]["n_obs"] == 0  # spine fills missing digits
+        assert got[("a", 1)]["n_total"] == 4
+        assert got[("b", 9)]["n_obs"] == 1 and got[("b", 5)]["n_obs"] == 1
+        assert got[("b", 9)]["n_total"] == 2
+
+        # python replica of the quantized chi-square for group 'a'
+        def chi2(counts, total):
+            s = 0
+            for d in range(1, 10):
+                e = float(total) * BENFORD_P[d - 1]
+                dev = float(counts.get(d, 0)) - e
+                s += math.floor(dev * dev / e * 1e9)
+            return float(s) / 1e9
+
+        assert got[("a", 1)]["chi2"] == chi2({1: 3, 2: 1}, 4)
+        assert got[("b", 9)]["chi2"] == chi2({9: 1, 5: 1}, 2)
+        # chi2 constant within a group
+        assert len({r["chi2"] for r in out if r["g"] == "a"}) == 1
+
+    def test_benford_conforming_sample_scores_low(self, spark):
+        # draw 10k amounts whose leading digit EXACTLY follows Benford
+        # via inverse-CDF on a deterministic grid -> tiny chi2; a
+        # uniform-digit sample on the same grid scores far higher
+        rng = random.Random(7)
+        conforming, uniform = [], []
+        cdf = [0.0]
+        for p in BENFORD_P:
+            cdf.append(cdf[-1] + p)
+        for i in range(10000):
+            u = (i + 0.5) / 10000
+            d = max(j for j in range(1, 10) if cdf[j - 1] <= u)
+            conforming.append(("c", float(d) * 10 ** rng.randrange(3)))
+            uniform.append(("u", float(1 + i % 9) * 10 ** rng.randrange(3)))
+        df = spark.createDataFrame(
+            conforming + uniform, "g string, amount double"
+        )
+        rows = benford_profile(df, "amount", "g").collect()
+        chi = {r["g"]: r["chi2"] for r in rows}
+        assert chi["c"] < 1.0, chi
+        assert chi["u"] > 100.0, chi
+
+
+class TestVelocity:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+
+    def test_brute_force_differential(self, spark):
+        rng = random.Random(11)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for eid in range(400):
+            rows.append(
+                (
+                    eid,
+                    rng.randrange(8),
+                    base + dt.timedelta(seconds=rng.randrange(8000)),
+                    round(rng.uniform(0.5, 300.0), 2),
+                )
+            )
+        out = velocity_flags(
+            self._mk(spark, rows),
+            window_seconds=3600,
+            count_threshold=3,
+            cents_threshold=200_00,
+        ).collect()
+        got = {r["event_id"]: r for r in out}
+        by_user: dict[int, list[tuple[int, int]]] = {}
+        for eid, uid, ts, v in rows:
+            s = int(ts.timestamp())
+            by_user.setdefault(uid, []).append((s, int(round(v * 100)), eid))
+        for uid, evs in by_user.items():
+            for s, _c, eid in evs:
+                peers = [(t, c) for t, c, _ in evs if s - 3600 <= t <= s]
+                n, total = len(peers), sum(c for _, c in peers)
+                r = got[eid]
+                assert (r["n_trailing"], r["cents_trailing"]) == (n, total), eid
+                assert r["velocity_flag"] == (n >= 3)
+                assert r["spend_flag"] == (total >= 200_00)
+
+    def test_same_second_ties_are_mutual_peers(self, spark):
+        t = dt.datetime(2024, 5, 1, 12, 0, 0)
+        rows = [
+            (1, 7, t, 10.0),
+            (2, 7, t, 20.0),  # same second: RANGE peers both ways
+            (3, 7, t + dt.timedelta(seconds=3600), 30.0),  # still inside
+            (4, 7, t + dt.timedelta(seconds=3601), 40.0),  # first two out
+        ]
+        out = {
+            r["event_id"]: r
+            for r in velocity_flags(self._mk(spark, rows)).collect()
+        }
+        assert out[1]["n_trailing"] == 2 and out[2]["n_trailing"] == 2
+        assert out[1]["cents_trailing"] == 3000 == out[2]["cents_trailing"]
+        assert out[3]["n_trailing"] == 3
+        assert out[4]["n_trailing"] == 2  # event 3 and itself
+        assert out[4]["cents_trailing"] == 7000
