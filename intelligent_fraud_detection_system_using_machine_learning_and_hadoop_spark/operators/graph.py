@@ -947,3 +947,93 @@ def dedup_source_flow(
             F.sum("quality").cast("long").alias("quality_lost"),
         )
     )
+
+
+def hits_quantized(
+    edges: DataFrame,
+    iters: int = 2,
+    q: int = 10**6,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_scores: bool = False,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """All-integer HITS (Kleinberg hubs & authorities) on a DIRECTED
+    graph — graph analytics #8, the "who endorses the endorsers"
+    companion to PageRank's random surfer (pagerank_quantized above).
+
+    Fixed-point arithmetic so every engine reproduces the scores
+    bit-for-bit (float HITS is order-dependent under distributed
+    summation; BIGINT sums and floor divisions are not). Per
+    iteration, with Q = ``q`` the score scale:
+
+        auth_raw(p) = Σ_{s→p} hub_q(s)      (exact BIGINT sum)
+        auth_q(p)   = (auth_raw(p) · Q) div max_p auth_raw(p)
+        hub_raw(s)  = Σ_{s→p} auth_q(p)
+        hub_q(s)    = (hub_raw(s) · Q) div max_s hub_raw(s)
+
+    i.e. the textbook power iteration with MAX-normalization (the
+    normalizing constant in HITS is arbitrary — only the direction of
+    the score vector matters; the usual L2 norm is irrational and
+    engine-dependent, max-norm is exact and pins the top node at Q).
+    The max enters as a broadcast one-row crossJoin (scalar-subquery
+    shape, no driver collect). Width bound: every product is
+    ≤ max_degree·Q², exact in BIGINT while max_degree ≤ 9.2·10¹⁸/Q²
+    (9.2M at the default Q=10⁶; larger graphs lower Q — the score is
+    a ratio, not a mass).
+
+    Scale shape: the LPA/pagerank discipline — the distinct edge list
+    is eagerly checkpointed ONCE and every half-step is one join of
+    the |V|-row score table against it plus one keyed agg; score
+    tables are |V| rows, checkpointed per half-step to truncate
+    lineage. ``broadcast_scores=True`` broadcasts the score table into
+    the edge join (right when nodes are dimension-sized, e.g. a
+    supplier/part graph with |V| ≈ √|E|), so the only shuffle per
+    half-step is the keyed aggregation.
+
+    Returns one row per node and role it holds edges for:
+    (node, kind 'hub'|'authority', score_q, score = score_q/Q).
+    Sinks (no out-edges) simply never enter the hub table, sources
+    never the authority table — matching the restriction of the
+    adjacency operator to its support.
+    """
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint(eager=True)
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        m = raw.agg(F.max("raw").alias("_m"))
+        return (
+            raw.crossJoin(F.broadcast(m))
+            .select(
+                "node",
+                F.expr(f"(raw * {q}L) div _m").cast("long").alias("score_q"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def _push(scores: DataFrame, key: str, out: str) -> DataFrame:
+        s = F.broadcast(scores) if broadcast_scores else scores
+        return (
+            s.join(e, F.col("node") == F.col(key))
+            .groupBy(F.col(out).alias("node"))
+            .agg(F.sum("score_q").cast("long").alias("raw"))
+        )
+
+    hubs = e.select(F.col("_src").alias("node")).distinct().select(
+        "node", F.lit(q).cast("long").alias("score_q")
+    )
+    auths = None
+    for _ in range(iters):
+        auths = _normalize(_push(hubs, "_src", "_dst"))
+        hubs = _normalize(_push(auths, "_dst", "_src"))
+    out_h = hubs.select(
+        "node", F.lit("hub").alias("kind"), "score_q",
+        (F.col("score_q").cast("double") / F.lit(float(q))).alias("score"),
+    )
+    out_a = auths.select(
+        "node", F.lit("authority").alias("kind"), "score_q",
+        (F.col("score_q").cast("double") / F.lit(float(q))).alias("score"),
+    )
+    return out_h.unionByName(out_a)

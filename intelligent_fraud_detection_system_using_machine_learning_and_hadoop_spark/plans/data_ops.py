@@ -5623,3 +5623,66 @@ def velocity_flags_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return velocity_flags(
         e, window_seconds=3600, count_threshold=3, cents_threshold=200_00
     )
+
+
+def _hits_oracle(iters: int = 2, q: int = 10**6) -> str:
+    """DuckDB twin of operators/graph.py::hits_quantized — the fixed
+    max-normalized integer power iteration unrolled (a scalar subquery
+    over the running table rules out WITH RECURSIVE; same shape as the
+    k_core oracle)."""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""a{i}r AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(SUM({prev_h}.score_q) AS BIGINT) AS raw
+      FROM e JOIN {prev_h} ON {prev_h}.node = e.src GROUP BY e.dst),
+    a{i} AS MATERIALIZED (
+      SELECT node, CAST((raw * {q}) // (SELECT MAX(raw) FROM a{i}r)
+                   AS BIGINT) AS score_q FROM a{i}r),
+    h{i}r AS MATERIALIZED (
+      SELECT e.src AS node, CAST(SUM(a{i}.score_q) AS BIGINT) AS raw
+      FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY e.src),
+    h{i} AS MATERIALIZED (
+      SELECT node, CAST((raw * {q}) // (SELECT MAX(raw) FROM h{i}r)
+                   AS BIGINT) AS score_q FROM h{i}r)"""
+        )
+        prev_h = f"h{i}"
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+      FROM lineitem),
+    h0 AS (SELECT DISTINCT src AS node, CAST({q} AS BIGINT) AS score_q
+           FROM e),
+    {steps_sql}
+    SELECT node, 'hub' AS kind, score_q,
+           CAST(score_q AS DOUBLE) / {float(q):.1f} AS score FROM h{iters}
+    UNION ALL
+    SELECT node, 'authority', score_q,
+           CAST(score_q AS DOUBLE) / {float(q):.1f} AS score FROM a{iters}
+    """
+
+
+@query("hits_supplier_part", oracle=_hits_oracle(), bench=True)
+def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #8 (operators/graph.py::hits_quantized): integer
+    max-normalized HITS hubs & authorities on the DIRECTED supplier →
+    part trading graph from lineitem — which suppliers endorse the
+    most-endorsed parts and vice versa, the link-analysis complement
+    to pagerank_supplier_part's random surfer. Two fixed power
+    iterations, every sum an exact BIGINT and every normalization a
+    floor division, so the 2-round unrolled SQL twin attests every
+    score bit-for-bit. Scores broadcast (supplier/part node sets are
+    dimension-sized, |V| ≈ √|E|); the only shuffle per half-step is
+    the keyed aggregation."""
+    from ..operators.graph import hits_quantized
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    return hits_quantized(
+        edges, iters=2, broadcast_scores=True, assume_distinct=True
+    )

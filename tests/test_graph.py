@@ -577,3 +577,67 @@ class TestShortestPaths:
             for r in shortest_paths(e, s, rounds=n).collect()
         }
         assert got == dist
+
+
+class TestHits:
+    def _python_hits_q(self, edges, iters=2, q=10**6):
+        """Integer replica of hits_quantized."""
+        srcs = sorted({s for s, _ in edges})
+        hub = {s: q for s in srcs}
+        auth = {}
+        for _ in range(iters):
+            auth = {}
+            for s, d in edges:
+                auth[d] = auth.get(d, 0) + hub.get(s, 0)
+            m = max(auth.values())
+            auth = {d: (v * q) // m for d, v in auth.items()}
+            hub = {}
+            for s, d in edges:
+                hub[s] = hub.get(s, 0) + auth[d]
+            m = max(hub.values())
+            hub = {s: (v * q) // m for s, v in hub.items()}
+        return hub, auth
+
+    def test_integer_replica_differential(self, spark):
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            hits_quantized,
+        )
+
+        rng = random.Random(13)
+        edges = sorted(
+            {(rng.randrange(30), 100 + rng.randrange(40)) for _ in range(250)}
+        )
+        hub, auth = self._python_hits_q(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for bc in (True, False):
+            rows = hits_quantized(df, iters=2, broadcast_scores=bc).collect()
+            got_h = {r["node"]: r["score_q"] for r in rows if r["kind"] == "hub"}
+            got_a = {
+                r["node"]: r["score_q"] for r in rows if r["kind"] == "authority"
+            }
+            assert got_h == hub
+            assert got_a == auth
+            # max-normalization pins the top node at exactly Q
+            assert max(got_h.values()) == 10**6 == max(got_a.values())
+            for r in rows:  # the double is the one pinned division
+                assert r["score"] == r["score_q"] / 1e6
+
+    def test_follows_the_float_direction(self, spark):
+        """Quantized scores rank like textbook float HITS (L2-normed)."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            hits_quantized,
+        )
+
+        # a clear star: part 100 endorsed by every supplier, 101 by one
+        edges = [(s, 100) for s in range(5)] + [(0, 101), (1, 102)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = hits_quantized(df, iters=2).collect()
+        auth = {r["node"]: r["score_q"] for r in rows if r["kind"] == "authority"}
+        assert auth[100] == 10**6  # the hub-endorsed star center
+        assert auth[100] > auth[101] > 0
+        hubs = {r["node"]: r["score_q"] for r in rows if r["kind"] == "hub"}
+        # supplier 0 endorses {100, 101}: strictly the best hub
+        assert hubs[0] == 10**6
+        assert all(hubs[0] >= v for v in hubs.values())
