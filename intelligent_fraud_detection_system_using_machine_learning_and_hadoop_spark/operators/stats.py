@@ -813,3 +813,81 @@ def seasonal_decompose(
             (F.col("_detr") - F.col("seasonal")).alias("residual"),
         )
     )
+
+
+def acf_daily(
+    events: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3),
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series autocorrelation function at fixed ``lags`` over the
+    DAILY value totals — the time-series diagnostic behind seasonality
+    and burst detection ("does yesterday predict today?"), computed in
+    exact integer arithmetic up to ONE final IEEE division per lag.
+
+    Standard ACF estimator (statsmodels convention: lagged cross
+    moments over the FULL-series centered sum of squares), cleared of
+    the mean by cross-multiplying with n² — with x the day's exact
+    cents, S = Σx, SS = Σx², and per lag k the tail moments
+    P = Σ_{t>k} x_t·x_{t−k}, A = Σ_{t>k} x_t, B = Σ_{t>k} x_{t−k}:
+
+        acf_k = (n²·P − n·S·(A+B) + (n−k)·S²) / (n²·SS − n·S²)
+
+    Every moment accumulates as exact decimal (inputs cast to
+    decimal(18,0) so products fit decimal(37,0) exactly — the
+    grouped_ols width discipline; headroom ≥ 10¹² days of 10¹¹-cent
+    totals before the 38-digit cap), numerator and denominator are
+    exact decimals cast to DOUBLE for one division, so any engine —
+    the DuckDB HUGEINT twin included — reproduces each acf bit-for-
+    bit. Constant series (zero denominator) and series shorter than
+    the lag yield NULL.
+
+    Scale shape: one groupBy(series, day) roll-up, ONE key-partitioned
+    window pass carrying all lags at once (days per series are unique,
+    so ordering needs no tiebreaker), one keyed aggregation. No
+    driver-side series, no per-lag repeat scans."""
+    from pyspark.sql import Window
+
+    d18 = "decimal(18,0)"
+    daily = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast(d18)
+        .alias("x")
+    )
+    w = Window.partitionBy("grp").orderBy("day")
+    lagged = daily.select(
+        "grp",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"_l{k}") for k in lags],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    ]
+    for k in lags:
+        lk = F.col(f"_l{k}")
+        aggs += [
+            F.sum(F.col("x") * lk).alias(f"p{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("x"))).alias(f"a{k}"),
+            F.sum(lk).alias(f"b{k}"),
+        ]
+    m = lagged.groupBy("grp").agg(*aggs)
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    den = (n * n * ss - n * s * s).cast("double")
+    cols = [
+        F.col("grp").alias(group_col),
+        n.cast("long").alias("n_days"),
+    ]
+    for k in lags:
+        p, a, b = F.col(f"p{k}"), F.col(f"a{k}"), F.col(f"b{k}")
+        num = (n * n * p - n * s * (a + b) + (n - k) * s * s).cast("double")
+        cols.append(
+            F.when((n > k) & (den != 0.0), num / den).alias(f"acf_lag{k}")
+        )
+    return m.select(*cols)

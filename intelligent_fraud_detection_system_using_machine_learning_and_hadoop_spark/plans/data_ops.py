@@ -5686,3 +5686,59 @@ def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_quantized(
         edges, iters=2, broadcast_scores=True, assume_distinct=True
     )
+
+
+def _acf_oracle(lags: tuple[int, ...] = (1, 2, 3)) -> str:
+    lag_cols = ",\n             ".join(
+        f"lag(x, {k}) OVER w AS l{k}" for k in lags
+    )
+    mom_cols = ",\n             ".join(
+        f"""CAST(SUM(x * l{k}) AS HUGEINT) AS p{k},
+             CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x END) AS HUGEINT) AS a{k},
+             CAST(SUM(l{k}) AS HUGEINT) AS b{k}"""
+        for k in lags
+    )
+    acf_cols = ",\n           ".join(
+        f"""CASE WHEN n > {k} AND CAST(n*n*ss - n*s*s AS DOUBLE) <> 0.0
+                THEN CAST(n*n*p{k} - n*s*(a{k}+b{k}) + (n-{k})*s*s AS DOUBLE)
+                     / CAST(n*n*ss - n*s*s AS DOUBLE)
+           END AS acf_lag{k}"""
+        for k in lags
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS grp, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS x
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT grp, x,
+             {lag_cols}
+      FROM daily WINDOW w AS (PARTITION BY grp ORDER BY day)),
+    m AS (
+      SELECT grp,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s,
+             CAST(SUM(x * x) AS HUGEINT) AS ss,
+             {mom_cols}
+      FROM lagged GROUP BY grp)
+    SELECT grp AS event_type, CAST(n AS BIGINT) AS n_days,
+           {acf_cols}
+    FROM m
+    """
+
+
+@query("acf_events", oracle=_acf_oracle())
+def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-3 of each event type's daily
+    value series (operators/stats.py::acf_daily) — the seasonality /
+    burst diagnostic completing the time-series family (EWMA, CUSUM,
+    seasonal decomposition, OLS trend). Exact decimal lagged moments
+    (inputs decimal(18,0), the grouped_ols width discipline), the mean
+    cleared by cross-multiplying with n², one pinned IEEE division per
+    lag — the DuckDB HUGEINT twin attests every coefficient bitwise.
+    One daily roll-up, one key-partitioned window pass carrying all
+    three lags, one keyed aggregation."""
+    from ..operators.stats import acf_daily
+
+    e = read_table(spark, sf_dir, "events")
+    return acf_daily(e, lags=(1, 2, 3))

@@ -574,3 +574,86 @@ def test_equi_depth_bucket_lognormal_skew(spark):
     rows = with_equi_depth_bucket(df, "v", 64).orderBy("v").collect()
     bkts = [r["_bkt"] for r in rows]
     assert bkts == sorted(bkts)
+
+
+class TestAcfDaily:
+    def test_python_differential_and_planted_period(self, spark):
+        """acf_daily vs a plain-Python exact replica on a planted
+        period-2 daily series, plus statsmodels-convention sanity:
+        alternating series -> acf_lag1 < 0 < acf_lag2."""
+        import datetime as dt
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            acf_daily,
+        )
+
+        rng = random.Random(5)
+        base = dt.datetime(2024, 3, 1)
+        rows = []
+        series = {}
+        for g, n_days in (("alt", 40), ("noise", 25), ("tiny", 2)):
+            xs = []
+            for d in range(n_days):
+                if g == "alt":
+                    v = 100.0 if d % 2 == 0 else 10.0
+                else:
+                    v = round(rng.uniform(1, 200), 2)
+                # split each day's total across 1-3 events
+                parts = rng.randrange(1, 4)
+                left = round(v, 2)
+                for i in range(parts - 1):
+                    p = round(left / 2, 2)
+                    rows.append((g, base + dt.timedelta(days=d, hours=i), p))
+                    left = round(left - p, 2)
+                rows.append((g, base + dt.timedelta(days=d, hours=23), left))
+                xs.append(int(round(v * 100)))
+            series[g] = xs
+
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+        got = {r["event_type"]: r for r in acf_daily(df, lags=(1, 2, 3)).collect()}
+
+        def ref_acf(xs, k):
+            n = len(xs)
+            if n <= k:
+                return None
+            s, ss = sum(xs), sum(x * x for x in xs)
+            p = sum(xs[t] * xs[t - k] for t in range(k, n))
+            a = sum(xs[t] for t in range(k, n))
+            b = sum(xs[t - k] for t in range(k, n))
+            den = n * n * ss - n * s * s
+            if den == 0:
+                return None
+            num = n * n * p - n * s * (a + b) + (n - k) * s * s
+            return float(num) / float(den)
+
+        for g, xs in series.items():
+            assert got[g]["n_days"] == len(xs)
+            for k in (1, 2, 3):
+                want = ref_acf(xs, k)
+                have = got[g][f"acf_lag{k}"]
+                if want is None:
+                    assert have is None, (g, k)
+                else:
+                    assert have == want, (g, k, have, want)
+        # planted period-2 structure is visible and signed correctly
+        assert got["alt"]["acf_lag1"] < -0.9
+        assert got["alt"]["acf_lag2"] > 0.9
+        # a 2-day series supports lag 1 only
+        assert got["tiny"]["acf_lag2"] is None
+        # exactness: the cents split across events reassembles the
+        # intended daily totals, so the replica used the same integers
+        assert all(x > 0 for x in series["alt"])
+
+    def test_constant_series_is_null(self, spark):
+        import datetime as dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            acf_daily,
+        )
+
+        base = dt.datetime(2024, 3, 1)
+        rows = [("c", base + dt.timedelta(days=d), 5.0) for d in range(10)]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+        r = acf_daily(df, lags=(1,)).collect()[0]
+        assert r["n_days"] == 10 and r["acf_lag1"] is None
