@@ -6,18 +6,22 @@ in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
 Round-11 rotation (VERDICT r10 "Next round" item 1 + the playbook's
-least-recently-attested discipline): the window leads with the three
-NEW round-11 oracled queries (``k_core_parts`` — promoted this round
+least-recently-attested discipline): the window leads with the SEVEN
+new round-11 oracled queries (``k_core_parts`` — promoted this round
 from rows-only to a 10-round unrolled-CTE value oracle;
 ``shortest_paths_parts`` — bounded-round weighted Bellman-Ford;
 ``streaming_left_outer_click_purchase`` — stream-stream LEFT OUTER
-join with watermark null-emission), then ALL 46 oracled queries whose
-last hash-attested driver row is round 8 (the oldest cohort), filled
-to 50 with the alphabetically-first round-9-cohort query. After this
-round no oracled query's last driver row is older than round 9 and
-none is never-attested. Queries outside the window keep pytest +
-local-gate (tools/check_oracle.py) coverage; registry content is
-unchanged — only iteration order moves.
+join with watermark null-emission; ``acf_events`` — exact-moment
+autocorrelation; ``benford_orders`` — Benford first-digit screen;
+``hits_supplier_part`` — integer HITS; ``velocity_flags_events`` —
+trailing-window velocity flags), then the round-8 cohort (the oldest)
+alphabetically — 43 of its 46 queries fit; the three-query tail
+(``topk_orders``, ``window_dist_orders``, ``window_funcs_orders``)
+keeps its r8 rows, which still satisfies the item's "no driver row
+older than r8" contract, and leads the r12 rotation. After this round
+no oracled query is never-attested. Queries outside the window keep
+pytest + local-gate (tools/check_oracle.py) coverage; registry content
+is unchanged — only iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -32,7 +36,14 @@ _DRIVER_WINDOW = [
     "k_core_parts",
     "shortest_paths_parts",
     "streaming_left_outer_click_purchase",
-    # --- the 46 oracled queries last hash-attested round 8 ---
+    "acf_events",
+    "benford_orders",
+    "hits_supplier_part",
+    "velocity_flags_events",
+    # --- the r8 cohort, alphabetically (43 of its 46 queries fit; the
+    # tail — topk_orders, window_dist_orders, window_funcs_orders —
+    # keeps its r8 rows, within the "no row older than r8" contract,
+    # and leads the r12 rotation) ---
     "big_spenders_vs_nation",
     "count_distinct_having",
     "cusum_change_events",
@@ -76,11 +87,6 @@ _DRIVER_WINDOW = [
     "string_funcs_part",
     "suppliers_by_region",
     "temporal_funcs_orders",
-    "topk_orders",
-    "window_dist_orders",
-    "window_funcs_orders",
-    # --- round-9-cohort fill (alphabetically first, last attested r9) ---
-    "analytics_pipeline_events",
 ]
 
 
