@@ -87,3 +87,80 @@ def cusum_daily(
         ).alias("cusum"),
         (scaled > F.lit(threshold_cents) * F.col("_n")).alias("is_change"),
     ).orderBy(group_col, "day")
+
+
+def longest_streaks(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series strictly-increasing STREAK census over the daily
+    value totals — the gaps-and-islands pattern (the monitoring
+    question "how many days in a row has this metric climbed, and
+    what's the record?") computed with two window passes, no
+    sequential scan:
+
+    * ``inc`` flags each day whose exact cents total strictly exceeds
+      the previous day's (series-partitioned lag);
+    * the running count of NON-increases (ordered cumulative sum) is
+      the island id — constant exactly within each maximal increasing
+      run;
+    * per-island length/start then per-series maxima are plain keyed
+      aggregations.
+
+    Everything is integer/date arithmetic on exact cents — no floats
+    anywhere — so the SQL twin matches byte-for-byte. Returns one row
+    per series: (series, n_days, n_runs, longest_run days,
+    longest_run_start = earliest start among record-tying runs).
+    Scale: windows partition by series (one shuffle); a 10-year daily
+    series is 3,650 rows per key."""
+    from pyspark.sql import Window
+
+    daily = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.partitionBy("grp").orderBy("day")
+    flagged = daily.select(
+        "grp",
+        "day",
+        F.when(F.col("x") > F.lag("x").over(w), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("inc"),
+    )
+    islands = flagged.select(
+        "grp",
+        "day",
+        F.sum(F.lit(1) - F.col("inc"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    runs = islands.groupBy("grp", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("day").alias("run_start"),
+    )
+    per_grp = runs.groupBy("grp").agg(
+        F.sum("run_len").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )
+    best_start = (
+        runs.join(
+            per_grp.select("grp", F.col("longest_run").alias("_best")), "grp"
+        )
+        .where(F.col("run_len") == F.col("_best"))
+        .groupBy("grp")
+        .agg(F.min("run_start").alias("longest_run_start"))
+    )
+    return per_grp.join(best_start, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_days",
+        "n_runs",
+        "longest_run",
+        "longest_run_start",
+    )

@@ -891,3 +891,97 @@ def acf_daily(
             F.when((n > k) & (den != 0.0), num / den).alias(f"acf_lag{k}")
         )
     return m.select(*cols)
+
+
+def theil_sen_daily(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-series Theil-Sen robust trend over the daily value totals:
+    slope = the MEDIAN of all C(n,2) pairwise slopes (cents per day),
+    intercept = the median residual at that slope — the outlier-proof
+    companion to grouped_ols (OLS breaks down at one bad day;
+    Theil-Sen tolerates ~29% contamination).
+
+    Exactness: each pairwise slope is ONE IEEE division of exact
+    BIGINTs (Δcents / Δepoch-days); the median is selected by rank —
+    row_number over (slope, day-pair) — and the even-count midpoint is
+    the pinned expression 0.5·(lo + hi), which reduces to the exact
+    value when lo = hi. No engine quantile builtin enters (their
+    interpolation rules differ); the DuckDB twin spells the identical
+    selection, so slope AND intercept reproduce bit-for-bit.
+
+    Scale shape: the pair generation is a per-group self-join bounded
+    by (days per series)² — ~6.6M pairs for a 10-year daily series,
+    distributed work, never a driver array; the median is one window
+    pass over the pair frame keyed by series. Series with one day
+    yield NULL slope (no pairs); the intercept medians over the n
+    per-day residuals y − slope·x with the same rank selection."""
+    from pyspark.sql import Window
+
+    daily = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    ).select(
+        "grp", "y", F.datediff(F.col("day"), F.lit("1970-01-01")).alias("x")
+    )
+    left = daily.select("grp", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    right = daily.select("grp", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = left.join(right, "grp").where(F.col("x1") < F.col("x2")).select(
+        "grp",
+        (
+            (F.col("y2") - F.col("y1")).cast("double")
+            / (F.col("x2") - F.col("x1")).cast("double")
+        ).alias("slope"),
+    )
+
+    def _median(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(val)
+        r = df.select(
+            key,
+            F.col(val),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(key)).alias("_m"),
+        )
+        # integer rank arithmetic (Spark `/` on longs is DOUBLE): the
+        # lower/upper middle ranks are (m+1) div 2 and m div 2 + 1 —
+        # equal when m is odd
+        sel = r.where(
+            (F.col("_rn") == F.expr("(_m + 1) div 2"))
+            | (F.col("_rn") == F.expr("_m div 2 + 1"))
+        )
+        return sel.groupBy(key).agg(
+            (F.lit(0.5) * (F.min(val) + F.max(val))).alias(out),
+            F.max("_m").cast("long").alias(f"_m_{out}"),
+        )
+
+    slopes = _median(pairs, "grp", "slope", "med_slope")
+    resid = daily.join(F.broadcast(slopes), "grp").select(
+        "grp",
+        "med_slope",
+        (
+            F.col("y").cast("double")
+            - F.col("med_slope") * F.col("x").cast("double")
+        ).alias("resid"),
+    )
+    inter = _median(resid, "grp", "resid", "med_intercept")
+    n_days = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        n_days.join(slopes, "grp", "left")
+        .join(inter, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_days",
+            F.col("_m_med_slope").alias("n_pairs"),
+            F.col("med_slope").alias("slope_cents_per_day"),
+            F.col("med_intercept").alias("intercept_cents"),
+        )
+    )

@@ -5742,3 +5742,114 @@ def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return acf_daily(e, lags=(1, 2, 3))
+
+
+@query(
+    "theil_sen_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    d AS (
+      SELECT grp, y,
+             CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x
+      FROM daily),
+    pairs AS (
+      SELECT a.grp,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM d a JOIN d b ON a.grp = b.grp AND a.x < b.x),
+    ps AS (
+      SELECT grp, slope,
+             row_number() OVER (PARTITION BY grp ORDER BY slope) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+      FROM pairs),
+    med AS (
+      SELECT grp, 5.0e-01 * (MIN(slope) + MAX(slope)) AS med_slope,
+             CAST(MAX(m) AS BIGINT) AS n_pairs
+      FROM ps WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY grp),
+    res AS (
+      SELECT d.grp,
+             CAST(d.y AS DOUBLE) - med.med_slope * CAST(d.x AS DOUBLE) AS resid
+      FROM d JOIN med ON d.grp = med.grp),
+    rs AS (
+      SELECT grp, resid,
+             row_number() OVER (PARTITION BY grp ORDER BY resid) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+      FROM res),
+    ri AS (
+      SELECT grp, 5.0e-01 * (MIN(resid) + MAX(resid)) AS med_intercept
+      FROM rs WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1 GROUP BY grp),
+    nd AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days FROM d GROUP BY grp)
+    SELECT nd.grp AS event_type, nd.n_days, med.n_pairs,
+           med.med_slope AS slope_cents_per_day,
+           ri.med_intercept AS intercept_cents
+    FROM nd LEFT JOIN med USING (grp) LEFT JOIN ri USING (grp)
+    """,
+)
+def theil_sen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type over the daily value
+    series (operators/stats.py::theil_sen_daily) — the outlier-proof
+    companion to ols_trend_orders: slope = median of all pairwise
+    slopes (exact-BIGINT deltas, one IEEE division each), intercept =
+    median residual; medians selected by RANK with the pinned
+    0.5·(lo+hi) midpoint (no engine quantile builtin — interpolation
+    rules differ), so the DuckDB twin reproduces both bit-for-bit.
+    Pair generation is a per-series self-join bounded by days² —
+    distributed, never a driver array."""
+    from ..operators.stats import theil_sen_daily
+
+    e = read_table(spark, sf_dir, "events")
+    return theil_sen_daily(e)
+
+
+@query(
+    "streaks_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    flagged AS (
+      SELECT grp, day,
+             CASE WHEN x > lag(x) OVER (PARTITION BY grp ORDER BY day)
+                  THEN 1 ELSE 0 END AS inc
+      FROM daily),
+    islands AS (
+      SELECT grp, day,
+             CAST(SUM(1 - inc) OVER (PARTITION BY grp ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS island
+      FROM flagged),
+    runs AS (
+      SELECT grp, island, CAST(COUNT(*) AS BIGINT) AS run_len,
+             MIN(day) AS run_start
+      FROM islands GROUP BY grp, island),
+    per_grp AS (
+      SELECT grp, CAST(SUM(run_len) AS BIGINT) AS n_days,
+             CAST(COUNT(*) AS BIGINT) AS n_runs,
+             CAST(MAX(run_len) AS BIGINT) AS longest_run
+      FROM runs GROUP BY grp),
+    best AS (
+      SELECT r.grp, MIN(r.run_start) AS longest_run_start
+      FROM runs r JOIN per_grp p
+        ON r.grp = p.grp AND r.run_len = p.longest_run
+      GROUP BY r.grp)
+    SELECT p.grp AS event_type, p.n_days, p.n_runs, p.longest_run,
+           b.longest_run_start
+    FROM per_grp p JOIN best b ON p.grp = b.grp
+    """,
+)
+def streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-increasing streak census per event type over daily
+    totals (operators/changepoint.py::longest_streaks) — the
+    gaps-and-islands pattern: lag flag → cumulative break count as
+    island id → per-island keyed aggregation; pure integer/date
+    arithmetic on exact cents, so the twin matches byte-for-byte.
+    Completes the monitoring family (CUSUM change points, EWMA, drift
+    report) with the record-streak question."""
+    from ..operators.changepoint import longest_streaks
+
+    e = read_table(spark, sf_dir, "events")
+    return longest_streaks(e)

@@ -136,3 +136,52 @@ class TestVelocity:
         assert out[3]["n_trailing"] == 3
         assert out[4]["n_trailing"] == 2  # event 3 and itself
         assert out[4]["cents_trailing"] == 7000
+
+
+class TestStreaks:
+    def test_hand_computed_islands(self, spark):
+        import datetime as dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.changepoint import (
+            longest_streaks,
+        )
+
+        base = dt.datetime(2024, 2, 1)
+        # daily totals: 1, 2, 3, 2, 3, 4, 5, 5 ->
+        # runs: [1,2,3] (len 3), [2,3,4,5] (len 4), [5] (len 1)
+        vals = [1.0, 2.0, 3.0, 2.0, 3.0, 4.0, 5.0, 5.0]
+        rows = [
+            ("s", base + dt.timedelta(days=d), v) for d, v in enumerate(vals)
+        ]
+        # tie case: two record runs of len 2 -> earliest start wins
+        tie = [5.0, 6.0, 1.0, 2.0, 1.0]
+        rows += [
+            ("t", base + dt.timedelta(days=d), v) for d, v in enumerate(tie)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        got = {r["event_type"]: r for r in longest_streaks(df).collect()}
+        s = got["s"]
+        assert (s["n_days"], s["n_runs"], s["longest_run"]) == (8, 3, 4)
+        assert s["longest_run_start"] == base + dt.timedelta(days=3)
+        t = got["t"]
+        assert (t["n_days"], t["n_runs"], t["longest_run"]) == (5, 3, 2)
+        assert t["longest_run_start"] == base  # earliest of the two len-2 runs
+
+    def test_equal_values_break_streaks(self, spark):
+        import datetime as dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.changepoint import (
+            longest_streaks,
+        )
+
+        base = dt.datetime(2024, 2, 1)
+        rows = [
+            ("c", base + dt.timedelta(days=d), 7.0) for d in range(6)
+        ]  # constant: strictly-increasing runs are all singletons
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        r = longest_streaks(df).collect()[0]
+        assert (r["n_days"], r["n_runs"], r["longest_run"]) == (6, 6, 1)

@@ -657,3 +657,53 @@ class TestAcfDaily:
         df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
         r = acf_daily(df, lags=(1,)).collect()[0]
         assert r["n_days"] == 10 and r["acf_lag1"] is None
+
+
+class TestTheilSen:
+    def test_outlier_robust_and_python_differential(self, spark):
+        import datetime as dt
+        import random
+        import statistics
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            theil_sen_daily,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # clean linear series + one gross outlier: slope recovers 2.5
+        for d, v in [(0, 10.0), (1, 12.5), (2, 15.0), (3, 999.0),
+                     (4, 20.0), (5, 22.5)]:
+            rows.append(("a", base + dt.timedelta(days=d), v))
+        # random series for the differential
+        rng = random.Random(3)
+        rnd = [(d, round(rng.uniform(1, 500), 2)) for d in range(30)]
+        rows += [("r", base + dt.timedelta(days=d), v) for d, v in rnd]
+        rows.append(("one", base, 5.0))
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        got = {r["event_type"]: r for r in theil_sen_daily(df).collect()}
+
+        assert got["a"]["slope_cents_per_day"] == 250.0  # 2.5/day, outlier ignored
+        assert got["a"]["n_pairs"] == 15
+        assert got["one"]["slope_cents_per_day"] is None
+        assert got["one"]["n_pairs"] is None
+
+        # python replica (same rank-median convention = statistics.median)
+        def replica(pts):
+            xs = [(int((base + dt.timedelta(days=d)).date().toordinal())
+                   - dt.date(1970, 1, 1).toordinal(), int(round(v * 100)))
+                  for d, v in pts]
+            slopes = [
+                (y2 - y1) / (x2 - x1)
+                for i, (x1, y1) in enumerate(xs)
+                for (x2, y2) in xs[i + 1:]
+            ]
+            m = statistics.median(slopes)
+            resid = [y - m * x for x, y in xs]
+            return m, statistics.median(resid)
+
+        m, b = replica(rnd)
+        assert got["r"]["slope_cents_per_day"] == m
+        assert got["r"]["intercept_cents"] == b
