@@ -985,3 +985,105 @@ def theil_sen_daily(
             F.col("med_intercept").alias("intercept_cents"),
         )
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic, distributed:
+
+        D = max_v |F_a(v) − F_b(v)|
+
+    over the pooled distinct values — the nonparametric "did this
+    distribution shift?" test completing the drift family
+    (distribution_drift reports bucket masses against FIXED decile
+    edges; KS is the sup-norm over EVERY threshold, catching shifts
+    that dodge any fixed bucketing).
+
+    Exactness: with c_a(v) = |{x ∈ A : x ≤ v}| the integer cumulative
+    counts, the comparison runs on the cleared-denominator integers
+    |c_a(v)·n_b − c_b(v)·n_a| (decimal(38,0) — no width ceiling at any
+    realistic n), so the argmax is exact and ONE final IEEE division
+    produces D. Tie rule: the reported location is the SMALLEST value
+    achieving the supremum (min over a (−d_num, v) struct).
+
+    Scale: the same shape as avg_rank2 above — values collapse to a
+    (value, count_a, count_b) table first (ties and duplicates gone
+    before any ordering work), cumulative counts are equi-depth
+    range-bucketed prefix sums (a PARTITIONED window per bucket +
+    broadcast bucket-total offsets), never a single-partition global
+    window over data. Returns one row:
+    (n_a, n_b, d_stat, d_at_value)."""
+    from .bucketing import with_equi_depth_bucket
+
+    is_a = (F.col(group_col) == group_a).cast("long")
+    is_b = (F.col(group_col) == group_b).cast("long")
+    vc = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(value_col).cast("double").alias("_v"),
+            is_a.alias("_ia"),
+            is_b.alias("_ib"),
+        )
+        .where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(
+            F.sum("_ia").cast("long").alias("_ca"),
+            F.sum("_ib").cast("long").alias("_cb"),
+        )
+    )
+    b = with_equi_depth_bucket(vc, "_v", n_buckets)
+    w = W.partitionBy("_bkt").orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+    cum = b.select(
+        "_bkt",
+        "_v",
+        F.sum("_ca").over(w).alias("_cum_a"),
+        F.sum("_cb").over(w).alias("_cum_b"),
+    )
+    totals = b.groupBy("_bkt").agg(
+        F.sum("_ca").alias("_ta"), F.sum("_cb").alias("_tb")
+    )
+    wp = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    prefix = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_ta").over(wp), F.lit(0)).alias("_pa"),
+        F.coalesce(F.sum("_tb").over(wp), F.lit(0)).alias("_pb"),
+    )
+    n = vc.agg(
+        F.sum("_ca").cast("decimal(38,0)").alias("_na"),
+        F.sum("_cb").cast("decimal(38,0)").alias("_nb"),
+    )
+    d38 = "decimal(38,0)"
+    diffs = (
+        cum.join(F.broadcast(prefix), "_bkt")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "_v",
+            "_na",
+            "_nb",
+            F.abs(
+                (F.col("_pa") + F.col("_cum_a")).cast(d38) * F.col("_nb")
+                - (F.col("_pb") + F.col("_cum_b")).cast(d38) * F.col("_na")
+            ).alias("_dnum"),
+        )
+    )
+    best = diffs.agg(
+        F.min(F.struct((-F.col("_dnum")).alias("neg"), F.col("_v").alias("v")))
+        .alias("_best"),
+        F.max("_na").alias("_na"),
+        F.max("_nb").alias("_nb"),
+    )
+    return best.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        (
+            (-F.col("_best.neg")).cast("double")
+            / (F.col("_na") * F.col("_nb")).cast("double")
+        ).alias("d_stat"),
+        F.col("_best.v").alias("d_at_value"),
+    )

@@ -5853,3 +5853,52 @@ def streaks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return longest_streaks(e)
+
+
+@query(
+    "ks_test_events",
+    oracle="""
+    WITH vc AS (
+      SELECT value AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+      GROUP BY value),
+    n AS (SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+                 CAST(SUM(cb) AS HUGEINT) AS nb FROM vc),
+    cum AS (
+      SELECT v,
+             CAST(SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS HUGEINT) AS cca,
+             CAST(SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS HUGEINT) AS ccb
+      FROM vc),
+    d AS (
+      SELECT v, abs(cca * (SELECT nb FROM n) - ccb * (SELECT na FROM n))
+             AS dnum
+      FROM cum)
+    SELECT CAST((SELECT na FROM n) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM n) AS BIGINT) AS n_b,
+           CAST(dnum AS DOUBLE)
+             / CAST((SELECT na * nb FROM n) AS DOUBLE) AS d_stat,
+           v AS d_at_value
+    FROM d ORDER BY dnum DESC, v ASC LIMIT 1
+    """,
+)
+def ks_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test (operators/stats.py::
+    ks_two_sample): sup-norm distance between the purchase and error
+    event-value distributions — the any-threshold drift test
+    completing the drift family. The comparison runs on cleared-
+    denominator integers |c_a·n_b − c_b·n_a| (exact argmax, smallest
+    value on ties) with ONE final IEEE division; cumulative counts are
+    equi-depth-bucketed prefix sums, never a single-partition global
+    window over data (the oracle may use one — correctness twin, not
+    scale twin)."""
+    from ..operators.stats import ks_two_sample
+
+    e = read_table(spark, sf_dir, "events")
+    return ks_two_sample(e, "event_type", "value", "purchase", "error")

@@ -707,3 +707,53 @@ class TestTheilSen:
         m, b = replica(rnd)
         assert got["r"]["slope_cents_per_day"] == m
         assert got["r"]["intercept_cents"] == b
+
+
+class TestKsTwoSample:
+    def test_scipy_convention_differential(self, spark):
+        """ks_two_sample vs a plain-Python exact sup-norm on planted
+        shifted samples (heavy ties included)."""
+        import random
+        from fractions import Fraction
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            ks_two_sample,
+        )
+
+        rng = random.Random(17)
+        a = [float(rng.randrange(50)) for _ in range(400)]
+        b = [float(rng.randrange(50)) + 5.0 for _ in range(300)]  # shifted
+        rows = [("a", v) for v in a] + [("b", v) for v in b] + [("z", 1.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+        assert (r["n_a"], r["n_b"]) == (400, 300)
+
+        vals = sorted(set(a) | set(b))
+        best = Fraction(-1)
+        best_v = None
+        for v in vals:
+            ca = sum(1 for x in a if x <= v)
+            cb = sum(1 for x in b if x <= v)
+            d = abs(Fraction(ca, 400) - Fraction(cb, 300))
+            if d > best:
+                best, best_v = d, v
+        assert r["d_at_value"] == best_v
+        num = abs(
+            sum(1 for x in a if x <= best_v) * 300
+            - sum(1 for x in b if x <= best_v) * 400
+        )
+        assert r["d_stat"] == float(num) / float(400 * 300)  # bit-exact
+        assert r["d_stat"] > 0.05  # the planted shift is visible
+
+    def test_identical_distributions_d_zero(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            ks_two_sample,
+        )
+
+        rows = [("a", float(i % 7)) for i in range(70)] + [
+            ("b", float(i % 7)) for i in range(70)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+        assert r["d_stat"] == 0.0
+        assert r["d_at_value"] == 0.0  # smallest value on the tie
