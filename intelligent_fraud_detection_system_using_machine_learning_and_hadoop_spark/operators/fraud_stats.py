@@ -63,6 +63,14 @@ def benford_profile(
     decimal(38,0) — order-independent — with ONE final double division
     (Σq/1e9). Rows with non-positive amounts are excluded (no leading
     digit).
+
+    Width bound (the chi_square_independence discipline): the worst
+    per-digit quotient is ≈ N·(1−p₉)²/p₉ ≈ 20·N, so the 1e-9-scaled
+    BIGINT stage of ``floor`` holds while 20·N·10⁹ < 2⁶³, i.e. group
+    sizes N ≲ 4.6·10⁸. Beyond that, lower the quantization scale (the
+    statistic is O(N) — nine digits of resolution is far below the
+    statistic's own magnitude there); the bound is per GROUP, not per
+    table.
     """
     cents = F.round(F.col(value_col) * 100).cast("long")
     obs = (
