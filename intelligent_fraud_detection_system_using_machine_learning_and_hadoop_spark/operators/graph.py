@@ -248,10 +248,21 @@ def pagerank_quantized(
     dst: str = "dst",
     broadcast_ranks: bool = False,
     assume_distinct: bool = False,
+    seed_nodes: DataFrame | None = None,
 ) -> DataFrame:
     """All-integer PageRank: power iteration in fixed-point arithmetic
     so every engine computes bit-identical ranks (float PageRank is
     order-dependent under distributed summation; BIGINT sums are not).
+
+    With ``seed_nodes`` (one column ``node``) this becomes PERSONALIZED
+    PageRank — the teleport mass (1−d)·Q lands only on the seed set
+    instead of uniformly, so rank measures proximity to the seeds: the
+    "risk propagation from known-bad entities" primitive. Seeds absent
+    from the graph are ignored; initial rank is Q div |S| on each seed
+    and 0 elsewhere, and the per-round base term is the seed-only
+    analogue of the uniform one. Same exact integer arithmetic, same
+    per-round plan (the seed flag joins in broadcast, |S| rows), same
+    recursive-CTE oracle shape with a CASE on seed membership.
 
     Per iteration, with Q = ``q`` total rank mass and N nodes:
 
@@ -312,7 +323,23 @@ def pagerank_quantized(
     n = deg.count()  # one bounded driver scalar: the node count
     if n == 0:
         raise ValueError("empty graph")
-    base_q = ((q // n) * (damp_den - damp_num)) // damp_den
+    seeds = None
+    if seed_nodes is not None:
+        # seeds restricted to graph nodes; |S| is the second bounded
+        # driver scalar. The flag table is seed-sized and broadcasts.
+        seeds = (
+            seed_nodes.select(F.col("node").cast("long").alias("node"))
+            .distinct()
+            .join(deg.select(F.col("_src").alias("node")), "node", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("no seed node present in the graph")
+        base_q = ((q // n_seeds) * (damp_den - damp_num)) // damp_den
+        init_q = q // n_seeds
+    else:
+        base_q = ((q // n) * (damp_den - damp_num)) // damp_den
     # outdegree fused into the edge rows (the deg⋈e join happens ONCE,
     # at cache build, not once per round); self-loops carry _deg too.
     # Partitioned so the hot per-round path reuses it (see docstring)
@@ -334,22 +361,44 @@ def pagerank_quantized(
         )
         .repartition(F.col(part_col)),
     )
-    r = deg.select(
-        F.col("_src").alias("node"), F.lit(q // n).cast("long").alias("r_q")
-    )
+    if seeds is None:
+        r = deg.select(
+            F.col("_src").alias("node"), F.lit(q // n).cast("long").alias("r_q")
+        )
+        base_col = F.lit(base_q)
+        sflag = None
+    else:
+        sflag = F.broadcast(
+            seeds.select(F.col("node").alias("_snode"), F.lit(1).alias("_sd"))
+        )
+        r = (
+            deg.select(F.col("_src").alias("node"))
+            .join(sflag, F.col("node") == F.col("_snode"), "left")
+            .select(
+                "node",
+                F.when(F.col("_sd").isNotNull(), F.lit(init_q))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("r_q"),
+            )
+        )
+        base_col = F.when(F.col("_sd").isNotNull(), F.lit(base_q)).otherwise(
+            F.lit(0)
+        )
     for _ in range(iters):
         rr = F.broadcast(r) if broadcast_ranks else r
         flows = rr.join(e_aug, F.col("node") == F.col("_src")).select(
             "_dst", (F.col("_w") * F.expr("r_q div _deg")).alias("_c")
         )
-        r = flows.groupBy("_dst").agg(
-            (
-                F.lit(base_q)
-                + F.expr(f"({damp_num} * sum(_c)) div {damp_den}")
-            )
-            .cast("long")
-            .alias("r_q")
-        ).select(F.col("_dst").alias("node"), "r_q")
+        agg = flows.groupBy("_dst").agg(
+            F.expr(f"({damp_num} * sum(_c)) div {damp_den}").alias("_flow")
+        )
+        if sflag is not None:
+            agg = agg.join(sflag, F.col("_dst") == F.col("_snode"), "left")
+        r = agg.select(
+            F.col("_dst").alias("node"),
+            (base_col + F.col("_flow")).cast("long").alias("r_q"),
+        )
         # truncate lineage per round (same discipline as
         # connected_components): without this the plan tree embeds every
         # previous iteration and Catalyst planning, not the data,

@@ -5902,3 +5902,73 @@ def ks_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return ks_two_sample(e, "event_type", "value", "purchase", "error")
+
+
+@query(
+    "ppr_supplier_part",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+      FROM lineitem),
+    -- DISTINCT-over-UNION-ALL subqueries: see pagerank_supplier_part
+    e AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM base
+            UNION ALL SELECT dst AS src, src AS dst FROM base)),
+    nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM e GROUP BY src),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM nodes WHERE node < 10),
+    ea AS (SELECT src, dst, 1 AS w FROM e
+           UNION ALL SELECT node, node, 0 FROM nodes),
+    pr(iter, node, r_q) AS (
+      SELECT 0, node,
+             CASE WHEN node < 10
+                  THEN (SELECT 1000000000000 // k FROM ns) ELSE 0 END
+      FROM nodes
+      UNION ALL
+      SELECT p.iter + 1, ea.dst,
+             CASE WHEN ea.dst < 10
+                  THEN (SELECT ((1000000000000 // k) * 15) // 100 FROM ns)
+                  ELSE 0 END
+             + (85 * SUM(ea.w * (p.r_q // d.deg))) // 100
+      FROM pr p
+      JOIN deg d ON d.node = p.node
+      JOIN ea ON ea.src = p.node
+      WHERE p.iter < 5
+      GROUP BY p.iter, ea.dst)
+    SELECT node, CAST(r_q AS BIGINT) AS r_q,
+           CAST(r_q AS DOUBLE) / 1e12 AS rank
+    FROM pr WHERE iter = 5
+    """,
+)
+def ppr_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (operators/graph.py::pagerank_quantized
+    with ``seed_nodes``) on the supplier↔part co-trading graph, seeded
+    at the suppliers with suppkey < 10 — the "risk propagation from
+    known-bad entities" primitive: teleport mass lands only on the
+    watchlist, so rank measures trading proximity to it. Same exact
+    fixed-point arithmetic and per-round zero-shuffle broadcast plan
+    as pagerank_supplier_part (the deg / augmented-edge caches are
+    SHARED between the two queries — same cache keys); the recursive-
+    CTE twin adds one CASE on seed membership."""
+    from ..operators.graph import pagerank_quantized
+
+    li = read_table(spark, sf_dir, "lineitem")
+    fw = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    edges = fw.union(
+        fw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = li.select(F.col("l_suppkey").alias("node")).where(
+        F.col("node") < 10
+    )
+    return pagerank_quantized(
+        edges,
+        iters=5,
+        broadcast_ranks=True,
+        assume_distinct=True,
+        seed_nodes=seeds,
+    )

@@ -641,3 +641,79 @@ class TestHits:
         # supplier 0 endorses {100, 101}: strictly the best hub
         assert hubs[0] == 10**6
         assert all(hubs[0] >= v for v in hubs.values())
+
+
+class TestPersonalizedPagerank:
+    def test_integer_replica_and_seed_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            pagerank_quantized,
+        )
+
+        fw = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+        )  # a path 1-2-3-4 plus a disconnected pair 5-6
+        e = fw.union(
+            fw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        seeds = spark.createDataFrame([(1,), (99,)], "node long")  # 99 absent
+        got = {
+            r["node"]: r["r_q"]
+            for r in pagerank_quantized(
+                e, iters=5, seed_nodes=seeds, broadcast_ranks=True
+            ).collect()
+        }
+        # integer replica (the oracle arithmetic)
+        q = 10**12
+        deg = {1: 1, 2: 2, 3: 2, 4: 1, 5: 1, 6: 1}
+        edges = [(1, 2), (2, 3), (3, 4), (5, 6),
+                 (2, 1), (3, 2), (4, 3), (6, 5)]
+        r = {v: (q if v == 1 else 0) for v in deg}
+        base = {v: ((q * 15) // 100 if v == 1 else 0) for v in deg}
+        for _ in range(5):
+            inc = {v: 0 for v in deg}
+            for s, d in edges:
+                inc[d] += r[s] // deg[s]
+            r = {v: base[v] + (85 * inc[v]) // 100 for v in deg}
+        assert got == r
+        # mass stays in the seed's component: the disconnected pair
+        # drains to zero (no teleport there), the seed component holds
+        # nearly all of Q
+        assert got[5] == 0 and got[6] == 0
+        assert sum(got.values()) > 0.9 * q
+
+    def test_all_nodes_seeded_equals_uniform_pagerank(self, spark):
+        from pyspark.sql import functions as F
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            pagerank_quantized,
+        )
+
+        fw = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+        e = fw.union(
+            fw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        all_nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+        uniform = {
+            r["node"]: r["r_q"]
+            for r in pagerank_quantized(e, iters=4).collect()
+        }
+        seeded = {
+            r["node"]: r["r_q"]
+            for r in pagerank_quantized(
+                e, iters=4, seed_nodes=all_nodes
+            ).collect()
+        }
+        assert uniform == seeded
+    def test_no_seed_in_graph_raises(self, spark):
+        import pytest as _pytest
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            pagerank_quantized,
+        )
+
+        e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        seeds = spark.createDataFrame([(42,)], "node long")
+        with _pytest.raises(ValueError, match="no seed node"):
+            pagerank_quantized(e, iters=2, seed_nodes=seeds)
