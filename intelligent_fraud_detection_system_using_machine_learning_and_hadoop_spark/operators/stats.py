@@ -1087,3 +1087,119 @@ def ks_two_sample(
         ).alias("d_stat"),
         F.col("_best.v").alias("d_at_value"),
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) test between two
+    groups, with the tie-corrected normal approximation z — the
+    rank-based "is A stochastically larger than B?" companion to
+    ks_two_sample's sup-norm (KS asks "any difference anywhere"; MW
+    asks specifically about shift). ``exact_auc`` (ml/evaluate.py) is
+    the same statistic normalized to [0,1]; this adds the U value and
+    the significance z.
+
+    Everything is value-level and exact: with the pooled doubled ranks
+    r2(v) = 2·|{x < v}| + |{x = v}| + 1 (the avg_rank2 identity),
+
+        2·U_a = Σ_v ca(v)·r2(v) − n_a·(n_a+1)          (exact integer)
+        T     = Σ_v (c³ − c),  c = ca+cb                (tie correction)
+        σ²    = n_a·n_b·(n³ − n − T) / (12·n·(n−1))
+        z     = (2U_a − n_a·n_b) / (2·σ)
+
+    All moments accumulate as decimal(38,0); the z expression tree is
+    pinned (two exact→DOUBLE casts, one division, one sqrt, one final
+    division) so the DuckDB HUGEINT twin reproduces it bit-for-bit.
+    Degenerate inputs (an empty group, n < 2, all values tied → σ = 0)
+    yield NULL z. Returns one row:
+    (n_a, n_b, u_a, z, auc_a) with auc_a = U_a/(n_a·n_b) and u_a the
+    exact U (reported as a double — 2U is the integer; halving is an
+    exact IEEE operation).
+
+    Scale shape: identical to ks_two_sample — one value-level roll-up
+    (ties collapse before any ordering), equi-depth-bucketed prefix
+    sums for the "< v" counts, one final aggregation."""
+    from .bucketing import with_equi_depth_bucket
+
+    is_a = (F.col(group_col) == group_a).cast("long")
+    is_b = (F.col(group_col) == group_b).cast("long")
+    vc = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(value_col).cast("double").alias("_v"),
+            is_a.alias("_ia"),
+            is_b.alias("_ib"),
+        )
+        .where(F.col("_v").isNotNull())
+        .groupBy("_v")
+        .agg(
+            F.sum("_ia").cast("long").alias("_ca"),
+            F.sum("_ib").cast("long").alias("_cb"),
+        )
+    )
+    b = with_equi_depth_bucket(vc, "_v", n_buckets)
+    w = W.partitionBy("_bkt").orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+    cum = b.select(
+        "_bkt",
+        "_v",
+        "_ca",
+        "_cb",
+        F.sum(F.col("_ca") + F.col("_cb")).over(w).alias("_cum_le"),
+    )
+    totals = b.groupBy("_bkt").agg(
+        F.sum(F.col("_ca") + F.col("_cb")).alias("_tot")
+    )
+    wp = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    prefix = totals.select(
+        "_bkt",
+        F.coalesce(F.sum("_tot").over(wp), F.lit(0)).alias("_pref"),
+    )
+    d38 = "decimal(38,0)"
+    r2 = (
+        F.lit(2)
+        * (F.col("_pref") + F.col("_cum_le") - (F.col("_ca") + F.col("_cb")))
+        + (F.col("_ca") + F.col("_cb"))
+        + F.lit(1)
+    ).cast(d38)
+    c_all = (F.col("_ca") + F.col("_cb")).cast(d38)
+    m = (
+        cum.join(F.broadcast(prefix), "_bkt")
+        .agg(
+            F.sum("_ca").cast(d38).alias("na"),
+            F.sum("_cb").cast(d38).alias("nb"),
+            F.sum(F.col("_ca").cast(d38) * r2).alias("sra2"),
+            F.sum(c_all * c_all * c_all - c_all).alias("t_ties"),
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    u2 = F.col("sra2") - na * (na + 1)
+    s_term = n * n * n - n - F.col("t_ties")
+    sigma2 = s_term * na * nb  # numerator; denominator 12·n·(n−1)
+    z = F.when(
+        (na > 0) & (nb > 0) & (n > 1) & (s_term > 0),
+        (u2 - na * nb).cast("double")
+        / (
+            F.lit(2.0)
+            * F.sqrt(
+                sigma2.cast("double")
+                / (F.lit(12) * n * (n - 1)).cast("double")
+            )
+        ),
+    )
+    auc = F.when(
+        (na > 0) & (nb > 0), u2.cast("double") / (F.lit(2) * na * nb).cast("double")
+    )
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.when((na > 0) & (nb > 0), u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        z.alias("z"),
+        auc.alias("auc_a"),
+    )

@@ -5972,3 +5972,60 @@ def ppr_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         assume_distinct=True,
         seed_nodes=seeds,
     )
+
+
+@query(
+    "mann_whitney_events",
+    oracle="""
+    WITH vc AS (
+      SELECT value AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+      GROUP BY value),
+    cum AS (
+      SELECT v, ca, cb,
+             CAST(SUM(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS HUGEINT) AS cle
+      FROM vc),
+    m AS (
+      SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+             CAST(SUM(cb) AS HUGEINT) AS nb,
+             CAST(SUM(CAST(ca AS HUGEINT)
+                  * (2 * (cle - (ca + cb)) + (ca + cb) + 1)) AS HUGEINT)
+               AS sra2,
+             CAST(SUM(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+                  - (ca + cb)) AS HUGEINT) AS t_ties
+      FROM cum)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CASE WHEN na > 0 AND nb > 0
+                THEN CAST(sra2 - na * (na + 1) AS DOUBLE) / 2.0e+00 END
+             AS u_a,
+           CASE WHEN na > 0 AND nb > 0 AND (na + nb) > 1
+                 AND ((na+nb)*(na+nb)*(na+nb) - (na+nb) - t_ties) > 0
+                THEN CAST(sra2 - na * (na + 1) - na * nb AS DOUBLE)
+                     / (2.0e+00 * sqrt(
+                         CAST(((na+nb)*(na+nb)*(na+nb) - (na+nb) - t_ties)
+                              * na * nb AS DOUBLE)
+                         / CAST(12 * (na+nb) * ((na+nb) - 1) AS DOUBLE)))
+           END AS z,
+           CASE WHEN na > 0 AND nb > 0
+                THEN CAST(sra2 - na * (na + 1) AS DOUBLE)
+                     / CAST(2 * na * nb AS DOUBLE) END AS auc_a
+    FROM m
+    """,
+)
+def mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U / Wilcoxon rank-sum test (operators/
+    stats.py::mann_whitney) between the purchase and error event-value
+    distributions — the shift-sensitive companion to ks_test_events'
+    sup-norm, with the tie-corrected z. Value-level exact ranks (the
+    avg_rank2 identity), decimal moments, pinned z expression tree —
+    the DuckDB HUGEINT twin reproduces U, z, and AUC bit-for-bit."""
+    from ..operators.stats import mann_whitney
+
+    e = read_table(spark, sf_dir, "events")
+    return mann_whitney(e, "event_type", "value", "purchase", "error")

@@ -757,3 +757,59 @@ class TestKsTwoSample:
         r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
         assert r["d_stat"] == 0.0
         assert r["d_at_value"] == 0.0  # smallest value on the tie
+
+
+class TestMannWhitney:
+    def test_scipy_formula_differential(self, spark):
+        """mann_whitney vs a plain-Python exact replica (tie-corrected
+        normal approximation, the scipy 'asymptotic' convention
+        without continuity correction) on heavy-tie data."""
+        import math
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            mann_whitney,
+        )
+
+        rng = random.Random(23)
+        a = [float(rng.randrange(12)) for _ in range(150)]
+        b = [float(rng.randrange(12)) + 2.0 for _ in range(120)]  # shifted up
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mann_whitney(df, "g", "v", "a", "b").collect()[0]
+
+        pooled = sorted(a + b)
+        import bisect
+
+        def r2(v):
+            lt = bisect.bisect_left(pooled, v)
+            eq = bisect.bisect_right(pooled, v) - lt
+            return 2 * lt + eq + 1
+
+        na, nb = len(a), len(b)
+        n = na + nb
+        u2 = sum(r2(v) for v in a) - na * (na + 1)
+        from collections import Counter
+
+        t = sum(c**3 - c for c in Counter(pooled).values())
+        s = n**3 - n - t
+        z = float(u2 - na * nb) / (
+            2.0 * math.sqrt(float(s * na * nb) / float(12 * n * (n - 1)))
+        )
+        assert (r["n_a"], r["n_b"]) == (na, nb)
+        assert r["u_a"] == u2 / 2.0
+        assert r["z"] == z  # bit-exact pinned expression tree
+        assert r["auc_a"] == float(u2) / float(2 * na * nb)
+        # the planted upward shift of B makes A stochastically smaller
+        assert r["auc_a"] < 0.4 and r["z"] < -3.0
+
+    def test_all_tied_z_null(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            mann_whitney,
+        )
+
+        rows = [("a", 5.0)] * 8 + [("b", 5.0)] * 6
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = mann_whitney(df, "g", "v", "a", "b").collect()[0]
+        assert r["z"] is None  # sigma = 0
+        assert r["auc_a"] == 0.5  # pure ties -> no stochastic order
