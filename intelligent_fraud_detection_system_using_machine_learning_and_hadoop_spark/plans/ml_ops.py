@@ -369,3 +369,30 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_topk_trending
 
     return stream_topk_trending(spark, sf_dir)
+
+
+@query(
+    "streaming_full_outer_click_purchase",
+    oracle=f"""
+    WITH {{events_us}},
+    c AS (SELECT user_id, event_id, ts FROM events_us WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events_us WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id
+    FROM c FULL JOIN p ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """.format(events_us=_EVENTS_US),
+)
+def streaming_full_outer_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — the last of the three flavors
+    (inner r7, left outer r11, full outer r11): unmatched purchases now
+    also emit, as (NULL, purchase_id), on the same watermark-expiry
+    eviction that flushes unmatched clicks (streaming/jobs.py::
+    stream_stream_click_purchase_full_outer — both sides watermarked
+    and time-bounded, so both sides' state is evictable). The drained
+    result equals the batch FULL interval join, which this oracle
+    attests."""
+    from ..streaming.jobs import stream_stream_click_purchase_full_outer
+
+    return stream_stream_click_purchase_full_outer(spark, sf_dir)

@@ -679,12 +679,18 @@ def stream_stream_click_purchase_left_outer(
     sf_dir: str,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "left_outer",
 ) -> DataFrame:
     """Stream-STREAM LEFT OUTER join with watermark null-emission — the
     one join flavor the inner variant above doesn't cover: every click
     joined to same-user purchases within ``within`` after it, and
     clicks with NO such purchase emitted with a NULL purchase_id once
-    the watermark proves no match can still arrive.
+    the watermark proves no match can still arrive. With
+    ``how="full_outer"`` unmatched PURCHASES additionally emit with a
+    NULL click_id on the same state-expiry mechanism (both sides are
+    watermarked and time-bounded, so both sides' state is evictable —
+    the Spark requirement for streaming full outer); see
+    ``stream_stream_click_purchase_full_outer``.
 
     Structured Streaming emits an outer join's null rows only when a
     LATER micro-batch's watermark expires the row's state — measured
@@ -768,7 +774,7 @@ def stream_stream_click_purchase_left_outer(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
-        "left_outer",
+        how,
     ).select("click_id", "purchase_id")
     name = f"ss_louter_sink_{next(_sink_ids)}"
     q = (
@@ -779,7 +785,32 @@ def stream_stream_click_purchase_left_outer(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).where(F.col("click_id") >= 0)
+    # drop sentinel artifacts on EITHER side, null-safely: real outer
+    # rows carry NULL on exactly one side; sentinels carry negative ids
+    # (incl. sentinel-sentinel self-matches, whose timestamps coincide)
+    return spark.table(name).where(
+        (F.col("click_id").isNull() | (F.col("click_id") >= 0))
+        & (F.col("purchase_id").isNull() | (F.col("purchase_id") >= 0))
+    )
+
+
+def stream_stream_click_purchase_full_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM FULL OUTER join — completes the three stream-
+    stream flavors (inner / left outer / full outer): matched pairs
+    once per match, unmatched clicks as (click_id, NULL), unmatched
+    purchases as (NULL, purchase_id), each emitted when watermark
+    expiry proves no counterpart can still arrive. Identical sentinel-
+    drain mechanics to the left-outer job (the eviction scan now
+    flushes BOTH sides' expired state); the drained result equals the
+    batch FULL interval join, which the oracle attests."""
+    return stream_stream_click_purchase_left_outer(
+        spark, sf_dir, within=within, watermark=watermark, how="full_outer"
+    )
 
 
 def stream_static_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -216,3 +216,47 @@ def test_stream_stream_left_outer_equals_batch(spark, sf_dir):
         ).collect()
     )
     assert streamed == batch and streamed
+
+
+def test_stream_stream_full_outer_edge_cases(spark, tmp_path):
+    """FULL OUTER adds the purchase side: unmatched purchases emit
+    exactly one (NULL, purchase_id) row; matched pairs and unmatched
+    clicks behave exactly as in the left-outer flavor."""
+    import datetime
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        stream_stream_click_purchase_full_outer,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    rows = [
+        (1, ts(0), 10, "click"),      # matches 101
+        (2, ts(0), 30, "click"),      # purchase 1s too late -> (2, NULL)
+        (101, ts(60), 10, "purchase"),
+        (301, ts(3601), 30, "purchase"),  # -> (NULL, 301)
+        (501, ts(60), 99, "purchase"),    # no clicks for user -> (NULL, 501)
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, et, 0.0, "{}") for e, t, u, et in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in stream_stream_click_purchase_full_outer(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        (1, 101),
+        (2, None),
+        (None, 301),
+        (None, 501),
+    }
