@@ -1203,3 +1203,113 @@ def mann_whitney(
         z.alias("z"),
         auc.alias("auc_a"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact Kruskal-Wallis H test across ALL groups of ``group_col``
+    — the k-group generalization of mann_whitney ("do any of these
+    segments' value distributions differ?"), computed on exact pooled
+    ranks:
+
+        H  = (3 / (n(n+1))) · Σ_i R2_i²/n_i  −  3(n+1)
+        H' = H / (1 − T/(n³−n)),   T = Σ_v (c³ − c)
+
+    with R2_i = Σ_{x∈i} r2(x) the group's doubled rank sum (exact
+    decimal — the avg_rank2 identity folds R_i² / n_i into R2_i² / 4n_i
+    and the 12 into 3) and H' the tie-corrected statistic.
+
+    Determinism across engines: R2_i², n_i, T, n are exact integers;
+    the one float sum over the k per-group quotients runs as an
+    ORDERED cumulative window over the group key — a k-row sequential
+    left-to-right IEEE chain both engines associate identically — and
+    every remaining operation is a pinned expression tree, so the
+    DuckDB HUGEINT twin reproduces H and H' bit-for-bit. All values
+    tied (T = n³−n) yields NULL H'.
+
+    Scale shape: value-level roll-ups only — (group, value) counts,
+    pooled (value) counts, the equi-depth-bucketed prefix-sum rank
+    table — then a k-row assembly. No per-row rank join, no global
+    window over data. Returns one row: (n, n_groups, h, h_tie)."""
+    from .bucketing import with_equi_depth_bucket
+
+    d38 = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("double").alias("_v")
+    ).where(F.col("_v").isNotNull() & F.col("_g").isNotNull())
+    gv = base.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_cgv")
+    )
+    vc = gv.groupBy("_v").agg(F.sum("_cgv").cast("long").alias("_cnt"))
+    b = with_equi_depth_bucket(vc, "_v", n_buckets)
+    w = W.partitionBy("_bkt").orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+    cum = b.select("_bkt", "_v", "_cnt", F.sum("_cnt").over(w).alias("_cum_le"))
+    totals = b.groupBy("_bkt").agg(F.sum("_cnt").alias("_tot"))
+    wp = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    prefix = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(wp), F.lit(0)).alias("_pref")
+    )
+    r2tab = (
+        cum.join(F.broadcast(prefix), "_bkt")
+        .select(
+            "_v",
+            (
+                F.lit(2) * (F.col("_pref") + F.col("_cum_le") - F.col("_cnt"))
+                + F.col("_cnt")
+                + F.lit(1)
+            )
+            .cast(d38)
+            .alias("_r2"),
+        )
+    )
+    per_group = (
+        gv.join(r2tab, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_cgv").cast(d38).alias("_ni"),
+            F.sum(F.col("_cgv").cast(d38) * F.col("_r2")).alias("_r2i"),
+        )
+    )
+    # ordered k-row float sum of R2_i²/(4·n_i) — deterministic chain
+    wg = W.orderBy("_g").rowsBetween(W.unboundedPreceding, 0)
+    contrib = (F.col("_r2i") * F.col("_r2i")).cast("double") / (
+        F.lit(4) * F.col("_ni")
+    ).cast("double")
+    summed = per_group.select(
+        "_g",
+        "_ni",
+        F.sum(contrib).over(wg).alias("_s"),
+        F.count(F.lit(1)).over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing)).alias("_k"),
+    )
+    ties = vc.agg(
+        F.sum(
+            F.col("_cnt").cast(d38) * F.col("_cnt") * F.col("_cnt")
+            - F.col("_cnt").cast(d38)
+        ).alias("_t"),
+        F.sum("_cnt").cast(d38).alias("_n"),
+    )
+    last = summed.agg(
+        F.max(F.struct(F.col("_g").alias("g"), F.col("_s").alias("s"))).alias(
+            "_last"
+        ),
+        F.max("_k").cast("long").alias("n_groups"),
+    )
+    j = last.crossJoin(F.broadcast(ties))
+    n = F.col("_n")
+    nn1 = (n * (n + 1)).cast("double")
+    h = (F.lit(12.0) * F.col("_last.s")) / nn1 - (
+        F.lit(3) * (n + 1)
+    ).cast("double")
+    ncube = n * n * n - n
+    tie_den = (ncube - F.col("_t")).cast("double") / ncube.cast("double")
+    return j.select(
+        n.cast("long").alias("n"),
+        F.col("n_groups"),
+        h.alias("h"),
+        F.when((ncube - F.col("_t")) > 0, h / tie_den).alias("h_tie"),
+    )

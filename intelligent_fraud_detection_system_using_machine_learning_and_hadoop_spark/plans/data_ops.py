@@ -6029,3 +6029,64 @@ def mann_whitney_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return mann_whitney(e, "event_type", "value", "purchase", "error")
+
+
+@query(
+    "kruskal_wallis_events",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cgv
+           FROM base GROUP BY g, v),
+    vc AS (SELECT v, CAST(SUM(cgv) AS BIGINT) AS cnt FROM gv GROUP BY v),
+    cum AS (
+      SELECT v, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS HUGEINT) AS cle
+      FROM vc),
+    r2 AS (SELECT v, CAST(2 * (cle - cnt) + cnt + 1 AS HUGEINT) AS r2v
+           FROM cum),
+    pg AS (
+      SELECT g, CAST(SUM(cgv) AS HUGEINT) AS ni,
+             CAST(SUM(CAST(cgv AS HUGEINT) * r2v) AS HUGEINT) AS r2i
+      FROM gv JOIN r2 USING (v) GROUP BY g),
+    sums AS (
+      SELECT g,
+             SUM(CAST(r2i * r2i AS DOUBLE) / CAST(4 * ni AS DOUBLE))
+               OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND
+                     CURRENT ROW) AS s
+      FROM pg),
+    tt AS (
+      SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS HUGEINT)
+               AS t,
+             CAST(SUM(cnt) AS HUGEINT) AS n
+      FROM vc),
+    hh AS (
+      SELECT n, t,
+             (1.2e+01 * (SELECT s FROM sums ORDER BY g DESC LIMIT 1))
+               / CAST(n * (n + 1) AS DOUBLE)
+               - CAST(3 * (n + 1) AS DOUBLE) AS h
+      FROM tt)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM pg) AS BIGINT) AS n_groups,
+           h,
+           CASE WHEN (n * n * n - n - t) > 0
+                THEN h / (CAST(n * n * n - n - t AS DOUBLE)
+                          / CAST(n * n * n - n AS DOUBLE))
+           END AS h_tie
+    FROM hh
+    """,
+)
+def kruskal_wallis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kruskal-Wallis H across the event types' value
+    distributions (operators/stats.py::kruskal_wallis) — the k-group
+    rank test completing the family (Mann-Whitney 2-group, Spearman
+    association, KS sup-norm): exact pooled doubled ranks, per-group
+    decimal rank sums, the one k-row float sum pinned as an ORDERED
+    cumulative chain, tie-corrected H'. Bitwise vs the HUGEINT
+    twin."""
+    from ..operators.stats import kruskal_wallis
+
+    e = read_table(spark, sf_dir, "events")
+    return kruskal_wallis(e, "event_type", "value")

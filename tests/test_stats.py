@@ -813,3 +813,61 @@ class TestMannWhitney:
         r = mann_whitney(df, "g", "v", "a", "b").collect()[0]
         assert r["z"] is None  # sigma = 0
         assert r["auc_a"] == 0.5  # pure ties -> no stochastic order
+
+
+class TestKruskalWallis:
+    def test_scipy_convention_differential(self, spark):
+        """kruskal_wallis vs a Python replica of the tie-corrected H
+        (the scipy.stats.kruskal convention) on 3 groups, heavy
+        ties + a planted shift."""
+        import random
+        from collections import Counter
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            kruskal_wallis,
+        )
+
+        rng = random.Random(31)
+        groups = {
+            "a": [float(rng.randrange(10)) for _ in range(120)],
+            "b": [float(rng.randrange(10)) + 1.0 for _ in range(90)],
+            "c": [float(rng.randrange(10)) + 3.0 for _ in range(70)],
+        }
+        rows = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = kruskal_wallis(df, "g", "v").collect()[0]
+        assert (r["n"], r["n_groups"]) == (280, 3)
+
+        pooled = sorted(v for vs in groups.values() for v in vs)
+        import bisect
+
+        def r2(v):
+            lt = bisect.bisect_left(pooled, v)
+            eq = bisect.bisect_right(pooled, v) - lt
+            return 2 * lt + eq + 1
+
+        n = len(pooled)
+        # ordered float chain over group keys, exactly as the operator
+        s = 0.0
+        for g in sorted(groups):
+            vs = groups[g]
+            r2i = sum(r2(v) for v in vs)
+            s += float(r2i * r2i) / float(4 * len(vs))
+        h = (12.0 * s) / float(n * (n + 1)) - float(3 * (n + 1))
+        t = sum(c**3 - c for c in Counter(pooled).values())
+        h_tie = h / (float(n**3 - n - t) / float(n**3 - n))
+        assert r["h"] == h  # bit-exact ordered chain
+        assert r["h_tie"] == h_tie
+        # the planted shifts are detectable: H far above the k-1=2
+        # degrees-of-freedom expectation
+        assert r["h_tie"] > 30.0
+
+    def test_all_tied_h_tie_null(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            kruskal_wallis,
+        )
+
+        rows = [("a", 5.0)] * 4 + [("b", 5.0)] * 6 + [("c", 5.0)] * 3
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = kruskal_wallis(df, "g", "v").collect()[0]
+        assert r["h_tie"] is None  # T = n^3 - n
