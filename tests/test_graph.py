@@ -717,3 +717,31 @@ class TestPersonalizedPagerank:
         seeds = spark.createDataFrame([(42,)], "node long")
         with _pytest.raises(ValueError, match="no seed node"):
             pagerank_quantized(e, iters=2, seed_nodes=seeds)
+
+
+class TestSizedPartitions:
+    def test_noop_below_session_default_and_engages_above(self, spark):
+        """_sized_partitions_ckpt must return None when the data fits
+        the session width (forcing hard repartitions at sf0.1 measured
+        +4 s across the graph quartet — the r11 regression this pins)
+        and a stats-derived width only when the data demands more."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            _sized_partitions_ckpt,
+        )
+
+        e = spark.range(0, 200_000).selectExpr(
+            "id as u", "id % 1000 as v"
+        ).localCheckpoint(eager=True)
+        # small frame, width 32 session default -> keep the plan
+        assert _sized_partitions_ckpt(e) is None
+        # same frame against a tiny session default -> engages, scaled
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "1")
+            got1 = _sized_partitions_ckpt(e, scale=1.0)
+            got4 = _sized_partitions_ckpt(e, scale=4.0)
+            assert got1 is not None and got1 >= 1
+            assert got4 >= got1  # scale multiplies the demand
+            assert got4 <= 2048  # cap holds
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
