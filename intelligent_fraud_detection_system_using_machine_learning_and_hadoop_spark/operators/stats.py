@@ -266,6 +266,22 @@ def equi_depth_histogram(
     equi-height zone layout. Massive tie groups make a hot window
     partition; salt within the tie group (rank offset + salted
     row_number) if one value dominates the table."""
+    bucketed = exact_ntile_assign(df, val_col, id_col, n_buckets)
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+    )
+
+
+def exact_ntile_assign(
+    df: DataFrame, val_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """The distributed exact-ntile rank/bucket assignment shared by
+    ``equi_depth_histogram`` and ``lorenz_concentration``: returns
+    (_v, _id, _rank, bucket) under the total order (value, id) with
+    SQL ``ntile`` bucket arithmetic — see equi_depth_histogram's
+    docstring for the shape and scale argument."""
     v = F.col(val_col).cast("double")
     rows = df.select(v.alias("_v"), F.col(id_col).alias("_id"))
     # value-level "< v" prefix counts (the avg_rank2 machinery keeps
@@ -282,7 +298,7 @@ def equi_depth_histogram(
     )
     n = rows.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     B = n_buckets
-    bucketed = ranked.crossJoin(F.broadcast(n)).withColumn(
+    return ranked.crossJoin(F.broadcast(n)).withColumn(
         "bucket",
         F.expr(
             f"""CASE WHEN (_rank - 1) < (_n % {B}) * ((_n div {B}) + 1)
@@ -292,10 +308,51 @@ def equi_depth_histogram(
                 END"""
         ).cast("long"),
     )
-    return bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.min("_v").alias("min_v"),
-        F.max("_v").alias("max_v"),
+
+
+def lorenz_concentration(
+    df: DataFrame,
+    id_col: str,
+    cents_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Lorenz-curve concentration report over per-entity exact-cents
+    totals — the Gini coefficient's visual companion ("the top decile
+    of claimants takes X% of the money"), evaluated at exact ntile
+    boundaries: entities sort ASCENDING by (cents, id) into
+    ``n_buckets`` equal-count buckets (the shared exact_ntile_assign
+    machinery — no global-order window), then per bucket the exact
+    BIGINT cents total, cumulative cents, and the two pinned-IEEE
+    cumulative shares that define the curve:
+
+        (cum_frac_entities, cum_share_cents)
+
+    Ties and the bucket arithmetic are the SQL ntile definition, so
+    the DuckDB twin (a literal ``ntile(B) OVER (ORDER BY cents, id)``)
+    reproduces every row bit-for-bit. The bucket cumsum is a B-row
+    window — driver-bounded, not data-bounded."""
+    bucketed = exact_ntile_assign(df, cents_col, id_col, n_buckets)
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum(F.col("_v").cast("long")).cast("long").alias("cents_total"),
+    )
+    wb = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return per.select(
+        "bucket",
+        "n_entities",
+        "cents_total",
+        F.sum("cents_total").over(wb).cast("long").alias("cum_cents"),
+        (
+            F.sum("n_entities").over(wb).cast("double")
+            / F.sum("n_entities").over(wall).cast("double")
+        ).alias("cum_frac_entities"),
+        (
+            F.sum("cents_total").over(wb).cast("double")
+            / F.sum("cents_total").over(wall).cast("double")
+        ).alias("cum_share_cents"),
     )
 
 

@@ -6,7 +6,7 @@ in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
 Round-11 rotation (VERDICT r10 "Next round" item 1 + the playbook's
-least-recently-attested discipline): the window leads with the FOURTEEN
+least-recently-attested discipline): the window leads with the FIFTEEN
 new round-11 oracled queries (``k_core_parts`` — promoted this round
 from rows-only to a 10-round unrolled-CTE value oracle;
 ``shortest_paths_parts`` — bounded-round weighted Bellman-Ford;
@@ -16,17 +16,19 @@ OUTER joins with watermark null-emission; ``acf_events`` — exact-moment
 autocorrelation; ``benford_orders`` — Benford first-digit screen;
 ``hits_supplier_part`` — integer HITS; ``ks_test_events`` — exact
 two-sample Kolmogorov-Smirnov; ``kruskal_wallis_events`` — k-group
-rank H; ``mann_whitney_events`` — exact
+rank H; ``lorenz_customers`` — Lorenz concentration at exact ntile
+deciles; ``mann_whitney_events`` — exact
 rank-sum U with tie-corrected z; ``ppr_supplier_part`` — personalized
 PageRank from a seed watchlist; ``streaks_events`` —
 gaps-and-islands streak census; ``theil_sen_events`` — Theil-Sen
 robust trend; ``velocity_flags_events`` — trailing-window velocity
-flags), then the round-8 cohort (the oldest) alphabetically — 36 of
-its 46 queries fit; the ten-query tail (``streaming_distinct_pairs``,
-``streaming_incremental_dedup``, ``streaming_rolling_anomaly``,
-``streaming_user_stats``, ``string_funcs_part``,
-``suppliers_by_region``, ``temporal_funcs_orders``, ``topk_orders``,
-``window_dist_orders``, ``window_funcs_orders``)
+flags), then the round-8 cohort (the oldest) alphabetically — 35 of
+its 46 queries fit; the eleven-query tail (``status_priority_counts``,
+``streaming_distinct_pairs``, ``streaming_incremental_dedup``,
+``streaming_rolling_anomaly``, ``streaming_user_stats``,
+``string_funcs_part``, ``suppliers_by_region``,
+``temporal_funcs_orders``, ``topk_orders``, ``window_dist_orders``,
+``window_funcs_orders``)
 keeps its r8 rows, which still satisfies the item's "no driver row
 older than r8" contract, and leads the r12 rotation. After this round
 no oracled query is never-attested. Queries outside the window keep
@@ -51,19 +53,20 @@ _DRIVER_WINDOW = [
     "benford_orders",
     "hits_supplier_part",
     "ks_test_events",
+    "lorenz_customers",
     "kruskal_wallis_events",
     "mann_whitney_events",
     "ppr_supplier_part",
     "streaks_events",
     "theil_sen_events",
     "velocity_flags_events",
-    # --- the r8 cohort, alphabetically (36 of its 46 queries fit;
-    # the tail — streaming_distinct_pairs, streaming_incremental_dedup,
-    # streaming_rolling_anomaly, streaming_user_stats,
-    # string_funcs_part, suppliers_by_region, temporal_funcs_orders,
-    # topk_orders, window_dist_orders, window_funcs_orders — keeps its
-    # r8 rows, within the "no row older than r8" contract, and leads
-    # the r12 rotation) ---
+    # --- the r8 cohort, alphabetically (35 of its 46 queries fit;
+    # the tail — status_priority_counts, streaming_distinct_pairs,
+    # streaming_incremental_dedup, streaming_rolling_anomaly,
+    # streaming_user_stats, string_funcs_part, suppliers_by_region,
+    # temporal_funcs_orders, topk_orders, window_dist_orders,
+    # window_funcs_orders — keeps its r8 rows, within the "no row
+    # older than r8" contract, and leads the r12 rotation) ---
     "big_spenders_vs_nation",
     "count_distinct_having",
     "cusum_change_events",
@@ -99,7 +102,6 @@ _DRIVER_WINDOW = [
     "shipmode_priority_counts",
     "shipping_priority",
     "stats_moments_by_status",
-    "status_priority_counts",
 ]
 
 

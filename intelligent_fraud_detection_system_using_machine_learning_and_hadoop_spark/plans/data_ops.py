@@ -6090,3 +6090,54 @@ def kruskal_wallis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return kruskal_wallis(e, "event_type", "value")
+
+
+@query(
+    "lorenz_customers",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS id,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    b AS (
+      SELECT id, cents, CAST(ntile(10) OVER (ORDER BY cents, id) AS BIGINT)
+               AS bucket
+      FROM per),
+    per_b AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_entities,
+             CAST(SUM(cents) AS BIGINT) AS cents_total
+      FROM b GROUP BY bucket)
+    SELECT bucket, n_entities, cents_total,
+           CAST(SUM(cents_total) OVER wb AS BIGINT) AS cum_cents,
+           CAST(SUM(n_entities) OVER wb AS DOUBLE)
+             / CAST(SUM(n_entities) OVER wall AS DOUBLE)
+             AS cum_frac_entities,
+           CAST(SUM(cents_total) OVER wb AS DOUBLE)
+             / CAST(SUM(cents_total) OVER wall AS DOUBLE)
+             AS cum_share_cents
+    FROM per_b
+    WINDOW wb AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW),
+           wall AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    UNBOUNDED FOLLOWING)
+    """,
+)
+def lorenz_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spending concentration as a Lorenz curve at exact
+    decile boundaries (operators/stats.py::lorenz_concentration) — the
+    Gini query's visual companion and the auditor's "how concentrated
+    is the money" screen: per ascending-spend decile of customers, the
+    exact cents total, cumulative cents, and the two pinned cumulative
+    shares. Exact SQL ntile semantics computed distributedly (the
+    shared exact_ntile_assign machinery — no global-order window), so
+    the twin's literal ntile(10) reproduces every row bit-for-bit."""
+    from ..operators.stats import lorenz_concentration
+
+    o = read_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    return lorenz_concentration(per, "o_custkey", "cents", 10)

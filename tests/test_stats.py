@@ -871,3 +871,46 @@ class TestKruskalWallis:
         df = spark.createDataFrame(rows, "g string, v double")
         r = kruskal_wallis(df, "g", "v").collect()[0]
         assert r["h_tie"] is None  # T = n^3 - n
+
+
+class TestLorenz:
+    def test_python_ntile_replica(self, spark):
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            lorenz_concentration,
+        )
+
+        rng = random.Random(41)
+        rows = [(i, rng.randrange(0, 10_000)) for i in range(137)]
+        df = spark.createDataFrame(rows, "id long, cents long")
+        got = {
+            r["bucket"]: r
+            for r in lorenz_concentration(df, "id", "cents", 10).collect()
+        }
+        # python ntile: sort by (cents, id); first n%B buckets take
+        # ceil(n/B), rest floor(n/B)
+        srt = sorted(rows, key=lambda t: (t[1], t[0]))
+        n, B = len(srt), 10
+        sizes = [(n // B) + (1 if i < n % B else 0) for i in range(B)]
+        total = sum(c for _, c in rows)
+        pos, cum_n, cum_c = 0, 0, 0
+        for b, sz in enumerate(sizes, start=1):
+            chunk = srt[pos:pos + sz]
+            pos += sz
+            csum = sum(c for _, c in chunk)
+            cum_n += sz
+            cum_c += csum
+            r = got[b]
+            assert (r["n_entities"], r["cents_total"], r["cum_cents"]) == (
+                sz, csum, cum_c
+            ), b
+            assert r["cum_frac_entities"] == float(cum_n) / float(n)
+            assert r["cum_share_cents"] == float(cum_c) / float(total)
+        # curve properties: convex-ish monotone, endpoints exact
+        assert got[10]["cum_share_cents"] == 1.0
+        assert got[10]["cum_frac_entities"] == 1.0
+        shares = [got[b]["cum_share_cents"] for b in range(1, 11)]
+        assert shares == sorted(shares)
+        # ascending sort => Lorenz curve lies below the diagonal
+        assert got[5]["cum_share_cents"] <= got[5]["cum_frac_entities"]
