@@ -174,3 +174,70 @@ def velocity_flags(
         (F.count(F.lit(1)).over(w) >= count_threshold).alias("velocity_flag"),
         (F.sum("cents").over(w) >= cents_threshold).alias("spend_flag"),
     )
+
+
+def interevent_burstiness(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    min_events: int = 3,
+) -> DataFrame:
+    """Per-entity inter-event timing profile — the bot-vs-human screen
+    (Goh & Barabási burstiness): scripted activity produces near-
+    constant gaps (B → −1), human activity is bursty (B → +1).
+
+        B = (σ − μ) / (σ + μ)
+
+    over the entity's inter-event gaps in integer seconds (floor
+    epoch deltas — exact). Moments are exact BIGINTs (n, Σg, Σg²);
+    the final expression tree is pinned IEEE —
+    μ = S/n, σ = sqrt(n·Σg² − S²)/n (that spelling, sqrt then divide,
+    is mirrored literally in the twin) — so B reproduces bitwise.
+    Entities with fewer than ``min_events`` events (< 2 gaps) are
+    excluded; all-zero gaps (every event in the same second: σ = μ =
+    0) yield NULL B.
+
+    One entity-keyed window pass for the lag + one keyed aggregation —
+    the same single-shuffle shape as velocity_flags. Returns
+    (entity, n_events, n_gaps, mean_gap_s, sd_gap_s, burstiness)."""
+    from pyspark.sql import Window
+
+    epoch_s = F.col(ts_col).cast("long")
+    w = Window.partitionBy("entity").orderBy("epoch_s", "event_id")
+    gaps = (
+        events.select(
+            F.col(key_col).alias("entity"),
+            epoch_s.alias("epoch_s"),
+            F.col("event_id"),
+        )
+        .select(
+            "entity",
+            (F.col("epoch_s") - F.lag("epoch_s").over(w)).alias("gap"),
+        )
+    )
+    m = (
+        gaps.groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("decimal(38,0)").alias("s"),
+            F.sum(
+                F.col("gap").cast("decimal(18,0)")
+                * F.col("gap").cast("decimal(18,0)")
+            ).alias("ss"),
+        )
+        .where(F.col("n_rows") >= min_events)
+    )
+    n = F.col("n_gaps").cast("decimal(38,0)")
+    mu = F.col("s").cast("double") / F.col("n_gaps").cast("double")
+    sd = F.sqrt((n * F.col("ss") - F.col("s") * F.col("s")).cast("double")) / F.col(
+        "n_gaps"
+    ).cast("double")
+    return m.select(
+        F.col("entity").alias(key_col),
+        F.col("n_rows").alias("n_events"),
+        "n_gaps",
+        mu.alias("mean_gap_s"),
+        sd.alias("sd_gap_s"),
+        F.when(sd + mu > 0, (sd - mu) / (sd + mu)).alias("burstiness"),
+    )

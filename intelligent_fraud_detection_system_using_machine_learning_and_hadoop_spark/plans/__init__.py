@@ -6,7 +6,7 @@ in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
 Round-11 rotation (VERDICT r10 "Next round" item 1 + the playbook's
-least-recently-attested discipline): the window leads with the FIFTEEN
+least-recently-attested discipline): the window leads with the SEVENTEEN
 new round-11 oracled queries (``k_core_parts`` — promoted this round
 from rows-only to a 10-round unrolled-CTE value oracle;
 ``shortest_paths_parts`` — bounded-round weighted Bellman-Ford;
@@ -14,16 +14,19 @@ from rows-only to a 10-round unrolled-CTE value oracle;
 ``streaming_full_outer_click_purchase`` — stream-stream LEFT and FULL
 OUTER joins with watermark null-emission; ``acf_events`` — exact-moment
 autocorrelation; ``benford_orders`` — Benford first-digit screen;
+``burstiness_events`` — inter-event bot-timing screen;
 ``hits_supplier_part`` — integer HITS; ``ks_test_events`` — exact
 two-sample Kolmogorov-Smirnov; ``kruskal_wallis_events`` — k-group
 rank H; ``lorenz_customers`` — Lorenz concentration at exact ntile
 deciles; ``mann_whitney_events`` — exact
 rank-sum U with tie-corrected z; ``ppr_supplier_part`` — personalized
-PageRank from a seed watchlist; ``streaks_events`` —
+PageRank from a seed watchlist; ``returned_item_customers`` — the
+TPC-H Q10 shape; ``streaks_events`` —
 gaps-and-islands streak census; ``theil_sen_events`` — Theil-Sen
 robust trend; ``velocity_flags_events`` — trailing-window velocity
-flags), then the round-8 cohort (the oldest) alphabetically — 35 of
-its 46 queries fit; the eleven-query tail (``status_priority_counts``,
+flags), then the round-8 cohort (the oldest) alphabetically — 33 of
+its 46 queries fit; the thirteen-query tail (``shipping_priority``,
+``stats_moments_by_status``, ``status_priority_counts``,
 ``streaming_distinct_pairs``, ``streaming_incremental_dedup``,
 ``streaming_rolling_anomaly``, ``streaming_user_stats``,
 ``string_funcs_part``, ``suppliers_by_region``,
@@ -51,17 +54,20 @@ _DRIVER_WINDOW = [
     "streaming_full_outer_click_purchase",
     "acf_events",
     "benford_orders",
+    "burstiness_events",
     "hits_supplier_part",
     "ks_test_events",
     "lorenz_customers",
     "kruskal_wallis_events",
     "mann_whitney_events",
     "ppr_supplier_part",
+    "returned_item_customers",
     "streaks_events",
     "theil_sen_events",
     "velocity_flags_events",
-    # --- the r8 cohort, alphabetically (35 of its 46 queries fit;
-    # the tail — status_priority_counts, streaming_distinct_pairs,
+    # --- the r8 cohort, alphabetically (33 of its 46 queries fit;
+    # the tail — shipping_priority, stats_moments_by_status,
+    # status_priority_counts, streaming_distinct_pairs,
     # streaming_incremental_dedup, streaming_rolling_anomaly,
     # streaming_user_stats, string_funcs_part, suppliers_by_region,
     # temporal_funcs_orders, topk_orders, window_dist_orders,
@@ -100,8 +106,6 @@ _DRIVER_WINDOW = [
     "sessionize_events",
     "set_ops_custkeys",
     "shipmode_priority_counts",
-    "shipping_priority",
-    "stats_moments_by_status",
 ]
 
 

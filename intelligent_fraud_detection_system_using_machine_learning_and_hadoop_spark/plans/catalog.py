@@ -1574,3 +1574,65 @@ def salted_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(
         j, ["o_custkey"], "l_suppkey", n_salts=16, out_col="n_suppliers"
     )
+
+
+@query(
+    "returned_item_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {_sql_cents_sum_double(_Q1_SUM_DISC_PRICE, 4)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY CAST(({_Q1_SUM_DISC_PRICE}) AS BIGINT) DESC, c_custkey
+    LIMIT 20
+    """,
+    bench=True,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: the 20 customers who
+    returned the most money in a quarter (the chargeback-abuse screen
+    in a fraud ledger). Fact⋈fact⋈dim⋈dim with the date filter pushed
+    to the orders scan and the returnflag filter to the lineitem scan;
+    nation broadcast; revenue summed as exact fixed-point (price·(100−
+    discount) in 10⁻⁴ units) so the DESC order and the LIMIT-20 cut
+    are deterministic (ties broken by custkey) and the double is one
+    shared IEEE division. TakeOrderedAndProject — no global sort."""
+    o = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = F.sum(
+        _cents(F.col("l_extendedprice"))
+        * (F.lit(100) - _cents(F.col("l_discount")))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            rev.alias("_rev_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy(F.desc("_rev_cents"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            _cents_sum_double(F.col("_rev_cents"), 4).alias("revenue"),
+            "n_lines",
+        )
+    )

@@ -6141,3 +6141,48 @@ def lorenz_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     return lorenz_concentration(per, "o_custkey", "cents", 10)
+
+
+@query(
+    "burstiness_events",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, event_id
+      FROM events),
+    g AS (
+      SELECT user_id,
+             s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+               AS gap
+      FROM b),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS HUGEINT) AS sg,
+             CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS ss
+      FROM g GROUP BY user_id HAVING COUNT(*) >= 3),
+    x AS (
+      SELECT user_id, n_rows, n_gaps,
+             CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+             sqrt(CAST(n_gaps * ss - sg * sg AS DOUBLE))
+               / CAST(n_gaps AS DOUBLE) AS sd
+      FROM m)
+    SELECT user_id, n_rows AS n_events, n_gaps,
+           mu AS mean_gap_s, sd AS sd_gap_s,
+           CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) END
+             AS burstiness
+    FROM x
+    """,
+)
+def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event burstiness B = (σ−μ)/(σ+μ) over integer-
+    second gaps (operators/fraud_stats.py::interevent_burstiness) —
+    the bot-timing screen completing the fraud-stats family (Benford
+    digits, velocity windows): scripted regular activity drives B
+    toward −1, human bursts toward +1. Exact BIGINT gap moments, the
+    σ spelling sqrt(n·Σg²−S²)/n mirrored literally, one window pass +
+    one keyed aggregation."""
+    from ..operators.fraud_stats import interevent_burstiness
+
+    e = read_table(spark, sf_dir, "events")
+    return interevent_burstiness(e)

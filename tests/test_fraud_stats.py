@@ -185,3 +185,50 @@ class TestStreaks:
         )
         r = longest_streaks(df).collect()[0]
         assert (r["n_days"], r["n_runs"], r["longest_run"]) == (6, 6, 1)
+
+
+class TestBurstiness:
+    def test_bot_vs_bursty_and_python_replica(self, spark):
+        import math
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            interevent_burstiness,
+        )
+
+        base = dt.datetime(2024, 6, 1)
+        rows, eid = [], 0
+        # bot: exactly every 60s -> sd=0, B = -1
+        for i in range(20):
+            rows.append((eid, 1, base + dt.timedelta(seconds=60 * i), 0.0))
+            eid += 1
+        # bursty human: tight bursts separated by long silences
+        gaps_h = [1, 2, 1, 7200, 1, 3, 1, 10800, 2, 1]
+        t = base
+        rows.append((eid, 2, t, 0.0)); eid += 1
+        for g in gaps_h:
+            t = t + dt.timedelta(seconds=g)
+            rows.append((eid, 2, t, 0.0)); eid += 1
+        # below min_events: excluded
+        rows += [(eid, 3, base, 0.0), (eid + 1, 3, base, 0.0)]
+        eid += 2
+        # all same second -> sigma = mu = 0 -> NULL B
+        rows += [(eid + i, 4, base, 0.0) for i in range(5)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        got = {r["user_id"]: r for r in interevent_burstiness(df).collect()}
+        assert 3 not in got
+        assert got[1]["burstiness"] == -1.0
+        assert got[1]["sd_gap_s"] == 0.0 and got[1]["mean_gap_s"] == 60.0
+        assert got[4]["burstiness"] is None
+        # python replica for the bursty user (pinned spelling)
+        n = len(gaps_h)
+        s, ss = sum(gaps_h), sum(g * g for g in gaps_h)
+        mu = float(s) / float(n)
+        sd = math.sqrt(float(n * ss - s * s)) / float(n)
+        r = got[2]
+        assert (r["n_events"], r["n_gaps"]) == (n + 1, n)
+        assert r["mean_gap_s"] == mu and r["sd_gap_s"] == sd
+        assert r["burstiness"] == (sd - mu) / (sd + mu)
+        assert r["burstiness"] > 0.3  # bursty (B ≈ 0.39 for these gaps)
