@@ -349,10 +349,11 @@ def lorenz_concentration(
             F.sum("n_entities").over(wb).cast("double")
             / F.sum("n_entities").over(wall).cast("double")
         ).alias("cum_frac_entities"),
-        (
+        F.when(
+            F.sum("cents_total").over(wall) != 0,
             F.sum("cents_total").over(wb).cast("double")
-            / F.sum("cents_total").over(wall).cast("double")
-        ).alias("cum_share_cents"),
+            / F.sum("cents_total").over(wall).cast("double"),
+        ).alias("cum_share_cents"),  # NULL when the ledger sums to zero
     )
 
 

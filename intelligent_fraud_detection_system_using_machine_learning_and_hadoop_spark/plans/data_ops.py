@@ -6113,9 +6113,10 @@ def kruskal_wallis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_entities) OVER wb AS DOUBLE)
              / CAST(SUM(n_entities) OVER wall AS DOUBLE)
              AS cum_frac_entities,
-           CAST(SUM(cents_total) OVER wb AS DOUBLE)
-             / CAST(SUM(cents_total) OVER wall AS DOUBLE)
-             AS cum_share_cents
+           CASE WHEN SUM(cents_total) OVER wall <> 0
+                THEN CAST(SUM(cents_total) OVER wb AS DOUBLE)
+                     / CAST(SUM(cents_total) OVER wall AS DOUBLE)
+           END AS cum_share_cents
     FROM per_b
     WINDOW wb AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND
                   CURRENT ROW),
