@@ -63,3 +63,46 @@ def test_empty_inputs_degrade_gracefully(spark, empties):
     assert tri["global_clustering"] is None
     assert spearman_pairs(em["ab"], ["a", "b"]).count() == 1  # NaN rho row
     assert chi_square_independence(em["gv"], "g", "v").count() == 1
+
+
+def test_round11_operators_empty_inputs(spark, empties):
+    """Round-11 operators on a quiet day: empty or all-NULL one-row
+    results, never a runtime error (the r11 hypothesis sweep showed
+    ANSI mode turns degenerate divisions into hard errors — this pins
+    the guards)."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.changepoint import (
+        longest_streaks,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+        benford_profile,
+        interevent_burstiness,
+        velocity_flags,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        hits_quantized,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        acf_daily,
+        kruskal_wallis,
+        ks_two_sample,
+        lorenz_concentration,
+        mann_whitney,
+        theil_sen_daily,
+    )
+
+    em = empties
+    assert benford_profile(em["gv"], "v", "g").count() == 0
+    assert velocity_flags(em["ev"]).count() == 0
+    assert interevent_burstiness(em["ev"]).count() == 0
+    assert longest_streaks(em["ev"]).count() == 0
+    assert acf_daily(em["ev"]).count() == 0
+    assert theil_sen_daily(em["ev"]).count() == 0
+    assert hits_quantized(em["e"], src="id_a", dst="id_b").count() == 0
+    assert lorenz_concentration(em["iv"], "id", "v", 4).count() == 0
+    # one-row census statistics: all-NULL measures, not errors
+    ks = ks_two_sample(em["gv"], "g", "v", "a", "b").collect()
+    assert len(ks) == 1 and ks[0]["d_stat"] is None
+    mw = mann_whitney(em["gv"], "g", "v", "a", "b").collect()
+    assert len(mw) == 1 and mw[0]["z"] is None and mw[0]["u_a"] is None
+    kw = kruskal_wallis(em["gv"], "g", "v").collect()
+    assert len(kw) == 1 and kw[0]["h"] is None
