@@ -144,16 +144,22 @@ def main() -> None:
             for name, s in samples.items()
             if name in pq and pq[name] > 0
         }
-        shared_now = sum(min(samples[n]) for n in ratios)
-        shared_prev = sum(pq[n] for n in ratios)
-        norm_vs_prev = {
-            "base": prev_name,
-            "n_shared": len(ratios),
-            "total_norm_ratio": round(
-                (shared_now / probe_sec) / (shared_prev / pp), 3
-            ),
-            "per_query": ratios,
-        }
+        if ratios:
+            shared_now = sum(min(samples[n]) for n in ratios)
+            shared_prev = sum(pq[n] for n in ratios)
+            norm_vs_prev = {
+                "base": prev_name,
+                "n_shared": len(ratios),
+                "total_norm_ratio": round(
+                    (shared_now / probe_sec) / (shared_prev / pp), 3
+                ),
+                "per_query": ratios,
+            }
+        else:
+            # No query names shared with the prior round's bench set —
+            # a total ratio would divide by zero; emit the base so the
+            # absence is visible rather than crashing post-timing.
+            norm_vs_prev = {"base": prev_name, "n_shared": 0}
     # Diagnostics go on their OWN earlier line: the driver captures only
     # a ~2 KB tail of stdout and must see the final line whole
     # (VERDICT r8 item 1 — the r8 single 4 KB line was unparseable).

@@ -1046,6 +1046,10 @@ def hits_quantized(
     never the authority table — matching the restriction of the
     adjacency operator to its support.
     """
+    if iters < 1:
+        # iters=0 would leave the authority table never computed; fail
+        # loudly instead of an AttributeError three statements later.
+        raise ValueError("iters must be >= 1")
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     if not assume_distinct:
         e = e.distinct()

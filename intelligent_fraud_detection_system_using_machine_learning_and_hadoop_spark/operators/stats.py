@@ -43,7 +43,8 @@ from pyspark.sql import Window as W
 
 
 def avg_rank2(
-    df: DataFrame, val_col: str, n_buckets: int = 64
+    df: DataFrame, val_col: str, n_buckets: int = 64,
+    cast_type: str = "double",
 ) -> DataFrame:
     """Exact doubled-average-rank lookup table for one numeric column:
     (value, r2) with r2 = 2·avg_rank. Rows join this value-keyed table
@@ -57,10 +58,18 @@ def avg_rank2(
     keep the 64-way parallelism on any distribution. The boundaries
     are a lazy percentile_approx branch of the same plan (the shape
     the old min/max branch had — no extra pass); the output is
-    invariant to the boundary choice."""
+    invariant to the boundary choice.
+
+    ``cast_type`` is the type the value column is grouped/ranked in —
+    "double" by default; pass "long" for exact-integer columns whose
+    magnitude may exceed 2⁵³ (double would collapse distinct values
+    into ties and change the ranks). The bucket id still derives from
+    a double cast internally, which is safe: a many-to-one monotone
+    mapping is still order-preserving, the only property the bucketed
+    prefix sum needs."""
     from .bucketing import with_equi_depth_bucket
 
-    v = F.col(val_col).cast("double")
+    v = F.col(val_col).cast(cast_type)
     vc = (
         df.select(v.alias("_v"))
         .where(F.col("_v").isNotNull())
@@ -275,19 +284,26 @@ def equi_depth_histogram(
 
 
 def exact_ntile_assign(
-    df: DataFrame, val_col: str, id_col: str, n_buckets: int
+    df: DataFrame, val_col: str, id_col: str, n_buckets: int,
+    cast_type: str = "double",
 ) -> DataFrame:
     """The distributed exact-ntile rank/bucket assignment shared by
     ``equi_depth_histogram`` and ``lorenz_concentration``: returns
     (_v, _id, _rank, bucket) under the total order (value, id) with
     SQL ``ntile`` bucket arithmetic — see equi_depth_histogram's
-    docstring for the shape and scale argument."""
-    v = F.col(val_col).cast("double")
+    docstring for the shape and scale argument.
+
+    ``cast_type`` sets the type the values are ordered (and returned)
+    in. The default "double" suits arbitrary numerics; exact-integer
+    callers (lorenz_concentration's BIGINT cents) pass "long" so the
+    total order — and hence the bucket assignment — stays exact past
+    |v| ≥ 2⁵³, matching a BIGINT ``ORDER BY`` unconditionally."""
+    v = F.col(val_col).cast(cast_type)
     rows = df.select(v.alias("_v"), F.col(id_col).alias("_id"))
     # value-level "< v" prefix counts (the avg_rank2 machinery keeps
     # r2 = 2·lt + cnt + 1, so lt = (r2 − cnt − 1) / 2 — join both)
     vc = rows.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
-    r2 = avg_rank2(rows, "_v").toDF("_v", "_r2")
+    r2 = avg_rank2(rows, "_v", cast_type=cast_type).toDF("_v", "_r2")
     pre = vc.join(r2, "_v").select(
         "_v", F.expr("(_r2 - _cnt - 1) div 2").cast("long").alias("_lt")
     )
@@ -329,9 +345,15 @@ def lorenz_concentration(
 
     Ties and the bucket arithmetic are the SQL ntile definition, so
     the DuckDB twin (a literal ``ntile(B) OVER (ORDER BY cents, id)``)
-    reproduces every row bit-for-bit. The bucket cumsum is a B-row
-    window — driver-bounded, not data-bounded."""
-    bucketed = exact_ntile_assign(df, cents_col, id_col, n_buckets)
+    reproduces every row bit-for-bit. The cents column is ordered and
+    summed as native BIGINT end-to-end (``cast_type="long"`` — no
+    double round-trip), so both the bucketing and the totals match
+    the twin's BIGINT ORDER BY/SUM for the full BIGINT domain, not
+    just |cents| < 2⁵³. The bucket cumsum is a B-row window —
+    driver-bounded, not data-bounded."""
+    bucketed = exact_ntile_assign(
+        df, cents_col, id_col, n_buckets, cast_type="long"
+    )
     per = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_entities"),
         F.sum(F.col("_v").cast("long")).cast("long").alias("cents_total"),
@@ -1172,8 +1194,11 @@ def mann_whitney(
         z     = (2U_a − n_a·n_b) / (2·σ)
 
     All moments accumulate as decimal(38,0); the z expression tree is
-    pinned (two exact→DOUBLE casts, one division, one sqrt, one final
-    division) so the DuckDB HUGEINT twin reproduces it bit-for-bit.
+    pinned (s_term and na·nb each cast exact→DOUBLE before the σ²
+    multiply — the exact product would need ~n⁵ digits and overflow
+    decimal(38,0) near pooled n ≈ 5e7 — then one division, one sqrt,
+    one final division) so the DuckDB HUGEINT twin reproduces it
+    bit-for-bit at every scale.
     Degenerate inputs (an empty group, n < 2, all values tied → σ = 0)
     yield NULL z. Returns one row:
     (n_a, n_b, u_a, z, auc_a) with auc_a = U_a/(n_a·n_b) and u_a the
@@ -1239,14 +1264,22 @@ def mann_whitney(
     n = na + nb
     u2 = F.col("sra2") - na * (na + 1)
     s_term = n * n * n - n - F.col("t_ties")
-    sigma2 = s_term * na * nb  # numerator; denominator 12·n·(n−1)
+    # σ² numerator s_term·na·nb would need ~n⁵/4 digits as one exact
+    # decimal product — past pooled n ≈ 5e7 that exceeds decimal(38,0)
+    # and Spark would silently NULL while the DuckDB HUGEINT twin
+    # raises.  Each factor alone fits comfortably (s_term < n³ ≲ 1e23,
+    # na·nb ≲ 6e14 at n = 5e7), so cast BOTH to double and multiply in
+    # IEEE — decimal→double and HUGEINT→double are both round-to-
+    # nearest on the same integer value, so the twin stays bitwise at
+    # every scale, not just below an overflow ceiling.
+    sigma2_dbl = s_term.cast("double") * (na * nb).cast("double")
     z = F.when(
         (na > 0) & (nb > 0) & (n > 1) & (s_term > 0),
         (u2 - na * nb).cast("double")
         / (
             F.lit(2.0)
             * F.sqrt(
-                sigma2.cast("double")
+                sigma2_dbl
                 / (F.lit(12) * n * (n - 1)).cast("double")
             )
         ),

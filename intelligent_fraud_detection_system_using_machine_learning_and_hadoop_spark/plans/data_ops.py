@@ -6008,8 +6008,9 @@ def ppr_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND ((na+nb)*(na+nb)*(na+nb) - (na+nb) - t_ties) > 0
                 THEN CAST(sra2 - na * (na + 1) - na * nb AS DOUBLE)
                      / (2.0e+00 * sqrt(
-                         CAST(((na+nb)*(na+nb)*(na+nb) - (na+nb) - t_ties)
-                              * na * nb AS DOUBLE)
+                         CAST((na+nb)*(na+nb)*(na+nb) - (na+nb) - t_ties
+                              AS DOUBLE)
+                         * CAST(na * nb AS DOUBLE)
                          / CAST(12 * (na+nb) * ((na+nb) - 1) AS DOUBLE)))
            END AS z,
            CASE WHEN na > 0 AND nb > 0
