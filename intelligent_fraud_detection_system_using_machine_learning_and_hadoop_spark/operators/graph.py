@@ -1090,3 +1090,247 @@ def hits_quantized(
         (F.col("score_q").cast("double") / F.lit(float(q))).alias("score"),
     )
     return out_h.unionByName(out_a)
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 32,
+    max_inner: int = 256,
+    broadcast_nodes: bool = False,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph, run to
+    convergence — the circular-trading-ring primitive the fraud suite
+    was missing (VERDICT r11 item 2): a set of entities where money or
+    goods can travel from any member to any other and BACK is exactly
+    a non-trivial SCC, the structure behind wash trading, carousel
+    (missing-trader) fraud, and round-tripping. PageRank/HITS score
+    directed endorsement; this names the rings.
+
+    Forward-Backward with trimming (the distributed SCC algorithm of
+    Fleischer/Hendrickson/Pinar 2000, scheduled like McLendon et al.'s
+    FW-BW-Trim; public literature), expressed as keyed DataFrame
+    aggregations with deterministic min-label schedules:
+
+    1. TRIM to a fixed point: a node with no in-edges or no out-edges
+       inside the active subgraph cannot lie on a cycle — it is its
+       own singleton SCC. Peeling (the k_core discipline) removes
+       chains/trees in depth-many cheap rounds.
+    2. FORWARD pass: f(u) = min node id reachable FROM u (u included),
+       computed by frontier-incremental min-label propagation over the
+       active edges — the shortest_paths relaxation with weight 0 and
+       label min instead of distance min; runs to its fixed point.
+    3. BACKWARD pass: b(u) = the same over reversed edges (min id that
+       reaches u).
+    4. ASSIGN: f(u) = b(u) = m certifies u ∈ SCC(m) (u reaches m and m
+       reaches u); conversely within one SCC both minima agree on
+       min(SCC) for its members whose two minima coincide — so the
+       assigned set is a union of COMPLETE SCCs, always including
+       SCC(min active id) (nothing smaller exists for either side to
+       see): every outer round makes progress and termination is
+       guaranteed in ≤ #SCC rounds, in practice the depth of the
+       condensation DAG after trimming.
+
+    Scale shape: every step is a frontier⋈edges join plus a keyed min
+    aggregation (map-side combinable) on the pre-partitioned edge
+    list, with |V|-row label tables checkpointed per round (the
+    iterative-op discipline — deliberately NOT width-sized, see
+    _sized_partitions_ckpt's negative A/B). The per-outer-round edge
+    restriction is two semijoins against the surviving node set.
+    ``broadcast_nodes=True`` broadcasts node/frontier tables into the
+    edge joins — right for dimension-sized graphs; leave False for
+    web-scale node sets.
+
+    Self-loops and parallel edges are dropped (neither affects SCC
+    membership). Nodes are the edge list's endpoints — isolated nodes
+    never enter. Returns (node, scc_id) with scc_id = min node id of
+    the component; run-to-convergence EXACT (raises past
+    ``max_outer``/``max_inner`` instead of returning a truncation).
+    Differential-tested against brute-force mutual reachability
+    (tests/test_graph.py); SQL twin is the recursive-CTE transitive
+    closure with a mutual-reach min (plans/data_ops.py::scc_parts).
+
+    Small-graph fast path (the connected_components discipline): the
+    convergence machinery's per-round fixed job cost dominates on
+    dimension-sized graphs — when |E| (already materialized by the
+    checkpoint's edge signature) is ≤ ``driver_threshold``, the SCCs
+    are solved driver-side with iterative Kosaraju over the BOUNDED
+    edge list and returned as one createDataFrame, byte-identical
+    output (pinned by the differential tests, which run both paths).
+    Above the threshold the distributed rounds run unchanged; the
+    collect is bounded by the threshold constant by construction.
+    """
+    e0 = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    sig = _edge_signature(e0)
+    if sig[0] <= driver_threshold:
+        rows = e0.collect()  # bounded: sig[0] == |E| <= driver_threshold
+        from collections import defaultdict
+
+        g = defaultdict(list)
+        rg = defaultdict(list)
+        node_set: set[int] = set()
+        for row in rows:
+            u, v = row["u"], row["v"]
+            g[u].append(v)
+            rg[v].append(u)
+            node_set.add(u)
+            node_set.add(v)
+        # iterative Kosaraju: DFS finish order on g, then label sweeps
+        # on the reverse graph in reverse finish order
+        visited: set[int] = set()
+        order: list[int] = []
+        for s in node_set:
+            if s in visited:
+                continue
+            stack = [(s, iter(g[s]))]
+            visited.add(s)
+            while stack:
+                n, it = stack[-1]
+                advanced = False
+                for w in it:
+                    if w not in visited:
+                        visited.add(w)
+                        stack.append((w, iter(g[w])))
+                        advanced = True
+                        break
+                if not advanced:
+                    order.append(n)
+                    stack.pop()
+        comp: dict[int, int] = {}
+        for s in reversed(order):
+            if s in comp:
+                continue
+            comp[s] = s
+            st = [s]
+            while st:
+                n = st.pop()
+                for w in rg[n]:
+                    if w not in comp:
+                        comp[w] = s
+                        st.append(w)
+        # canonical label = min member id, matching the distributed path
+        cmin: dict[int, int] = {}
+        for n, c in comp.items():
+            if c not in cmin or n < cmin[c]:
+                cmin[c] = n
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [(n, cmin[c]) for n, c in comp.items()],
+            "node long, scc_id long",
+        )
+    nodes = (
+        e0.select("u")
+        .union(e0.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    assigned = nodes.where(F.lit(False)).select(
+        "node", F.col("node").alias("scc_id")
+    )
+    active = nodes
+    eact = e0
+
+    def _bc(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_nodes else df
+
+    def _min_fixpoint(edge_from: str, edge_to: str) -> DataFrame:
+        """Min-label propagation to the fixed point over ``eact``:
+        labels flow along edge_from→edge_to; returns (node, lbl) =
+        min id with a directed path TO node along that orientation
+        (node included). Frontier-incremental: only nodes whose label
+        improved last round push again (min-combine makes re-pushing
+        unimproved nodes a no-op, so the delta schedule equals the
+        full synchronous one at the fixed point)."""
+        labels = active.select("node", F.col("node").alias("lbl"))
+        labels = labels.localCheckpoint(eager=True)
+        frontier = labels
+        for _ in range(max_inner):
+            cand = (
+                eact.join(
+                    _bc(frontier.withColumnRenamed("node", edge_from)),
+                    edge_from,
+                )
+                .select(F.col(edge_to).alias("node"), "lbl")
+                .groupBy("node")
+                .agg(F.min("lbl").alias("_nl"))
+            )
+            merged = (
+                labels.join(cand, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("_nl"), F.col("lbl"))
+                    ).alias("lbl"),
+                    (F.col("_nl") < F.col("lbl")).alias("_improved"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            frontier = merged.where(F.col("_improved")).select("node", "lbl")
+            labels = merged.select("node", "lbl")
+            if frontier.isEmpty():
+                return labels
+        raise RuntimeError(
+            f"scc label propagation did not converge in {max_inner} rounds"
+        )
+
+    for _ in range(max_outer):
+        # --- trim to fixpoint: no-in or no-out nodes are singleton SCCs
+        while True:
+            has_out = eact.select(F.col("u").alias("node")).distinct()
+            has_in = eact.select(F.col("v").alias("node")).distinct()
+            keep = (
+                active.join(_bc(has_out), "node", "leftsemi")
+                .join(_bc(has_in), "node", "leftsemi")
+                .localCheckpoint(eager=True)
+            )
+            trimmed = active.join(_bc(keep), "node", "left_anti")
+            if trimmed.isEmpty():
+                break
+            assigned = assigned.union(
+                trimmed.select("node", F.col("node").alias("scc_id"))
+            ).localCheckpoint(eager=True)
+            active = keep
+            eact = (
+                eact.join(
+                    _bc(active.withColumnRenamed("node", "u")), "u", "leftsemi"
+                )
+                .join(
+                    _bc(active.withColumnRenamed("node", "v")), "v", "leftsemi"
+                )
+                .localCheckpoint(eager=True)
+            )
+        if active.isEmpty():
+            return assigned
+        # --- forward / backward min-reach fixed points
+        f = _min_fixpoint("v", "u")  # pull from successors: min reachable
+        b = _min_fixpoint("u", "v")  # pull from predecessors: min reaching
+        done = (
+            f.join(b.withColumnRenamed("lbl", "_bl"), "node")
+            .where(F.col("lbl") == F.col("_bl"))
+            .select("node", F.col("lbl").alias("scc_id"))
+        )
+        assigned = assigned.union(done).localCheckpoint(eager=True)
+        active = active.join(_bc(done.select("node")), "node", "left_anti")
+        active = active.localCheckpoint(eager=True)
+        if active.isEmpty():
+            return assigned
+        eact = (
+            eact.join(
+                _bc(active.withColumnRenamed("node", "u")), "u", "leftsemi"
+            )
+            .join(_bc(active.withColumnRenamed("node", "v")), "v", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"scc did not converge in {max_outer} outer rounds")

@@ -3975,6 +3975,96 @@ def bfs_distances_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "scc_parts",
+    oracle="""
+    WITH RECURSIVE cap AS (
+      SELECT (max(l_partkey) * 3) // 20 AS c FROM lineitem),
+    seq AS (
+      SELECT l_partkey,
+             lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS nxt
+      FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT DISTINCT s.l_partkey AS src, s.nxt AS dst
+      FROM seq s, cap
+      WHERE s.nxt IS NOT NULL AND s.nxt <> s.l_partkey
+        AND s.l_partkey < cap.c AND s.nxt < cap.c),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    reach AS (
+      SELECT src AS u, dst AS v FROM e
+      UNION
+      SELECT r.u, e.dst FROM reach r JOIN e ON e.src = r.v),
+    mutual AS (
+      SELECT r1.u AS u, r1.v AS v
+      FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u),
+    scc AS (
+      SELECT n.node, LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+      FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+      GROUP BY n.node)
+    SELECT CAST(node AS BIGINT) AS node, CAST(scc_id AS BIGINT) AS scc_id,
+           CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+    FROM scc ORDER BY node
+    """,
+    bench=True,
+)
+def scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #9 — directed strongly connected components
+    (operators/graph.py::strongly_connected_components, FW-BW-Trim
+    min-label propagation run to convergence): the circular-trading
+    primitive the fraud suite lacked (VERDICT r11 item 2). The graph
+    is the DIRECTED part order-sequence graph — an edge u→v whenever
+    part v directly follows part u inside one order (lineitems sorted
+    by (l_linenumber, l_partkey); the explicit partkey tiebreaker
+    matters: (orderkey, linenumber) is NOT unique in this data, and an
+    underdetermined lead() produced a different edge set per
+    evaluation) — restricted to the "watchlist" subgraph of partkeys
+    below 15% of the max (scale-proportional, so the subgraph stays
+    structured at every sf: at sf0.01, 300 nodes / ~1k edges with a
+    275-node giant SCC, a 13-ring, two 2-rings, and trim-able
+    periphery). A non-trivial SCC is a set of parts that can each
+    precede the other — the wash-trading/carousel ring shape.
+
+    Returns (node, scc_id = min member id, scc_size), ordered.
+    Oracle: DuckDB recursive-CTE transitive closure + mutual-reach
+    min — EXACT SCC, which the converged FW-BW-Trim must reproduce
+    node-for-node (no bounded-round escape hatch)."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import strongly_connected_components
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    cap = li.agg(
+        F.expr("(max(l_partkey) * 3) div 20").cast("long").alias("_cap")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    seq = li.select(
+        F.col("l_partkey"), F.lead("l_partkey").over(w).alias("_nxt")
+    )
+    e = (
+        seq.crossJoin(F.broadcast(cap))
+        .where(
+            F.col("_nxt").isNotNull()
+            & (F.col("_nxt") != F.col("l_partkey"))
+            & (F.col("l_partkey") < F.col("_cap"))
+            & (F.col("_nxt") < F.col("_cap"))
+        )
+        .select(F.col("l_partkey").alias("src"), F.col("_nxt").alias("dst"))
+        .distinct()
+    )
+    labels = strongly_connected_components(e, broadcast_nodes=True)
+    sizes = labels.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("scc_size")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "scc_id")
+        .select("node", "scc_id", "scc_size")
+        .orderBy("node")
+    )
+
+
 def _sssp_oracle_sql(rounds: int) -> str:
     """DuckDB twin of operators/graph.py::shortest_paths — the fixed
     synchronous Bellman-Ford relaxation unrolled as ``rounds`` chained

@@ -745,3 +745,116 @@ class TestSizedPartitions:
             assert got4 <= 2048  # cap holds
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+class TestStronglyConnectedComponents:
+    @staticmethod
+    def _brute(edges):
+        """Mutual-reachability SCC with min-id labels (O(V·E) — test
+        scale only), over nodes incident to a non-self-loop edge."""
+        from collections import defaultdict
+
+        g = defaultdict(set)
+        rg = defaultdict(set)
+        nodes = set()
+        for u, v in edges:
+            if u == v:
+                continue
+            g[u].add(v)
+            rg[v].add(u)
+            nodes.update((u, v))
+
+        def reach(s, adj):
+            seen = {s}
+            st = [s]
+            while st:
+                n = st.pop()
+                for w in adj[n]:
+                    if w not in seen:
+                        seen.add(w)
+                        st.append(w)
+            return seen
+
+        comp = {}
+        for n in sorted(nodes):
+            if n in comp:
+                continue
+            for m in reach(n, g) & reach(n, rg):
+                comp[m] = n  # ascending sweep => label = min member
+        return comp
+
+    def _check(self, spark, edges):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            strongly_connected_components,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        want = self._brute(edges)
+        # driver fast path and distributed FW-BW-Trim must agree
+        fast = {
+            r["node"]: r["scc_id"]
+            for r in strongly_connected_components(df).collect()
+        }
+        dist = {
+            r["node"]: r["scc_id"]
+            for r in strongly_connected_components(
+                df, broadcast_nodes=True, driver_threshold=0
+            ).collect()
+        }
+        assert fast == want
+        assert dist == want
+
+    def test_rings_chains_bridges(self, spark):
+        self._check(
+            spark,
+            [
+                (1, 2), (2, 3), (3, 1),          # 3-ring
+                (3, 4), (4, 5),                  # chain off the ring
+                (6, 7), (7, 6),                  # 2-ring
+                (5, 6),                          # bridge
+                (8, 8),                          # self-loop only
+                (8, 9),                          # dangling
+            ],
+        )
+
+    def test_two_rings_one_way_bridge_stay_separate(self, spark):
+        """A one-directional bridge must NOT merge the rings."""
+        self._check(
+            spark,
+            [(1, 2), (2, 1), (3, 4), (4, 3), (2, 3)],
+        )
+
+    def test_nested_condensation_depth(self, spark):
+        """SCCs at several condensation levels: outer rounds > 1."""
+        self._check(
+            spark,
+            [
+                (10, 11), (11, 10),
+                (20, 21), (21, 22), (22, 20),
+                (30, 31), (31, 30),
+                (11, 20), (22, 30),  # dag 10s -> 20s -> 30s
+                (40, 10),            # source chain into the top
+            ],
+        )
+
+    def test_random_differential(self, spark):
+        import random
+
+        rng = random.Random(12012)
+        for _ in range(3):
+            n = rng.randint(6, 30)
+            m = rng.randint(8, 90)
+            edges = [
+                (rng.randint(1, n), rng.randint(1, n)) for _ in range(m)
+            ]
+            self._check(spark, edges)
+
+    def test_empty_and_self_loops_only(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            strongly_connected_components,
+        )
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert strongly_connected_components(empty).count() == 0
+        loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
+        assert strongly_connected_components(loops).count() == 0
