@@ -6235,6 +6235,235 @@ def lorenz_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lorenz_concentration(per, "o_custkey", "cents", 10)
 
 
+#: chi-square(8 df) 0.99 critical value, pinned identically on both
+#: engine sides (the comparison operand — not the statistic — so any
+#: shared literal works; exponent form per the DuckDB-decimal rule).
+_CHI2_8DF_99 = 20.0902
+
+
+def _fraud_risk_oracle() -> str:
+    from ..operators.fraud_stats import benford_oracle_case
+
+    return f"""
+    WITH b AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    base AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM b GROUP BY user_id),
+    vw AS (
+      SELECT user_id,
+             CAST(COUNT(*) OVER tw AS BIGINT) AS n_tr,
+             CAST(SUM(cents) OVER tw AS BIGINT) AS c_tr
+      FROM b
+      WINDOW tw AS (PARTITION BY user_id ORDER BY s
+                    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)),
+    vel AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN n_tr >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_velocity_events,
+             CAST(SUM(CASE WHEN c_tr >= 20000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spend_events,
+             CAST(MAX(c_tr) AS BIGINT) AS max_cents_trailing
+      FROM vw GROUP BY user_id),
+    g AS (
+      SELECT user_id,
+             s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id)
+               AS gap
+      FROM b),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap) AS HUGEINT) AS sg,
+             CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS ss
+      FROM g GROUP BY user_id HAVING COUNT(*) >= 3),
+    bx AS (
+      SELECT user_id, n_gaps,
+             CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+             sqrt(CAST(n_gaps * ss - sg * sg AS DOUBLE))
+               / CAST(n_gaps AS DOUBLE) AS sd
+      FROM m),
+    bur AS (
+      SELECT user_id, n_gaps,
+             CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) END
+               AS burstiness
+      FROM bx),
+    d AS (
+      SELECT user_id AS grp,
+             CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM b WHERE cents > 0),
+    obs AS (
+      SELECT grp, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY grp, digit),
+    spine AS (
+      SELECT grp, digit
+      FROM (SELECT DISTINCT grp FROM obs)
+      CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit)),
+    full_t AS (
+      SELECT s.grp, s.digit,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+      FROM spine s LEFT JOIN obs o
+        ON s.grp = o.grp AND s.digit = o.digit),
+    tot AS (
+      SELECT grp, digit, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY grp) AS BIGINT) AS n_total,
+             {benford_oracle_case()} AS expected_p
+      FROM full_t),
+    q AS (
+      SELECT grp, n_total,
+             CAST(floor(
+               (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               / (CAST(n_total AS DOUBLE) * expected_p) * 1e9
+             ) AS BIGINT) AS contrib_q
+      FROM tot),
+    ben AS (
+      SELECT grp AS user_id,
+             CAST(MAX(n_total) AS BIGINT) AS benford_n,
+             CAST(SUM(contrib_q) AS DOUBLE) / 1e9 AS benford_chi2
+      FROM q GROUP BY grp),
+    rep AS (
+      SELECT base.user_id, base.n_events,
+             v.n_velocity_events, v.n_spend_events, v.max_cents_trailing,
+             bur.burstiness,
+             (bur.n_gaps IS NOT NULL
+              AND (bur.burstiness IS NULL
+                   OR bur.burstiness <= -5.0e-01)) AS bot_flag,
+             ben.benford_chi2, ben.benford_n,
+             COALESCE(ben.benford_n >= 30
+                      AND ben.benford_chi2 > {_CHI2_8DF_99:.17e},
+                      FALSE) AS benford_flag
+      FROM base
+      JOIN vel v USING (user_id)
+      LEFT JOIN bur USING (user_id)
+      LEFT JOIN ben USING (user_id))
+    SELECT user_id, n_events, n_velocity_events, n_spend_events,
+           max_cents_trailing, burstiness, bot_flag,
+           benford_chi2, benford_n, benford_flag,
+           CAST(n_velocity_events > 0 AS BIGINT)
+             + CAST(n_spend_events > 0 AS BIGINT)
+             + 2 * CAST(bot_flag AS BIGINT)
+             + 2 * CAST(benford_flag AS BIGINT) AS risk_score,
+           CASE WHEN CAST(n_velocity_events > 0 AS BIGINT)
+                     + CAST(n_spend_events > 0 AS BIGINT)
+                     + 2 * CAST(bot_flag AS BIGINT)
+                     + 2 * CAST(benford_flag AS BIGINT) >= 3 THEN 'high'
+                WHEN CAST(n_velocity_events > 0 AS BIGINT)
+                     + CAST(n_spend_events > 0 AS BIGINT)
+                     + 2 * CAST(bot_flag AS BIGINT)
+                     + 2 * CAST(benford_flag AS BIGINT) >= 1 THEN 'review'
+                ELSE 'ok' END AS verdict
+    FROM rep ORDER BY user_id
+    """
+
+
+@query("fraud_risk_report_events", oracle=_fraud_risk_oracle(), bench=True)
+def fraud_risk_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END fraud-screening pipeline (VERDICT r11 item 3): ONE
+    events-ledger scan feeds the three r11 statistical screens plus
+    the base activity profile, combined into a per-entity risk report
+    — the reference's combine step (``run_pipeline.py:70-78``: rule
+    flags → one verdict column) generalized to the statistical screen
+    family, and the fraud twin of ``analytics_pipeline_events``:
+
+    * trailing-hour VELOCITY (fraud_stats.py::velocity_flags, RANGE
+      frame on epoch seconds) rolled up per entity: how many of the
+      entity's events fired the count / spend flags, and its peak
+      trailing cents;
+    * inter-event BURSTINESS (::interevent_burstiness): bot_flag when
+      B ≤ −0.5 (near-constant gaps) or every event shares one second
+      (σ = μ = 0 → NULL B — flagged, the most robotic timing of all);
+    * per-entity BENFORD chi-square (::benford_profile with the
+      entity as the group): benford_flag only when the digit test is
+      both extreme (χ² above the 8-df 0.99 critical value, pinned
+      literal on both sides) AND grounded (≥ 30 positive amounts —
+      per-entity digit tests on a handful of events are noise);
+    * integer risk_score (velocity + spend + 2·bot + 2·benford) and
+      the 'high' / 'review' / 'ok' verdict.
+
+    One composed lazy plan: the scan is shared, every branch is one
+    keyed shuffle on the SAME entity key (velocity window, gap window,
+    digit groupBy all partition by user_id), the digit spine and the
+    per-user joins are entity-dimension-sized. Full-chain value
+    oracle — every float in the report reproduces bitwise through all
+    three screens AND the final combine."""
+    from pyspark.sql import Window
+
+    from ..operators.fraud_stats import (
+        benford_profile,
+        interevent_burstiness,
+        velocity_flags,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    vel = (
+        velocity_flags(
+            e, window_seconds=3600, count_threshold=3, cents_threshold=200_00
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("velocity_flag").cast("long"))
+            .cast("long")
+            .alias("n_velocity_events"),
+            F.sum(F.col("spend_flag").cast("long"))
+            .cast("long")
+            .alias("n_spend_events"),
+            F.max("cents_trailing").cast("long").alias("max_cents_trailing"),
+        )
+    )
+    bur = interevent_burstiness(e).select("user_id", "n_gaps", "burstiness")
+    ben = (
+        benford_profile(e, "value", "user_id")
+        .where(F.col("digit") == 1)
+        .select(
+            "user_id",
+            F.col("n_total").alias("benford_n"),
+            F.col("chi2").alias("benford_chi2"),
+        )
+    )
+    rep = (
+        base.join(vel, "user_id")
+        .join(bur, "user_id", "left")
+        .join(ben, "user_id", "left")
+    )
+    bot = F.col("n_gaps").isNotNull() & (
+        F.col("burstiness").isNull() | (F.col("burstiness") <= F.lit(-0.5))
+    )
+    benf = F.coalesce(
+        (F.col("benford_n") >= 30)
+        & (F.col("benford_chi2") > F.lit(_CHI2_8DF_99)),
+        F.lit(False),
+    )
+    score = (
+        (F.col("n_velocity_events") > 0).cast("long")
+        + (F.col("n_spend_events") > 0).cast("long")
+        + F.lit(2) * bot.cast("long")
+        + F.lit(2) * benf.cast("long")
+    )
+    return rep.select(
+        "user_id",
+        "n_events",
+        "n_velocity_events",
+        "n_spend_events",
+        "max_cents_trailing",
+        "burstiness",
+        bot.alias("bot_flag"),
+        "benford_chi2",
+        "benford_n",
+        benf.alias("benford_flag"),
+        score.cast("long").alias("risk_score"),
+        F.when(score >= 3, F.lit("high"))
+        .when(score >= 1, F.lit("review"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    ).orderBy("user_id")
+
+
 @query(
     "burstiness_events",
     oracle="""

@@ -232,3 +232,74 @@ class TestBurstiness:
         assert r["mean_gap_s"] == mu and r["sd_gap_s"] == sd
         assert r["burstiness"] == (sd - mu) / (sd + mu)
         assert r["burstiness"] > 0.3  # bursty (B ≈ 0.39 for these gaps)
+
+
+class TestFraudRiskReport:
+    def test_composed_flags_fire_per_branch(self, spark):
+        """The composed risk report's branches each fire on a user
+        engineered to trip exactly that screen — bot_flag in
+        particular is unreachable on the human-random driver data, so
+        the combine logic for it is pinned here."""
+        import datetime as dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.data_ops import (
+            fraud_risk_report_events,
+        )
+
+        base = dt.datetime(2024, 3, 1, 12, 0, 0)
+        rows = []
+        eid = 1
+        # user 1: metronome bot — constant 60s gaps, small amounts,
+        # spread out so velocity windows stay quiet
+        t = base
+        for i in range(6):
+            rows.append((eid, 1, t, 1.23))
+            eid += 1
+            t += dt.timedelta(seconds=3600 * 3)
+        # re-do: constant gaps but INSIDE burstiness (60s) -> also
+        # trips velocity count (>=3 events in an hour)
+        # user 2: velocity burst — 4 events in 10 minutes
+        t = base
+        for i in range(4):
+            rows.append((eid, 2, t, 2.0))
+            eid += 1
+            t += dt.timedelta(seconds=120)
+        # user 3: big spender — two events, 300.00 total inside an hour
+        rows.append((eid, 3, base, 150.0)); eid += 1
+        rows.append((eid, 3, base + dt.timedelta(seconds=30), 151.0)); eid += 1
+        # user 4: quiet — one modest event
+        rows.append((eid, 4, base, 3.0)); eid += 1
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        df = df.withColumn("event_type", F.lit("purchase")).withColumn(
+            "props", F.lit("{}")
+        )
+
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            df.write.parquet(os.path.join(d, "events.parquet"))
+            rep = {
+                r["user_id"]: r
+                for r in fraud_risk_report_events(spark, d).collect()
+            }
+        # user 1: constant gaps -> B = -1 -> bot_flag; gaps 3h apart so
+        # velocity windows hold one event each
+        assert rep[1]["bot_flag"] and rep[1]["burstiness"] == -1.0
+        assert rep[1]["n_velocity_events"] == 0
+        assert rep[1]["risk_score"] == 2 and rep[1]["verdict"] == "review"
+        # user 2: constant 120s gaps ALSO make it a bot; 4 events in
+        # 10 min trip the count flag -> high
+        assert rep[2]["n_velocity_events"] >= 2 and rep[2]["bot_flag"]
+        assert rep[2]["verdict"] == "high"
+        # user 3: spend flag only (30000 cents trailing), too few
+        # events for burstiness
+        assert rep[3]["n_spend_events"] >= 1
+        assert rep[3]["burstiness"] is None and not rep[3]["bot_flag"]
+        assert rep[3]["verdict"] == "review"
+        # user 4: nothing fires
+        assert rep[4]["risk_score"] == 0 and rep[4]["verdict"] == "ok"
+        # benford never grounded at n < 30
+        assert all(not r["benford_flag"] for r in rep.values())
