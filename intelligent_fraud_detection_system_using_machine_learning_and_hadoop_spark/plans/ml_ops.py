@@ -221,6 +221,27 @@ REGISTRY["streaming_rolling_anomaly"] = REGISTRY["streaming_rolling_anomaly"].__
 )
 
 
+@query("streaming_velocity_flags", oracle=None)
+def streaming_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trailing-hour velocity screen as a live stream (VERDICT r11
+    item 4): applyInPandasWithState holding exactly the last hour of
+    (second, cents) per entity, tie-seconds processed as peer groups,
+    time-ordered 4-micro-batch ingestion. Drained availableNow it must
+    equal the batch RANGE-frame query row for row — it SHARES
+    velocity_flags_events' DuckDB oracle (the stream_rolling_anomaly
+    discipline)."""
+    from ..streaming.jobs import stream_velocity_flags
+
+    return stream_velocity_flags(spark, sf_dir)
+
+
+REGISTRY["streaming_velocity_flags"] = REGISTRY["streaming_velocity_flags"].__class__(
+    builder=REGISTRY["streaming_velocity_flags"].builder,
+    oracle=REGISTRY["velocity_flags_events"].oracle,
+    bench=False,
+)
+
+
 @query(
     "mad_outliers_events",
     oracle="""

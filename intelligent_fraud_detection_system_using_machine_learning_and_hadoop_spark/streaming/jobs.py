@@ -285,6 +285,55 @@ def stream_sessionize(
     )
 
 
+def _ordered_events_source(
+    spark: SparkSession, sf_dir: str, n_files: int
+) -> DataFrame:
+    """TIME-ORDERED multi-file streaming source over the events table:
+    the parquet is split by ts range into ``n_files`` parts with
+    staggered mtimes so the file source's oldest-first scheduling
+    delivers micro-batches in event-time order (the ingestion pattern
+    of a real feed). ``repartitionByRange`` assigns EQUAL ts keys to
+    one partition, so a same-second tie group never splits across
+    micro-batches — the property the stateful trailing-window jobs
+    (velocity, rolling anomaly) rely on to reproduce their batch RANGE
+    frames exactly. Cached per (sf_dir, n_files); shared by every
+    ordered-ingestion job."""
+    from ..sources.readers import normalize_event_ts
+
+    enable_nanos_reads(spark)
+    raw = normalize_event_ts(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}:ordered:{n_files}:v2".encode()).hexdigest()[:10]
+    src = os.path.join(tempfile.gettempdir(), f"ifds_events_ordered_{key}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        raw.repartitionByRange(n_files, "ts").sortWithinPartitions(
+            "ts"
+        ).write.mode("overwrite").parquet(src)
+        # the file source schedules micro-batches oldest-mtime-first;
+        # stagger mtimes so arrival order == ts-range order (part-00000
+        # holds the lowest ts range under repartitionByRange asc)
+        import time as _time
+
+        base = _time.time() - 3600
+        parts = sorted(
+            f for f in os.listdir(src) if f.startswith("part-")
+        )
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (base + i * 60, base + i * 60))
+
+    return (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+
+
 def stream_rolling_anomaly(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> DataFrame:
@@ -308,42 +357,7 @@ def stream_rolling_anomaly(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql import types as T
 
-    from ..sources.readers import normalize_event_ts
-
-    enable_nanos_reads(spark)
-    raw = normalize_event_ts(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    )
-
-    # time-ordered multi-file source: split by ts range so micro-batches
-    # arrive in event-time order (the ingestion pattern of a real feed)
-    import hashlib
-    import tempfile
-
-    key = hashlib.md5(f"{sf_dir}:ordered:{n_files}:v2".encode()).hexdigest()[:10]
-    src = os.path.join(tempfile.gettempdir(), f"ifds_events_ordered_{key}")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        raw.repartitionByRange(n_files, "ts").sortWithinPartitions(
-            "ts"
-        ).write.mode("overwrite").parquet(src)
-        # the file source schedules micro-batches oldest-mtime-first;
-        # stagger mtimes so arrival order == ts-range order (part-00000
-        # holds the lowest ts range under repartitionByRange asc)
-        import time as _time
-
-        base = _time.time() - 3600
-        parts = sorted(
-            f for f in os.listdir(src) if f.startswith("part-")
-        )
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(src, f), (base + i * 60, base + i * 60))
-
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(src)
-    )
+    stream = _ordered_events_source(spark, sf_dir, n_files)
 
     out_type = T.StructType(
         [
@@ -394,6 +408,136 @@ def stream_rolling_anomaly(
         update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
     )
     name = f"rolling_anomaly_sink_{next(_sink_ids)}"
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_velocity_flags(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    window_seconds: int = 3600,
+    count_threshold: int = 3,
+    cents_threshold: int = 200_00,
+) -> DataFrame:
+    """STREAMING trailing-window velocity screen (VERDICT r11 item 4):
+    the live-deployment form of fraud_stats.py::velocity_flags — the
+    screen the reference's scoring loop would run as a real feed. Per
+    user, ``applyInPandasWithState`` keeps exactly the trailing-hour
+    slice of (epoch_second, cents) pairs as state (arrays, evicted as
+    the clock advances — state is O(events-per-entity-per-hour), never
+    history); each event emits its entity's trailing count / cents sum
+    and the two flags, exactly once.
+
+    Batch-twin discipline (shares velocity_flags_events' DuckDB
+    oracle): the batch RANGE frame makes same-second events symmetric
+    peers, so rows are processed per TIE-SECOND group — every member
+    of a second emits the same trailing aggregates, including its
+    peers, regardless of arrival order within the group. The ordered
+    file source guarantees a tie second never splits across
+    micro-batches (ties share a repartitionByRange partition), so each
+    event's window is complete when it is processed and nothing is
+    ever re-emitted — drained with availableNow, the output IS the
+    batch query, row for row. Cents are exact integers end-to-end
+    (state and sums), so there is no cross-batch float drift; ``value``
+    is assumed non-null (holds for the driver tables — a null would
+    need SQL's null-skipping SUM over the frame, while count still
+    counts the row).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    # epoch/cents become exact longs JVM-side (ts.cast(long) truncates
+    # = floor for >=1970, the batch/oracle convention) so the Python
+    # state fn never touches tz-aware timestamps or floats
+    stream = _ordered_events_source(spark, sf_dir, n_files).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("epoch_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("epoch_s", T.LongType()),
+            T.StructField("n_trailing", T.LongType()),
+            T.StructField("cents_trailing", T.LongType()),
+            T.StructField("velocity_flag", T.BooleanType()),
+            T.StructField("spend_flag", T.BooleanType()),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("epochs", T.ArrayType(T.LongType())),
+            T.StructField("cents", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key_, pdf_iter, state: GroupState):
+        if state.exists:
+            epochs, cents = state.get
+            epochs, cents = list(epochs), list(cents)
+        else:
+            epochs, cents = [], []
+        uid = int(key_[0])
+        out = {k: [] for k in ("eid", "s", "n", "c")}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["epoch_s", "event_id"])
+            i = 0
+            eids = pdf["event_id"].tolist()
+            secs = pdf["epoch_s"].tolist()
+            cnts = pdf["cents"].tolist()
+            while i < len(eids):
+                j = i
+                while j < len(eids) and secs[j] == secs[i]:
+                    j += 1
+                s = int(secs[i])
+                # evict state strictly older than the frame start
+                lo = s - window_seconds
+                k = 0
+                while k < len(epochs) and epochs[k] < lo:
+                    k += 1
+                if k:
+                    epochs, cents = epochs[k:], cents[k:]
+                tie_n = j - i
+                tie_c = sum(int(c) for c in cnts[i:j])
+                n_tr = len(epochs) + tie_n
+                c_tr = sum(cents) + tie_c
+                for t in range(i, j):
+                    out["eid"].append(int(eids[t]))
+                    out["s"].append(s)
+                    out["n"].append(n_tr)
+                    out["c"].append(c_tr)
+                epochs.extend([s] * tie_n)
+                cents.extend(int(c) for c in cnts[i:j])
+                i = j
+        state.update((epochs, cents))
+        yield pd.DataFrame(
+            {
+                "event_id": out["eid"],
+                "user_id": [uid] * len(out["eid"]),
+                "epoch_s": out["s"],
+                "n_trailing": out["n"],
+                "cents_trailing": out["c"],
+                "velocity_flag": [n >= count_threshold for n in out["n"]],
+                "spend_flag": [c >= cents_threshold for c in out["c"]],
+            }
+        )
+
+    emitted = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"velocity_sink_{next(_sink_ids)}"
     q = (
         emitted.writeStream.format("memory")
         .queryName(name)

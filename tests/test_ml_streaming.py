@@ -753,3 +753,47 @@ def test_incremental_cc_fold_contract(spark, sf_dir):
     assert st2["last_batch"] == -1
     fold2(batch_a, 0)
     assert st2["last_batch"] == 0 and st2["rows"]
+
+
+def test_stream_velocity_flags_equals_batch_across_boundaries(spark):
+    """The streaming velocity screen must reproduce the batch RANGE
+    frame exactly even when trailing windows straddle micro-batch
+    boundaries: 6 files (more boundaries than the registered 4) over
+    sf0.001 — byte-equal per event, all 1000 rows."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+        velocity_flags,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+        read_table,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        stream_velocity_flags,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: (
+            r["epoch_s"],
+            r["n_trailing"],
+            r["cents_trailing"],
+            r["velocity_flag"],
+            r["spend_flag"],
+        )
+        for r in stream_velocity_flags(spark, sf, n_files=6).collect()
+    }
+    want = {
+        r["event_id"]: (
+            r["epoch_s"],
+            r["n_trailing"],
+            r["cents_trailing"],
+            r["velocity_flag"],
+            r["spend_flag"],
+        )
+        for r in velocity_flags(
+            read_table(spark, sf, "events"),
+            window_seconds=3600,
+            count_threshold=3,
+            cents_threshold=200_00,
+        ).collect()
+    }
+    assert len(got) == len(want) and got == want
