@@ -973,6 +973,66 @@ def acf_daily(
     return m.select(*cols)
 
 
+def _median_by_rank(
+    df: DataFrame, key: str, val: str, out: str, n_buckets: int = 64
+) -> DataFrame:
+    """Distributed EXACT per-group median by rank selection — the
+    KS/Spearman equi-depth-bucketing machinery applied to quantile
+    selection, so there is never a single-partition sort of the data
+    (VERDICT r11 item 5: the previous per-series row_number window
+    serialized all C(days,2) pairwise slopes of one series into one
+    task).
+
+    Global ranks compose from (a) a row_number window PARTITIONED BY
+    (key, bucket) — parallelism = groups × buckets on any value
+    distribution, since the boundaries are equi-depth — plus (b) the
+    per-(key, bucket) count prefix sums, a ≤ n_buckets-row-per-group
+    metadata window broadcast back onto the bucket keys. The median is
+    the pinned expression 0.5·(lo + hi) over the two middle ranks
+    (m+1) div 2 and m div 2 + 1 (equal when m is odd — then the value
+    is exact), identical values to a global-sort selection, so oracles
+    are unchanged. Returns one row per key: (key, out, _m_<out>)."""
+    from .bucketing import with_equi_depth_bucket
+
+    b = with_equi_depth_bucket(df.select(key, val), val, n_buckets)
+    wkb = W.partitionBy(key, "_bkt").orderBy(val)
+    ranked = b.select(
+        key, val, "_bkt", F.row_number().over(wkb).alias("_rin")
+    )
+    counts = b.groupBy(key, "_bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    woff = W.partitionBy(key).orderBy("_bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wall = W.partitionBy(key).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    off = counts.select(
+        key,
+        "_bkt",
+        F.coalesce(F.sum("_c").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_c").over(wall).cast("long").alias("_m"),
+    )
+    r = ranked.join(F.broadcast(off), [key, "_bkt"]).select(
+        key,
+        F.col(val),
+        (F.col("_off") + F.col("_rin")).cast("long").alias("_rn"),
+        "_m",
+    )
+    # integer rank arithmetic (Spark `/` on longs is DOUBLE): the
+    # lower/upper middle ranks are (m+1) div 2 and m div 2 + 1 —
+    # equal when m is odd
+    sel = r.where(
+        (F.col("_rn") == F.expr("(_m + 1) div 2"))
+        | (F.col("_rn") == F.expr("_m div 2 + 1"))
+    )
+    return sel.groupBy(key).agg(
+        (F.lit(0.5) * (F.min(val) + F.max(val))).alias(out),
+        F.max("_m").cast("long").alias(f"_m_{out}"),
+    )
+
+
 def theil_sen_daily(
     events: DataFrame,
     group_col: str = "event_type",
@@ -995,12 +1055,13 @@ def theil_sen_daily(
 
     Scale shape: the pair generation is a per-group self-join bounded
     by (days per series)² — ~6.6M pairs for a 10-year daily series,
-    distributed work, never a driver array; the median is one window
-    pass over the pair frame keyed by series. Series with one day
-    yield NULL slope (no pairs); the intercept medians over the n
-    per-day residuals y − slope·x with the same rank selection."""
-    from pyspark.sql import Window
-
+    distributed work, never a driver array; the median selection is
+    the shared equi-depth-bucketed rank machinery (_median_by_rank —
+    VERDICT r11 item 5: no single-partition sort of the pair frame;
+    the row_number window partitions by (series, bucket), pinned by
+    tests/test_plan_shapes.py). Series with one day yield NULL slope
+    (no pairs); the intercept medians over the n per-day residuals
+    y − slope·x with the same rank selection."""
     daily = events.groupBy(
         F.col(group_col).alias("grp"),
         F.date_trunc("day", F.col(ts_col)).alias("day"),
@@ -1021,27 +1082,7 @@ def theil_sen_daily(
         ).alias("slope"),
     )
 
-    def _median(df: DataFrame, key: str, val: str, out: str) -> DataFrame:
-        w = Window.partitionBy(key).orderBy(val)
-        r = df.select(
-            key,
-            F.col(val),
-            F.row_number().over(w).alias("_rn"),
-            F.count(F.lit(1)).over(Window.partitionBy(key)).alias("_m"),
-        )
-        # integer rank arithmetic (Spark `/` on longs is DOUBLE): the
-        # lower/upper middle ranks are (m+1) div 2 and m div 2 + 1 —
-        # equal when m is odd
-        sel = r.where(
-            (F.col("_rn") == F.expr("(_m + 1) div 2"))
-            | (F.col("_rn") == F.expr("_m div 2 + 1"))
-        )
-        return sel.groupBy(key).agg(
-            (F.lit(0.5) * (F.min(val) + F.max(val))).alias(out),
-            F.max("_m").cast("long").alias(f"_m_{out}"),
-        )
-
-    slopes = _median(pairs, "grp", "slope", "med_slope")
+    slopes = _median_by_rank(pairs, "grp", "slope", "med_slope")
     resid = daily.join(F.broadcast(slopes), "grp").select(
         "grp",
         "med_slope",
@@ -1050,7 +1091,7 @@ def theil_sen_daily(
             - F.col("med_slope") * F.col("x").cast("double")
         ).alias("resid"),
     )
-    inter = _median(resid, "grp", "resid", "med_intercept")
+    inter = _median_by_rank(resid, "grp", "resid", "med_intercept")
     n_days = daily.groupBy("grp").agg(
         F.count(F.lit(1)).cast("long").alias("n_days")
     )

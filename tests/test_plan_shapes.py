@@ -475,3 +475,18 @@ def test_gini_arrow_grouped_map_single_exchange(spark, sf_dir):
     # cents computed below the shuffle: the Exchange's Input already
     # carries the quantized long column
     assert re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[[^\]]*_cents", plan)
+
+
+def test_theil_sen_median_has_no_single_partition_pair_sort(spark, sf_dir):
+    """The Theil-Sen median must select ranks via the equi-depth
+    bucketed machinery (VERDICT r11 item 5): every row_number window —
+    the only data-scale sort in the median — must be PARTITIONED BY
+    (series, bucket), never by the series alone, so one series' C(n,2)
+    pairwise slopes never serialize into a single task. (The per-key
+    metadata windows over the <=64-row-per-series bucket counts use
+    sum(), not row_number, and are exempt by construction.)"""
+    plan = plan_of(REGISTRY["theil_sen_events"].builder(spark, sf_dir))
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert rn_specs, "expected row_number rank-selection windows"
+    for spec in rn_specs:
+        assert "_bkt" in spec, f"row_number window without bucket key: {spec}"
