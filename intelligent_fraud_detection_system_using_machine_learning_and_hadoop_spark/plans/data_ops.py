@@ -4154,7 +4154,7 @@ def shortest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shortest_paths(
         edges, seeds, rounds=6, src="u", dst="v", weight="w",
-        broadcast_frontier=True,
+        broadcast_frontier=None,  # auto: measured per-round switch
     )
 
 

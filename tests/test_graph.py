@@ -858,3 +858,79 @@ class TestStronglyConnectedComponents:
         assert strongly_connected_components(empty).count() == 0
         loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
         assert strongly_connected_components(loops).count() == 0
+
+
+class TestShortestPathsFrontierStrategy:
+    def test_all_three_modes_byte_equal(self, spark):
+        """broadcast / hash / auto frontier strategies are physical-
+        plan choices only: relaxed distances must be identical (the
+        hits/LPA both-modes discipline, VERDICT r11 item 7)."""
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            shortest_paths,
+        )
+
+        rng = random.Random(7)
+        edges = [
+            (rng.randint(1, 60), rng.randint(1, 60), rng.randint(1, 9))
+            for _ in range(220)
+        ]
+        e = spark.createDataFrame(edges, "id_a long, id_b long, w long")
+        seeds = spark.createDataFrame([(1,), (2,)], "id long")
+        outs = []
+        for mode in (True, False, None):
+            outs.append(
+                {
+                    r["id"]: r["dist"]
+                    for r in shortest_paths(
+                        e, seeds, rounds=8, broadcast_frontier=mode
+                    ).collect()
+                }
+            )
+        assert outs[0] == outs[1] == outs[2]
+        assert outs[0][1] == 0  # seed at distance 0
+
+    def test_auto_hash_joins_when_broadcast_disabled(self, spark):
+        """With autoBroadcastJoinThreshold=-1, auto must resolve to the
+        hash-join side (threshold parser returns 0) and still relax
+        correctly."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            _broadcast_threshold_bytes,
+            shortest_paths,
+        )
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            assert _broadcast_threshold_bytes(spark) == 0
+            e = spark.createDataFrame(
+                [(1, 2, 5), (2, 3, 7)], "id_a long, id_b long, w long"
+            )
+            seeds = spark.createDataFrame([(1,)], "id long")
+            got = {
+                r["id"]: r["dist"]
+                for r in shortest_paths(e, seeds, rounds=4).collect()
+            }
+            assert got == {1: 0, 2: 5, 3: 12}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_threshold_parser_units(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            _broadcast_threshold_bytes,
+        )
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            for raw, want in (
+                ("10485760", 10 * (1 << 20)),
+                ("10MB", 10 * (1 << 20)),
+                ("512kb", 512 * (1 << 10)),
+                ("1g", 1 << 30),
+                ("-1", 0),
+            ):
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+                assert _broadcast_threshold_bytes(spark) == want, raw
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
