@@ -5,38 +5,32 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-11 rotation (VERDICT r10 "Next round" item 1 + the playbook's
-least-recently-attested discipline): the window leads with the SEVENTEEN
-new round-11 oracled queries (``k_core_parts`` — promoted this round
-from rows-only to a 10-round unrolled-CTE value oracle;
-``shortest_paths_parts`` — bounded-round weighted Bellman-Ford;
-``streaming_left_outer_click_purchase`` /
-``streaming_full_outer_click_purchase`` — stream-stream LEFT and FULL
-OUTER joins with watermark null-emission; ``acf_events`` — exact-moment
-autocorrelation; ``benford_orders`` — Benford first-digit screen;
-``burstiness_events`` — inter-event bot-timing screen;
-``hits_supplier_part`` — integer HITS; ``ks_test_events`` — exact
-two-sample Kolmogorov-Smirnov; ``kruskal_wallis_events`` — k-group
-rank H; ``lorenz_customers`` — Lorenz concentration at exact ntile
-deciles; ``mann_whitney_events`` — exact
-rank-sum U with tie-corrected z; ``ppr_supplier_part`` — personalized
-PageRank from a seed watchlist; ``returned_item_customers`` — the
-TPC-H Q10 shape; ``streaks_events`` —
-gaps-and-islands streak census; ``theil_sen_events`` — Theil-Sen
-robust trend; ``velocity_flags_events`` — trailing-window velocity
-flags), then the round-8 cohort (the oldest) alphabetically — 33 of
-its 46 queries fit; the thirteen-query tail (``shipping_priority``,
-``stats_moments_by_status``, ``status_priority_counts``,
-``streaming_distinct_pairs``, ``streaming_incremental_dedup``,
-``streaming_rolling_anomaly``, ``streaming_user_stats``,
-``string_funcs_part``, ``suppliers_by_region``,
-``temporal_funcs_orders``, ``topk_orders``, ``window_dist_orders``,
-``window_funcs_orders``)
-keeps its r8 rows, which still satisfies the item's "no driver row
-older than r8" contract, and leads the r12 rotation. After this round
-no oracled query is never-attested. Queries outside the window keep
-pytest + local-gate (tools/check_oracle.py) coverage; registry content
-is unchanged — only iteration order moves.
+Round-12 rotation (VERDICT r11 "Next round" item 1 + the playbook's
+least-recently-attested discipline): the window LEADS with the
+thirteen-query round-8 tail — the oldest driver attestations in the
+registry (``shipping_priority`` … ``window_funcs_orders``, last
+attested r8) — then the three NEW round-12 oracled queries
+(``scc_parts`` — directed strongly connected components, the
+circular-trading-ring primitive, exact recursive-closure oracle;
+``fraud_risk_report_events`` — the composed velocity + burstiness +
+Benford per-entity risk pipeline with a full-chain value oracle;
+``streaming_velocity_flags`` — the stateful trailing-window screen
+sharing the batch RANGE-frame oracle), then the round-9 cohort (now
+the oldest bulk, last attested r9) alphabetically — 34 of its 50
+queries fit. The sixteen-query r9 tail (``seasonal_decompose_events``,
+``seasonal_decompose_grouped``, ``source_overlap_matrix``,
+``spearman_corr_lineitem``, ``streaming_attribution``,
+``streaming_html_extract``, ``streaming_incremental_agg``,
+``triangle_count_parts``, ``trimmed_mean_orders``,
+``udtf_sentences_documents``, ``url_canonicalize_documents``,
+``value_histogram_events``, ``web_corpus_pipeline``,
+``weighted_sample_documents``, ``winsorize_orders_by_status``,
+``zonemap_prune_orders``) keeps its r9 rows — within the verdict's "no
+driver row older than r9" contract — and leads the r13 rotation.
+After this round no oracled query's last attestation is older than r9.
+Queries outside the window keep pytest + local-gate
+(tools/check_oracle.py) coverage; registry content is unchanged — only
+iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -47,65 +41,60 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- new round-11 oracled queries (never attested) ---
-    "k_core_parts",
-    "shortest_paths_parts",
-    "streaming_left_outer_click_purchase",
-    "streaming_full_outer_click_purchase",
-    "acf_events",
-    "benford_orders",
-    "burstiness_events",
-    "hits_supplier_part",
-    "ks_test_events",
-    "lorenz_customers",
-    "kruskal_wallis_events",
-    "mann_whitney_events",
-    "ppr_supplier_part",
-    "returned_item_customers",
-    "streaks_events",
-    "theil_sen_events",
-    "velocity_flags_events",
-    # --- the r8 cohort, alphabetically (33 of its 46 queries fit;
-    # the tail — shipping_priority, stats_moments_by_status,
-    # status_priority_counts, streaming_distinct_pairs,
-    # streaming_incremental_dedup, streaming_rolling_anomaly,
-    # streaming_user_stats, string_funcs_part, suppliers_by_region,
-    # temporal_funcs_orders, topk_orders, window_dist_orders,
-    # window_funcs_orders — keeps its r8 rows, within the "no row
-    # older than r8" contract, and leads the r12 rotation) ---
-    "big_spenders_vs_nation",
-    "count_distinct_having",
-    "cusum_change_events",
-    "dedup_exact_documents",
-    "doc_redact_pii",
-    "embedding_cosine_dup",
-    "embedding_topk_cosine",
-    "events_hourly",
-    "exists_late_shipments",
-    "funnel_view_click_purchase",
-    "grouping_analytics_orders",
-    "incremental_dedup_documents",
-    "inverted_index_documents",
-    "json_extract_events",
-    "mad_outliers_events",
-    "math_null_funcs_lineitem",
-    "merge_upsert_orders",
-    "multimodal_meta",
-    "ngram_jaccard_pairs",
-    "pagerank_supplier_part",
-    "pivot_status_by_nation",
-    "posexplode_doc_tokens",
-    "profile_orders_columns",
-    "promo_revenue_ratio",
-    "quality_classifier_documents",
-    "rolling_anomaly_events",
-    "rule_flags_orders",
-    "scalar_stats_global",
-    "scalar_subquery_above_avg",
-    "scd2_customers",
-    "sessionize_events",
-    "set_ops_custkeys",
-    "shipmode_priority_counts",
+    # --- the r8 tail: oldest attestations, leads per VERDICT r11 item 1 ---
+    "shipping_priority",
+    "stats_moments_by_status",
+    "status_priority_counts",
+    "streaming_distinct_pairs",
+    "streaming_incremental_dedup",
+    "streaming_rolling_anomaly",
+    "streaming_user_stats",
+    "string_funcs_part",
+    "suppliers_by_region",
+    "temporal_funcs_orders",
+    "topk_orders",
+    "window_dist_orders",
+    "window_funcs_orders",
+    # --- new round-12 oracled queries (never attested) ---
+    "scc_parts",
+    "fraud_risk_report_events",
+    "streaming_velocity_flags",
+    # --- the r9 cohort (now oldest bulk), alphabetically; its
+    # 16-query tail keeps r9 rows and leads the r13 rotation ---
+    "analytics_pipeline_events",
+    "asof_click_purchase",
+    "association_rules_parts",
+    "attribution_linear_events",
+    "auc_orders",
+    "bigram_fluency_documents",
+    "bm25_topk_documents",
+    "canonical_dedup_documents",
+    "chi_square_orders",
+    "chunk_documents_sliding",
+    "cogroup_purchase_error_stats",
+    "cohort_retention_events",
+    "corpus_curation",
+    "corpus_snapshot_diff",
+    "cust_order_histogram",
+    "decontaminate_train_docs",
+    "dedup_source_flow_documents",
+    "domain_stats_documents",
+    "drift_report_orders",
+    "equi_depth_hist_orders",
+    "event_transitions",
+    "expectations_orders",
+    "fuzzy_join_part_names",
+    "html_extract_documents",
+    "incremental_agg_orders",
+    "incremental_pipeline_documents",
+    "label_centroids_embeddings",
+    "large_volume_customers",
+    "pmi_cooccurrence_documents",
+    "pricing_summary",
+    "quantile_normalize_events",
+    "quota_sample_documents",
+    "resample_locf_events",
+    "revenue_by_nation",
 ]
 
 
