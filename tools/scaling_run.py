@@ -38,6 +38,16 @@ HEAVIES = [
     "exact_substring_dup_documents",
     "canonical_dedup_documents",
     "quantile_normalize_events",
+    # round-12 additions (VERDICT r11 item 6): the r11 heavies that
+    # had never been run past sf0.1, the rank-stat family (the next
+    # Spearman-style overflow would surface one scale step up), and
+    # the new r12 operators
+    "shortest_paths_parts",
+    "hits_supplier_part",
+    "mann_whitney_events",
+    "ks_test_events",
+    "scc_parts",
+    "fraud_risk_report_events",
 ]
 
 
