@@ -1405,3 +1405,115 @@ def strongly_connected_components(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"scc did not converge in {max_outer} outer rounds")
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    time_col: str = "t",
+    broadcast_frontier: bool | None = None,
+) -> DataFrame:
+    """TIME-RESPECTING reachability (earliest-arrival search) on a
+    directed temporal graph: for every node, the minimum arrival time
+    of a path of at most ``rounds`` edges from any seed where
+    successive edge times never decrease — the taint-tracing / money-
+    mule primitive (Holme & Saramäki's temporal-path model, public
+    literature). Static reachability overstates risk: u→v at day 10
+    then v→w at day 5 is NOT a feasible propagation; a temporal path
+    must move forward in time.
+
+    Fixed synchronous relaxation (exact unrolled-CTE SQL twin, the
+    shortest_paths discipline):
+
+        a_t(v) = min(a_{t-1}(v),
+                     min { T(u,v) : edge u→v, T(u,v) ≥ a_{t-1}(u) })
+
+    with seeds at arrival 0. Frontier-incremental: only nodes whose
+    arrival improved relax again — improving a(u) weakens its time
+    gate (T ≥ a(u)), so candidates only improve and the delta schedule
+    reaches the same per-round state as the full relaxation. Parallel
+    (u,v) edges collapse to per-(u,v,T) distinct rows (min-combine
+    uses each time at most once); times are exact integers (epoch
+    days/seconds — callers quantize). Empty frontier exits early;
+    ``rounds`` ≥ the temporal hop diameter gives the true earliest
+    arrival.
+
+    Per round: one frontier⋈edges join on the reused ``u``
+    partitioning with the time gate as the join filter, one map-side-
+    combinable min-agg, one full-outer merge into the checkpointed
+    |V|-row arrival table. ``broadcast_frontier`` as in
+    ``shortest_paths`` (None = auto from the free checkpoint-stat
+    bound vs the session broadcast threshold). Returns
+    (node, arrive_t): seeds at 0, unreachable nodes absent."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+            F.col(time_col).cast("long").alias("t"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+    arr = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .distinct()
+        .join(nodes.select(F.col("u").alias("node")), "node", "leftsemi")
+        .select("node", F.lit(0).cast("long").alias("arrive_t"))
+        .localCheckpoint(eager=True)
+    )
+    bc_cap = _broadcast_threshold_bytes(edges.sparkSession)
+
+    def _relax_side(fr: DataFrame, bound: DataFrame) -> DataFrame:
+        if broadcast_frontier is True:
+            return F.broadcast(fr)
+        if broadcast_frontier is False:
+            return fr
+        try:
+            b = int(
+                bound._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            return fr
+        return F.broadcast(fr) if 0 < b <= bc_cap else fr
+
+    frontier = arr
+    bound = arr
+    for _ in range(rounds):
+        fb = _relax_side(frontier, bound)
+        cand = (
+            e.join(fb.withColumnRenamed("node", "u"), "u")
+            .where(F.col("t") >= F.col("arrive_t"))
+            .select(F.col("v").alias("node"), F.col("t").alias("na"))
+            .groupBy("node")
+            .agg(F.min("na").alias("na"))
+        )
+        merged = (
+            arr.join(cand, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("arrive_t"), F.lit(2**62)),
+                    F.coalesce(F.col("na"), F.lit(2**62)),
+                ).alias("arrive_t"),
+                (
+                    F.col("arrive_t").isNull()
+                    | (F.col("na") < F.col("arrive_t"))
+                ).alias("_improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where(F.col("_improved")).select("node", "arrive_t")
+        arr = merged.select("node", "arrive_t")
+        bound = merged
+        if frontier.isEmpty():
+            break
+    return arr

@@ -9,15 +9,18 @@ Round-12 rotation (VERDICT r11 "Next round" item 1 + the playbook's
 least-recently-attested discipline): the window LEADS with the
 thirteen-query round-8 tail — the oldest driver attestations in the
 registry (``shipping_priority`` … ``window_funcs_orders``, last
-attested r8) — then the three NEW round-12 oracled queries
+attested r8) — then the four NEW round-12 oracled queries
 (``scc_parts`` — directed strongly connected components, the
 circular-trading-ring primitive, exact recursive-closure oracle;
 ``fraud_risk_report_events`` — the composed velocity + burstiness +
 Benford per-entity risk pipeline with a full-chain value oracle;
 ``streaming_velocity_flags`` — the stateful trailing-window screen
-sharing the batch RANGE-frame oracle), then the round-9 cohort (now
-the oldest bulk, last attested r9) alphabetically — 34 of its 50
-queries fit. The sixteen-query r9 tail (``seasonal_decompose_events``,
+sharing the batch RANGE-frame oracle; ``temporal_reach_parts`` —
+time-respecting earliest-arrival taint tracing with an unrolled
+min-combine oracle), then the round-9 cohort (now the oldest bulk,
+last attested r9) alphabetically — 33 of its 50 queries fit. The
+seventeen-query r9 tail (``revenue_by_nation``,
+``seasonal_decompose_events``,
 ``seasonal_decompose_grouped``, ``source_overlap_matrix``,
 ``spearman_corr_lineitem``, ``streaming_attribution``,
 ``streaming_html_extract``, ``streaming_incremental_agg``,
@@ -59,6 +62,7 @@ _DRIVER_WINDOW = [
     "scc_parts",
     "fraud_risk_report_events",
     "streaming_velocity_flags",
+    "temporal_reach_parts",
     # --- the r9 cohort (now oldest bulk), alphabetically; its
     # 16-query tail keeps r9 rows and leads the r13 rotation ---
     "analytics_pipeline_events",
@@ -94,7 +98,6 @@ _DRIVER_WINDOW = [
     "quantile_normalize_events",
     "quota_sample_documents",
     "resample_locf_events",
-    "revenue_by_nation",
 ]
 
 

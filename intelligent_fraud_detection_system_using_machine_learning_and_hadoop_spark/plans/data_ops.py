@@ -4158,6 +4158,96 @@ def shortest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _temporal_reach_oracle(rounds: int) -> str:
+    """DuckDB twin of operators/graph.py::temporal_reachability — the
+    fixed synchronous earliest-arrival relaxation unrolled as
+    ``rounds`` chained min-combine CTEs over the dated part-sequence
+    graph (the _sssp_oracle_sql pattern, with the time gate
+    t >= arrival replacing the weight sum)."""
+    ctes = [
+        """e AS MATERIALIZED (
+      SELECT DISTINCT s.l_partkey AS u, s.nxt AS v,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT) AS t
+      FROM (SELECT l_orderkey, l_partkey,
+                   lead(l_partkey) OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_partkey) AS nxt
+            FROM lineitem) s
+      JOIN orders o ON o.o_orderkey = s.l_orderkey
+      WHERE s.nxt IS NOT NULL AND s.nxt <> s.l_partkey)""",
+        """nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e)""",
+        """a0 AS MATERIALIZED (
+      SELECT p_partkey AS node, CAST(0 AS BIGINT) AS arrive_t FROM part
+      WHERE p_partkey < 10
+        AND p_partkey IN (SELECT node FROM nodes))""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT node, CAST(MIN(arrive_t) AS BIGINT) AS arrive_t FROM (
+        SELECT node, arrive_t FROM a{i - 1}
+        UNION ALL
+        SELECT e.v AS node, e.t AS arrive_t
+        FROM a{i - 1} a JOIN e ON e.u = a.node AND e.t >= a.arrive_t
+      ) GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, arrive_t FROM a{rounds} ORDER BY node"
+    )
+
+
+@query("temporal_reach_parts", oracle=_temporal_reach_oracle(4), bench=True)
+def temporal_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #10 — TIME-RESPECTING reachability (operators/
+    graph.py::temporal_reachability, bounded-round earliest-arrival
+    relaxation): taint tracing from the watchlist seeds
+    {p_partkey < 10} over the DATED part order-sequence graph (edge
+    u→v at epoch-day t whenever part v directly follows part u inside
+    an order placed on day t; the same deterministic
+    (l_linenumber, l_partkey) ordering as scc_parts). A node is
+    reached only by chains of orders whose dates never decrease —
+    static reachability (bfs_distances_parts) overstates the risk
+    set; the temporal gate is what makes a propagation path feasible.
+    4 rounds, exact integer epoch days, auto frontier strategy.
+    Full-value oracle: 4 unrolled min-combine CTEs with the time gate
+    in the join — every (node, arrive_t) row must match."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import temporal_reachability
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    seq = li.select(
+        "l_orderkey",
+        F.col("l_partkey"),
+        F.lead("l_partkey").over(w).alias("_nxt"),
+    )
+    e = (
+        seq.where(
+            F.col("_nxt").isNotNull() & (F.col("_nxt") != F.col("l_partkey"))
+        )
+        .join(o, seq["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.col("_nxt").alias("dst"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("t"),
+        )
+    )
+    seeds = (
+        read_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 10)
+        .select("p_partkey")
+    )
+    return temporal_reachability(e, seeds, rounds=4).orderBy("node")
+
+
 @query(
     "streaming_cc_parts",
     oracle="""WITH RECURSIVE e AS (

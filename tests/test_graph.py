@@ -934,3 +934,99 @@ class TestShortestPathsFrontierStrategy:
                 assert _broadcast_threshold_bytes(spark) == want, raw
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestTemporalReachability:
+    @staticmethod
+    def _brute(edges, seeds, rounds):
+        """Synchronous earliest-arrival replica (exact semantics of
+        the fixed relaxation, including the bounded round count)."""
+        nodes = {u for u, v, t in edges if u != v} | {
+            v for u, v, t in edges if u != v
+        }
+        arr = {s: 0 for s in seeds if s in nodes}
+        for _ in range(rounds):
+            nxt = dict(arr)
+            for u, v, t in edges:
+                if u == v or u not in arr:
+                    continue
+                if t >= arr[u] and (v not in nxt or t < nxt[v]):
+                    nxt[v] = t
+            if nxt == arr:
+                break
+            arr = nxt
+        return arr
+
+    def _check(self, spark, edges, seeds, rounds=6):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            temporal_reachability,
+        )
+
+        e = spark.createDataFrame(edges, "src long, dst long, t long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        got = {
+            r["node"]: r["arrive_t"]
+            for r in temporal_reachability(e, s, rounds=rounds).collect()
+        }
+        assert got == self._brute(edges, seeds, rounds)
+
+    def test_time_gate_blocks_backward_paths(self, spark):
+        """u→v at day 10 then v→w at day 5 is infeasible: w must be
+        unreachable even though the static path exists."""
+        self._check(spark, [(1, 2, 10), (2, 3, 5)], [1])
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            temporal_reachability,
+        )
+
+        e = spark.createDataFrame(
+            [(1, 2, 10), (2, 3, 5)], "src long, dst long, t long"
+        )
+        s = spark.createDataFrame([(1,)], "node long")
+        got = {
+            r["node"]: r["arrive_t"]
+            for r in temporal_reachability(e, s, rounds=4).collect()
+        }
+        assert got == {1: 0, 2: 10}  # 3 absent: time gate blocks it
+
+    def test_waits_for_later_parallel_edge(self, spark):
+        """A later repeat of the same hop re-opens a blocked path:
+        v→w exists at day 5 (blocked) AND day 12 (feasible)."""
+        self._check(spark, [(1, 2, 10), (2, 3, 5), (2, 3, 12)], [1])
+
+    def test_earliest_arrival_prefers_slower_first_hop(self, spark):
+        """Greedy earliest-first can be wrong per-hop but min-combine
+        over all candidates is not: 1→2 at day 3 then 2→3 needs t≥3
+        (day 8); the alternative 1→3 direct at day 6 wins."""
+        self._check(
+            spark, [(1, 2, 3), (2, 3, 8), (1, 3, 6)], [1]
+        )
+
+    def test_random_differential(self, spark):
+        import random
+
+        rng = random.Random(4242)
+        for _ in range(3):
+            n = rng.randint(5, 25)
+            m = rng.randint(10, 80)
+            edges = [
+                (
+                    rng.randint(1, n),
+                    rng.randint(1, n),
+                    rng.randint(1, 30),
+                )
+                for _ in range(m)
+            ]
+            seeds = [rng.randint(1, n) for _ in range(2)]
+            self._check(spark, edges, seeds, rounds=5)
+
+    def test_empty_and_seedless(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            temporal_reachability,
+        )
+
+        e = spark.createDataFrame([], "src long, dst long, t long")
+        s = spark.createDataFrame([(1,)], "node long")
+        assert temporal_reachability(e, s).count() == 0
+        e2 = spark.createDataFrame([(1, 2, 5)], "src long, dst long, t long")
+        s2 = spark.createDataFrame([(99,)], "node long")  # not in graph
+        assert temporal_reachability(e2, s2).count() == 0
