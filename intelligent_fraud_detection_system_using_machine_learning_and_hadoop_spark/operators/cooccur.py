@@ -101,6 +101,85 @@ def pmi_pairs(
     )
 
 
+def shared_counterparty_pairs(
+    edges: DataFrame,
+    entity_col: str = "entity",
+    counterparty_col: str = "counterparty",
+    min_shared: int = 2,
+    top_k: int = 100,
+    max_counterparty_degree: int | None = None,
+) -> DataFrame:
+    """Collusion-pair screen over a bipartite entity–counterparty
+    graph: for every entity pair sharing ≥ ``min_shared``
+    counterparties, the exact overlap, both degrees, and the Jaccard
+    similarity of their counterparty sets — ranked top-``top_k`` by
+    (jaccard desc, pair). Two customers transacting with nearly the
+    SAME set of suppliers is the classic shared-counterparty collusion
+    tell (shell networks, invoice rings) — the bipartite analog of the
+    SCC circular-trading primitive, and structurally the same
+    "who shares how much" shape as ``ngram_jaccard_pairs`` with
+    counterparties as the shingles.
+
+    Exact arithmetic: n_shared / deg / union are BIGINTs; jaccard is
+    ONE pinned IEEE division n_shared/union, so ordering and values
+    reproduce bitwise on any engine (ties broken by the pair key for a
+    total order).
+
+    Scale shape: distinct(entity, counterparty) → counterparty-keyed
+    self-join (fan-out Σ deg²(counterparty)) → map-side-combined pair
+    aggregation → two degree joins ONLY on pairs that survive
+    ``min_shared``. The degree table is |entities|-sized — a dimension
+    at test scale but NOT broadcastable at 10⁹ entities — so the
+    degree joins are left to AQE (broadcast when small, shuffle-hash
+    when not) rather than pinned broadcast. The quadratic risk is hub counterparties —
+    every ledger has a utility/megastore everyone pays, contributing
+    deg² pairs and zero collusion signal; ``max_counterparty_degree``
+    is the stop-shingle analog (operators/dedup.py's discipline):
+    counterparties above the cap are dropped BEFORE the self-join,
+    bounding fan-out at cap²·|counterparties| with an explicit,
+    documented semantic (hubs don't witness collusion)."""
+    e = edges.select(
+        F.col(entity_col).alias("_e"), F.col(counterparty_col).alias("_c")
+    ).distinct()
+    if max_counterparty_degree is not None:
+        cdeg = e.groupBy("_c").agg(F.count(F.lit(1)).alias("_cd"))
+        e = e.join(
+            F.broadcast(cdeg.where(F.col("_cd") > max_counterparty_degree)),
+            "_c",
+            "left_anti",
+        ).select("_e", "_c")  # USING-joins put the key first; re-pin order
+    deg = e.groupBy("_e").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    l = e.toDF("_ea", "_c")
+    r = e.toDF("_eb", "_c")
+    pairs = (
+        l.join(r, "_c")
+        .where(F.col("_ea") < F.col("_eb"))
+        .groupBy("_ea", "_eb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    da = deg.toDF("_ea", "deg_a")
+    db = deg.toDF("_eb", "deg_b")
+    union = F.col("deg_a") + F.col("deg_b") - F.col("n_shared")
+    return (
+        pairs.join(da, "_ea")
+        .join(db, "_eb")
+        .select(
+            F.col("_ea").alias("entity_a"),
+            F.col("_eb").alias("entity_b"),
+            "n_shared",
+            "deg_a",
+            "deg_b",
+            union.cast("long").alias("n_union"),
+            (F.col("n_shared").cast("double") / union.cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.desc("jaccard"), "entity_a", "entity_b")
+        .limit(top_k)
+    )
+
+
 def association_rules(
     baskets: DataFrame,
     min_pair_count: int = 5,

@@ -176,6 +176,155 @@ def velocity_flags(
     )
 
 
+def amount_structuring(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold_cents: int = 50_000_00,
+    band_frac: float = 0.9,
+    round_mod_cents: int = 100,
+    min_events: int = 5,
+    rate_mult: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Amount-pattern screen per entity: STRUCTURING (smurfing) and
+    ROUND-NUMBER bias — the two classic ledger-amount tells beyond
+    Benford (fraud_stats.py's third screen; extends the reference's
+    static amount rule at ``run_pipeline.py:23-25`` from "amount too
+    big" to "amounts shaped to avoid the threshold").
+
+    * band_hits — amounts in [band_frac·T, T): deliberately just
+      below the reporting threshold T (31 CFR structuring pattern).
+    * round_hits — amounts that are exact multiples of
+      ``round_mod_cents`` (fabricated figures over-represent round
+      numbers; genuine priced ledgers almost never land on them).
+
+    An entity flags when its hit rate is at least ``rate_mult``× the
+    LEDGER-WIDE base rate and it has ≥ ``min_hits`` hits — the
+    comparison is the exact integer cross-multiplication
+    ``hits·g_n ≥ rate_mult·n·g_hits`` in decimal(38,0) (never a float
+    rate compare), so the flag is engine-independent at any scale.
+    The reported ``*_frac`` ratios are the one pinned IEEE division
+    each, for human eyes.
+
+    Plan shape: one scan → one entity-keyed aggregation (conditional
+    counts) → a second aggregation over the |entities|-row result for
+    the global base rates → broadcast one-row join back. One fact
+    shuffle total; the global pass never re-reads the ledger. At
+    100 TB: identical — the base-rate reduce is over entities, not
+    events."""
+    lo = int(threshold_cents * band_frac)
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        df.where(cents > 0)
+        .select(
+            F.col(key_col).alias("entity"),
+            cents.alias("cents"),
+        )
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_amounts"),
+            F.sum(
+                F.when(
+                    (F.col("cents") >= lo) & (F.col("cents") < threshold_cents), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("band_hits"),
+            F.sum(
+                F.when(F.col("cents") % round_mod_cents == 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("round_hits"),
+        )
+        .where(F.col("n_amounts") >= min_events)
+    )
+    glob = per.agg(
+        F.sum("n_amounts").cast("decimal(38,0)").alias("g_n"),
+        F.sum("band_hits").cast("decimal(38,0)").alias("g_band"),
+        F.sum("round_hits").cast("decimal(38,0)").alias("g_round"),
+    )
+    j = per.crossJoin(F.broadcast(glob))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mult = F.lit(rate_mult).cast("decimal(38,0)")
+    return j.select(
+        F.col("entity").alias(key_col),
+        "n_amounts",
+        "band_hits",
+        (F.col("band_hits").cast("double") / F.col("n_amounts").cast("double")).alias(
+            "band_frac"
+        ),
+        "round_hits",
+        (F.col("round_hits").cast("double") / F.col("n_amounts").cast("double")).alias(
+            "round_frac"
+        ),
+        (
+            (F.col("band_hits") >= min_hits)
+            & (d38("band_hits") * d38("g_n") >= mult * d38("n_amounts") * d38("g_band"))
+        ).alias("structuring_flag"),
+        (
+            (F.col("round_hits") >= min_hits)
+            & (
+                d38("round_hits") * d38("g_n")
+                >= mult * d38("n_amounts") * d38("g_round")
+            )
+        ).alias("round_flag"),
+    )
+
+
+def dormancy_reactivation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    dormant_days: int = 60,
+    spend_cents: int = 400_000_00,
+) -> DataFrame:
+    """Dormancy-reactivation screen: an account silent for
+    ``dormant_days`` that returns with a large transaction — the
+    classic account-takeover / mule-activation tell (the temporal
+    complement of ``velocity_flags``: too SLOW then too big, instead
+    of too fast).
+
+    Per event: integer days since the entity's previous event
+    (NULL for its first), plus ``dormant_flag`` (gap ≥ dormant_days)
+    and ``reactivation_flag`` (dormant AND this event ≥ spend_cents).
+    The lag window orders by (date, id) — the deterministic-tiebreaker
+    discipline (same-day events would otherwise make lag
+    engine-dependent); the oracle mirrors the same two-key ORDER BY.
+    Day arithmetic is exact integer datediff — no timestamp floats.
+
+    One entity-keyed window shuffle, same 100 TB shape as
+    velocity_flags."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("entity"),
+        F.to_date(F.col(ts_col)).alias("d"),
+        cents.alias("cents"),
+    )
+    w = Window.partitionBy("entity").orderBy("d", "_id")
+    gap = F.datediff(F.col("d"), F.lag("d").over(w)).cast("int")
+    out = base.select(
+        F.col("_id").alias(id_col),
+        F.col("entity").alias(key_col),
+        F.col("d").alias("event_date"),
+        "cents",
+        gap.alias("gap_days"),
+    )
+    dormant = F.coalesce(F.col("gap_days") >= dormant_days, F.lit(False))
+    return out.select(
+        id_col,
+        key_col,
+        "event_date",
+        "cents",
+        "gap_days",
+        dormant.alias("dormant_flag"),
+        (dormant & (F.col("cents") >= spend_cents)).alias("reactivation_flag"),
+    )
+
+
 def interevent_burstiness(
     events: DataFrame,
     key_col: str = "user_id",

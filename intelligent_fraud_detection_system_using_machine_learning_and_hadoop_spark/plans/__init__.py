@@ -9,7 +9,7 @@ Round-12 rotation (VERDICT r11 "Next round" item 1 + the playbook's
 least-recently-attested discipline): the window LEADS with the
 thirteen-query round-8 tail — the oldest driver attestations in the
 registry (``shipping_priority`` … ``window_funcs_orders``, last
-attested r8) — then the four NEW round-12 oracled queries
+attested r8) — then the seven NEW round-12 oracled queries
 (``scc_parts`` — directed strongly connected components, the
 circular-trading-ring primitive, exact recursive-closure oracle;
 ``fraud_risk_report_events`` — the composed velocity + burstiness +
@@ -17,9 +17,15 @@ Benford per-entity risk pipeline with a full-chain value oracle;
 ``streaming_velocity_flags`` — the stateful trailing-window screen
 sharing the batch RANGE-frame oracle; ``temporal_reach_parts`` —
 time-respecting earliest-arrival taint tracing with an unrolled
-min-combine oracle), then the round-9 cohort (now the oldest bulk,
-last attested r9) alphabetically — 33 of its 50 queries fit. The
-seventeen-query r9 tail (``revenue_by_nation``,
+min-combine oracle; ``structuring_orders`` — the smurfing-band +
+round-number amount-pattern screen with exact cross-multiplied rate
+flags; ``dormancy_reactivation_orders`` — the silent-then-big-spend
+account-takeover screen; ``collusion_pairs_customers`` — top-k
+shared-counterparty Jaccard pairs, the shell-network tell), then the
+round-9 cohort (now the oldest bulk, last attested r9)
+alphabetically — 30 of its 50 queries fit. The twenty-query r9 tail
+(``quantile_normalize_events``, ``quota_sample_documents``,
+``resample_locf_events``, ``revenue_by_nation``,
 ``seasonal_decompose_events``,
 ``seasonal_decompose_grouped``, ``source_overlap_matrix``,
 ``spearman_corr_lineitem``, ``streaming_attribution``,
@@ -63,6 +69,9 @@ _DRIVER_WINDOW = [
     "fraud_risk_report_events",
     "streaming_velocity_flags",
     "temporal_reach_parts",
+    "structuring_orders",
+    "dormancy_reactivation_orders",
+    "collusion_pairs_customers",
     # --- the r9 cohort (now oldest bulk), alphabetically; its
     # 16-query tail keeps r9 rows and leads the r13 rotation ---
     "analytics_pipeline_events",
@@ -95,9 +104,6 @@ _DRIVER_WINDOW = [
     "large_volume_customers",
     "pmi_cooccurrence_documents",
     "pricing_summary",
-    "quantile_normalize_events",
-    "quota_sample_documents",
-    "resample_locf_events",
 ]
 
 

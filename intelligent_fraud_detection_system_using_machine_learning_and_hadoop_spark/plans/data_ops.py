@@ -3762,6 +3762,51 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "collusion_pairs_customers",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS en, l.l_suppkey AS cp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg AS (SELECT en, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY en),
+    pairs AS (
+      SELECT x.en AS ea, y.en AS eb, CAST(count(*) AS BIGINT) AS n_shared
+      FROM e x JOIN e y ON x.cp = y.cp AND x.en < y.en
+      GROUP BY x.en, y.en
+      HAVING count(*) >= 2)
+    SELECT p.ea AS entity_a, p.eb AS entity_b, p.n_shared,
+           a.d AS deg_a, b.d AS deg_b,
+           CAST(a.d + b.d - p.n_shared AS BIGINT) AS n_union,
+           CAST(p.n_shared AS DOUBLE)
+             / CAST(a.d + b.d - p.n_shared AS DOUBLE) AS jaccard
+    FROM pairs p JOIN deg a ON a.en = p.ea JOIN deg b ON b.en = p.eb
+    ORDER BY jaccard DESC, entity_a, entity_b
+    LIMIT 100
+    """,
+)
+def collusion_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-counterparty collusion screen (operators/cooccur.py::
+    shared_counterparty_pairs): the top-100 customer pairs by Jaccard
+    similarity of their supplier sets (via orders⋈lineitem) — the
+    shell-network / invoice-ring tell, the bipartite complement of
+    ``scc_parts``' directed rings. Exact BIGINT overlap/degree/union
+    arithmetic with one pinned IEEE division; the counterparty-keyed
+    pair self-join fans out Σdeg², with the stop-counterparty cap
+    (hub suppliers witness no collusion) available as the documented
+    scale valve."""
+    from ..operators.cooccur import shared_counterparty_pairs
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("entity"),
+        F.col("l_suppkey").alias("counterparty"),
+    )
+    return shared_counterparty_pairs(
+        edges, "entity", "counterparty", min_shared=2, top_k=100
+    )
+
+
+@query(
     "equi_depth_hist_orders",
     oracle="""
     WITH r AS (
@@ -5802,6 +5847,101 @@ def velocity_flags_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "events")
     return velocity_flags(
         e, window_seconds=3600, count_threshold=3, cents_threshold=200_00
+    )
+
+
+@query(
+    "structuring_orders",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey AS entity,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+    per AS (
+      SELECT entity,
+             CAST(COUNT(*) AS BIGINT) AS n_amounts,
+             CAST(COUNT(*) FILTER (cents >= 4500000 AND cents < 5000000)
+                  AS BIGINT) AS band_hits,
+             CAST(COUNT(*) FILTER (cents % 100 = 0) AS BIGINT) AS round_hits
+      FROM c GROUP BY entity HAVING COUNT(*) >= 5),
+    g AS (
+      SELECT CAST(SUM(n_amounts) AS HUGEINT) AS g_n,
+             CAST(SUM(band_hits) AS HUGEINT) AS g_band,
+             CAST(SUM(round_hits) AS HUGEINT) AS g_round
+      FROM per)
+    SELECT per.entity AS o_custkey, n_amounts, band_hits,
+           CAST(band_hits AS DOUBLE) / CAST(n_amounts AS DOUBLE) AS band_frac,
+           round_hits,
+           CAST(round_hits AS DOUBLE) / CAST(n_amounts AS DOUBLE) AS round_frac,
+           band_hits >= 2 AND
+             CAST(band_hits AS HUGEINT) * g_n
+               >= 3 * CAST(n_amounts AS HUGEINT) * g_band AS structuring_flag,
+           round_hits >= 2 AND
+             CAST(round_hits AS HUGEINT) * g_n
+               >= 3 * CAST(n_amounts AS HUGEINT) * g_round AS round_flag
+    FROM per CROSS JOIN g
+    """,
+)
+def structuring_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amount-pattern fraud screen (operators/fraud_stats.py::
+    amount_structuring): per customer with ≥5 orders, counts of
+    amounts in the just-below-threshold band [$45,000, $50,000) — the
+    31 CFR structuring/smurfing pattern — and of exact whole-dollar
+    amounts (fabricated-figure round-number bias), each with a flag
+    that fires when the entity's hit rate is ≥3× the ledger-wide base
+    rate AND it has ≥2 hits. The rate comparison is an exact
+    decimal(38,0) cross-multiplication (hits·g_n ≥ 3·n·g_hits), never
+    a float compare, so the flag is engine-independent at any ledger
+    size. One fact shuffle; the base rate reduces over the
+    |entities|-row aggregate, not the ledger."""
+    from ..operators.fraud_stats import amount_structuring
+
+    o = read_table(spark, sf_dir, "orders")
+    return amount_structuring(o, "o_custkey", "o_totalprice")
+
+
+@query(
+    "dormancy_reactivation_orders",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey AS _id, o_custkey AS entity,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    l AS (
+      SELECT _id, entity, d, cents,
+             CAST(date_diff('day',
+               lag(d) OVER (PARTITION BY entity ORDER BY d, _id), d)
+               AS INTEGER) AS gap_days
+      FROM b)
+    SELECT _id AS o_orderkey, entity AS o_custkey, d AS event_date,
+           cents, gap_days,
+           COALESCE(gap_days >= 60, FALSE) AS dormant_flag,
+           COALESCE(gap_days >= 60, FALSE) AND cents >= 40000000
+             AS reactivation_flag
+    FROM l
+    """,
+)
+def dormancy_reactivation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy-reactivation screen (operators/fraud_stats.py::
+    dormancy_reactivation): per order, integer days since the
+    customer's previous order (deterministic (date, orderkey) lag
+    tiebreaker mirrored in the oracle), flagging accounts that return
+    from ≥60 days of silence — and the account-takeover tell when the
+    comeback order is ≥$400,000. Exact integer day arithmetic and
+    cents; one customer-keyed window shuffle (the velocity_flags
+    shape)."""
+    from ..operators.fraud_stats import dormancy_reactivation
+
+    o = read_table(spark, sf_dir, "orders")
+    return dormancy_reactivation(
+        o,
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        "o_orderkey",
+        dormant_days=60,
+        spend_cents=400_000_00,
     )
 
 

@@ -303,3 +303,148 @@ class TestFraudRiskReport:
         assert rep[4]["risk_score"] == 0 and rep[4]["verdict"] == "ok"
         # benford never grounded at n < 30
         assert all(not r["benford_flag"] for r in rep.values())
+
+
+class TestAmountStructuring:
+    def test_hand_computed_flags(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            amount_structuring,
+        )
+
+        # entity 1: 5 amounts, 3 in the band [900, 1000) -> structuring
+        # entity 2: 5 amounts, all whole-dollar -> round flag
+        # entity 3: 5 plain amounts (base-rate ballast)
+        # entity 4: only 2 amounts -> excluded by min_events
+        rows = (
+            [(1, 950.17), (1, 901.01), (1, 999.99), (1, 100.33), (1, 5.55)]
+            + [(2, 7.00), (2, 13.00), (2, 150.00), (2, 12.00), (2, 44.00)]
+            + [(3, 123.45), (3, 67.89), (3, 111.11), (3, 222.22), (3, 333.33)]
+            + [(4, 950.01), (4, 7.00)]
+        )
+        df = spark.createDataFrame(rows, "k long, amount double")
+        out = {
+            r["k"]: r
+            for r in amount_structuring(
+                df,
+                "k",
+                "amount",
+                threshold_cents=1000_00,
+                band_frac=0.9,
+                round_mod_cents=100,
+                min_events=5,
+                rate_mult=3,
+                min_hits=2,
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[1]["band_hits"] == 3 and out[1]["structuring_flag"]
+        assert out[1]["band_frac"] == 3.0 / 5.0
+        # entity 2: 5/5 round vs global 5/15 -> 5*15 >= 3*5*5 (75 >= 75)
+        assert out[2]["round_hits"] == 5 and out[2]["round_flag"]
+        assert not out[2]["structuring_flag"]
+        assert out[3]["band_hits"] == 0 and not out[3]["structuring_flag"]
+        assert not out[3]["round_flag"]
+
+    def test_cross_multiply_boundary_exact(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            amount_structuring,
+        )
+
+        # Global: 10 amounts, 2 band hits. Entity A has 2/5 in band:
+        # 2*10 >= 3*5*2 is 20 >= 30 -> False (rate only 2x base).
+        rows = [(1, 950.0), (1, 951.0), (1, 1.0), (1, 2.0), (1, 3.0)] + [
+            (2, 4.0), (2, 5.0), (2, 6.0), (2, 7.0), (2, 8.0)
+        ]
+        df = spark.createDataFrame(rows, "k long, amount double")
+        out = {
+            r["k"]: r
+            for r in amount_structuring(
+                df,
+                "k",
+                "amount",
+                threshold_cents=1000_00,
+                band_frac=0.9,
+                round_mod_cents=100,
+                min_events=5,
+            ).collect()
+        }
+        assert out[1]["band_hits"] == 2 and not out[1]["structuring_flag"]
+
+
+class TestDormancyReactivation:
+    def test_hand_computed_gaps_and_flags(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            dormancy_reactivation,
+        )
+
+        d = dt.datetime
+        rows = [
+            # entity 1: day 0, day 10, day 100 (gap 90, big spend)
+            (101, 1, d(2024, 1, 1), 50.0),
+            (102, 1, d(2024, 1, 11), 60.0),
+            (103, 1, d(2024, 4, 10), 5000.0),
+            # entity 2: single event -> NULL gap, no flags
+            (201, 2, d(2024, 3, 1), 9999.0),
+            # entity 1bis same-day tie: ids decide the lag order
+            (104, 1, d(2024, 4, 10), 1.0),
+        ]
+        df = spark.createDataFrame(rows, "eid long, k long, ts timestamp, v double")
+        out = {
+            r["eid"]: r
+            for r in dormancy_reactivation(
+                df, "k", "ts", "v", "eid", dormant_days=60, spend_cents=4000_00
+            ).collect()
+        }
+        assert out[101]["gap_days"] is None and not out[101]["dormant_flag"]
+        assert out[102]["gap_days"] == 10 and not out[102]["dormant_flag"]
+        assert out[103]["gap_days"] == 90 and out[103]["dormant_flag"]
+        assert out[103]["reactivation_flag"]  # 5000.00 >= 4000.00
+        # same-day follower: gap 0 via id tiebreaker, never dormant
+        assert out[104]["gap_days"] == 0 and not out[104]["dormant_flag"]
+        assert out[201]["gap_days"] is None and not out[201]["reactivation_flag"]
+
+
+class TestSharedCounterpartyPairs:
+    def test_hand_computed_jaccard_and_cap(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_pairs,
+        )
+
+        # entities 1,2 share {10,11,12} of degs 4 and 3 -> J = 3/4
+        # entity 3 shares {10} with both -> below min_shared=2
+        rows = [
+            (1, 10), (1, 11), (1, 12), (1, 13),
+            (2, 10), (2, 11), (2, 12),
+            (3, 10), (3, 99),
+            (1, 10),  # duplicate edge: distinct() collapses it
+        ]
+        df = spark.createDataFrame(rows, "entity long, counterparty long")
+        out = shared_counterparty_pairs(df, min_shared=2, top_k=10).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["entity_a"], r["entity_b"]) == (1, 2)
+        assert r["n_shared"] == 3 and r["deg_a"] == 4 and r["deg_b"] == 3
+        assert r["n_union"] == 4 and r["jaccard"] == 3.0 / 4.0
+
+        # hub cap: counterparty 10 has degree 3 > 2 -> dropped before
+        # the self-join; 1-2 still share {11,12} but degrees shrink
+        capped = shared_counterparty_pairs(
+            df, min_shared=2, top_k=10, max_counterparty_degree=2
+        ).collect()
+        assert len(capped) == 1
+        c = capped[0]
+        assert c["n_shared"] == 2 and c["deg_a"] == 3 and c["deg_b"] == 2
+        assert c["jaccard"] == 2.0 / 3.0
+
+    def test_topk_order_deterministic(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_pairs,
+        )
+
+        # three entities all pairwise-identical sets -> equal jaccard,
+        # order falls to the (entity_a, entity_b) tiebreaker
+        rows = [(e, c) for e in (1, 2, 3) for c in (10, 11)]
+        df = spark.createDataFrame(rows, "entity long, counterparty long")
+        out = shared_counterparty_pairs(df, min_shared=2, top_k=2).collect()
+        assert [(r["entity_a"], r["entity_b"]) for r in out] == [(1, 2), (1, 3)]
+        assert all(r["jaccard"] == 1.0 for r in out)
