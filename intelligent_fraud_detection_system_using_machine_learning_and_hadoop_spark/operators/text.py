@@ -60,6 +60,74 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def lexical_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity profile — the vocabulary-richness
+    quality signal (templated/boilerplate/spam text repeats a tiny
+    vocabulary; natural prose doesn't), computed WITHOUT a logarithm so
+    every engine reproduces it bitwise (the unigram_fluency discipline:
+    entropy's ln differs in the last ulp across engines; Simpson's
+    index is a rational function of exact integer counts):
+
+    * n_tokens, n_types — token and distinct-token counts (BIGINT)
+    * type_token_ratio — n_types / n_tokens (one pinned IEEE division)
+    * hapax_frac — fraction of types occurring exactly once (dominant
+      in natural text by Zipf; near zero in templated output)
+    * simpson_concentration — Σc² / n² (the Gini-Simpson repeat
+      probability; numerator is an exact decimal(38,0) sum of BIGINT
+      squares, so no float accumulation) — high = repetitive
+    * effective_vocab — n² / Σc² (inverse Simpson, 'perplexity without
+      the log': the number of equally-common types that would produce
+      the same concentration)
+
+    Empty documents emit n_tokens = 0 with NULL ratios (no 0/0).
+
+    Scale shape: explode → ONE map-side-combined aggregation on
+    (doc, token) → ONE on doc. Both keys carry the doc id, so corpus-
+    wide stopword skew never concentrates — per-doc hot tokens are
+    absorbed by partial aggregation inside each task."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    per_tok = toks.groupBy("_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = per_tok.groupBy("_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.col("c").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("sum_c2"),
+    )
+    n2 = F.col("n_tokens").cast("decimal(38,0)") * F.col("n_tokens").cast(
+        "decimal(38,0)"
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias("n_types"),
+            (F.col("n_types").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "type_token_ratio"
+            ),
+            (F.col("n_hapax").cast("double") / F.col("n_types").cast("double")).alias(
+                "hapax_frac"
+            ),
+            (F.col("sum_c2").cast("double") / n2.cast("double")).alias(
+                "simpson_concentration"
+            ),
+            (n2.cast("double") / F.col("sum_c2").cast("double")).alias(
+                "effective_vocab"
+            ),
+        )
+    )
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality in [0,1]: token-length plausibility,
     low punctuation, stopword presence (Gopher/C4-style length+symbol

@@ -1629,6 +1629,52 @@ def unigram_fluency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lexical_diversity_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+    pt AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY doc_id, token),
+    pd AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(COUNT(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+             CAST(SUM(c * c) AS HUGEINT) AS sum_c2
+      FROM pt GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(pd.n_types, 0) AS BIGINT) AS n_types,
+           CAST(pd.n_types AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE)
+             AS type_token_ratio,
+           CAST(pd.n_hapax AS DOUBLE) / CAST(pd.n_types AS DOUBLE)
+             AS hapax_frac,
+           CAST(pd.sum_c2 AS DOUBLE)
+             / CAST(CAST(pd.n_tokens AS HUGEINT) * pd.n_tokens AS DOUBLE)
+             AS simpson_concentration,
+           CAST(CAST(pd.n_tokens AS HUGEINT) * pd.n_tokens AS DOUBLE)
+             / CAST(pd.sum_c2 AS DOUBLE) AS effective_vocab
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+)
+def lexical_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile (operators/text.py::
+    lexical_diversity): type-token ratio, hapax fraction, Simpson
+    concentration Σc²/n² and inverse-Simpson effective vocabulary —
+    the vocabulary-richness quality signal for corpus curation,
+    computed as rational functions of exact integer counts (no
+    entropy log, so bit-parity holds on any engine — the
+    unigram_fluency discipline). Two map-side-combined aggregations,
+    both keyed by doc id, so corpus-wide stopword skew never
+    concentrates."""
+    from ..operators.text import lexical_diversity
+
+    d = read_table(spark, sf_dir, "documents")
+    return lexical_diversity(d)
+
+
+@query(
     "corpus_snapshot_diff",
     oracle="""
     WITH old AS (

@@ -206,3 +206,32 @@ def test_sentences_udtf_lateral(spark):
         (1, 3, "yes"),
         (2, 0, "no terminators here"),
     ]  # doc 3 (null) contributes nothing
+
+
+class TestLexicalDiversity:
+    def test_hand_computed_profile(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.text import (
+            lexical_diversity,
+        )
+
+        rows = [
+            (1, "the cat and the dog and the bird"),  # the:3 and:2 cat/dog/bird:1
+            (2, "spam spam spam spam"),
+            (3, ""),  # empty -> zero counts, NULL ratios
+            (4, "Unique WORDS only unique words ONLY"),  # lowercased: 3 types x2
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+        d1 = out[1]
+        assert d1["n_tokens"] == 8 and d1["n_types"] == 5 and d1["hapax_frac"] == 3 / 5
+        # sum_c2 = 9 + 4 + 1 + 1 + 1 = 16 -> simpson 16/64 = 0.25
+        assert d1["simpson_concentration"] == 16.0 / 64.0
+        assert d1["effective_vocab"] == 64.0 / 16.0
+        d2 = out[2]
+        assert d2["n_types"] == 1 and d2["type_token_ratio"] == 0.25
+        assert d2["simpson_concentration"] == 1.0 and d2["hapax_frac"] == 0.0
+        d3 = out[3]
+        assert d3["n_tokens"] == 0 and d3["n_types"] == 0
+        assert d3["type_token_ratio"] is None and d3["simpson_concentration"] is None
+        d4 = out[4]
+        assert d4["n_types"] == 3 and d4["simpson_concentration"] == 12.0 / 36.0
