@@ -1517,3 +1517,148 @@ def temporal_reachability(
         if frontier.isEmpty():
             break
     return arr
+
+
+def _edge_supports(cur: DataFrame) -> DataFrame:
+    """Per-edge triangle support of a canonical (u < v, distinct) edge
+    frame: (u, v, support) for EVERY input edge, support = number of
+    triangles the edge closes.
+
+    Degree-ordered edge-iterator (the triangle_stats discipline):
+    edges orient from the smaller (degree, id) rank endpoint to the
+    larger, bounding every out-adjacency at √(2|E|) regardless of
+    skew; each triangle {x,y,z} (ranks x<y<z) is found exactly once at
+    oriented edge x→y as w = z ∈ N⁺(x) ∩ N⁺(y), never leaving the row
+    as a wedge shuffle. Unlike the global census, supports need per-
+    EDGE attribution, so the intersection array explodes into the
+    triangle's two other edges (2·Δ rows, map-side combined on the
+    canonical edge key) plus one |E|-row direct term — linear in the
+    triangle count, which is the information-theoretic floor for exact
+    truss support."""
+    both = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    da = deg.select(F.col("u").alias("_ua"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("u").alias("_ub"), F.col("_d").alias("_db"))
+    ranked = (
+        cur.join(da, cur.u == da._ua)
+        .join(db, cur.v == db._ub)
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("o")
+        )
+        .select("o.a", "o.b")
+    )
+    adj = ranked.groupBy("a").agg(F.collect_list("b").alias("nb"))
+    adj_a = adj.select(F.col("a").alias("_ja"), F.col("nb").alias("nb_a"))
+    adj_b = adj.select(F.col("a").alias("_jb"), F.col("nb").alias("nb_b"))
+    with_common = (
+        ranked.join(adj_a, ranked.a == adj_a._ja)
+        .join(adj_b, ranked.b == adj_b._jb, "left")
+        .select(
+            "a",
+            "b",
+            F.array_intersect(
+                F.col("nb_a"),
+                F.coalesce(F.col("nb_b"), F.array().cast("array<long>")),
+            ).alias("common"),
+        )
+    )
+    direct = with_common.select(
+        F.least("a", "b").alias("u"),
+        F.greatest("a", "b").alias("v"),
+        F.size("common").cast("long").alias("c"),
+    )
+    others = with_common.select(
+        "a", "b", F.explode("common").alias("w")
+    )
+    contrib = direct.unionByName(
+        others.select(
+            F.least("a", "w").alias("u"),
+            F.greatest("a", "w").alias("v"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    ).unionByName(
+        others.select(
+            F.least("b", "w").alias("u"),
+            F.greatest("b", "w").alias("v"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    )
+    sup = contrib.groupBy("u", "v").agg(F.sum("c").cast("long").alias("support"))
+    return (
+        cur.join(sup, ["u", "v"], "left")
+        .select("u", "v", F.coalesce(F.col("support"), F.lit(0)).alias("support"))
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 32,
+    rounds: int | None = None,
+) -> DataFrame:
+    """The k-truss of an undirected graph: the maximal subgraph in
+    which every EDGE participates in ≥ k−2 triangles (Cohen 2008,
+    public) — the edge-level strengthening of the k-core (every
+    k-truss is inside the (k−1)-core but demands cohesion per
+    RELATIONSHIP, not per node), and the standard fraud-ring shape:
+    a collusive clique's edges all sit in many shared triangles,
+    while a hub-and-spoke star — which k-core can misread as dense —
+    has triangle-free edges and dissolves.
+
+    Synchronous peeling: each round computes every surviving edge's
+    triangle support within the CURRENT subgraph (``_edge_supports``,
+    degree-ordered edge-iterator — |E|^1.5-bounded enumeration, 2·Δ
+    explode for per-edge attribution) and drops ALL edges below k−2
+    simultaneously; supports are then exact for the next round.
+    Support recomputation per round — not decrement propagation — is
+    deliberate: decrements require materializing every dropped edge's
+    triangle list (same Δ-shaped work, plus a mutable support table),
+    while recompute keeps each round a pure function of the surviving
+    edge set, which is what lets a SQL oracle replay the schedule as
+    chained CTEs (the k_core/LPA bounded-round discipline). Lineage
+    truncates via one eager |E|-row checkpoint per round; the driver
+    holds O(1) state (the round counter).
+
+    ``rounds=R`` runs exactly R rounds (converged rounds are no-ops on
+    both engines, so any R ≥ the peel depth yields the true k-truss);
+    ``rounds=None`` runs to convergence (empty frontier), raising past
+    ``max_rounds``. Returns every surviving canonical edge with its
+    support inside the FINAL subgraph: (u, v, support), support ≥ k−2
+    ≥ 0.
+
+    Cites /root/reference/scripts/run_pipeline.py:23-31: the
+    reference's duplicate-identity rules are degree-1 'suspicious
+    structure' tests; SCC (directed rings), k-core (dense nodes) and
+    k-truss (dense relationships) are the graph-native generalization
+    ladder."""
+    cur = _canonical(
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+    ).localCheckpoint(eager=True)
+    thresh = k - 2
+    n_rounds = rounds if rounds is not None else max_rounds
+    converged = False
+    for _ in range(n_rounds):
+        sup = _edge_supports(cur)
+        nxt = sup.where(F.col("support") >= thresh).select("u", "v")
+        nxt = nxt.localCheckpoint(eager=True)
+        # O(1) driver state: one count per round decides convergence;
+        # the empty set is a fixed point too (everything peeled away)
+        n_nxt = nxt.count()
+        if n_nxt == cur.count() or n_nxt == 0:
+            converged = True
+            cur = nxt
+            break
+        cur = nxt
+    if rounds is None and not converged:
+        raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
+    return _edge_supports(cur)

@@ -3984,6 +3984,77 @@ def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _k_truss_oracle_sql(k: int, rounds: int) -> str:
+    """DuckDB twin of operators/graph.py::k_truss in BOUNDED mode —
+    the synchronous support-peel schedule unrolled as ``rounds``
+    chained CTE triples. Round i: t{i} enumerates the current edge
+    set's triangles (the canonical u<v<w three-way join), s{i}
+    aggregates per-edge support over the three edge projections, e{i}
+    keeps edges with support ≥ k−2 (triangle-free edges vanish from
+    s{i} and are correctly dropped by the inner join — their support
+    0 < k−2 for any k ≥ 3). Converged rounds are no-ops, so any
+    ``rounds`` ≥ the peel depth reproduces the true k-truss; one final
+    support pass reports each surviving edge's support inside the
+    final subgraph, exactly the Spark loop's output contract. All
+    MATERIALIZED for the same CTE-inlining blowup reason as the k_core
+    oracle."""
+    ctes = ["e0 AS MATERIALIZED (" + _CO_ORDER_EDGES_SQL + ")"]
+    for i in range(1, rounds + 1):
+        p = f"e{i - 1}"
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+      SELECT a.u, a.v, b.v AS w FROM {p} a
+      JOIN {p} b ON b.u = a.u AND b.v > a.v
+      JOIN {p} c ON c.u = a.v AND c.v = b.v),
+    s{i} AS MATERIALIZED (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM (
+        SELECT u, v FROM t{i}
+        UNION ALL SELECT u, w AS v FROM t{i}
+        UNION ALL SELECT v AS u, w AS v FROM t{i}) GROUP BY u, v),
+    e{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {p} e JOIN s{i} s ON s.u = e.u AND s.v = e.v
+      WHERE s.s >= {k - 2})"""
+        )
+    p = f"e{rounds}"
+    ctes.append(
+        f"""tf AS MATERIALIZED (
+      SELECT a.u, a.v, b.v AS w FROM {p} a
+      JOIN {p} b ON b.u = a.u AND b.v > a.v
+      JOIN {p} c ON c.u = a.v AND c.v = b.v),
+    sf AS MATERIALIZED (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM (
+        SELECT u, v FROM tf
+        UNION ALL SELECT u, w AS v FROM tf
+        UNION ALL SELECT v AS u, w AS v FROM tf) GROUP BY u, v)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.u, e.v, CAST(COALESCE(sf.s, 0) AS BIGINT) AS support
+    FROM {p} e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v"""
+    )
+
+
+@query("k_truss_parts", oracle=_k_truss_oracle_sql(12, 7))
+def k_truss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-truss of the part co-order graph (operators/graph.py::
+    k_truss — synchronous support peeling over the degree-ordered
+    edge-iterator): every surviving co-order edge sits in ≥10
+    triangles within the surviving subgraph — the RELATIONSHIP-level
+    density screen that k-core's node degrees can't express (a
+    hub-and-spoke star is high-core but triangle-free, and dissolves
+    here; a collusive clique survives). Bounded schedule rounds=7 —
+    above the measured peel depth 5 at sf0.01 (1127 edges survive) —
+    so the full-value DuckDB oracle replays it as 7 chained CTE
+    triples plus one final support pass. Brute-force peeling
+    differential in tests/test_graph.py pins the operator itself.
+    Consumes the shared materialized co-order edge frame."""
+    from ..operators.graph import k_truss
+
+    return k_truss(_co_order_edges(spark, sf_dir), 12, rounds=7)
+
+
 def _lpa_oracle_sql(rounds: int) -> str:
     """DuckDB twin of operators/graph.py::label_propagation — the
     fixed synchronous schedule unrolled as ``rounds`` plain CTEs

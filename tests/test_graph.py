@@ -1030,3 +1030,97 @@ class TestTemporalReachability:
         e2 = spark.createDataFrame([(1, 2, 5)], "src long, dst long, t long")
         s2 = spark.createDataFrame([(99,)], "node long")  # not in graph
         assert temporal_reachability(e2, s2).count() == 0
+
+
+class TestKTruss:
+    def test_brute_force_differential(self, spark):
+        import itertools
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            k_truss,
+        )
+
+        random.seed(11)
+        nodes = list(range(18))
+        edges = sorted(
+            {tuple(sorted(random.sample(nodes, 2))) for _ in range(70)}
+        )
+
+        def brute(es, k):
+            es = set(es)
+            while True:
+                sup = {e: 0 for e in es}
+                for x, y, z in itertools.combinations(nodes, 3):
+                    if (x, y) in es and (x, z) in es and (y, z) in es:
+                        sup[(x, y)] += 1
+                        sup[(x, z)] += 1
+                        sup[(y, z)] += 1
+                nxt = {e for e in es if sup[e] >= k - 2}
+                if nxt == es:
+                    return {e: sup[e] for e in es}
+                es = nxt
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for k in (3, 4, 6):
+            got = {
+                (r["u"], r["v"]): r["support"] for r in k_truss(df, k).collect()
+            }
+            assert got == brute(edges, k), f"k={k}"
+
+    def test_bounded_rounds_match_convergence(self, spark):
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            k_truss,
+        )
+
+        random.seed(3)
+        edges = sorted(
+            {tuple(sorted(random.sample(range(14), 2))) for _ in range(50)}
+        )
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        conv = sorted(tuple(r) for r in k_truss(df, 4).collect())
+        bounded = sorted(tuple(r) for r in k_truss(df, 4, rounds=12).collect())
+        assert conv == bounded
+
+    def test_star_dissolves_clique_survives(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            k_truss,
+        )
+
+        # hub 0 with 8 spokes (high k-core-ish degree, zero triangles)
+        # plus a separate 4-clique on {10,11,12,13}
+        star = [(0, i) for i in range(1, 9)]
+        clique = [
+            (a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b
+        ]
+        df = spark.createDataFrame(star + clique, "id_a long, id_b long")
+        out = k_truss(df, 4).collect()
+        # 4-truss: every edge in >= 2 triangles -> exactly the 4-clique
+        assert sorted((r["u"], r["v"]) for r in out) == clique
+        assert all(r["support"] == 2 for r in out)
+
+    def test_nonconvergence_raises(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            k_truss,
+        )
+
+        # 4-clique + a pendant triangle off one clique edge: round 1
+        # drops the pendant, round 2 is the no-op that proves the fixed
+        # point — so max_rounds=1 ends unconverged on a NON-empty set
+        # (peeling to empty is itself a fixed point and must NOT raise)
+        clique = [
+            (a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b
+        ]
+        edges = clique + [(10, 20), (11, 20)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            k_truss(df, 4, max_rounds=1)
+
+        # everything-peels case: empty result, converged, no raise
+        tri_chain = [(0, 1), (1, 2), (0, 2)]
+        df2 = spark.createDataFrame(tri_chain, "id_a long, id_b long")
+        assert k_truss(df2, 5, max_rounds=3).count() == 0
