@@ -580,8 +580,13 @@ def chi_square_independence(
     marginals. Each cell's quotient is one IEEE division whose
     1e-9-quantized value (floor) sums as a BIGINT — so the statistic
     is order-independent and engine-bit-reproducible (a raw double sum
-    over cells is neither). Returns one row: (n, n_cells, dof,
-    chi2) with chi2 at 1e-9 resolution.
+    over cells is neither). Returns one row: (n, n_cells, dof, chi2,
+    cramers_v) with chi2 at 1e-9 resolution and Cramér's
+    V = √(χ²/(n·min(r−1, c−1))) — the [0,1] effect size that makes
+    chi² comparable across table sizes — as one division of the same
+    chi2 double by an exact BIGINT product plus one sqrt (correctly
+    rounded per IEEE 754, so V inherits the bit parity); NULL when
+    either variable is constant (min(r−1, c−1) = 0).
 
     Scale: one contingency aggregation (|A|×|B| cells), two marginal
     roll-ups of that cell table (cell-table-sized, not data-sized),
@@ -621,6 +626,16 @@ def chi_square_independence(
             (F.col("_na") * F.col("_nb")).alias("n_cells"),
             ((F.col("_na") - 1) * (F.col("_nb") - 1)).alias("dof"),
             (F.col("_chi_q").cast("double") / F.lit(float(q))).alias("chi2"),
+            F.when(
+                F.least(F.col("_na") - 1, F.col("_nb") - 1) > 0,
+                F.sqrt(
+                    (F.col("_chi_q").cast("double") / F.lit(float(q)))
+                    / (
+                        F.col("_n")
+                        * F.least(F.col("_na") - 1, F.col("_nb") - 1)
+                    ).cast("double")
+                ),
+            ).alias("cramers_v"),
         )
     )
 
@@ -1444,4 +1459,102 @@ def kruskal_wallis(
         F.col("n_groups"),
         h.alias("h"),
         F.when((ncube - F.col("_t")) > 0, h / tie_den).alias("h_tie"),
+    )
+
+
+def wilcoxon_signed_rank(
+    pairs: DataFrame,
+    diff_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact Wilcoxon signed-rank test over a paired-difference column
+    (integer-exact differences, e.g. cents) — the PAIRED companion to
+    ``mann_whitney``: "did the same units shift between two
+    conditions?" where MW compares two independent groups. The fraud
+    reading: a coordinated behavior change (new fee evasion, account
+    takeover wave) shifts per-entity spend between periods in a way
+    the signed ranks detect regardless of amount scale.
+
+    Standard (zero-excluded) Wilcoxon: drop d = 0 pairs, rank |d|
+    ascending with average ranks for ties, W⁺ = Σ ranks of positive
+    d. Everything stays exact until one pinned IEEE tail: with the
+    doubled ranks r2(|d|) = 2·|{x < |d|}| + |{x = |d|}| + 1 (the
+    avg_rank2 identity shared with MW/KW/AUC),
+
+        2·W⁺    = Σ_{d>0} r2(|d|)                    (exact decimal)
+        T       = Σ_ties (t³ − t)
+        s_term  = 2·n·(n+1)·(2n+1) − T = 48·Var(W⁺)  (exact decimal)
+        z       = (2·(2W⁺) − n·(n+1)) / (4·√(s_term/48))
+
+    — numerator exact then cast double; s_term cast double, one /48,
+    one sqrt, one ×4, one division: the twin reproduces z bitwise.
+    Width bound: s_term < 4n³+T ≲ 5n³ holds in decimal(38,0) to
+    n ≈ 1e11 pairs — document past that, don't widen. Degenerate
+    inputs (no nonzero diffs, or every |d| tied at one value with
+    s_term = 0) yield NULL z. Returns one row
+    (n_pairs, n_nonzero, w_plus, z) with w_plus = 2W⁺/2 halved in
+    IEEE (exact).
+
+    Scale shape: the mann_whitney template — value-level roll-up on
+    |d| (ties collapse before any ordering), equi-depth-bucketed
+    prefix sums for the "<" counts, never a single-partition window,
+    one final aggregation."""
+    from .bucketing import with_equi_depth_bucket
+
+    d38 = "decimal(38,0)"
+    base = pairs.select(F.col(diff_col).cast("long").alias("_d")).where(
+        F.col("_d").isNotNull()
+    )
+    n_pairs = base.agg(F.count(F.lit(1)).cast(d38).alias("n_all"))
+    vc = (
+        base.where(F.col("_d") != 0)
+        .select(
+            F.abs(F.col("_d")).alias("_v"),
+            F.when(F.col("_d") > 0, 1).otherwise(0).cast("long").alias("_pos"),
+        )
+        .groupBy("_v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_c"),
+            F.sum("_pos").cast("long").alias("_cpos"),
+        )
+    )
+    b = with_equi_depth_bucket(vc, "_v", n_buckets)
+    w = W.partitionBy("_bkt").orderBy("_v").rowsBetween(W.unboundedPreceding, 0)
+    cum = b.select(
+        "_bkt", "_v", "_c", "_cpos", F.sum("_c").over(w).alias("_cum_le")
+    )
+    totals = b.groupBy("_bkt").agg(F.sum("_c").alias("_tot"))
+    wp = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    prefix = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(wp), F.lit(0)).alias("_pref")
+    )
+    r2 = (
+        F.lit(2) * (F.col("_pref") + F.col("_cum_le") - F.col("_c"))
+        + F.col("_c")
+        + F.lit(1)
+    ).cast(d38)
+    c = F.col("_c").cast(d38)
+    m = (
+        cum.join(F.broadcast(prefix), "_bkt")
+        .agg(
+            F.sum("_c").cast(d38).alias("n"),
+            F.sum(F.col("_cpos").cast(d38) * r2).alias("w2"),
+            F.sum(c * c * c - c).alias("t_ties"),
+        )
+        .crossJoin(F.broadcast(n_pairs))
+    )
+    n = F.col("n")
+    s_term = F.lit(2).cast(d38) * n * (n + 1) * (F.lit(2).cast(d38) * n + 1) - F.col(
+        "t_ties"
+    )
+    z = F.when(
+        (n > 0) & (s_term > 0),
+        (F.lit(2).cast(d38) * F.col("w2") - n * (n + 1)).cast("double")
+        / (F.lit(4.0) * F.sqrt(s_term.cast("double") / F.lit(48.0))),
+    )
+    return m.select(
+        F.col("n_all").cast("long").alias("n_pairs"),
+        F.coalesce(n, F.lit(0).cast(d38)).cast("long").alias("n_nonzero"),
+        F.when(n > 0, F.col("w2").cast("double") / F.lit(2.0)).alias("w_plus"),
+        z.alias("z"),
     )

@@ -9,7 +9,7 @@ Round-12 rotation (VERDICT r11 "Next round" item 1 + the playbook's
 least-recently-attested discipline): the window LEADS with the
 thirteen-query round-8 tail — the oldest driver attestations in the
 registry (``shipping_priority`` … ``window_funcs_orders``, last
-attested r8) — then the nine NEW round-12 oracled queries
+attested r8) — then the ten NEW round-12 oracled queries
 (``scc_parts`` — directed strongly connected components, the
 circular-trading-ring primitive, exact recursive-closure oracle;
 ``fraud_risk_report_events`` — the composed velocity + burstiness +
@@ -26,10 +26,12 @@ shared-counterparty Jaccard pairs, the shell-network tell;
 vocabulary-richness profile, no-transcendental entropy analog;
 ``k_truss_parts`` — edge-level triangle-support peeling, the
 relationship-density fraud-ring primitive, 7 unrolled CTE-triple
-rounds), then
+rounds; ``wilcoxon_spend_shift_events`` — exact paired signed-rank
+behavior-change test, bitwise z), then
 the round-9 cohort (now the oldest bulk, last attested r9)
-alphabetically — 28 of its 50 queries fit. The twenty-two-query r9
-tail (``pmi_cooccurrence_documents``, ``pricing_summary``,
+alphabetically — 27 of its 50 queries fit. The twenty-three-query r9
+tail (``large_volume_customers``, ``pmi_cooccurrence_documents``,
+``pricing_summary``,
 ``quantile_normalize_events``, ``quota_sample_documents``,
 ``resample_locf_events``, ``revenue_by_nation``,
 ``seasonal_decompose_events``,
@@ -80,6 +82,7 @@ _DRIVER_WINDOW = [
     "collusion_pairs_customers",
     "lexical_diversity_documents",
     "k_truss_parts",
+    "wilcoxon_spend_shift_events",
     # --- the r9 cohort (now oldest bulk), alphabetically; its
     # 16-query tail keeps r9 rows and leads the r13 rotation ---
     "analytics_pipeline_events",
@@ -109,7 +112,6 @@ _DRIVER_WINDOW = [
     "incremental_agg_orders",
     "incremental_pipeline_documents",
     "label_centroids_embeddings",
-    "large_volume_customers",
 ]
 
 

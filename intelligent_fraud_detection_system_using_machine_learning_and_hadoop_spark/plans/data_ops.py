@@ -4596,7 +4596,11 @@ def gini_by_status_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                * 1000000000) AS BIGINT) AS tq
       FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN n)
     SELECT nn AS n, na * nb AS n_cells, (na - 1) * (nb - 1) AS dof,
-           CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1000000000.0 AS chi2
+           CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1000000000.0 AS chi2,
+           CASE WHEN least(na - 1, nb - 1) > 0 THEN
+             sqrt((CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1000000000.0)
+                  / CAST(nn * least(na - 1, nb - 1) AS DOUBLE))
+           END AS cramers_v
     FROM t CROSS JOIN n GROUP BY nn, na, nb
     """,
 )
@@ -4605,7 +4609,8 @@ def chi_square_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/stats.py::chi_square_independence): exact BIGINT
     contingency/marginal arithmetic, per-cell quotients quantized to
     1e-9 before the final integer sum — order-independent, oracle
-    bit-exact."""
+    bit-exact — plus Cramér's V effect size (one extra IEEE division
+    and a correctly-rounded sqrt of the same exact operands)."""
     from ..operators.stats import chi_square_independence
 
     o = read_table(spark, sf_dir, "orders")
@@ -6409,6 +6414,78 @@ def ppr_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         assume_distinct=True,
         seed_nodes=seeds,
     )
+
+
+@query(
+    "wilcoxon_spend_shift_events",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS before_c,
+             CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS after_c
+      FROM events GROUP BY user_id),
+    d AS (SELECT after_c - before_c AS d FROM per WHERE after_c - before_c
+          IS NOT NULL),
+    np AS (SELECT CAST(count(*) AS HUGEINT) AS n_all FROM d),
+    vc AS (
+      SELECT abs(d) AS v, CAST(count(*) AS BIGINT) AS c,
+             CAST(count(*) FILTER (d > 0) AS BIGINT) AS cpos
+      FROM d WHERE d <> 0 GROUP BY abs(d)),
+    cum AS (
+      SELECT v, c, cpos,
+             CAST(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS HUGEINT) AS cle
+      FROM vc),
+    m AS (
+      SELECT CAST(SUM(c) AS HUGEINT) AS n,
+             CAST(SUM(CAST(cpos AS HUGEINT) * (2 * (cle - c) + c + 1))
+                  AS HUGEINT) AS w2,
+             CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS t
+      FROM cum)
+    SELECT CAST(np.n_all AS BIGINT) AS n_pairs,
+           CAST(COALESCE(m.n, 0) AS BIGINT) AS n_nonzero,
+           CASE WHEN m.n > 0
+                THEN CAST(m.w2 AS DOUBLE) / 2.0e+00 END AS w_plus,
+           CASE WHEN m.n > 0
+                 AND (2 * m.n * (m.n + 1) * (2 * m.n + 1) - m.t) > 0
+                THEN CAST(2 * m.w2 - m.n * (m.n + 1) AS DOUBLE)
+                     / (4.0e+00 * sqrt(
+                         CAST(2 * m.n * (m.n + 1) * (2 * m.n + 1) - m.t
+                              AS DOUBLE) / 4.8e+01))
+           END AS z
+    FROM np, m
+    """,
+)
+def wilcoxon_spend_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Wilcoxon signed-rank test (operators/stats.py::
+    wilcoxon_signed_rank) on paired per-user spend: each user's exact
+    cents total in Jan 1–15 vs Jan 16–30 — "did the SAME users shift
+    their spending between the two halves of the month?", the paired
+    companion to mann_whitney_events' independent-group shift test
+    and the statistical form of the dormancy/velocity behavior-change
+    screens. Zero-excluded signed ranks over value-level |d| roll-ups
+    with equi-depth-bucketed prefix sums (never a single-partition
+    window), decimal-exact moments, pinned IEEE z — the DuckDB
+    HUGEINT twin reproduces W⁺ and z bit-for-bit."""
+    from ..operators.stats import wilcoxon_signed_rank
+
+    e = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    split = F.lit("2024-01-16").cast("date")
+    per = e.groupBy("user_id").agg(
+        F.sum(F.when(F.to_date(F.col("ts")) < split, cents).otherwise(0))
+        .cast("long")
+        .alias("before_c"),
+        F.sum(F.when(F.to_date(F.col("ts")) >= split, cents).otherwise(0))
+        .cast("long")
+        .alias("after_c"),
+    )
+    pairs = per.select((F.col("after_c") - F.col("before_c")).alias("d_cents"))
+    return wilcoxon_signed_rank(pairs, "d_cents")
 
 
 @query(

@@ -914,3 +914,79 @@ class TestLorenz:
         assert shares == sorted(shares)
         # ascending sort => Lorenz curve lies below the diagonal
         assert got[5]["cum_share_cents"] <= got[5]["cum_frac_entities"]
+
+
+class TestWilcoxonSignedRank:
+    @staticmethod
+    def _replica(diffs):
+        """Pure-python zero-excluded Wilcoxon with average ranks and
+        the tie-corrected z (scipy.stats.wilcoxon correction=False,
+        mode='approx' convention), replayed in the operator's exact
+        integer spelling."""
+        import math
+
+        nz = [d for d in diffs if d != 0]
+        n = len(nz)
+        out = {"n_pairs": len([d for d in diffs if d is not None]),
+               "n_nonzero": n, "w_plus": None, "z": None}
+        if n == 0:
+            return out
+        byv = {}
+        for d in nz:
+            byv.setdefault(abs(d), [0, 0])
+            byv[abs(d)][0] += 1
+            byv[abs(d)][1] += 1 if d > 0 else 0
+        w2 = 0
+        t = 0
+        below = 0
+        for v in sorted(byv):
+            c, cpos = byv[v]
+            r2 = 2 * below + c + 1
+            w2 += cpos * r2
+            t += c * c * c - c
+            below += c
+        out["w_plus"] = float(w2) / 2.0
+        s_term = 2 * n * (n + 1) * (2 * n + 1) - t
+        if s_term > 0:
+            out["z"] = float(2 * w2 - n * (n + 1)) / (
+                4.0 * math.sqrt(float(s_term) / 48.0)
+            )
+        return out
+
+    def test_hand_and_replica(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            wilcoxon_signed_rank,
+        )
+
+        diffs = [5, -3, 8, 8, -8, 0, 12, -1, 1, 7, 0, -20, 4, 4]
+        df = spark.createDataFrame([(d,) for d in diffs], "d long")
+        got = wilcoxon_signed_rank(df, "d").collect()[0].asDict()
+        want = self._replica(diffs)
+        assert got["n_pairs"] == want["n_pairs"] == 14
+        assert got["n_nonzero"] == want["n_nonzero"] == 12
+        assert got["w_plus"] == want["w_plus"]
+        assert got["z"] == want["z"]
+
+    def test_all_zero_diffs_degenerate(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            wilcoxon_signed_rank,
+        )
+
+        df = spark.createDataFrame([(0,), (0,), (0,)], "d long")
+        r = wilcoxon_signed_rank(df, "d").collect()[0]
+        assert r["n_pairs"] == 3 and r["n_nonzero"] == 0
+        assert r["w_plus"] is None and r["z"] is None
+
+    def test_random_differential(self, spark):
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            wilcoxon_signed_rank,
+        )
+
+        random.seed(42)
+        diffs = [random.randint(-50, 50) for _ in range(300)]
+        df = spark.createDataFrame([(d,) for d in diffs], "d long")
+        got = wilcoxon_signed_rank(df, "d", n_buckets=8).collect()[0].asDict()
+        want = self._replica(diffs)
+        assert got == want
