@@ -48,13 +48,30 @@ def _canonical(e: DataFrame) -> DataFrame:
 #: optimum 256).
 _CKPT_BYTES_PER_PARTITION = 1 << 20
 
+#: Per-round frontier-broadcast cap for the iterative relaxations
+#: (shortest_paths / temporal_reachability): stricter than Catalyst's
+#: one-shot autoBroadcastJoinThreshold because the broadcast is re-paid
+#: every round. Measured crossover (interleaved min-of-2): 640 KB bound
+#: broadcast 4.26 s vs hash 5.82 s; 6.4 MB bound broadcast 18.5 s vs
+#: hash 12.1 s — 1 MB separates them.
+_FRONTIER_BC_CAP = 1 << 20
+
 
 def _sized_partitions_ckpt(df: DataFrame, scale: float = 1.0, cap: int = 2048):
     """FREE shuffle-width estimate for an eagerly localCheckpointed
-    frame: the optimizer's measured ``sizeInBytes`` of the
-    materialized RDD (13 ms, no job — a count() cost 0.4-0.8 s per
-    operator at sf0.1, visible in the bench). ``scale`` adjusts for
-    derived frames (e.g. the bidirected union is 2× the checkpoint).
+    frame: the ``sizeInBytes`` Spark's LogicalRDD reports (13 ms, no
+    job — a count() cost 0.4-0.8 s per operator at sf0.1, visible in
+    the bench). Honesty note (r12): this is the ORIGINAL plan's
+    Catalyst ESTIMATE propagated into the LogicalRDD, NOT the
+    materialized byte count — a usable proxy ONLY for one-shot
+    scan-derived frames (where the estimate tracks the scan, and the
+    sf3 triangle A/B validated the widths it picks). It must never be
+    read off iterated checkpoints: across full-outer-join rounds the
+    estimate compounds ~1e6×/round (the shortest_paths auto-frontier
+    bug, fixed r12 — see that docstring), which the ``b >= 1<<40``
+    guard below would only catch two rounds too late. ``scale``
+    adjusts for derived frames (e.g. the bidirected union is 2× the
+    checkpoint).
     Returns None — keep the original AQE-coalescible plan — when the
     data doesn't demand more than the session default, when the stat
     is implausible (unknown-stats sentinel), or when the private
@@ -920,24 +937,26 @@ def shortest_paths(
     default broadcast a web-scale first improved frontier, which is
     |V|-sized): ONE exact ``nodes.count()`` before the loop bounds
     every frontier (a frontier is a subset of the node set), and the
-    decision is broadcast iff |V|·32 B fits the session's
-    ``spark.sql.autoBroadcastJoinThreshold`` — the same bar Catalyst
-    applies to stats-known relations. The r12 rewrite: the first auto
-    version read ``optimizedPlan().stats().sizeInBytes`` of the
-    checkpointed distance table as a "free materialized size", but
-    Spark's ``LogicalRDD`` carries the ORIGINAL plan's ESTIMATE, not
-    the materialized bytes — across full-outer-join rounds the
-    estimate compounds ~10⁶× per round (measured at sf0.1: 120 B →
-    1.5e8 → 1.8e14 → 2.1e20), so auto silently resolved to hash from
-    round 1 on every graph and ran 1.5× slower than broadcast on the
-    dimension-sized co-order graph (interleaved same-session min-of-2
-    at sf0.1: broadcast 4.31 s / hash 6.01 s / stat-auto 6.58 s; the
-    count-auto rewrite re-measured interleaved at 4.29 s vs broadcast
-    4.26 s — parity restored). The one up-front count
-    costs a single job over the checkpointed edge list and can never
-    mis-broadcast: |V|·32 B is an over-estimate of any frontier the
-    loop can produce. The switch only changes the physical join
-    strategy, never the relaxed values — pinned byte-equal across
+    decision is broadcast iff |V|·32 B fits
+    min(autoBroadcastJoinThreshold, 1 MB). The 1 MB cap — stricter
+    than Catalyst's one-shot 10 MB bar — is where the MEASURED
+    crossover sits for this shape, because the broadcast is re-paid
+    every round while the hash alternative shuffles only the small
+    frontier against the pre-partitioned edge checkpoint: interleaved
+    same-session min-of-2, |V| = 20k (sf0.1, 640 KB bound) broadcast
+    4.26 s vs hash 5.82 s — broadcast wins; |V| = 200k (sf1, 6.4 MB
+    bound — under Catalyst's bar but over this one) broadcast 18.5 s
+    vs hash 12.1 s — broadcast LOSES. Two r12 rewrites are recorded
+    here deliberately: the first auto read ``optimizedPlan().stats()``
+    of the checkpointed distance table as a "free materialized size",
+    but LogicalRDD carries the ORIGINAL plan's ESTIMATE, which
+    compounds ~10⁶× per full-outer round (measured 120 B → 1.5e8 →
+    1.8e14 → 2.1e20), silently forcing hash everywhere — 6.58 s at
+    sf0.1 vs this version's 4.29 s. The one up-front count costs a
+    single job over the checkpointed edge list and can never
+    mis-broadcast: |V|·32 B over-estimates every frontier the loop
+    can produce. The switch only changes the physical join strategy,
+    never the relaxed values — pinned byte-equal across
     True/False/None in tests/test_graph.py.
     Returns (id, dist); unreachable nodes absent, seeds at 0."""
     raw = edges.select(
@@ -970,15 +989,17 @@ def shortest_paths(
         .select("id", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    bc_cap = _broadcast_threshold_bytes(edges.sparkSession)
+    bc_cap = min(_broadcast_threshold_bytes(edges.sparkSession), _FRONTIER_BC_CAP)
     if broadcast_frontier is None:
         # auto: ONE exact node count bounds every frontier (frontier ⊆
         # nodes); 32 B/row over-estimates the two-long broadcast rows.
-        # NEVER read optimizedPlan().stats() of the per-round
-        # checkpoints here: LogicalRDD keeps the original plan's
-        # ESTIMATE (not materialized bytes), which compounds ~1e6× per
-        # full-outer round and silently forces hash everywhere
-        # (measured — see docstring).
+        # The cap is min(session threshold, 1 MB) — the measured
+        # per-round-broadcast crossover, see docstring. NEVER read
+        # optimizedPlan().stats() of the per-round checkpoints here:
+        # LogicalRDD keeps the original plan's ESTIMATE (not
+        # materialized bytes), which compounds ~1e6× per full-outer
+        # round and silently forces hash everywhere (measured — see
+        # docstring).
         use_broadcast = 0 < nodes.count() * 32 <= bc_cap
     else:
         use_broadcast = bool(broadcast_frontier)
@@ -1438,10 +1459,11 @@ def temporal_reachability(
     combinable min-agg, one full-outer merge into the checkpointed
     |V|-row arrival table. ``broadcast_frontier`` as in
     ``shortest_paths`` (None = auto: ONE exact node count before the
-    loop bounds every frontier; broadcast iff |V|·32 B fits the
-    session broadcast threshold — the checkpoint-stat variant was
-    rewritten in r12 because LogicalRDD stats are plan ESTIMATES that
-    compound across rounds, see shortest_paths). Returns
+    loop bounds every frontier; broadcast iff |V|·32 B fits
+    min(session threshold, 1 MB) — the measured per-round-broadcast
+    crossover; the checkpoint-stat variant was rewritten in r12
+    because LogicalRDD stats are plan ESTIMATES that compound across
+    rounds — both measurements in shortest_paths' docstring). Returns
     (node, arrive_t): seeds at 0, unreachable nodes absent."""
     e = (
         edges.select(
@@ -1462,7 +1484,7 @@ def temporal_reachability(
         .select("node", F.lit(0).cast("long").alias("arrive_t"))
         .localCheckpoint(eager=True)
     )
-    bc_cap = _broadcast_threshold_bytes(edges.sparkSession)
+    bc_cap = min(_broadcast_threshold_bytes(edges.sparkSession), _FRONTIER_BC_CAP)
     if broadcast_frontier is None:
         use_broadcast = 0 < nodes.count() * 32 <= bc_cap
     else:
