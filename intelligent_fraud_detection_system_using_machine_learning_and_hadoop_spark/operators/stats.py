@@ -1558,3 +1558,71 @@ def wilcoxon_signed_rank(
         F.when(n > 0, F.col("w2").cast("double") / F.lit(2.0)).alias("w_plus"),
         z.alias("z"),
     )
+
+
+def _holt_weights(depth: int):
+    """Exact dyadic impulse-response weights of Holt's linear-trend
+    recurrence at α = β = 1/2: weight of x_{t−j} in the state
+    [level_t, trend_t] is Aʲ·c with A = [[1/2, 1/2], [−1/4, 3/4]],
+    c = [1/2, 1/4] — all entries dyadic rationals with denominator
+    ≤ 4^(j+1), so every weight is an EXACT double for any practical
+    depth. Returns [(wl_j, wb_j)] as floats."""
+    from fractions import Fraction as Fr
+
+    a11, a12, a21, a22 = Fr(1, 2), Fr(1, 2), Fr(-1, 4), Fr(3, 4)
+    cur = (Fr(1, 2), Fr(1, 4))
+    out = []
+    for _ in range(depth):
+        out.append((float(cur[0]), float(cur[1])))
+        cur = (a11 * cur[0] + a12 * cur[1], a21 * cur[0] + a22 * cur[1])
+    return out
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    depth: int = 24,
+) -> DataFrame:
+    """Holt's double exponential smoothing (level + linear trend,
+    Holt 1957 — public) at α = β = 1/2, truncated at ``depth`` lags —
+    the trend-AWARE smoother the EWMA family lacks (dyadic_ewma tracks
+    level only and lags behind a drifting series; Holt's trend state
+    corrects the lag, and its one-step forecast level+trend is the
+    standard baseline anomaly expectation for drifting meters).
+
+    The recurrence unrolls to finite impulse responses: level_t =
+    Σ_j wl_j·x_{t−j}, trend_t = Σ_j wb_j·x_{t−j} with [wl_j, wb_j] =
+    Aʲ·c (``_holt_weights``) — every weight an EXACT dyadic double.
+    Engine parity is by PINNED ASSOCIATION (the chi²/PMI discipline,
+    not dyadic_ewma's any-order exactness: Holt weights carry up to
+    2·depth fractional bits, so products round — identically on both
+    engines because the oracle writes the SAME left-to-right
+    w₀·x + w₁·lag₁ + … chain with the same %.17e literals). Truncation
+    bias decays as |λ|ʲ = 2^(−j/2) (A's complex eigenvalues have
+    modulus √½): ~2.4e-4 of the step response at depth 24 — the
+    dyadic_ewma truncate-don't-renormalize tradeoff.
+
+    Rows with fewer than ``depth`` predecessors get NULL (lag NULLs
+    propagate — no ramp-in ambiguity). One key-partitioned window over
+    ``order_cols`` (callers include a tiebreaker), 2·depth chained
+    lags in ONE frame = a single shuffle, all whole-stage codegen.
+    Returns the input plus (holt_level, holt_trend, holt_forecast =
+    level + trend, the one-step-ahead expectation)."""
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    x = F.col(value_col).cast("double")
+    lags = [F.lag(x, j).over(w) for j in range(depth)]
+    weights = _holt_weights(depth)
+    level = lags[0] * F.lit(weights[0][0])
+    trend = lags[0] * F.lit(weights[0][1])
+    for j in range(1, depth):
+        level = level + lags[j] * F.lit(weights[j][0])
+        trend = trend + lags[j] * F.lit(weights[j][1])
+    return (
+        df.withColumn("holt_level", level)
+        .withColumn("holt_trend", trend)
+        .withColumn(
+            "holt_forecast", F.col("holt_level") + F.col("holt_trend")
+        )
+    )

@@ -9,7 +9,7 @@ Round-12 rotation (VERDICT r11 "Next round" item 1 + the playbook's
 least-recently-attested discipline): the window LEADS with the
 thirteen-query round-8 tail — the oldest driver attestations in the
 registry (``shipping_priority`` … ``window_funcs_orders``, last
-attested r8) — then the ten NEW round-12 oracled queries
+attested r8) — then the eleven NEW round-12 oracled queries
 (``scc_parts`` — directed strongly connected components, the
 circular-trading-ring primitive, exact recursive-closure oracle;
 ``fraud_risk_report_events`` — the composed velocity + burstiness +
@@ -27,10 +27,13 @@ vocabulary-richness profile, no-transcendental entropy analog;
 ``k_truss_parts`` — edge-level triangle-support peeling, the
 relationship-density fraud-ring primitive, 7 unrolled CTE-triple
 rounds; ``wilcoxon_spend_shift_events`` — exact paired signed-rank
-behavior-change test, bitwise z), then
+behavior-change test, bitwise z; ``holt_trend_events`` — Holt
+double exponential smoothing with exact dyadic impulse-response
+weights and pinned-association parity), then
 the round-9 cohort (now the oldest bulk, last attested r9)
-alphabetically — 27 of its 50 queries fit. The twenty-three-query r9
-tail (``large_volume_customers``, ``pmi_cooccurrence_documents``,
+alphabetically — 26 of its 50 queries fit. The twenty-four-query r9
+tail (``label_centroids_embeddings``, ``large_volume_customers``,
+``pmi_cooccurrence_documents``,
 ``pricing_summary``,
 ``quantile_normalize_events``, ``quota_sample_documents``,
 ``resample_locf_events``, ``revenue_by_nation``,
@@ -83,6 +86,7 @@ _DRIVER_WINDOW = [
     "lexical_diversity_documents",
     "k_truss_parts",
     "wilcoxon_spend_shift_events",
+    "holt_trend_events",
     # --- the r9 cohort (now oldest bulk), alphabetically; its
     # 16-query tail keeps r9 rows and leads the r13 rotation ---
     "analytics_pipeline_events",
@@ -111,7 +115,6 @@ _DRIVER_WINDOW = [
     "html_extract_documents",
     "incremental_agg_orders",
     "incremental_pipeline_documents",
-    "label_centroids_embeddings",
 ]
 
 

@@ -4466,6 +4466,68 @@ def _ewma_oracle_sql(depth: int = 16) -> str:
     """
 
 
+def _holt_oracle_sql(depth: int = 24) -> str:
+    """DuckDB twin of operators/stats.py::holt_linear over events: the
+    identical left-associated w₀·x + w₁·lag₁ + … chains for level and
+    trend with the same exact-round-trip %.17e dyadic weight literals
+    (SQL's + is left-associative like Spark's chained Column +, so the
+    rounding sequence is identical term for term — the pinned-
+    association discipline; forecast = level + trend as one more
+    addition of the two finished sums, mirrored likewise)."""
+    from ..operators.stats import _holt_weights
+
+    ws = _holt_weights(depth)
+    level = " + ".join(
+        f"lag(cents, {j}) OVER w * {wl:.17e}" for j, (wl, _) in enumerate(ws)
+    )
+    trend = " + ".join(
+        f"lag(cents, {j}) OVER w * {wb:.17e}" for j, (_, wb) in enumerate(ws)
+    )
+    return f"""
+    WITH b AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents, ts
+      FROM events),
+    h AS (
+      SELECT event_id, event_type, cents,
+             {level} AS holt_level,
+             {trend} AS holt_trend
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+    SELECT event_id, event_type, cents, holt_level, holt_trend,
+           holt_level + holt_trend AS holt_forecast
+    FROM h
+    """
+
+
+@query("holt_trend_events", oracle=_holt_oracle_sql(24))
+def holt_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing per event type (operators/
+    stats.py::holt_linear — α=β=½, truncated at 24 lags): level,
+    trend, and the one-step forecast level+trend — the trend-AWARE
+    anomaly baseline dyadic_ewma can't provide on drifting series.
+    Exact dyadic impulse-response weights (Aʲ·c via Fractions),
+    pinned-association double chains mirrored literally by the twin;
+    one event-type-keyed window shuffle, 48 chained lags in one frame,
+    all whole-stage codegen."""
+    from ..operators.stats import holt_linear
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+    )
+    return holt_linear(e, "event_type", ["ts", "event_id"], "cents", 24).select(
+        "event_id",
+        "event_type",
+        "cents",
+        "holt_level",
+        "holt_trend",
+        "holt_forecast",
+    )
+
+
 @query("ewma_events", oracle=_ewma_oracle_sql(16))
 def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type exponential smoothing of the value series

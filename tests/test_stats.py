@@ -990,3 +990,68 @@ class TestWilcoxonSignedRank:
         got = wilcoxon_signed_rank(df, "d", n_buckets=8).collect()[0].asDict()
         want = self._replica(diffs)
         assert got == want
+
+
+class TestHoltLinear:
+    def test_bitwise_python_replica(self, spark):
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            _holt_weights,
+            holt_linear,
+        )
+
+        random.seed(9)
+        depth = 8
+        xs = [random.randint(-10_000_00, 10_000_00) for _ in range(30)]
+        rows = [(i, 1, float(x)) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "i long, k long, x double")
+        out = {
+            r["i"]: r
+            for r in holt_linear(df, "k", ["i"], "x", depth).collect()
+        }
+        ws = _holt_weights(depth)
+        for t in range(len(xs)):
+            if t < depth - 1:
+                assert out[t]["holt_level"] is None
+                assert out[t]["holt_forecast"] is None
+                continue
+            # same left-to-right IEEE association as the operator
+            level = float(xs[t]) * ws[0][0]
+            trend = float(xs[t]) * ws[0][1]
+            for j in range(1, depth):
+                level = level + float(xs[t - j]) * ws[j][0]
+                trend = trend + float(xs[t - j]) * ws[j][1]
+            assert out[t]["holt_level"] == level
+            assert out[t]["holt_trend"] == trend
+            assert out[t]["holt_forecast"] == level + trend
+
+    def test_tracks_linear_ramp(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            holt_linear,
+        )
+
+        # perfect ramp x_t = 1000*t: the one-step forecast must be near
+        # 1000*(t+1) (truncation bias ~2.4e-4 at depth 24), where a
+        # plain EWMA would lag by a full trend step
+        rows = [(t, 1, 1000.0 * t) for t in range(60)]
+        df = spark.createDataFrame(rows, "i long, k long, x double")
+        out = {r["i"]: r for r in holt_linear(df, "k", ["i"], "x", 24).collect()}
+        t = 59
+        want = 1000.0 * (t + 1)
+        got = out[t]["holt_forecast"]
+        assert abs(got - want) / want < 5e-3
+        assert abs(out[t]["holt_trend"] - 1000.0) / 1000.0 < 2e-2
+
+    def test_weights_are_exact_dyadics(self):
+        from fractions import Fraction
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            _holt_weights,
+        )
+
+        for wl, wb in _holt_weights(24):
+            for w in (wl, wb):
+                f = Fraction(w)  # exact binary expansion of the double
+                d = f.denominator
+                assert d & (d - 1) == 0  # power of two -> dyadic

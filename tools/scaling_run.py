@@ -48,6 +48,14 @@ HEAVIES = [
     "ks_test_events",
     "scc_parts",
     "fraud_risk_report_events",
+    # late-r12 additions: the new operators added after the first r12
+    # scaling pass
+    "k_truss_parts",
+    "collusion_pairs_customers",
+    "wilcoxon_spend_shift_events",
+    "lexical_diversity_documents",
+    "structuring_orders",
+    "temporal_reach_parts",
 ]
 
 
@@ -75,13 +83,15 @@ def main() -> None:
     lo = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     hi = sys.argv[2] if len(sys.argv) > 2 else "testdata_sf1"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    only = set(sys.argv[4:])  # optional: run only these HEAVIES names
+    heavies = [n for n in HEAVIES if not only or n in only]
     spark = get_spark("ifds-scaling")
     spark.range(1000).selectExpr("sum(id)").collect()
 
     out: dict = {"lo": lo, "hi": hi, "reps": reps, "queries": {}}
     for sf_key, sf_dir in (("lo", lo), ("hi", hi)):
         out[f"probe_{sf_key}"] = round(min(probe(spark, sf_dir) for _ in range(5)), 3)
-    for name in HEAVIES:
+    for name in heavies:
         rec = {}
         for sf_key, sf_dir in (("lo", lo), ("hi", hi)):
             times, rows = [], None
