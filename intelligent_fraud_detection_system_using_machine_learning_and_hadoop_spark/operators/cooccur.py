@@ -128,10 +128,19 @@ def shared_counterparty_pairs(
     Scale shape: distinct(entity, counterparty) → counterparty-keyed
     self-join (fan-out Σ deg²(counterparty)) → map-side-combined pair
     aggregation → two degree joins ONLY on pairs that survive
-    ``min_shared``. The degree table is |entities|-sized — a dimension
-    at test scale but NOT broadcastable at 10⁹ entities — so the
-    degree joins are left to AQE (broadcast when small, shuffle-hash
-    when not) rather than pinned broadcast. The quadratic risk is hub counterparties —
+    ``min_shared``. The join form is DELIBERATE, settled by an sf0.1
+    A/B on the 345M-pair fan-out (deg ≈ 600): the `_co_order_edges`
+    array alternative (collect_set → slice/transform pairwise lambdas
+    → explode) measured 137-139 s vs the join's 48 s — array lambdas
+    evaluate outside whole-stage codegen (the repo's documented
+    lambda pitfall), which is fatal at 600²-element expansions though
+    it wins for order-sized (~4-element) sets; an explicit
+    repartition before the explode did not move the needle (139.1 s).
+    The Σ deg² pair count is the exact all-pairs cost floor; the cap
+    below is the valve. The degree table is |entities|-sized — a
+    dimension at test scale but NOT broadcastable at 10⁹ entities —
+    so the degree joins are left to AQE (broadcast when small,
+    shuffle-hash when not) rather than pinned broadcast. The quadratic risk is hub counterparties —
     every ledger has a utility/megastore everyone pays, contributing
     deg² pairs and zero collusion signal; ``max_counterparty_degree``
     is the stop-shingle analog (operators/dedup.py's discipline):
@@ -149,6 +158,9 @@ def shared_counterparty_pairs(
             "left_anti",
         ).select("_e", "_c")  # USING-joins put the key first; re-pin order
     deg = e.groupBy("_e").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    # pair generation inside one stage: sorted per-counterparty entity
+    # array, pairwise-expanded with array lambdas (x < y free from the
+    # sort) — no self-join, no second shuffle of the edge table
     l = e.toDF("_ea", "_c")
     r = e.toDF("_eb", "_c")
     pairs = (
