@@ -82,6 +82,16 @@ def benford_profile(
         .groupBy("grp", "digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
+    return benford_from_counts(obs, group_col)
+
+
+def benford_from_counts(obs: DataFrame, group_col: str) -> DataFrame:
+    """The digit-spine + chi-square tail of ``benford_profile``, taking
+    pre-aggregated observed counts (grp, digit, n_obs) — factored out
+    so the STREAMING screen can fold exact per-batch digit counts
+    additively (counts are the mergeable sufficient statistic) and
+    finish with the identical pinned expression tree; the drained
+    stream therefore equals the batch query bit-for-bit."""
     digits = obs.sparkSession.range(1, 10).select(
         F.col("id").cast("int").alias("digit")
     )

@@ -1657,6 +1657,7 @@ def unigram_fluency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              / CAST(pd.sum_c2 AS DOUBLE) AS effective_vocab
     FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
     """,
+    bench=True,
 )
 def lexical_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document lexical-diversity profile (operators/text.py::
@@ -4500,7 +4501,7 @@ def _holt_oracle_sql(depth: int = 24) -> str:
     """
 
 
-@query("holt_trend_events", oracle=_holt_oracle_sql(24))
+@query("holt_trend_events", oracle=_holt_oracle_sql(24), bench=True)
 def holt_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt double exponential smoothing per event type (operators/
     stats.py::holt_linear — α=β=½, truncated at 24 lags): level,
@@ -6065,6 +6066,7 @@ def velocity_flags_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                >= 3 * CAST(n_amounts AS HUGEINT) * g_round AS round_flag
     FROM per CROSS JOIN g
     """,
+    bench=True,
 )
 def structuring_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amount-pattern fraud screen (operators/fraud_stats.py::
@@ -6521,6 +6523,7 @@ def ppr_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS z
     FROM np, m
     """,
+    bench=True,
 )
 def wilcoxon_spend_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Wilcoxon signed-rank test (operators/stats.py::

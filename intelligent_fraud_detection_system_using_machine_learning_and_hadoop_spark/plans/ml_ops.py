@@ -242,6 +242,68 @@ REGISTRY["streaming_velocity_flags"] = REGISTRY["streaming_velocity_flags"].__cl
 )
 
 
+def _benford_events_oracle() -> str:
+    """DuckDB twin of the drained streaming Benford screen — the batch
+    benford_profile SQL (plans/data_ops.py::_benford_oracle) retargeted
+    at (events.event_type, events.value): digit counts are the
+    mergeable sufficient statistic, so the drained additive fold must
+    equal this single-pass aggregation bit-for-bit."""
+    from ..operators.fraud_stats import benford_oracle_case
+
+    return f"""
+    WITH d AS (
+      SELECT event_type AS grp,
+             CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+    obs AS (
+      SELECT grp, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY grp, digit),
+    spine AS (
+      SELECT grp, digit
+      FROM (SELECT DISTINCT grp FROM obs)
+      CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit)),
+    full_t AS (
+      SELECT s.grp, s.digit,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+      FROM spine s LEFT JOIN obs o
+        ON s.grp = o.grp AND s.digit = o.digit),
+    tot AS (
+      SELECT grp, digit, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY grp) AS BIGINT) AS n_total,
+             {benford_oracle_case()} AS expected_p
+      FROM full_t),
+    q AS (
+      SELECT grp, digit, n_obs, n_total, expected_p,
+             CAST(floor(
+               (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               / (CAST(n_total AS DOUBLE) * expected_p) * 1e9
+             ) AS BIGINT) AS contrib_q
+      FROM tot)
+    SELECT grp AS event_type, digit, n_obs, n_total,
+           CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_frac,
+           expected_p,
+           CAST(SUM(contrib_q) OVER (PARTITION BY grp) AS DOUBLE) / 1e9 AS chi2
+    FROM q ORDER BY event_type, digit
+    """
+
+
+@query("streaming_benford_events", oracle=_benford_events_oracle())
+def streaming_benford_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Benford first-digit screen as a live stream (streaming/
+    jobs.py::stream_benford): per micro-batch exact digit counts fold
+    additively in foreachBatch (state ≤ 9·|event types| rows, history
+    never re-scanned — digit counts are the test's mergeable
+    sufficient statistic), with the batch chi-square finish run once
+    on the drained state. Drained availableNow ≡ the one-pass batch
+    aggregation, attested bit-for-bit by the events-shaped Benford
+    twin."""
+    from ..streaming.jobs import stream_benford
+
+    return stream_benford(spark, sf_dir)
+
+
 @query(
     "mad_outliers_events",
     oracle="""

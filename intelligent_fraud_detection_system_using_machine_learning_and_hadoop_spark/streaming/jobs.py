@@ -1474,3 +1474,65 @@ def stream_incremental_cc(
     q.awaitTermination()
     final = spark.createDataFrame(state["rows"], "component long, id long")
     return final.select("id", "component").orderBy("id")
+
+
+def stream_benford(spark: SparkSession, sf_dir: str, n_files: int = 6) -> DataFrame:
+    """Streaming Benford first-digit screen: the auditor's
+    fabricated-amounts test running against a LIVE ledger — per
+    micro-batch, exact (group, leading-digit) counts aggregate
+    batch-locally and fold ADDITIVELY into running state inside
+    ``foreachBatch`` (the stream_incremental_agg discipline: digit
+    counts are the mergeable sufficient statistic of the whole test,
+    so state is ≤ 9·|groups| rows and history is never re-scanned);
+    the chi-square finish (operators/fraud_stats.py::
+    benford_from_counts) runs ONCE on the drained state with the
+    identical pinned 1e-9-quantized expression tree as the batch
+    operator, so the drained availableNow stream equals the batch
+    query bit-for-bit — which the shared oracle attests. Exactly-once
+    under foreachBatch's at-least-once retries via the last-applied
+    batch_id guard."""
+    from pyspark.sql import functions as F
+
+    from ..operators.fraud_stats import benford_from_counts
+    from ..sources.readers import normalize_event_ts
+
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state: dict = {"rows": [], "last_batch": -1}
+    schema = "grp string, digit int, n_obs long"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_batch"]:
+            return
+        cents = F.round(F.col("value") * 100).cast("long")
+        delta = (
+            batch_df.where(cents > 0)
+            .select(
+                F.col("event_type").alias("grp"),
+                F.substring(cents.cast("string"), 1, 1)
+                .cast("int")
+                .alias("digit"),
+            )
+            .groupBy("grp", "digit")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        )
+        if state["rows"]:
+            prev = spark.createDataFrame(state["rows"], schema)
+            delta = (
+                prev.unionByName(delta)
+                .groupBy("grp", "digit")
+                .agg(F.sum("n_obs").cast("long").alias("n_obs"))
+            )
+        state["rows"] = delta.collect()
+        # record the applied id only after the state update succeeds
+        state["last_batch"] = batch_id
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    final = spark.createDataFrame(state["rows"], schema)
+    return benford_from_counts(final, "event_type")

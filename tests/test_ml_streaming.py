@@ -797,3 +797,68 @@ def test_stream_velocity_flags_equals_batch_across_boundaries(spark):
         ).collect()
     }
     assert len(got) == len(want) and got == want
+
+
+class TestStreamingBenford:
+    def test_drained_equals_batch_and_fold_is_additive(self, spark, sf_dir):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            benford_profile,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+            read_table,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+            stream_benford,
+        )
+
+        got = sorted(
+            tuple(r) for r in stream_benford(spark, sf_dir, n_files=4).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in benford_profile(
+                read_table(spark, sf_dir, "events"), "value", "event_type"
+            ).collect()
+        )
+        assert got == want  # bit-for-bit, incl. the chi2 doubles
+
+    def test_duplicate_batch_id_is_noop(self, spark):
+        # replicate the fold contract directly: a same-id re-invocation
+        # (foreachBatch at-least-once retry) must not double-count
+        from pyspark.sql import functions as F
+
+        rows = [(1, "a", 12.3), (2, "a", 94.1), (3, "b", 55.0)]
+        ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        state = {"rows": [], "last_batch": -1}
+        schema = "grp string, digit int, n_obs long"
+
+        def fold(batch_df, batch_id):
+            if batch_id <= state["last_batch"]:
+                return
+            cents = F.round(F.col("value") * 100).cast("long")
+            delta = (
+                batch_df.where(cents > 0)
+                .select(
+                    F.col("event_type").alias("grp"),
+                    F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"),
+                )
+                .groupBy("grp", "digit")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+            )
+            if state["rows"]:
+                prev = spark.createDataFrame(state["rows"], schema)
+                delta = (
+                    prev.unionByName(delta)
+                    .groupBy("grp", "digit")
+                    .agg(F.sum("n_obs").cast("long").alias("n_obs"))
+                )
+            state["rows"] = delta.collect()
+            state["last_batch"] = batch_id
+
+        fold(ev, 0)
+        once = sorted(tuple(r) for r in state["rows"])
+        fold(ev, 0)  # duplicate id -> no-op
+        assert sorted(tuple(r) for r in state["rows"]) == once
+        fold(ev, 1)  # genuinely new batch folds in
+        twice = {(r["grp"], r["digit"]): r["n_obs"] for r in state["rows"]}
+        assert twice[("a", 1)] == 2  # 12.3 -> cents 1230 -> digit 1, x2

@@ -56,6 +56,7 @@ HEAVIES = [
     "lexical_diversity_documents",
     "structuring_orders",
     "temporal_reach_parts",
+    "holt_trend_events",
 ]
 
 
