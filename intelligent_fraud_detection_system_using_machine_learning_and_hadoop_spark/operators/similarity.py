@@ -10,6 +10,7 @@ deterministic, which the DuckDB oracle mirrors.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -413,3 +414,169 @@ def ivf_query_index(
         "cos_sim", F.round(_dot(F.col("u"), F.col("_qu")), 6)
     )
     return _topk_per_query(scored.select("query_id", "vec_id", "cos_sim"), k)
+
+
+def _pq_train_codebooks(
+    sub_vectors: "np.ndarray", m: int, n_centroids: int, iters: int = 12
+) -> "np.ndarray":
+    """Deterministic per-subspace Lloyd k-means on a driver-side
+    training sample: returns codebooks of shape (m, n_centroids,
+    sub_dim). Init is the first ``n_centroids`` DISTINCT subvectors in
+    row order (deterministic — no RNG, so retrains are bit-stable);
+    empty clusters keep their previous centroid. Training is
+    sample-sized by the caller (the BPE sample-train discipline:
+    drivers train on a bounded sample, executors only ever apply the
+    broadcast result)."""
+    n, d = sub_vectors.shape[0], sub_vectors.shape[2]
+    books = np.empty((m, n_centroids, d), dtype=np.float64)
+    for j in range(m):
+        x = sub_vectors[:, j, :]
+        seen: list[int] = []
+        uniq: set = set()
+        for i in range(n):
+            key = x[i].tobytes()
+            if key not in uniq:
+                uniq.add(key)
+                seen.append(i)
+            if len(seen) == n_centroids:
+                break
+        cents = x[seen].copy()
+        if len(seen) < n_centroids:  # degenerate tiny corpus: pad by repeat
+            reps = np.resize(np.arange(len(seen)), n_centroids - len(seen))
+            cents = np.vstack([cents, cents[reps]])
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_centroids):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 3,
+    m: int = 8,
+    n_centroids: int = 16,
+    refine: int = 32,
+    n_train: int = 2048,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou 2011, public) — the third leg of
+    the ANN family beside sign-LSH buckets and IVF cells: each unit
+    vector compresses to ``m`` byte codes (one per subspace, codebooks
+    of ``n_centroids`` centroids), queries score the WHOLE corpus
+    against per-query lookup tables (asymmetric distance computation),
+    and the top-``refine`` approximate candidates rerank exactly. At
+    100 TB the win is the scan: m bytes/vector instead of 4·dim —
+    a 32× smaller candidate sweep that no bucketing recall cliff can
+    spoil (PQ scans everything, approximately; LSH/IVF scan a subset,
+    exactly).
+
+    Spark shape: codebooks train DRIVER-SIDE on a bounded
+    ``n_train``-row sample (deterministic Lloyd, row-order init — the
+    BPE sample-train discipline) and broadcast as literal arrays;
+    ENCODING is one Arrow-batched ``pandas_udf`` (numpy argmin over
+    n_centroids per subspace — the documented vectorized-Python
+    surface); ADC SCORING is pure JVM column algebra — the per-query
+    LUT (m·n_centroids doubles) cross-joins broadcast against the
+    coded corpus and the score is one ``aggregate(zip_with(codes,
+    sequence(...)))`` fold over element_at lookups, whole-stage
+    friendly, no Python in the corpus-sized path. The exact rerank
+    reuses ``_dot`` on the ``refine``-sized sliver only.
+
+    Returns the ``cosine_topk`` contract (query_id, vec_id, cos_sim,
+    rank) with EXACT reranked cosines — approximate only in WHICH
+    candidates reach the rerank, which the recall pytest measures
+    against the brute-force baseline."""
+    sub_dim_err = "embedding dim must divide m"
+    norm = lambda df, idc, out: df.select(  # noqa: E731
+        F.col(idc).alias(out),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: x / F.sqrt(_norm_sq(F.col(vec_col).cast("array<double>"))),
+        ).alias("_u"),
+    )
+    from ..sources.readers import ensure_min_partitions
+
+    v = ensure_min_partitions(norm(vectors, id_col, "vec_id"))
+    q = norm(queries, query_id_col, "query_id")
+
+    train = np.asarray(
+        [r["_u"] for r in v.limit(n_train).collect()], dtype=np.float64
+    )
+    dim = train.shape[1]
+    if dim % m != 0:
+        raise ValueError(sub_dim_err)
+    sub = dim // m
+    books = _pq_train_codebooks(
+        train.reshape(len(train), m, sub), m, n_centroids
+    )
+
+    from pyspark.sql.functions import pandas_udf
+
+    books_b = v.sparkSession.sparkContext.broadcast(books)
+
+    @pandas_udf("array<int>")
+    def encode(u: pd.Series) -> pd.Series:
+        b = books_b.value
+        out = []
+        for vec in u:
+            x = np.asarray(vec, dtype=np.float64).reshape(m, sub)
+            codes = [
+                int(((b[j] - x[j]) ** 2).sum(axis=1).argmin()) for j in range(m)
+            ]
+            out.append(codes)
+        return pd.Series(out)
+
+    coded = v.select("vec_id", encode(F.col("_u")).alias("_codes"))
+
+    # per-query flattened LUT: lut[j*n_centroids + c] = <q_sub_j, books[j][c]>
+    def lut_expr(qu):
+        # computed JVM-side: for each (j, c) slice the query subvector
+        # and fold the dot with the broadcast centroid literal array
+        entries = []
+        for j in range(m):
+            qs = F.slice(qu, j * sub + 1, sub)
+            for c in range(n_centroids):
+                cent = F.array(*[F.lit(float(x)) for x in books[j][c]])
+                entries.append(_dot(qs, cent))
+        return F.array(*entries)
+
+    luts = q.select(
+        "query_id", F.col("_u").alias("_qu"), lut_expr(F.col("_u")).alias("_lut")
+    )
+    adc = (
+        coded.crossJoin(F.broadcast(luts))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "_qu",
+            F.expr(
+                f"aggregate(zip_with(_codes, sequence(0, {m - 1}), "
+                f"(c, j) -> element_at(_lut, j * {n_centroids} + c + 1)), "
+                f"0D, (acc, x) -> acc + x)"
+            ).alias("_approx"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_approx").desc(), F.col("vec_id").asc()
+    )
+    shortlist = adc.withColumn("_rn", F.row_number().over(wr)).where(
+        F.col("_rn") <= refine
+    )
+    rerank = shortlist.join(
+        v.select(F.col("vec_id").alias("_vid"), F.col("_u").alias("_vu")),
+        F.col("vec_id") == F.col("_vid"),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(_dot(F.col("_vu"), F.col("_qu")), 6).alias("cos_sim"),
+    )
+    return _topk_per_query(rerank, k)

@@ -387,6 +387,25 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(e, q, k=3)
 
 
+@query("embedding_pq_topk")
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-3 (operators/similarity.py::
+    pq_cosine_topk — driver-trained deterministic codebooks, Arrow
+    encode, JVM-side ADC lookup-table scoring, exact rerank of the
+    top-32 shortlist): the third ANN leg beside sign-LSH buckets and
+    IVF cells — PQ scans EVERYTHING approximately (m bytes/vector)
+    where LSH/IVF scan a subset exactly, so it has no bucketing recall
+    cliff. Rows-only (k-means codebooks aren't SQL); pytest pins
+    recall vs the exact baseline and the contract columns."""
+    from ..operators.similarity import pq_cosine_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_cosine_topk(e, q, k=3, m=8, n_centroids=16, refine=32)
+
+
 @query(
     "embedding_cosine_dup",
     oracle="""

@@ -465,3 +465,67 @@ class TestMinhashPairCap:
             docs, threshold=0.3, max_shingle_df=3
         ).count()
         assert glued > 0 and unglued == 0
+
+
+def test_pq_topk_recall_vs_exact_and_contract(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+        pq_cosine_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_rows = cosine_topk(emb, q, k=3).collect()
+    exact = {(r["query_id"], r["vec_id"]) for r in exact_rows}
+    exact_sims = {
+        (r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact_rows
+    }
+    pq_rows = pq_cosine_topk(
+        emb, q, k=3, m=8, n_centroids=16, refine=32
+    ).collect()
+    pq = {(r["query_id"], r["vec_id"]) for r in pq_rows}
+    # uniform random embeddings are PQ's worst case (no cluster
+    # structure for the codebooks to exploit); with a 32-candidate
+    # exact rerank the observed floor is well above half
+    assert len(pq & exact) / len(exact) >= 0.5
+    # contract: whenever PQ surfaces a true neighbor, its cos_sim is
+    # the EXACT reranked value, bit-equal to the baseline's
+    for key in pq & exact:
+        got = next(
+            r["cos_sim"] for r in pq_rows if (r["query_id"], r["vec_id"]) == key
+        )
+        assert got == exact_sims[key]
+    assert {tuple(sorted(r.asDict())) for r in pq_rows} and all(
+        set(r.asDict()) == {"query_id", "vec_id", "cos_sim", "rank"}
+        for r in pq_rows
+    )
+
+
+def test_pq_codebooks_deterministic_and_dim_guard(spark):
+    import numpy as np
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+        _pq_train_codebooks,
+        pq_cosine_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(200, 4, 4)
+    a = _pq_train_codebooks(x, 4, 8)
+    b = _pq_train_codebooks(x.copy(), 4, 8)
+    assert (a == b).all()  # bit-stable retrain
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    q = df.select(F_col("vec_id").alias("query_id"), "embedding")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must divide"):
+        pq_cosine_topk(df, q, m=2)
+
+
+from pyspark.sql.functions import col as F_col  # noqa: E402
