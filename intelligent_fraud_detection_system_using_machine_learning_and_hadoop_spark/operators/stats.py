@@ -1626,3 +1626,74 @@ def holt_linear(
             "holt_forecast", F.col("holt_level") + F.col("holt_trend")
         )
     )
+
+
+def weighted_quantiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: list[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact WEIGHTED quantiles per group with integer weights — the
+    inventory-style statistic ("the median dollar", not the median
+    order: each value counts as many times as its weight) that plain
+    percentile machinery can't express without materializing weight-
+    many copies of every row.
+
+    Convention (the lower weighted quantile, mirrored literally by the
+    twin): for target q, the chosen value is the SMALLEST v whose
+    cumulative weight W≤(v) satisfies W≤(v)·scale ≥ q·scale·W_total,
+    compared in EXACT integers — q enters as an exact per-mille
+    integer (q·1000, callers pick qs expressible there), so the
+    comparison is BIGINT cum·1000 ≥ qm·W_total with no float
+    boundary ambiguity at ties.
+
+    Plan shape: ties collapse at (group, value) grain FIRST (exact
+    integer weight sums — the value-level roll-up discipline of the
+    rank family), then ONE group-partitioned cumulative window over
+    the collapsed frame, then one aggregation picking each target's
+    first qualifying value via min(struct). Weight-skew lands in the
+    map-side combine of the roll-up; the window runs over |distinct
+    values| rows, not |rows|. Returns (group, q, value, w_total)."""
+    vw = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("double").alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
+        .groupBy("g", "v")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    wcum = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = vw.select(
+        "g",
+        "v",
+        F.sum("w").over(wcum).cast("decimal(38,0)").alias("cw"),
+        F.sum("w").over(W.partitionBy("g")).cast("decimal(38,0)").alias("wt"),
+    )
+    out = None
+    for q in qs:
+        qm = int(round(q * 1000))
+        if abs(qm / 1000.0 - q) > 1e-12:
+            raise ValueError(f"q={q} not expressible in per-mille")
+        pick = (
+            cum.where(
+                F.col("cw") * F.lit(1000).cast("decimal(38,0)")
+                >= F.lit(qm).cast("decimal(38,0)") * F.col("wt")
+            )
+            .groupBy("g")
+            .agg(
+                F.min(F.struct("v")).alias("_s"),
+                F.max("wt").cast("long").alias("w_total"),
+            )
+            .select(
+                "g",
+                F.lit(q).alias("q"),
+                F.col("_s.v").alias("value"),
+                "w_total",
+            )
+        )
+        out = pick if out is None else out.unionByName(pick)
+    return out.orderBy("g", "q")

@@ -9,7 +9,7 @@ Round-12 rotation (VERDICT r11 "Next round" item 1 + the playbook's
 least-recently-attested discipline): the window LEADS with the
 thirteen-query round-8 tail — the oldest driver attestations in the
 registry (``shipping_priority`` … ``window_funcs_orders``, last
-attested r8) — then the twelve NEW round-12 oracled queries
+attested r8) — then the thirteen NEW round-12 oracled queries
 (``scc_parts`` — directed strongly connected components, the
 circular-trading-ring primitive, exact recursive-closure oracle;
 ``fraud_risk_report_events`` — the composed velocity + burstiness +
@@ -31,10 +31,13 @@ behavior-change test, bitwise z; ``holt_trend_events`` — Holt
 double exponential smoothing with exact dyadic impulse-response
 weights and pinned-association parity;
 ``streaming_benford_events`` — the Benford screen as a live stream,
-additive digit-count fold ≡ the batch aggregation bit-for-bit), then
+additive digit-count fold ≡ the batch aggregation bit-for-bit;
+``weighted_quantiles_lineitem`` — exact integer-weighted quantiles
+via pure-BIGINT cross-multiplied targets), then
 the round-9 cohort (now the oldest bulk, last attested r9)
-alphabetically — 25 of its 50 queries fit. The twenty-five-query r9
-tail (``incremental_pipeline_documents``,
+alphabetically — 24 of its 50 queries fit. The twenty-six-query r9
+tail (``incremental_agg_orders``,
+``incremental_pipeline_documents``,
 ``label_centroids_embeddings``, ``large_volume_customers``,
 ``pmi_cooccurrence_documents``,
 ``pricing_summary``,
@@ -91,6 +94,7 @@ _DRIVER_WINDOW = [
     "wilcoxon_spend_shift_events",
     "holt_trend_events",
     "streaming_benford_events",
+    "weighted_quantiles_lineitem",
     # --- the r9 cohort (now oldest bulk), alphabetically; its
     # 16-query tail keeps r9 rows and leads the r13 rotation ---
     "analytics_pipeline_events",
@@ -117,7 +121,6 @@ _DRIVER_WINDOW = [
     "expectations_orders",
     "fuzzy_join_part_names",
     "html_extract_documents",
-    "incremental_agg_orders",
 ]
 
 

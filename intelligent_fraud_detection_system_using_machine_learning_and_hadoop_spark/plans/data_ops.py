@@ -3718,6 +3718,53 @@ def zonemap_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "weighted_quantiles_lineitem",
+    oracle="""
+    WITH vw AS (
+      SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND CAST(l_quantity AS BIGINT) > 0
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT g, v,
+             CAST(SUM(w) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY g) AS HUGEINT) AS wt
+      FROM vw)
+    SELECT g AS l_returnflag, q, value, w_total FROM (
+      SELECT g, 2.5e-01 AS q, min(v) AS value,
+             CAST(max(wt) AS BIGINT) AS w_total
+      FROM cum WHERE cw * 1000 >= 250 * wt GROUP BY g
+      UNION ALL
+      SELECT g, 5.0e-01, min(v), CAST(max(wt) AS BIGINT)
+      FROM cum WHERE cw * 1000 >= 500 * wt GROUP BY g
+      UNION ALL
+      SELECT g, 7.5e-01, min(v), CAST(max(wt) AS BIGINT)
+      FROM cum WHERE cw * 1000 >= 750 * wt GROUP BY g)
+    ORDER BY l_returnflag, q
+    """,
+)
+def weighted_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-weighted price quartiles per return flag
+    (operators/stats.py::weighted_quantiles_by_group): 'the median
+    shipped unit's price', not the median line's — each price counts
+    quantity-many times, computed WITHOUT materializing the copies.
+    Ties collapse at (group, value) grain with exact integer weight
+    sums; the target test is the pure-BIGINT cross-multiplication
+    cw·1000 ≥ q‰·W_total (no float boundary at ties); one cumulative
+    window over |distinct values| rows. The twin mirrors the per-mille
+    integers and the lower-quantile convention literally."""
+    from ..operators.stats import weighted_quantiles_by_group
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return weighted_quantiles_by_group(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", qs=[0.25, 0.5, 0.75]
+    ).withColumnRenamed("g", "l_returnflag")
+
+
+@query(
     "winsorize_orders_by_status",
     oracle="""
     WITH v AS (

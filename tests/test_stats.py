@@ -1055,3 +1055,62 @@ class TestHoltLinear:
                 f = Fraction(w)  # exact binary expansion of the double
                 d = f.denominator
                 assert d & (d - 1) == 0  # power of two -> dyadic
+
+
+class TestWeightedQuantiles:
+    def test_hand_computed_weighted_median(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            weighted_quantiles_by_group,
+        )
+
+        # group 'a': values 1(w5), 2(w1), 3(w1): W=7; median target
+        # 3.5 -> first v with cum >= 3.5 is 1 (cum 5). q75 target 5.25
+        # -> v=2 (cum 6). group 'b': 10(w1), 20(w1): median -> 10.
+        rows = [
+            ("a", 1.0, 5), ("a", 2.0, 1), ("a", 3.0, 1),
+            ("b", 10.0, 1), ("b", 20.0, 1),
+            ("b", None, 4), ("b", 99.0, None), ("b", 99.0, 0),  # dropped
+        ]
+        df = spark.createDataFrame(rows, "g string, v double, w long")
+        out = {
+            (r["g"], r["q"]): r
+            for r in weighted_quantiles_by_group(df, "g", "v", "w").collect()
+        }
+        assert out[("a", 0.5)]["value"] == 1.0
+        assert out[("a", 0.75)]["value"] == 2.0
+        assert out[("a", 0.25)]["value"] == 1.0
+        assert out[("a", 0.5)]["w_total"] == 7
+        assert out[("b", 0.5)]["value"] == 10.0  # exact tie: cum*2 == W
+        assert out[("b", 0.75)]["value"] == 20.0
+
+    def test_weight_one_reduces_to_plain_lower_quantile(self, spark):
+        import math
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            weighted_quantiles_by_group,
+        )
+
+        random.seed(1)
+        vals = sorted(random.uniform(0, 100) for _ in range(37))
+        rows = [("g", v, 1) for v in vals]
+        df = spark.createDataFrame(rows, "g string, v double, w long")
+        out = {
+            r["q"]: r["value"]
+            for r in weighted_quantiles_by_group(df, "g", "v", "w").collect()
+        }
+        n = len(vals)
+        for q in (0.25, 0.5, 0.75):
+            want = vals[math.ceil(q * n) - 1]  # lower quantile, 1-based
+            assert out[q] == want
+
+    def test_fractional_q_rejected(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            weighted_quantiles_by_group,
+        )
+
+        df = spark.createDataFrame([("g", 1.0, 1)], "g string, v double, w long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="per-mille"):
+            weighted_quantiles_by_group(df, "g", "v", "w", qs=[1 / 3])
