@@ -400,3 +400,82 @@ def interevent_burstiness(
         sd.alias("sd_gap_s"),
         F.when(sd + mu > 0, (sd - mu) / (sd + mu)).alias("burstiness"),
     )
+
+
+def peer_group_outliers(
+    df: DataFrame,
+    entity_col: str,
+    peer_col: str,
+    value_col: str,
+    z_threshold: float = 3.0,
+    min_peers: int = 10,
+) -> DataFrame:
+    """Peer-group outlier screen with LEAVE-ONE-OUT moments: each
+    entity's mean transaction value compared against its peer group's
+    distribution EXCLUDING the entity itself — the fraud-audit form of
+    "spends like their cohort?" (including the entity in its own
+    baseline masks exactly the big fish the screen exists to catch;
+    with exact integer sums the exclusion is free algebra, no second
+    pass):
+
+        μ₋e  = (S − s_e) / (N − n_e)
+        σ²₋e = (SS − ss_e) / (N − n_e) − μ₋e²        (population)
+        z_e  = (x̄_e − μ₋e) / σ₋e
+
+    All moments are exact (cents as BIGINT, squares as decimal(38,0));
+    the z tail is one pinned IEEE tree (each exact operand cast to
+    double, the subtraction-of-squares spelling mirrored literally by
+    the twin). Entities whose peer remainder has fewer than
+    ``min_peers`` events or σ₋e = 0 get NULL z and no flag. The
+    ``z_threshold`` enters the flag as the same double literal on both
+    engines. Width bound: ss_e = Σcents² ≤ n·(2³¹)² needs ~n·4.6e18 —
+    decimal(38,0) holds to ~2e19 events per entity; far past any
+    ledger.
+
+    Plan shape: ONE entity-grain aggregation of the fact scan (exact
+    n/S/SS per entity), one peer-grain roll-up OF THAT (|entities|
+    rows, not events), broadcast back — the amount_structuring shape:
+    the fact table is never re-scanned. Returns (entity, peer, n_events,
+    mean_value, peer_mu, peer_sigma, z, outlier_flag)."""
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        df.select(
+            F.col(entity_col).alias("entity"),
+            F.col(peer_col).alias("peer"),
+            cents.alias("c"),
+        )
+        .where(F.col("c").isNotNull())
+        .groupBy("entity", "peer")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_e"),
+            F.sum("c").cast(d38).alias("s_e"),
+            F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+            .cast(d38)
+            .alias("ss_e"),
+        )
+    )
+    grp = per.groupBy("peer").agg(
+        F.sum("n_e").cast(d38).alias("n_g"),
+        F.sum("s_e").cast(d38).alias("s_g"),
+        F.sum("ss_e").cast(d38).alias("ss_g"),
+    )
+    j = per.join(grp, "peer")
+    n_rest = (F.col("n_g") - F.col("n_e").cast(d38)).cast("double")
+    mu = (F.col("s_g") - F.col("s_e")).cast("double") / n_rest
+    var = (F.col("ss_g") - F.col("ss_e")).cast("double") / n_rest - mu * mu
+    mean_e = F.col("s_e").cast("double") / F.col("n_e").cast("double")
+    ok = (F.col("n_g") - F.col("n_e").cast(d38) >= min_peers) & (var > 0)
+    z = F.when(ok, (mean_e - mu) / F.sqrt(var))
+    return j.select(
+        F.col("entity").alias(entity_col),
+        F.col("peer").alias(peer_col),
+        F.col("n_e").alias("n_events"),
+        (mean_e / F.lit(100.0)).alias("mean_value"),
+        F.when(ok, mu / F.lit(100.0)).alias("peer_mu"),
+        F.when(ok, F.sqrt(var) / F.lit(100.0)).alias("peer_sigma"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(float(z_threshold)), F.lit(False)).alias(
+            "outlier_flag"
+        ),
+    )

@@ -6153,6 +6153,86 @@ def structuring_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "peer_outlier_customers",
+    oracle="""
+    WITH f AS (
+      SELECT c.c_custkey AS entity, c.c_nationkey AS peer,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE round(o.o_totalprice * 100) IS NOT NULL),
+    per AS (
+      SELECT entity, peer,
+             CAST(count(*) AS BIGINT) AS n_e,
+             CAST(sum(c) AS HUGEINT) AS s_e,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss_e
+      FROM f GROUP BY entity, peer),
+    g AS (
+      SELECT peer,
+             CAST(sum(n_e) AS HUGEINT) AS n_g,
+             CAST(sum(s_e) AS HUGEINT) AS s_g,
+             CAST(sum(ss_e) AS HUGEINT) AS ss_g
+      FROM per GROUP BY peer),
+    j AS (
+      SELECT per.*, g.n_g, g.s_g, g.ss_g,
+             CAST(g.n_g - per.n_e AS DOUBLE) AS n_rest,
+             (g.n_g - per.n_e) >= 10 AS enough
+      FROM per JOIN g USING (peer)),
+    m AS (
+      SELECT *,
+             CAST(s_g - s_e AS DOUBLE) / n_rest AS mu,
+             CAST(ss_g - ss_e AS DOUBLE) / n_rest
+               - (CAST(s_g - s_e AS DOUBLE) / n_rest)
+               * (CAST(s_g - s_e AS DOUBLE) / n_rest) AS var,
+             CAST(s_e AS DOUBLE) / CAST(n_e AS DOUBLE) AS mean_e
+      FROM j)
+    SELECT entity AS c_custkey, peer AS c_nationkey,
+           n_e AS n_events,
+           mean_e / 1.0e+02 AS mean_value,
+           CASE WHEN enough AND var > 0 THEN mu / 1.0e+02 END AS peer_mu,
+           CASE WHEN enough AND var > 0 THEN sqrt(var) / 1.0e+02 END
+             AS peer_sigma,
+           CASE WHEN enough AND var > 0 THEN (mean_e - mu) / sqrt(var) END
+             AS z,
+           COALESCE(CASE WHEN enough AND var > 0
+                         THEN abs((mean_e - mu) / sqrt(var)) > 3.0e+00 END,
+                    FALSE) AS outlier_flag
+    FROM m
+    """,
+)
+def peer_outlier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peer-group outlier screen (operators/fraud_stats.py::
+    peer_group_outliers): each customer's mean order value against
+    their NATION peers with exact LEAVE-ONE-OUT moments — excluding
+    the customer from its own baseline is free algebra on exact
+    integer sums (μ₋e = (S−s_e)/(N−n_e)), and it's what keeps the big
+    fish from masking itself. One fact-grain aggregation + one
+    |entities|-row peer roll-up (the fact table never re-scanned);
+    pinned IEEE z tail mirrored literally; |z| > 3 flags, NULL z under
+    10 remaining peers or zero variance."""
+    from ..operators.fraud_stats import peer_group_outliers
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    f = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_nationkey").alias("peer_key"),
+        F.col("o_totalprice"),
+    )
+    return peer_group_outliers(
+        f, "entity_key", "peer_key", "o_totalprice", z_threshold=3.0, min_peers=10
+    ).select(
+        F.col("entity_key").alias("c_custkey"),
+        F.col("peer_key").alias("c_nationkey"),
+        "n_events",
+        "mean_value",
+        "peer_mu",
+        "peer_sigma",
+        "z",
+        "outlier_flag",
+    )
+
+
+@query(
     "dormancy_reactivation_orders",
     oracle="""
     WITH b AS (

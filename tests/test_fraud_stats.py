@@ -448,3 +448,48 @@ class TestSharedCounterpartyPairs:
         out = shared_counterparty_pairs(df, min_shared=2, top_k=2).collect()
         assert [(r["entity_a"], r["entity_b"]) for r in out] == [(1, 2), (1, 3)]
         assert all(r["jaccard"] == 1.0 for r in out)
+
+
+class TestPeerGroupOutliers:
+    def test_hand_computed_leave_one_out(self, spark):
+        import math
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            peer_group_outliers,
+        )
+
+        # peer group: 12 entities, 11 with one $10 event each, one
+        # whale with one $1000 event. Leave-one-out: the whale's
+        # baseline is the 11 tens -> sigma 0 -> NULL z BUT naive
+        # pooled stats would have included the whale in its own
+        # baseline. Add jitter so sigma > 0.
+        rows = [(i, 1, 10.0 + (i % 3)) for i in range(11)] + [(99, 1, 1000.0)]
+        df = spark.createDataFrame(rows, "e long, p long, v double")
+        out = {
+            r["e"]: r
+            for r in peer_group_outliers(df, "e", "p", "v", min_peers=5).collect()
+        }
+        whale = out[99]
+        cents = [1000 + (i % 3) * 100 for i in range(11)]
+        n = len(cents)
+        mu = sum(cents) / n
+        var = sum(c * c for c in cents) / n - mu * mu
+        want_z = (100000.0 - mu) / math.sqrt(var)
+        assert whale["z"] == want_z and whale["outlier_flag"]
+        # an ordinary member is nowhere near the threshold
+        assert not out[0]["outlier_flag"] and abs(out[0]["z"]) < 3
+
+    def test_small_peer_group_and_zero_variance_null(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            peer_group_outliers,
+        )
+
+        # group 2: only 3 entities -> below min_peers -> NULL z
+        # group 3: constant values -> sigma 0 -> NULL z, flag False
+        rows = [(i, 2, 5.0 * i) for i in range(3)] + [
+            (i, 3, 7.0) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "e long, p long, v double")
+        out = peer_group_outliers(df, "e", "p", "v", min_peers=10).collect()
+        for r in out:
+            assert r["z"] is None and not r["outlier_flag"]
