@@ -4005,30 +4005,40 @@ def _k_core_oracle_sql(k: int, rounds: int) -> str:
     round, so DuckDB's default CTE inlining would expand the chain
     3^rounds-fold (measured: "Too many open files" on the lineitem
     parquet at rounds=10)."""
+    ctes, final = _k_core_ctes(k, rounds)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT u AS id, deg AS core_degree FROM {final}"
+    )
+
+
+def _k_core_ctes(k: int, rounds: int, p: str = "") -> tuple[list, str]:
+    """The k_core oracle's CTE chain as composable fragments with an
+    optional name prefix ``p`` (so the composed graph-risk oracle can
+    splice it next to the truss and SCC pyramids without collisions).
+    Returns (cte_list, final_degree_table_name); prefix '' reproduces
+    the standalone oracle byte-for-byte."""
     ctes = [
-        "e AS MATERIALIZED (" + _CO_ORDER_EDGES_SQL + ")",
-        "bi AS MATERIALIZED "
-        "(SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
-        "d0 AS MATERIALIZED "
-        "(SELECT u, CAST(count(*) AS BIGINT) AS deg FROM bi GROUP BY u)",
+        f"{p}e AS MATERIALIZED (" + _CO_ORDER_EDGES_SQL + ")",
+        f"{p}bi AS MATERIALIZED "
+        f"(SELECT u, v FROM {p}e UNION ALL SELECT v AS u, u AS v FROM {p}e)",
+        f"{p}d0 AS MATERIALIZED "
+        f"(SELECT u, CAST(count(*) AS BIGINT) AS deg FROM {p}bi GROUP BY u)",
     ]
     for i in range(1, rounds + 1):
         ctes.append(
-            f"""s{i} AS MATERIALIZED (SELECT u FROM d{i - 1} WHERE deg >= {k}),
-    d{i} AS MATERIALIZED (
+            f"""{p}s{i} AS MATERIALIZED (SELECT u FROM {p}d{i - 1} WHERE deg >= {k}),
+    {p}d{i} AS MATERIALIZED (
       SELECT s.u AS u, CAST(count(t.v) AS BIGINT) AS deg
-      FROM s{i} s LEFT JOIN (
-        SELECT bi.u, bi.v FROM bi
-        JOIN s{i} a ON bi.u = a.u JOIN s{i} b ON bi.v = b.u
+      FROM {p}s{i} s LEFT JOIN (
+        SELECT {p}bi.u, {p}bi.v FROM {p}bi
+        JOIN {p}s{i} a ON {p}bi.u = a.u JOIN {p}s{i} b ON {p}bi.v = b.u
       ) t ON s.u = t.u
       GROUP BY s.u
     )"""
         )
-    return (
-        "WITH "
-        + ",\n    ".join(ctes)
-        + f"\n    SELECT u AS id, deg AS core_degree FROM d{rounds}"
-    )
+    return ctes, f"{p}d{rounds}"
 
 
 @query("k_core_parts", oracle=_k_core_oracle_sql(80, 10), bench=True)
@@ -4065,42 +4075,51 @@ def _k_truss_oracle_sql(k: int, rounds: int) -> str:
     final subgraph, exactly the Spark loop's output contract. All
     MATERIALIZED for the same CTE-inlining blowup reason as the k_core
     oracle."""
-    ctes = ["e0 AS MATERIALIZED (" + _CO_ORDER_EDGES_SQL + ")"]
-    for i in range(1, rounds + 1):
-        p = f"e{i - 1}"
-        ctes.append(
-            f"""t{i} AS MATERIALIZED (
-      SELECT a.u, a.v, b.v AS w FROM {p} a
-      JOIN {p} b ON b.u = a.u AND b.v > a.v
-      JOIN {p} c ON c.u = a.v AND c.v = b.v),
-    s{i} AS MATERIALIZED (
-      SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM (
-        SELECT u, v FROM t{i}
-        UNION ALL SELECT u, w AS v FROM t{i}
-        UNION ALL SELECT v AS u, w AS v FROM t{i}) GROUP BY u, v),
-    e{i} AS MATERIALIZED (
-      SELECT e.u, e.v FROM {p} e JOIN s{i} s ON s.u = e.u AND s.v = e.v
-      WHERE s.s >= {k - 2})"""
-        )
-    p = f"e{rounds}"
-    ctes.append(
-        f"""tf AS MATERIALIZED (
-      SELECT a.u, a.v, b.v AS w FROM {p} a
-      JOIN {p} b ON b.u = a.u AND b.v > a.v
-      JOIN {p} c ON c.u = a.v AND c.v = b.v),
-    sf AS MATERIALIZED (
-      SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM (
-        SELECT u, v FROM tf
-        UNION ALL SELECT u, w AS v FROM tf
-        UNION ALL SELECT v AS u, w AS v FROM tf) GROUP BY u, v)"""
-    )
+    ctes, edges_final, sup_final = _k_truss_ctes(k, rounds)
     return (
         "WITH "
         + ",\n    ".join(ctes)
         + f"""
-    SELECT e.u, e.v, CAST(COALESCE(sf.s, 0) AS BIGINT) AS support
-    FROM {p} e LEFT JOIN sf ON sf.u = e.u AND sf.v = e.v"""
+    SELECT e.u, e.v, CAST(COALESCE({sup_final}.s, 0) AS BIGINT) AS support
+    FROM {edges_final} e LEFT JOIN {sup_final}
+      ON {sup_final}.u = e.u AND {sup_final}.v = e.v"""
     )
+
+
+def _k_truss_ctes(k: int, rounds: int, pre: str = "") -> tuple:
+    """The k_truss oracle's CTE chain as composable prefixed fragments
+    (the _k_core_ctes discipline). Returns (cte_list,
+    final_edge_table, final_support_table)."""
+    ctes = [f"{pre}e0 AS MATERIALIZED (" + _CO_ORDER_EDGES_SQL + ")"]
+    for i in range(1, rounds + 1):
+        p = f"{pre}e{i - 1}"
+        ctes.append(
+            f"""{pre}t{i} AS MATERIALIZED (
+      SELECT a.u, a.v, b.v AS w FROM {p} a
+      JOIN {p} b ON b.u = a.u AND b.v > a.v
+      JOIN {p} c ON c.u = a.v AND c.v = b.v),
+    {pre}s{i} AS MATERIALIZED (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM (
+        SELECT u, v FROM {pre}t{i}
+        UNION ALL SELECT u, w AS v FROM {pre}t{i}
+        UNION ALL SELECT v AS u, w AS v FROM {pre}t{i}) GROUP BY u, v),
+    {pre}e{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM {p} e JOIN {pre}s{i} s ON s.u = e.u AND s.v = e.v
+      WHERE s.s >= {k - 2})"""
+        )
+    p = f"{pre}e{rounds}"
+    ctes.append(
+        f"""{pre}tf AS MATERIALIZED (
+      SELECT a.u, a.v, b.v AS w FROM {p} a
+      JOIN {p} b ON b.u = a.u AND b.v > a.v
+      JOIN {p} c ON c.u = a.v AND c.v = b.v),
+    {pre}sf AS MATERIALIZED (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM (
+        SELECT u, v FROM {pre}tf
+        UNION ALL SELECT u, w AS v FROM {pre}tf
+        UNION ALL SELECT v AS u, w AS v FROM {pre}tf) GROUP BY u, v)"""
+    )
+    return ctes, p, f"{pre}sf"
 
 
 @query("k_truss_parts", oracle=_k_truss_oracle_sql(12, 7))
@@ -4120,6 +4139,158 @@ def k_truss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import k_truss
 
     return k_truss(_co_order_edges(spark, sf_dir), 12, rounds=7)
+
+
+def _scc_ctes(p: str = "") -> list:
+    """The scc_parts oracle's CTE chain as composable prefixed
+    fragments (same construction, plus a sized table): ends at
+    ``{p}sized`` with (node, scc_id, scc_size)."""
+    return [
+        f"{p}cap AS (SELECT (max(l_partkey) * 3) // 20 AS c FROM lineitem)",
+        f"""{p}seq AS (
+      SELECT l_partkey,
+             lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, l_partkey) AS nxt
+      FROM lineitem)""",
+        f"""{p}e AS MATERIALIZED (
+      SELECT DISTINCT s.l_partkey AS src, s.nxt AS dst
+      FROM {p}seq s, {p}cap
+      WHERE s.nxt IS NOT NULL AND s.nxt <> s.l_partkey
+        AND s.l_partkey < {p}cap.c AND s.nxt < {p}cap.c)""",
+        f"{p}nodes AS (SELECT src AS node FROM {p}e UNION SELECT dst FROM {p}e)",
+        f"""{p}reach AS (
+      SELECT src AS u, dst AS v FROM {p}e
+      UNION
+      SELECT r.u, {p}e.dst FROM {p}reach r JOIN {p}e ON {p}e.src = r.v)""",
+        f"""{p}mutual AS (
+      SELECT r1.u AS u, r1.v AS v
+      FROM {p}reach r1 JOIN {p}reach r2 ON r1.u = r2.v AND r1.v = r2.u)""",
+        f"""{p}scc AS (
+      SELECT n.node, LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+      FROM {p}nodes n LEFT JOIN {p}mutual m ON m.u = n.node
+      GROUP BY n.node)""",
+        f"""{p}sized AS (
+      SELECT node, scc_id,
+             CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+      FROM {p}scc)""",
+    ]
+
+
+def _graph_risk_oracle() -> str:
+    """Full-chain twin of ``graph_risk_profile_parts``: the SCC
+    recursive closure (prefix sc_), the 10-round k-core pyramid
+    (kc_), and the 7-round k-truss pyramid (kt_) spliced into ONE
+    WITH RECURSIVE, joined on the part spine."""
+    kc_ctes, kc_final = _k_core_ctes(80, 10, "kc_")
+    kt_ctes, kt_edges, _ = _k_truss_ctes(12, 7, "kt_")
+    ctes = (
+        _scc_ctes("sc_")
+        + kc_ctes
+        + kt_ctes
+        + [
+            "spine AS (SELECT DISTINCT l_partkey AS node FROM lineitem)",
+            f"""truss_nodes AS (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS truss_edges FROM (
+        SELECT u FROM {kt_edges} UNION ALL SELECT v AS u FROM {kt_edges})
+      GROUP BY u)""",
+        ]
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT spine.node,
+           sc.scc_size,
+           COALESCE(sc.scc_size >= 2, FALSE) AS ring_flag,
+           kc.deg AS core_degree,
+           kc.deg IS NOT NULL AS dense_flag,
+           tn.truss_edges,
+           tn.truss_edges IS NOT NULL AS clique_flag,
+           CAST(CAST(COALESCE(sc.scc_size >= 2, FALSE) AS INTEGER)
+                + CAST(kc.deg IS NOT NULL AS INTEGER)
+                + CAST(tn.truss_edges IS NOT NULL AS INTEGER) AS BIGINT)
+             AS graph_risk,
+           CASE WHEN CAST(COALESCE(sc.scc_size >= 2, FALSE) AS INTEGER)
+                     + CAST(kc.deg IS NOT NULL AS INTEGER)
+                     + CAST(tn.truss_edges IS NOT NULL AS INTEGER) >= 2
+                THEN 'high'
+                WHEN CAST(COALESCE(sc.scc_size >= 2, FALSE) AS INTEGER)
+                     + CAST(kc.deg IS NOT NULL AS INTEGER)
+                     + CAST(tn.truss_edges IS NOT NULL AS INTEGER) = 1
+                THEN 'review' ELSE 'ok' END AS verdict
+    FROM spine
+    LEFT JOIN sc_sized sc ON sc.node = spine.node
+    LEFT JOIN {kc_final} kc ON kc.u = spine.node
+    LEFT JOIN truss_nodes tn ON tn.node = spine.node
+    ORDER BY spine.node"""
+    )
+
+
+@query("graph_risk_profile_parts", oracle=_graph_risk_oracle())
+def graph_risk_profile_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END graph fraud-screening pipeline — the structural twin
+    of ``fraud_risk_report_events`` (which composes the STATISTICAL
+    screens): every part's membership in the three suspicious-
+    structure families, combined into one per-entity report:
+
+    * ring_flag — non-trivial SCC on the directed order-sequence
+      watchlist subgraph (``scc_parts``' construction — carousel
+      rings);
+    * dense_flag — survives the 80-core of the co-order graph
+      (node-level density);
+    * clique_flag + truss_edges — incident edges surviving the
+      12-truss (relationship-level density, the structure k-core
+      can't see);
+
+    plus integer graph_risk = ring + dense + clique and the
+    high/review/ok verdict (≥2 families / 1 / 0). One lazy composed
+    plan: the SCC/core/truss legs all consume the SHARED materialized
+    co-order or sequence frames, the three |V|-row results left-join
+    the part spine — no fact re-scan in the combine. The oracle
+    splices the exact recursive SCC closure, the 10-round core
+    pyramid and the 7-round truss pyramid into ONE WITH RECURSIVE —
+    the largest full-chain value twin in the registry."""
+    from ..operators.graph import k_core, k_truss
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    spine = li.select(F.col("l_partkey").alias("node")).distinct()
+
+    scc = _scc_labels(spark, sf_dir).select("node", "scc_size")
+    core = k_core(_co_order_edges(spark, sf_dir), 80, broadcast_nodes=True, rounds=10)
+    core = core.select(F.col("id").alias("node"), F.col("core_degree"))
+    truss = k_truss(_co_order_edges(spark, sf_dir), 12, rounds=7)
+    truss_nodes = (
+        truss.select(F.col("u").alias("node"))
+        .unionByName(truss.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("truss_edges"))
+    )
+    ring = F.coalesce(F.col("scc_size") >= 2, F.lit(False))
+    dense = F.col("core_degree").isNotNull()
+    clique = F.col("truss_edges").isNotNull()
+    risk = (
+        ring.cast("int") + dense.cast("int") + clique.cast("int")
+    ).cast("long")
+    return (
+        spine.join(scc, "node", "left")
+        .join(core, "node", "left")
+        .join(truss_nodes, "node", "left")
+        .select(
+            "node",
+            "scc_size",
+            ring.alias("ring_flag"),
+            "core_degree",
+            dense.alias("dense_flag"),
+            "truss_edges",
+            clique.alias("clique_flag"),
+            risk.alias("graph_risk"),
+            F.when(risk >= 2, "high")
+            .when(risk == 1, "review")
+            .otherwise("ok")
+            .alias("verdict"),
+        )
+        .orderBy("node")
+    )
 
 
 def _lpa_oracle_sql(rounds: int) -> str:
@@ -4258,6 +4429,12 @@ def scc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: DuckDB recursive-CTE transitive closure + mutual-reach
     min — EXACT SCC, which the converged FW-BW-Trim must reproduce
     node-for-node (no bounded-round escape hatch)."""
+    return _scc_labels(spark, sf_dir)
+
+
+def _scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scc_parts computation as a reusable frame (node, scc_id,
+    scc_size) — shared with the composed graph_risk_profile_parts."""
     from pyspark.sql import Window
 
     from ..operators.graph import strongly_connected_components

@@ -1124,3 +1124,40 @@ class TestKTruss:
         tri_chain = [(0, 1), (1, 2), (0, 2)]
         df2 = spark.createDataFrame(tri_chain, "id_a long, id_b long")
         assert k_truss(df2, 5, max_rounds=3).count() == 0
+
+
+class TestGraphRiskProfile:
+    def test_composition_consistent_with_legs(self, spark, sf_dir):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        prof = {
+            r["node"]: r
+            for r in REGISTRY["graph_risk_profile_parts"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        scc = {
+            r["node"]: r["scc_size"]
+            for r in REGISTRY["scc_parts"].builder(spark, sf_dir).collect()
+        }
+        core = {
+            r["id"]: r["core_degree"]
+            for r in REGISTRY["k_core_parts"].builder(spark, sf_dir).collect()
+        }
+        truss_nodes = set()
+        for r in REGISTRY["k_truss_parts"].builder(spark, sf_dir).collect():
+            truss_nodes.add(r["u"])
+            truss_nodes.add(r["v"])
+        for node, r in prof.items():
+            assert r["ring_flag"] == (scc.get(node, 0) >= 2)
+            assert r["dense_flag"] == (node in core)
+            assert r["clique_flag"] == (node in truss_nodes)
+            want = int(r["ring_flag"]) + int(r["dense_flag"]) + int(r["clique_flag"])
+            assert r["graph_risk"] == want
+            assert r["verdict"] == (
+                "high" if want >= 2 else ("review" if want == 1 else "ok")
+            )
+        # the report covers every part that appears in lineitem
+        assert len(prof) >= len(core)
