@@ -138,3 +138,45 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     return out.withColumn("passed", F.col("n_violations") == 0).orderBy(
         "check_name"
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002 / Machanavajjhala
+    2007, public) over a table about to leave the curation pipeline —
+    the privacy gate a training-data export needs beside PII redaction
+    (redaction scrubs DIRECT identifiers; this measures whether the
+    QUASI-identifier combination still singles people out):
+
+    * each equivalence class = one distinct quasi-identifier tuple;
+      class_size < k ⇒ k-anonymity violation (re-identifiable group);
+    * l_distinct = distinct sensitive values inside the class;
+      l_distinct < l ⇒ l-diversity violation (the group's sensitive
+      attribute is inferable even without re-identification).
+
+    Exact integer counts throughout (count_distinct is exact, not a
+    sketch); one map-side-combinable aggregation at (quasi..., sensitive)
+    grain — so the sensitive-value dedup never shuffles raw rows — then
+    one roll-up to class grain. At 100 TB: two keyed shuffles, both on
+    the (small-cardinality) quasi tuple. Returns one row per class:
+    (quasi..., class_size, l_distinct, k_violation, l_violation)."""
+    qcols = [F.col(c) for c in quasi_cols]
+    per_sv = df.groupBy(*qcols, F.col(sensitive_col).alias("_sv")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    cls = per_sv.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum("_n").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+    )
+    return cls.select(
+        *quasi_cols,
+        "class_size",
+        "l_distinct",
+        (F.col("class_size") < k).alias("k_violation"),
+        (F.col("l_distinct") < l).alias("l_violation"),
+    ).orderBy(*quasi_cols)

@@ -9,7 +9,7 @@ Round-12 rotation (VERDICT r11 "Next round" item 1 + the playbook's
 least-recently-attested discipline): the window LEADS with the
 thirteen-query round-8 tail — the oldest driver attestations in the
 registry (``shipping_priority`` … ``window_funcs_orders``, last
-attested r8) — then the fifteen NEW round-12 oracled queries
+attested r8) — then the sixteen NEW round-12 oracled queries
 (``scc_parts`` — directed strongly connected components, the
 circular-trading-ring primitive, exact recursive-closure oracle;
 ``fraud_risk_report_events`` — the composed velocity + burstiness +
@@ -37,10 +37,12 @@ via pure-BIGINT cross-multiplied targets;
 ``peer_outlier_customers`` — leave-one-out peer-group z screen on
 exact moments; ``graph_risk_profile_parts`` — the composed
 SCC+core+truss structural risk report, one spliced WITH RECURSIVE
-twin), then
+twin; ``k_anonymity_customers`` — the k-anonymity / l-diversity
+privacy gate for training-data exports), then
 the round-9 cohort (now the oldest bulk, last attested r9)
-alphabetically — 22 of its 50 queries fit. The twenty-eight-query r9
-tail (``fuzzy_join_part_names``, ``html_extract_documents``,
+alphabetically — 21 of its 50 queries fit. The twenty-nine-query r9
+tail (``expectations_orders``, ``fuzzy_join_part_names``,
+``html_extract_documents``,
 ``incremental_agg_orders``,
 ``incremental_pipeline_documents``,
 ``label_centroids_embeddings``, ``large_volume_customers``,
@@ -102,6 +104,7 @@ _DRIVER_WINDOW = [
     "weighted_quantiles_lineitem",
     "peer_outlier_customers",
     "graph_risk_profile_parts",
+    "k_anonymity_customers",
     # --- the r9 cohort (now oldest bulk), alphabetically; its
     # 16-query tail keeps r9 rows and leads the r13 rotation ---
     "analytics_pipeline_events",
@@ -125,7 +128,6 @@ _DRIVER_WINDOW = [
     "drift_report_orders",
     "equi_depth_hist_orders",
     "event_transitions",
-    "expectations_orders",
 ]
 
 

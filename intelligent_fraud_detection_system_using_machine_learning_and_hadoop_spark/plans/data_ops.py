@@ -6330,6 +6330,45 @@ def structuring_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "k_anonymity_customers",
+    oracle="""
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1.0e+03) AS BIGINT) AS sv,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(sum(n) AS BIGINT) AS class_size,
+             CAST(count(*) AS BIGINT) AS l_distinct
+      FROM s GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+           class_size < 5 AS k_violation,
+           l_distinct < 2 AS l_violation
+    FROM cls ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit of the customer table
+    (operators/quality_checks.py::k_anonymity_report): equivalence
+    classes over the quasi-identifiers (nation, market segment) with
+    the account-balance $1000-band as the sensitive attribute —
+    class_size < 5 flags re-identifiable groups, l_distinct < 2 flags
+    inferable sensitive values. The privacy gate a training-data
+    export needs BESIDE PII redaction (redaction scrubs direct
+    identifiers; this measures what the quasi combination still leaks).
+    Exact integer counts, two quasi-keyed shuffles."""
+    from ..operators.quality_checks import k_anonymity_report
+
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    )
+    return k_anonymity_report(
+        c, ["c_nationkey", "c_mktsegment"], "bal_band", k=5, l=2
+    )
+
+
+@query(
     "peer_outlier_customers",
     oracle="""
     WITH f AS (

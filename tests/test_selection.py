@@ -119,3 +119,32 @@ def test_dsir_select_topk_deterministic(spark):
     }
     want = sorted(scores, key=lambda i: (-scores[i], i))[:3]
     assert ids == want
+
+
+class TestKAnonymity:
+    def test_hand_computed_violations(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.quality_checks import (
+            k_anonymity_report,
+        )
+
+        rows = [
+            # class (1,'A'): 6 rows, sensitive {10,20} -> no violations
+            *[(1, "A", 10) for _ in range(3)],
+            *[(1, "A", 20) for _ in range(3)],
+            # class (1,'B'): 2 rows -> k violation; {10,20} -> l ok
+            (1, "B", 10), (1, "B", 20),
+            # class (2,'A'): 5 rows all sensitive 7 -> l violation only
+            *[(2, "A", 7) for _ in range(5)],
+        ]
+        df = spark.createDataFrame(rows, "q1 int, q2 string, sv long")
+        out = {
+            (r["q1"], r["q2"]): r
+            for r in k_anonymity_report(df, ["q1", "q2"], "sv", k=5, l=2).collect()
+        }
+        a = out[(1, "A")]
+        assert a["class_size"] == 6 and a["l_distinct"] == 2
+        assert not a["k_violation"] and not a["l_violation"]
+        b = out[(1, "B")]
+        assert b["class_size"] == 2 and b["k_violation"] and not b["l_violation"]
+        c = out[(2, "A")]
+        assert c["class_size"] == 5 and not c["k_violation"] and c["l_violation"]
