@@ -9,7 +9,7 @@ Round-12 rotation (VERDICT r11 "Next round" item 1 + the playbook's
 least-recently-attested discipline): the window LEADS with the
 thirteen-query round-8 tail — the oldest driver attestations in the
 registry (``shipping_priority`` … ``window_funcs_orders``, last
-attested r8) — then the sixteen NEW round-12 oracled queries
+attested r8) — then the seventeen NEW round-12 oracled queries
 (``scc_parts`` — directed strongly connected components, the
 circular-trading-ring primitive, exact recursive-closure oracle;
 ``fraud_risk_report_events`` — the composed velocity + burstiness +
@@ -38,10 +38,13 @@ via pure-BIGINT cross-multiplied targets;
 exact moments; ``graph_risk_profile_parts`` — the composed
 SCC+core+truss structural risk report, one spliced WITH RECURSIVE
 twin; ``k_anonymity_customers`` — the k-anonymity / l-diversity
-privacy gate for training-data exports), then
+privacy gate for training-data exports;
+``streaming_structuring_orders`` — the structuring screen live,
+additive count-triple fold sharing the batch oracle), then
 the round-9 cohort (now the oldest bulk, last attested r9)
-alphabetically — 21 of its 50 queries fit. The twenty-nine-query r9
-tail (``expectations_orders``, ``fuzzy_join_part_names``,
+alphabetically — 20 of its 50 queries fit. The thirty-query r9
+tail (``event_transitions``, ``expectations_orders``,
+``fuzzy_join_part_names``,
 ``html_extract_documents``,
 ``incremental_agg_orders``,
 ``incremental_pipeline_documents``,
@@ -105,6 +108,7 @@ _DRIVER_WINDOW = [
     "peer_outlier_customers",
     "graph_risk_profile_parts",
     "k_anonymity_customers",
+    "streaming_structuring_orders",
     # --- the r9 cohort (now oldest bulk), alphabetically; its
     # 16-query tail keeps r9 rows and leads the r13 rotation ---
     "analytics_pipeline_events",
@@ -127,7 +131,6 @@ _DRIVER_WINDOW = [
     "domain_stats_documents",
     "drift_report_orders",
     "equi_depth_hist_orders",
-    "event_transitions",
 ]
 
 

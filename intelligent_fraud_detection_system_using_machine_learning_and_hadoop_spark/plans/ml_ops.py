@@ -289,6 +289,29 @@ def _benford_events_oracle() -> str:
     """
 
 
+@query("streaming_structuring_orders", oracle=None)
+def streaming_structuring_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The amount-structuring screen as a live ledger stream
+    (streaming/jobs.py::stream_structuring): per-entity exact count
+    triples fold additively in foreachBatch (|entities|-row state,
+    history never re-scanned), base rates and the decimal(38,0)
+    cross-multiplied flags computed once on the drained state —
+    drained availableNow ≡ the batch ``structuring_orders`` row for
+    row, which the SHARED oracle attests."""
+    from ..streaming.jobs import stream_structuring
+
+    return stream_structuring(spark, sf_dir)
+
+
+REGISTRY["streaming_structuring_orders"] = REGISTRY[
+    "streaming_structuring_orders"
+].__class__(
+    builder=REGISTRY["streaming_structuring_orders"].builder,
+    oracle=REGISTRY["structuring_orders"].oracle,
+    bench=False,
+)
+
+
 @query("streaming_benford_events", oracle=_benford_events_oracle())
 def streaming_benford_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Benford first-digit screen as a live stream (streaming/

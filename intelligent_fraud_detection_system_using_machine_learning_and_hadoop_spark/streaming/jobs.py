@@ -1536,3 +1536,122 @@ def stream_benford(spark: SparkSession, sf_dir: str, n_files: int = 6) -> DataFr
     q.awaitTermination()
     final = spark.createDataFrame(state["rows"], schema)
     return benford_from_counts(final, "event_type")
+
+
+def _orders_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 6) -> str:
+    """Materialize the orders table as n parquet files (the
+    _events_multifile_dir pattern for the ledger-shaped streams)."""
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}:{n_files}:v1".encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"ifds_orders_stream_{key}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        df.repartition(n_files).write.mode("overwrite").parquet(out)
+    return out
+
+
+def stream_structuring(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """The amount-structuring screen as a LIVE ledger stream: per
+    micro-batch, each entity's exact (n_amounts, band_hits,
+    round_hits) counts aggregate batch-locally and fold ADDITIVELY in
+    ``foreachBatch`` (the stream_benford discipline — the per-entity
+    count triple is the screen's mergeable sufficient statistic, so
+    state is |entities| rows and history is never re-scanned); the
+    ledger-wide base rates and the exact decimal(38,0)
+    cross-multiplied flags compute ONCE on the drained state with the
+    identical tail as the batch operator, so drained availableNow
+    equals ``structuring_orders`` bit-for-bit — which the SHARED
+    oracle attests. Exactly-once under retries via the last-applied
+    batch_id guard."""
+    from pyspark.sql import functions as F
+
+    src = _orders_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state: dict = {"rows": [], "last_batch": -1}
+    schema = "entity long, n_amounts long, band_hits long, round_hits long"
+    lo, hi, mod = 45_000_00, 50_000_00, 100
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_batch"]:
+            return
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        delta = (
+            batch_df.select(
+                F.col("o_custkey").alias("entity"), cents.alias("c")
+            )
+            .where(F.col("c") > 0)
+            .groupBy("entity")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_amounts"),
+                F.sum(
+                    F.when((F.col("c") >= lo) & (F.col("c") < hi), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("band_hits"),
+                F.sum(F.when(F.col("c") % mod == 0, 1).otherwise(0))
+                .cast("long")
+                .alias("round_hits"),
+            )
+        )
+        if state["rows"]:
+            prev = spark.createDataFrame(state["rows"], schema)
+            delta = (
+                prev.unionByName(delta)
+                .groupBy("entity")
+                .agg(
+                    F.sum("n_amounts").cast("long").alias("n_amounts"),
+                    F.sum("band_hits").cast("long").alias("band_hits"),
+                    F.sum("round_hits").cast("long").alias("round_hits"),
+                )
+            )
+        state["rows"] = delta.collect()
+        state["last_batch"] = batch_id
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    per = spark.createDataFrame(state["rows"], schema).where(
+        F.col("n_amounts") >= 5
+    )
+    # identical finish as operators/fraud_stats.py::amount_structuring:
+    # |entities|-row base-rate reduce + exact cross-multiplied flags
+    glob = per.agg(
+        F.sum("n_amounts").cast("decimal(38,0)").alias("g_n"),
+        F.sum("band_hits").cast("decimal(38,0)").alias("g_band"),
+        F.sum("round_hits").cast("decimal(38,0)").alias("g_round"),
+    )
+    j = per.crossJoin(F.broadcast(glob))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mult = F.lit(3).cast("decimal(38,0)")
+    return j.select(
+        F.col("entity").alias("o_custkey"),
+        "n_amounts",
+        "band_hits",
+        (F.col("band_hits").cast("double") / F.col("n_amounts").cast("double")).alias(
+            "band_frac"
+        ),
+        "round_hits",
+        (
+            F.col("round_hits").cast("double") / F.col("n_amounts").cast("double")
+        ).alias("round_frac"),
+        (
+            (F.col("band_hits") >= 2)
+            & (d38("band_hits") * d38("g_n") >= mult * d38("n_amounts") * d38("g_band"))
+        ).alias("structuring_flag"),
+        (
+            (F.col("round_hits") >= 2)
+            & (
+                d38("round_hits") * d38("g_n")
+                >= mult * d38("n_amounts") * d38("g_round")
+            )
+        ).alias("round_flag"),
+    )

@@ -862,3 +862,22 @@ class TestStreamingBenford:
         fold(ev, 1)  # genuinely new batch folds in
         twice = {(r["grp"], r["digit"]): r["n_obs"] for r in state["rows"]}
         assert twice[("a", 1)] == 2  # 12.3 -> cents 1230 -> digit 1, x2
+
+
+class TestStreamingStructuring:
+    def test_drained_equals_batch(self, spark, sf_dir):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+            stream_structuring,
+        )
+
+        got = sorted(
+            tuple(r) for r in stream_structuring(spark, sf_dir, n_files=4).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in REGISTRY["structuring_orders"].builder(spark, sf_dir).collect()
+        )
+        assert got == want  # bit-for-bit incl. the frac doubles
