@@ -490,3 +490,48 @@ def test_theil_sen_median_has_no_single_partition_pair_sort(spark, sf_dir):
     assert rn_specs, "expected row_number rank-selection windows"
     for spec in rn_specs:
         assert "_bkt" in spec, f"row_number window without bucket key: {spec}"
+
+
+def test_structuring_base_rate_reuses_the_entity_exchange(spark, sf_dir):
+    """The global base-rate branch consumes the per-entity aggregate a
+    second time; DataFrame lineage prints it as a second scan+agg
+    subtree, but at runtime the entity-keyed exchange MUST be shared
+    (ReusedExchange) so the fact is scanned and partially aggregated
+    once — the guard is on the EXECUTED plan, where reuse is decided."""
+    df = REGISTRY["structuring_orders"].builder(spark, sf_dir)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in ep
+
+
+def test_peer_outlier_reuses_the_entity_exchange(spark, sf_dir):
+    df = REGISTRY["peer_outlier_customers"].builder(spark, sf_dir)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in ep
+
+
+def test_collusion_pairs_no_cartesian(spark, sf_dir):
+    """The pair generation must be the keyed self-join (codegen path;
+    see the array-lambda negative A/B in the docstring) — never a
+    cartesian product."""
+    plan = plan_of(REGISTRY["collusion_pairs_customers"].builder(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_weighted_quantiles_window_over_collapsed_values(spark, sf_dir):
+    """The cumulative window must run over the (group, value)-collapsed
+    roll-up — the plan carries a partial/final aggregate BELOW the
+    window, so the window never sees raw lineitem rows."""
+    plan = plan_of(REGISTRY["weighted_quantiles_lineitem"].builder(spark, sf_dir))
+    assert "Window" in plan
+    before_window = plan.split("Window", 1)[1]
+    assert "HashAggregate" in before_window  # the roll-up feeds it
+
+
+def test_holt_single_window_shuffle(spark, sf_dir):
+    """48 chained lags must share ONE window spec: a single exchange on
+    event_type, not one per lag."""
+    plan = plan_of(REGISTRY["holt_trend_events"].builder(spark, sf_dir))
+    assert len(re.findall(r"hashpartitioning\(event_type", plan)) == 1
