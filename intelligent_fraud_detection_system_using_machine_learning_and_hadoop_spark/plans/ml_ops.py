@@ -312,6 +312,30 @@ REGISTRY["streaming_structuring_orders"] = REGISTRY[
 )
 
 
+@query("streaming_dormancy_orders", oracle=None)
+def streaming_dormancy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dormancy-reactivation screen as a live ledger stream
+    (streaming/jobs.py::stream_dormancy_flags): one long of state per
+    entity (the last seen epoch day) in applyInPandasWithState,
+    date-ordered micro-batch ingestion with same-date ties never split
+    (repartitionByRange), per-batch (date, orderkey) sort — so the
+    per-entity walk IS the batch lag order and drained availableNow
+    equals ``dormancy_reactivation_orders`` row for row, attested by
+    the SHARED oracle."""
+    from ..streaming.jobs import stream_dormancy_flags
+
+    return stream_dormancy_flags(spark, sf_dir)
+
+
+REGISTRY["streaming_dormancy_orders"] = REGISTRY[
+    "streaming_dormancy_orders"
+].__class__(
+    builder=REGISTRY["streaming_dormancy_orders"].builder,
+    oracle=REGISTRY["dormancy_reactivation_orders"].oracle,
+    bench=False,
+)
+
+
 @query("streaming_benford_events", oracle=_benford_events_oracle())
 def streaming_benford_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Benford first-digit screen as a live stream (streaming/

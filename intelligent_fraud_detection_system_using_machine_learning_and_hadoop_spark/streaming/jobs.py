@@ -1655,3 +1655,142 @@ def stream_structuring(
             )
         ).alias("round_flag"),
     )
+
+
+def _ordered_orders_source(
+    spark: SparkSession, sf_dir: str, n_files: int
+) -> DataFrame:
+    """DATE-ORDERED multi-file streaming source over the orders table
+    (the _ordered_events_source pattern for the ledger): range-
+    partitioned by o_orderdate with staggered mtimes, so micro-batches
+    arrive in date order and a same-date tie group never splits across
+    batches — the property the stateful dormancy screen needs to
+    reproduce the batch lag exactly."""
+    raw = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    import hashlib
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}:oordered:{n_files}:v1".encode()).hexdigest()[:10]
+    src = os.path.join(tempfile.gettempdir(), f"ifds_orders_ordered_{key}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        raw.repartitionByRange(n_files, "o_orderdate").sortWithinPartitions(
+            "o_orderdate"
+        ).write.mode("overwrite").parquet(src)
+        import time as _time
+
+        base = _time.time() - 3600
+        parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (base + i * 60, base + i * 60))
+    return (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+
+
+def stream_dormancy_flags(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    dormant_days: int = 60,
+    spend_cents: int = 400_000_00,
+) -> DataFrame:
+    """STREAMING dormancy-reactivation screen — the live form of
+    fraud_stats.py::dormancy_reactivation, completing the live-screen
+    family (velocity, Benford, structuring, dormancy): per entity,
+    ``applyInPandasWithState`` keeps ONE long (the last seen epoch
+    day) as state; each arriving order emits its integer gap since the
+    entity's previous order and the dormant / big-comeback flags,
+    exactly once.
+
+    Batch-twin discipline (shares dormancy_reactivation_orders' DuckDB
+    oracle): the batch lag orders by (date, orderkey); the ordered
+    file source delivers micro-batches in date order with same-date
+    ties never split across batches (repartitionByRange), and the
+    update fn sorts each batch by (date, orderkey) — so the per-entity
+    sequence the state walks IS the batch window order, and the
+    drained availableNow output equals the batch query row for row.
+    Day arithmetic is exact integer epoch-days end-to-end."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _ordered_orders_source(spark, sf_dir, n_files).select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("epoch_day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("epoch_day", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("gap_days", T.IntegerType()),
+            T.StructField("dormant_flag", T.BooleanType()),
+            T.StructField("reactivation_flag", T.BooleanType()),
+        ]
+    )
+    state_type = T.StructType([T.StructField("last_day", T.LongType())])
+
+    def update(key_, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        ck = int(key_[0])
+        rows = {k: [] for k in ("ok", "d", "c", "g", "df", "rf")}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["epoch_day", "o_orderkey"])
+            for ok_, day_, cents_ in zip(
+                pdf["o_orderkey"], pdf["epoch_day"], pdf["cents"]
+            ):
+                day, cents_i = int(day_), int(cents_)
+                gap = None if last is None else day - int(last)
+                dormant = gap is not None and gap >= dormant_days
+                rows["ok"].append(int(ok_))
+                rows["d"].append(day)
+                rows["c"].append(cents_i)
+                rows["g"].append(gap)
+                rows["df"].append(bool(dormant))
+                rows["rf"].append(bool(dormant and cents_i >= spend_cents))
+                last = day
+        state.update((int(last),))
+        yield pd.DataFrame(
+            {
+                "o_orderkey": rows["ok"],
+                "o_custkey": [ck] * len(rows["ok"]),
+                "epoch_day": rows["d"],
+                "cents": rows["c"],
+                "gap_days": pd.array(rows["g"], dtype="Int32"),
+                "dormant_flag": rows["df"],
+                "reactivation_flag": rows["rf"],
+            }
+        )
+
+    emitted = stream.groupBy("o_custkey").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"dormancy_sink_{next(_sink_ids)}"
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("epoch_day").cast("int"))
+        .alias("event_date"),
+        "cents",
+        "gap_days",
+        "dormant_flag",
+        "reactivation_flag",
+    )

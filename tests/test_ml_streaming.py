@@ -881,3 +881,25 @@ class TestStreamingStructuring:
             for r in REGISTRY["structuring_orders"].builder(spark, sf_dir).collect()
         )
         assert got == want  # bit-for-bit incl. the frac doubles
+
+
+class TestStreamingDormancy:
+    def test_drained_equals_batch(self, spark, sf_dir):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+            stream_dormancy_flags,
+        )
+
+        got = sorted(
+            tuple(r)
+            for r in stream_dormancy_flags(spark, sf_dir, n_files=3).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in REGISTRY["dormancy_reactivation_orders"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        assert got == want  # gap integers, dates and flags, row for row
