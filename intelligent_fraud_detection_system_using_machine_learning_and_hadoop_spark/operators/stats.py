@@ -1697,3 +1697,79 @@ def weighted_quantiles_by_group(
         )
         out = pick if out is None else out.unionByName(pick)
     return out.orderBy("g", "q")
+
+
+def mahalanobis_outliers_2d(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    d2_threshold: float = 13.815510557964274,
+) -> DataFrame:
+    """Exact 2-D Mahalanobis outlier screen — the MULTIVARIATE
+    complement of the z-score family (peer_group_outliers / MAD): a
+    point can be unremarkable on each axis yet far off the joint
+    distribution (e.g. many orders but implausibly low spend — the
+    structuring silhouette), which only the covariance-aware distance
+    d² = (v−μ)ᵀ Σ⁻¹ (v−μ) sees.
+
+    Everything up to one pinned IEEE tail is exact: the five moment
+    sums (Σx, Σy, Σx², Σy², Σxy) accumulate as decimal(38,0) over
+    integer inputs; the population covariance, the closed-form 2×2
+    inverse and the quadratic form are then ONE fixed double
+    expression tree (μ via /N, c__ via subtraction-of-squares, det =
+    cxx·cyy − cxy², d² = (cyy·dx² − 2·cxy·dx·dy + cxx·dy²)/det — that
+    spelling, mirrored literally by the twin). Width bound: Σx² needs
+    N·max(x)² < 10³⁸ — document per caller, the grouped_ols
+    discipline. Degenerate covariance (det ≤ 0: constant or perfectly
+    collinear features) yields NULL d² and no flags. The default
+    threshold is the χ²₂ 0.999 critical value as a pinned literal.
+
+    Scale shape: one map-side-combinable global moment aggregation
+    (ONE row), broadcast back over the points — the fact is scanned
+    once per consumer and the moment branch resolves to a
+    ReusedExchange at runtime (the structuring/peer-outlier pattern).
+    Returns (id, x, y, d2, outlier_flag)."""
+    d38 = "decimal(38,0)"
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    m = base.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("_x").cast(d38).alias("sx"),
+        F.sum("_y").cast(d38).alias("sy"),
+        F.sum(F.col("_x").cast("decimal(19,0)") * F.col("_x").cast("decimal(19,0)"))
+        .cast(d38)
+        .alias("sxx"),
+        F.sum(F.col("_y").cast("decimal(19,0)") * F.col("_y").cast("decimal(19,0)"))
+        .cast(d38)
+        .alias("syy"),
+        F.sum(F.col("_x").cast("decimal(19,0)") * F.col("_y").cast("decimal(19,0)"))
+        .cast(d38)
+        .alias("sxy"),
+    )
+    j = base.crossJoin(F.broadcast(m))
+    n = F.col("n").cast("double")
+    mux = F.col("sx").cast("double") / n
+    muy = F.col("sy").cast("double") / n
+    cxx = F.col("sxx").cast("double") / n - mux * mux
+    cyy = F.col("syy").cast("double") / n - muy * muy
+    cxy = F.col("sxy").cast("double") / n - mux * muy
+    det = cxx * cyy - cxy * cxy
+    dx = F.col("_x").cast("double") - mux
+    dy = F.col("_y").cast("double") - muy
+    d2 = F.when(
+        det > 0,
+        (cyy * dx * dx - F.lit(2.0) * cxy * dx * dy + cxx * dy * dy) / det,
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        F.col("_x").alias(x_col),
+        F.col("_y").alias(y_col),
+        d2.alias("d2"),
+        F.coalesce(d2 > F.lit(float(d2_threshold)), F.lit(False)).alias(
+            "outlier_flag"
+        ),
+    )

@@ -6330,6 +6330,81 @@ def structuring_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mahalanobis_outliers_customers",
+    oracle="""
+    WITH p AS (
+      SELECT o_custkey AS id,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders GROUP BY o_custkey),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM p),
+    t AS (
+      SELECT p.id, p.x, p.y,
+             CAST(m.n AS DOUBLE) AS nn,
+             CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mux,
+             CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE) AS muy,
+             CAST(m.sxx AS DOUBLE) / CAST(m.n AS DOUBLE)
+               - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+               * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)) AS cxx,
+             CAST(m.syy AS DOUBLE) / CAST(m.n AS DOUBLE)
+               - (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+               * (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)) AS cyy,
+             CAST(m.sxy AS DOUBLE) / CAST(m.n AS DOUBLE)
+               - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+               * (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)) AS cxy
+      FROM p CROSS JOIN m),
+    d AS (
+      SELECT id, x, y,
+             cxx * cyy - cxy * cxy AS det,
+             CAST(x AS DOUBLE) - mux AS dx,
+             CAST(y AS DOUBLE) - muy AS dy,
+             cxx, cyy, cxy
+      FROM t)
+    SELECT id AS o_custkey, x AS n_orders, y AS total_cents,
+           CASE WHEN det > 0 THEN
+             (cyy * dx * dx - 2.0e+00 * cxy * dx * dy + cxx * dy * dy) / det
+           END AS d2,
+           COALESCE(CASE WHEN det > 0 THEN
+             (cyy * dx * dx - 2.0e+00 * cxy * dx * dy + cxx * dy * dy) / det
+             > 1.3815510557964274e+01 END, FALSE) AS outlier_flag
+    FROM d
+    """,
+)
+def mahalanobis_outliers_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D Mahalanobis outlier screen (operators/stats.py::
+    mahalanobis_outliers_2d) over each customer's joint
+    (order count, total spend cents) profile — the multivariate
+    complement of the univariate z screens: many-orders-but-low-spend
+    (the structuring silhouette) is unremarkable per axis and loud in
+    joint distance. Exact decimal(38,0) moment sums, closed-form 2×2
+    covariance inverse, one pinned IEEE quadratic-form tail (bitwise
+    vs the HUGEINT twin); flag at the χ²₂ 0.999 critical value.
+    Width bound here: Σy² ≤ |customers|·(max total cents)² ≈
+    1.5e3·(1e10)² ≈ 1.5e23 ≪ 10³⁸ — and at 10⁹ customers with $10⁹
+    ledgers still ≈ 10³¹, inside decimal(38,0)."""
+    from ..operators.stats import mahalanobis_outliers_2d
+
+    o = read_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+    return mahalanobis_outliers_2d(
+        per, "id", "n_orders", "total_cents"
+    ).withColumnRenamed("id", "o_custkey")
+
+
+@query(
     "k_anonymity_customers",
     oracle="""
     WITH s AS (

@@ -1114,3 +1114,53 @@ class TestWeightedQuantiles:
 
         with _pytest.raises(ValueError, match="per-mille"):
             weighted_quantiles_by_group(df, "g", "v", "w", qs=[1 / 3])
+
+
+class TestMahalanobis2D:
+    def test_bitwise_python_replica_and_planted_outlier(self, spark):
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            mahalanobis_outliers_2d,
+        )
+
+        random.seed(4)
+        # correlated cloud y ~ 10x + noise, plus one joint outlier that
+        # is inside BOTH marginal ranges (high x, low y)
+        pts = [(i, x := random.randint(10, 30), 10 * x + random.randint(-5, 5))
+               for i in range(60)]
+        pts.append((99, 30, 100))  # x max-range, y min-range: joint outlier
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        out = {r["id"]: r for r in mahalanobis_outliers_2d(df, "id", "x", "y").collect()}
+
+        # python replica with the same pinned IEEE tree
+        n = float(len(pts))
+        sx = float(sum(p[1] for p in pts)); sy = float(sum(p[2] for p in pts))
+        sxx = float(sum(p[1] * p[1] for p in pts))
+        syy = float(sum(p[2] * p[2] for p in pts))
+        sxy = float(sum(p[1] * p[2] for p in pts))
+        mux, muy = sx / n, sy / n
+        cxx = sxx / n - mux * mux
+        cyy = syy / n - muy * muy
+        cxy = sxy / n - mux * muy
+        det = cxx * cyy - cxy * cxy
+        for i, x, y in pts:
+            dx, dy = float(x) - mux, float(y) - muy
+            want = (cyy * dx * dx - 2.0 * cxy * dx * dy + cxx * dy * dy) / det
+            assert out[i]["d2"] == want
+        assert out[99]["outlier_flag"]
+        # marginally the outlier is unremarkable: inside both ranges
+        xs = [p[1] for p in pts[:-1]]; ys = [p[2] for p in pts[:-1]]
+        assert min(xs) <= 30 <= max(xs) and min(ys) <= 100 <= max(ys)
+        assert sum(1 for r in out.values() if r["outlier_flag"]) <= 4
+
+    def test_degenerate_covariance_null(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            mahalanobis_outliers_2d,
+        )
+
+        # perfectly collinear: det == 0 -> NULL d2, flag False
+        pts = [(i, i, 2 * i) for i in range(10)]
+        df = spark.createDataFrame(pts, "id long, x long, y long")
+        out = mahalanobis_outliers_2d(df, "id", "x", "y").collect()
+        assert all(r["d2"] is None and not r["outlier_flag"] for r in out)
