@@ -158,9 +158,6 @@ def shared_counterparty_pairs(
             "left_anti",
         ).select("_e", "_c")  # USING-joins put the key first; re-pin order
     deg = e.groupBy("_e").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
-    # pair generation inside one stage: sorted per-counterparty entity
-    # array, pairwise-expanded with array lambdas (x < y free from the
-    # sort) — no self-join, no second shuffle of the edge table
     l = e.toDF("_ea", "_c")
     r = e.toDF("_eb", "_c")
     pairs = (
@@ -271,4 +268,76 @@ def association_rules(
                 / (F.col("n_ant") * F.col("n_cons")).cast("double")
             ).alias("lift"),
         )
+    )
+
+
+def shared_counterparty_rings(
+    edges: DataFrame,
+    entity_col: str = "entity",
+    counterparty_col: str = "counterparty",
+    min_shared: int = 2,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+    max_counterparty_degree: int | None = None,
+) -> DataFrame:
+    """Collusion RINGS: the group form of ``shared_counterparty_pairs``
+    — entities whose counterparty sets overlap above a Jaccard
+    threshold form suspect-pair edges, and the connected components of
+    that pair graph are the rings (a shell network is a component, not
+    a pair list). The threshold J ≥ jaccard_num/jaccard_den is the
+    exact integer cross-multiplication den·n_shared ≥ num·union —
+    engine-independent at ties, like the pair screen's rate flags.
+
+    Plan: the pair screen's Σdeg² self-join (same cost profile and
+    hub-cap valve) filtered to the suspect edges — a tiny graph by
+    construction (13 edges at sf0.01 with J ≥ ½) — then
+    ``connected_components`` (large-star/small-star, O(log² n) rounds)
+    labels the rings. Returns (entity, ring_id = min member,
+    ring_size ≥ 2), one row per ring member."""
+    from .graph import connected_components
+
+    e = edges.select(
+        F.col(entity_col).alias("_e"), F.col(counterparty_col).alias("_c")
+    ).distinct()
+    if max_counterparty_degree is not None:
+        cdeg = e.groupBy("_c").agg(F.count(F.lit(1)).alias("_cd"))
+        e = e.join(
+            F.broadcast(cdeg.where(F.col("_cd") > max_counterparty_degree)),
+            "_c",
+            "left_anti",
+        ).select("_e", "_c")
+    deg = e.groupBy("_e").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    l = e.toDF("_ea", "_c")
+    r = e.toDF("_eb", "_c")
+    pairs = (
+        l.join(r, "_c")
+        .where(F.col("_ea") < F.col("_eb"))
+        .groupBy("_ea", "_eb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    da = deg.toDF("_ea", "deg_a")
+    db = deg.toDF("_eb", "deg_b")
+    union = F.col("deg_a") + F.col("deg_b") - F.col("n_shared")
+    suspect = (
+        pairs.join(da, "_ea")
+        .join(db, "_eb")
+        .where(
+            F.lit(jaccard_den).cast("long") * F.col("n_shared")
+            >= F.lit(jaccard_num).cast("long") * union
+        )
+        .select(F.col("_ea").alias("id_a"), F.col("_eb").alias("id_b"))
+    )
+    comp = connected_components(suspect)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("ring_size")
+    )
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("id").alias(entity_col),
+            F.col("component").alias("ring_id"),
+            "ring_size",
+        )
+        .orderBy(entity_col)
     )

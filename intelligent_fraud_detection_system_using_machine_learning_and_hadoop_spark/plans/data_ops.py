@@ -3920,6 +3920,64 @@ def collusion_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "collusion_rings_customers",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT o.o_custkey AS en, l.l_suppkey AS cp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    deg AS (SELECT en, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY en),
+    pairs AS (
+      SELECT x.en AS ea, y.en AS eb, CAST(count(*) AS BIGINT) AS ns
+      FROM e x JOIN e y ON x.cp = y.cp AND x.en < y.en
+      GROUP BY x.en, y.en
+      HAVING count(*) >= 2),
+    sp AS MATERIALIZED (
+      SELECT p.ea, p.eb
+      FROM pairs p JOIN deg a ON a.en = p.ea JOIN deg b ON b.en = p.eb
+      WHERE 2 * p.ns >= 1 * (a.d + b.d - p.ns)),
+    ed AS (SELECT ea AS u, eb AS v FROM sp
+           UNION ALL SELECT eb, ea FROM sp),
+    nodes AS (SELECT DISTINCT u AS n FROM ed),
+    reach AS (
+      SELECT u, v FROM ed
+      UNION
+      SELECT r.u, ed.v FROM reach r JOIN ed ON ed.u = r.v),
+    comp AS (
+      SELECT n.n AS node,
+             LEAST(n.n, COALESCE(MIN(r.v), n.n)) AS ring_id
+      FROM nodes n LEFT JOIN reach r ON r.u = n.n
+      GROUP BY n.n)
+    SELECT CAST(node AS BIGINT) AS entity,
+           CAST(ring_id AS BIGINT) AS ring_id,
+           CAST(COUNT(*) OVER (PARTITION BY ring_id) AS BIGINT) AS ring_size
+    FROM comp ORDER BY entity
+    """,
+)
+def collusion_rings_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collusion RINGS (operators/cooccur.py::shared_counterparty_rings):
+    customer pairs whose supplier sets overlap at Jaccard ≥ ½ (the
+    exact integer cross-multiplication 2·n_shared ≥ union) become
+    suspect edges, and the connected components of that pair graph are
+    the rings — a shell network is a COMPONENT, not a pair list (13
+    suspect edges at sf0.01 resolve into the actual groups). The pair
+    leg shares collusion_pairs_customers' Σdeg² cost profile; the
+    component leg is large-star/small-star over a tiny-by-construction
+    graph. Oracle: the thresholded pair SQL + the recursive-closure
+    CC twin (the scc_parts discipline), exact end to end."""
+    from ..operators.cooccur import shared_counterparty_rings
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("entity"),
+        F.col("l_suppkey").alias("counterparty"),
+    )
+    return shared_counterparty_rings(
+        edges, "entity", "counterparty", min_shared=2, jaccard_num=1, jaccard_den=2
+    )
+
+
+@query(
     "equi_depth_hist_orders",
     oracle="""
     WITH r AS (

@@ -493,3 +493,43 @@ class TestPeerGroupOutliers:
         out = peer_group_outliers(df, "e", "p", "v", min_peers=10).collect()
         for r in out:
             assert r["z"] is None and not r["outlier_flag"]
+
+
+class TestCollusionRings:
+    def test_hand_planted_rings(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_rings,
+        )
+
+        # ring A: entities 1,2,3 chained via near-identical supplier
+        # sets; ring B: 10,11 identical; entity 20 overlaps nobody >= 1/2
+        rows = (
+            [(1, c) for c in (100, 101, 102, 103)]
+            + [(2, c) for c in (100, 101, 102, 104)]   # J(1,2)=3/5 >= 1/2
+            + [(3, c) for c in (100, 101, 104, 105)]   # J(2,3)=3/5; J(1,3)=2/6 < 1/2
+            + [(10, c) for c in (200, 201)]
+            + [(11, c) for c in (200, 201)]            # J=1
+            + [(20, c) for c in (100, 300, 301, 302, 303, 304)]
+        )
+        df = spark.createDataFrame(rows, "entity long, counterparty long")
+        out = {
+            r["entity"]: r
+            for r in shared_counterparty_rings(df, min_shared=2).collect()
+        }
+        # transitivity: 1-2 and 2-3 edges chain all three into one ring
+        assert set(out) == {1, 2, 3, 10, 11}
+        assert [out[i]["ring_id"] for i in (1, 2, 3)] == [1, 1, 1]
+        assert all(out[i]["ring_size"] == 3 for i in (1, 2, 3))
+        assert out[10]["ring_id"] == 10 and out[10]["ring_size"] == 2
+        assert 20 not in out
+
+    def test_exact_half_boundary_included(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_rings,
+        )
+
+        # J exactly 1/2: shared 2, union 4 -> 2*2 >= 1*4 holds
+        rows = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (2, 13)]
+        df = spark.createDataFrame(rows, "entity long, counterparty long")
+        out = shared_counterparty_rings(df, min_shared=2).collect()
+        assert {r["entity"] for r in out} == {1, 2}
