@@ -6435,6 +6435,7 @@ def structuring_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              > 1.3815510557964274e+01 END, FALSE) AS outlier_flag
     FROM d
     """,
+    bench=True,
 )
 def mahalanobis_outliers_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 2-D Mahalanobis outlier screen (operators/stats.py::
@@ -6480,6 +6481,7 @@ def mahalanobis_outliers_customers(spark: SparkSession, sf_dir: str) -> DataFram
            l_distinct < 2 AS l_violation
     FROM cls ORDER BY c_nationkey, c_mktsegment
     """,
+    bench=True,
 )
 def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit of the customer table
@@ -6547,6 +6549,7 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FALSE) AS outlier_flag
     FROM m
     """,
+    bench=True,
 )
 def peer_outlier_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peer-group outlier screen (operators/fraud_stats.py::
