@@ -9,7 +9,7 @@ Round-12 rotation (VERDICT r11 "Next round" item 1 + the playbook's
 least-recently-attested discipline): the window LEADS with the
 thirteen-query round-8 tail — the oldest driver attestations in the
 registry (``shipping_priority`` … ``window_funcs_orders``, last
-attested r8) — then the twenty NEW round-12 oracled queries
+attested r8) — then the twenty-one NEW round-12 oracled queries
 (``scc_parts`` — directed strongly connected components, the
 circular-trading-ring primitive, exact recursive-closure oracle;
 ``fraud_risk_report_events`` — the composed velocity + burstiness +
@@ -46,11 +46,13 @@ state per entity, drained ≡ the batch lag row for row;
 ``mahalanobis_outliers_customers`` — exact 2-D joint-distance
 outliers, closed-form covariance inverse, bitwise;
 ``collusion_rings_customers`` — Jaccard-thresholded suspect pairs →
-connected components, the shell-NETWORK form of the pair screen),
-then
+connected components, the shell-NETWORK form of the pair screen;
+``streaming_peer_outlier_orders`` — the peer screen live, additive
+moment folds + LOO finish sharing the batch oracle), then
 the round-9 cohort (now the oldest bulk, last attested r9)
-alphabetically — 17 of its 50 queries fit. The thirty-three-query r9
-tail (``domain_stats_documents``, ``drift_report_orders``,
+alphabetically — 16 of its 50 queries fit. The thirty-four-query r9
+tail (``dedup_source_flow_documents``,
+``domain_stats_documents``, ``drift_report_orders``,
 ``equi_depth_hist_orders``,
 ``event_transitions``, ``expectations_orders``,
 ``fuzzy_join_part_names``,
@@ -121,6 +123,7 @@ _DRIVER_WINDOW = [
     "streaming_dormancy_orders",
     "mahalanobis_outliers_customers",
     "collusion_rings_customers",
+    "streaming_peer_outlier_orders",
     # --- the r9 cohort (now oldest bulk), alphabetically; its
     # 16-query tail keeps r9 rows and leads the r13 rotation ---
     "analytics_pipeline_events",
@@ -139,7 +142,6 @@ _DRIVER_WINDOW = [
     "corpus_snapshot_diff",
     "cust_order_histogram",
     "decontaminate_train_docs",
-    "dedup_source_flow_documents",
 ]
 
 

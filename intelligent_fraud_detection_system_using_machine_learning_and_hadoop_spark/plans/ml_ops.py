@@ -312,6 +312,29 @@ REGISTRY["streaming_structuring_orders"] = REGISTRY[
 )
 
 
+@query("streaming_peer_outlier_orders", oracle=None)
+def streaming_peer_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The peer-group outlier screen as a live ledger stream
+    (streaming/jobs.py::stream_peer_outliers): per-batch broadcast
+    enrichment with the static customer dimension, additive
+    (n, Σcents, Σcents²) moment folds — the screen's mergeable
+    sufficient statistic — and the leave-one-out z finish once on the
+    drained state. Drained availableNow ≡ the batch
+    ``peer_outlier_customers`` bit-for-bit (SHARED oracle)."""
+    from ..streaming.jobs import stream_peer_outliers
+
+    return stream_peer_outliers(spark, sf_dir)
+
+
+REGISTRY["streaming_peer_outlier_orders"] = REGISTRY[
+    "streaming_peer_outlier_orders"
+].__class__(
+    builder=REGISTRY["streaming_peer_outlier_orders"].builder,
+    oracle=REGISTRY["peer_outlier_customers"].oracle,
+    bench=False,
+)
+
+
 @query("streaming_dormancy_orders", oracle=None)
 def streaming_dormancy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dormancy-reactivation screen as a live ledger stream

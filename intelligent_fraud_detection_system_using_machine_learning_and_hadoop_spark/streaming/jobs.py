@@ -1794,3 +1794,101 @@ def stream_dormancy_flags(
         "dormant_flag",
         "reactivation_flag",
     )
+
+
+def stream_peer_outliers(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """The peer-group outlier screen as a live ledger stream: each
+    micro-batch broadcast-enriches arriving orders with the static
+    customer dimension (the stream-static join pattern) and folds the
+    exact per-(entity, peer) moment triple (n, Σcents, Σcents²)
+    additively in ``foreachBatch`` — moments are the screen's
+    mergeable sufficient statistic, so state is |entities| rows and
+    history is never re-scanned; the LEAVE-ONE-OUT peer baselines and
+    the pinned IEEE z tail (operators/fraud_stats.py::
+    peer_group_outliers' finish, inlined with the identical expression
+    tree) run once on the drained state. Drained availableNow ≡ the
+    batch ``peer_outlier_customers`` bit-for-bit — attested by the
+    SHARED oracle. Exactly-once via the last-applied batch_id guard."""
+    from pyspark.sql import functions as F
+
+    src = _orders_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_nationkey"
+    )
+    state: dict = {"rows": [], "last_batch": -1}
+    schema = (
+        "entity long, peer int, n_e long, s_e decimal(38,0), ss_e decimal(38,0)"
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= state["last_batch"]:
+            return
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        delta = (
+            batch_df.join(F.broadcast(cust), batch_df.o_custkey == cust.c_custkey)
+            .select(
+                F.col("c_custkey").alias("entity"),
+                F.col("c_nationkey").alias("peer"),
+                cents.alias("c"),
+            )
+            .where(F.col("c").isNotNull())
+            .groupBy("entity", "peer")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_e"),
+                F.sum("c").cast("decimal(38,0)").alias("s_e"),
+                F.sum(
+                    F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+                )
+                .cast("decimal(38,0)")
+                .alias("ss_e"),
+            )
+        )
+        if state["rows"]:
+            prev = spark.createDataFrame(state["rows"], schema)
+            delta = (
+                prev.unionByName(delta)
+                .groupBy("entity", "peer")
+                .agg(
+                    F.sum("n_e").cast("long").alias("n_e"),
+                    F.sum("s_e").cast("decimal(38,0)").alias("s_e"),
+                    F.sum("ss_e").cast("decimal(38,0)").alias("ss_e"),
+                )
+            )
+        state["rows"] = delta.collect()
+        state["last_batch"] = batch_id
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    per = spark.createDataFrame(state["rows"], schema)
+    # identical finish as peer_group_outliers (min_peers=10, |z| > 3)
+    d38 = "decimal(38,0)"
+    grp = per.groupBy("peer").agg(
+        F.sum("n_e").cast(d38).alias("n_g"),
+        F.sum("s_e").cast(d38).alias("s_g"),
+        F.sum("ss_e").cast(d38).alias("ss_g"),
+    )
+    j = per.join(grp, "peer")
+    n_rest = (F.col("n_g") - F.col("n_e").cast(d38)).cast("double")
+    mu = (F.col("s_g") - F.col("s_e")).cast("double") / n_rest
+    var = (F.col("ss_g") - F.col("ss_e")).cast("double") / n_rest - mu * mu
+    mean_e = F.col("s_e").cast("double") / F.col("n_e").cast("double")
+    ok = (F.col("n_g") - F.col("n_e").cast(d38) >= 10) & (var > 0)
+    z = F.when(ok, (mean_e - mu) / F.sqrt(var))
+    return j.select(
+        F.col("entity").alias("c_custkey"),
+        F.col("peer").alias("c_nationkey"),
+        F.col("n_e").alias("n_events"),
+        (mean_e / F.lit(100.0)).alias("mean_value"),
+        F.when(ok, mu / F.lit(100.0)).alias("peer_mu"),
+        F.when(ok, F.sqrt(var) / F.lit(100.0)).alias("peer_sigma"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(3.0), F.lit(False)).alias("outlier_flag"),
+    )

@@ -903,3 +903,25 @@ class TestStreamingDormancy:
             .collect()
         )
         assert got == want  # gap integers, dates and flags, row for row
+
+
+class TestStreamingPeerOutlier:
+    def test_drained_equals_batch(self, spark, sf_dir):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+            stream_peer_outliers,
+        )
+
+        got = sorted(
+            tuple(r)
+            for r in stream_peer_outliers(spark, sf_dir, n_files=3).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in REGISTRY["peer_outlier_customers"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        assert got == want  # LOO moments and z doubles, row for row
