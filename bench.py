@@ -179,12 +179,11 @@ def main() -> None:
                     name: round(min(s) / probe_sec, 2)
                     for name, s in samples.items()
                 },
+                # One-off recheck narratives live in VERDICT/SCALING
+                # docs, not here — a static "notes" field would be
+                # stamped stale into every future round's JSON
+                # (ADVICE r12).
                 "norm_vs_prev": norm_vs_prev,
-                # VERDICT r11 item 9, settled by an idle r12 re-run on
-                # unchanged triangle code: 3.65 -> 3.13 s raw at sf0.1
-                # (normalized 0.78), so r11's 1.21x was session noise —
-                # no _sized_partitions_ckpt bisect warranted.
-                "notes": "triangle_count_parts r12 recheck 3.65->3.13s (norm 0.78): r11 1.21x was session noise",
             },
             separators=(",", ":"),
         )

@@ -510,6 +510,11 @@ def pq_cosine_topk(
     train = np.asarray(
         [r["_u"] for r in v.limit(n_train).collect()], dtype=np.float64
     )
+    if train.size == 0:
+        # a (0,)-shaped sample would otherwise IndexError on shape[1]
+        raise ValueError(
+            "no vectors to train PQ codebooks (empty or all-null corpus)"
+        )
     dim = train.shape[1]
     if dim % m != 0:
         raise ValueError(sub_dim_err)

@@ -1489,9 +1489,13 @@ def wilcoxon_signed_rank(
     — numerator exact then cast double; s_term cast double, one /48,
     one sqrt, one ×4, one division: the twin reproduces z bitwise.
     Width bound: s_term < 4n³+T ≲ 5n³ holds in decimal(38,0) to
-    n ≈ 1e11 pairs — document past that, don't widen. Degenerate
-    inputs (no nonzero diffs, or every |d| tied at one value with
-    s_term = 0) yield NULL z. Returns one row
+    n ≈ 1e11 pairs — document past that, don't widen. The only
+    degenerate input is n = 0 nonzero diffs (NULL z): even with every
+    |d| tied at one value, T = n³ − n leaves
+    s_term = 2n(n+1)(2n+1) − (n³−n) > 0 for all n ≥ 1 (the all-tied
+    variance is n(n+1)²/16), so the s_term = 0 guard protects n = 0
+    only and the all-tied case yields a finite z (ADVICE r12
+    docstring correction). Returns one row
     (n_pairs, n_nonzero, w_plus, z) with w_plus = 2W⁺/2 halved in
     IEEE (exact).
 

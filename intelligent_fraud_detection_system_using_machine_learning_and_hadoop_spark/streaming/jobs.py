@@ -383,8 +383,15 @@ def stream_rolling_anomaly(
         else:
             n, s1, s2 = 0, 0, 0
         ids, priors, flags = [], [], []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # concat the whole iterator before ONE sort — >10k rows per key
+        # per batch arrive as multiple arbitrary-order pandas chunks
+        # (arrow.maxRecordsPerBatch), and per-chunk sorting would break
+        # the walk across chunk boundaries (ADVICE r12 pattern)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for eid, val in zip(pdf["event_id"], pdf["value"]):
                 if n == 0:
                     flag = False
@@ -491,8 +498,14 @@ def stream_velocity_flags(
             epochs, cents = [], []
         uid = int(key_[0])
         out = {k: [] for k in ("eid", "s", "n", "c")}
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["epoch_s", "event_id"])
+        # concat before the one sort — a tie-second split across
+        # arrow chunks would otherwise fracture its peer group
+        # (ADVICE r12 pattern; see stream_dormancy_flags)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["epoch_s", "event_id"]
+            )
             i = 0
             eids = pdf["event_id"].tolist()
             secs = pdf["epoch_s"].tolist()
@@ -1744,8 +1757,18 @@ def stream_dormancy_flags(
         last = state.get[0] if state.exists else None
         ck = int(key_[0])
         rows = {k: [] for k in ("ok", "d", "c", "g", "df", "rf")}
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["epoch_day", "o_orderkey"])
+        # Concatenate the WHOLE iterator before one global sort: when a
+        # key's rows in a micro-batch exceed
+        # spark.sql.execution.arrow.maxRecordsPerBatch (default 10k)
+        # they arrive as multiple pandas chunks in arbitrary order, and
+        # sorting each chunk independently would break the
+        # (epoch_day, o_orderkey) walk across chunk boundaries —
+        # silently diverging from the batch oracle (ADVICE r12).
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["epoch_day", "o_orderkey"]
+            )
             for ok_, day_, cents_ in zip(
                 pdf["o_orderkey"], pdf["epoch_day"], pdf["cents"]
             ):
@@ -1759,7 +1782,8 @@ def stream_dormancy_flags(
                 rows["df"].append(bool(dormant))
                 rows["rf"].append(bool(dormant and cents_i >= spend_cents))
                 last = day
-        state.update((int(last),))
+        if last is not None:
+            state.update((int(last),))
         yield pd.DataFrame(
             {
                 "o_orderkey": rows["ok"],

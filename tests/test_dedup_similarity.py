@@ -492,12 +492,16 @@ def test_pq_topk_recall_vs_exact_and_contract(spark, sf_dir):
     # exact rerank the observed floor is well above half
     assert len(pq & exact) / len(exact) >= 0.5
     # contract: whenever PQ surfaces a true neighbor, its cos_sim is
-    # the EXACT reranked value, bit-equal to the baseline's
+    # the exact reranked value. The two sides normalize through
+    # different IEEE paths (pre-normalized _dot vs dot/(√·√)), so
+    # compare within the round(...,6) grain rather than bit-equal —
+    # exact equality only held when neither score landed within an
+    # ulp of a 5e-7 rounding boundary (ADVICE r12).
     for key in pq & exact:
         got = next(
             r["cos_sim"] for r in pq_rows if (r["query_id"], r["vec_id"]) == key
         )
-        assert got == exact_sims[key]
+        assert abs(got - exact_sims[key]) <= 1e-6
     assert {tuple(sorted(r.asDict())) for r in pq_rows} and all(
         set(r.asDict()) == {"query_id", "vec_id", "cos_sim", "rank"}
         for r in pq_rows
