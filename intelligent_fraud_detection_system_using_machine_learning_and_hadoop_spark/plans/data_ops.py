@@ -3877,9 +3877,12 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "collusion_pairs_customers",
     oracle="""
-    WITH e AS (
+    WITH e0 AS (
       SELECT DISTINCT o.o_custkey AS en, l.l_suppkey AS cp
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    cd AS (SELECT cp, count(*) AS d FROM e0 GROUP BY cp),
+    e AS (SELECT e0.en, e0.cp FROM e0 JOIN cd ON cd.cp = e0.cp
+          WHERE cd.d <= 2000),
     deg AS (SELECT en, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY en),
     pairs AS (
       SELECT x.en AS ea, y.en AS eb, CAST(count(*) AS BIGINT) AS n_shared
@@ -3895,6 +3898,7 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY jaccard DESC, entity_a, entity_b
     LIMIT 100
     """,
+    bench=True,
 )
 def collusion_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-counterparty collusion screen (operators/cooccur.py::
@@ -3903,9 +3907,20 @@ def collusion_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shell-network / invoice-ring tell, the bipartite complement of
     ``scc_parts``' directed rings. Exact BIGINT overlap/degree/union
     arithmetic with one pinned IEEE division; the counterparty-keyed
-    pair self-join fans out Σdeg², with the stop-counterparty cap
-    (hub suppliers witness no collusion) available as the documented
-    scale valve."""
+    pair self-join fans out Σdeg².
+
+    The stop-counterparty cap ships ON (VERDICT r12 item 1):
+    ``max_counterparty_degree=2000``, encoded identically in the
+    oracle's degree-filter CTE. Supplier degree in this schema is
+    SF-invariant (≈600 distinct customers per supplier: lineitems per
+    supplier is constant in TPC-H-shaped data), so 2000 ≈ 3× the
+    observed max (679 at sf0.1) — it never bites on hub-free uniform
+    data (results identical to the uncapped exact screen, which the
+    pytest twin pins) and under real hub skew bounds fan-out at
+    cap²·|counterparties| with the documented semantic that hubs
+    witness no collusion. Audit the cap with
+    ``collusion_hub_report_customers``; the uniform-degree scale path
+    is ``collusion_pairs_lsh_customers``."""
     from ..operators.cooccur import shared_counterparty_pairs
 
     o = read_table(spark, sf_dir, "orders")
@@ -3915,16 +3930,95 @@ def collusion_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("counterparty"),
     )
     return shared_counterparty_pairs(
-        edges, "entity", "counterparty", min_shared=2, top_k=100
+        edges,
+        "entity",
+        "counterparty",
+        min_shared=2,
+        top_k=100,
+        max_counterparty_degree=2000,
+    )
+
+
+@query(
+    "collusion_hub_report_customers",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS en, l.l_suppkey AS cp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    cd AS (SELECT cp, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY cp)
+    SELECT cp AS counterparty, d AS degree,
+           CAST(d * (d - 1) / 2 AS BIGINT) AS n_pairs_witnessed,
+           d > 2000 AS dropped,
+           CAST(CASE WHEN d > 2000 THEN d * (d - 1) / 2 ELSE 0 END
+                AS BIGINT) AS n_pairs_avoided
+    FROM cd
+    ORDER BY degree DESC, counterparty
+    LIMIT 100
+    """,
+)
+def collusion_hub_report_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Truncation-report twin of the capped collusion screens
+    (operators/cooccur.py::counterparty_hub_report — the
+    minhash_bucket_report discipline, VERDICT r12 item 1): the top-100
+    supplier counterparties by customer degree, each with its share of
+    the Σdeg² pair fan-out (C(d,2)) and whether the registered
+    screens' ``max_counterparty_degree=2000`` cap drops it, with the
+    pairs avoided when it does. On the hub-free driver data every row
+    reads dropped=false / avoided=0 — the HONEST report that the cap
+    did not bite (a silent cap would read as full coverage even when
+    it truncated). One keyed count, no pair expansion."""
+    from ..operators.cooccur import counterparty_hub_report
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("entity"),
+        F.col("l_suppkey").alias("counterparty"),
+    )
+    return counterparty_hub_report(
+        edges, "entity", "counterparty", max_counterparty_degree=2000, top_k=100
+    )
+
+
+@query("collusion_pairs_lsh_customers")
+def collusion_pairs_lsh_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash-LSH leg of the collusion-pair screen
+    (operators/cooccur.py::shared_counterparty_pairs_lsh, VERDICT r12
+    item 1): candidate pairs from 32×2 banded MinHash over supplier
+    sets, exact-verified (precision 1) at Jaccard ≥ ½ — the scale
+    path when counterparty degrees are uniformly high and the Σdeg²
+    self-join floor can't be capped away. Rows-only at the driver by
+    design: output is exact for every surfaced pair but RECALL is
+    approximate (a qualifying pair missed by every band), so a value
+    oracle would over-claim — the recall pytest
+    (tests/test_fraud_stats.py) measures it against the exact screen,
+    the ANN/IVF/PQ discipline."""
+    from ..operators.cooccur import shared_counterparty_pairs_lsh
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("entity"),
+        F.col("l_suppkey").alias("counterparty"),
+    )
+    return shared_counterparty_pairs_lsh(
+        edges, "entity", "counterparty", min_shared=2, jaccard_num=1, jaccard_den=2
     )
 
 
 @query(
     "collusion_rings_customers",
     oracle="""
-    WITH RECURSIVE e AS (
+    WITH RECURSIVE e0 AS (
       SELECT DISTINCT o.o_custkey AS en, l.l_suppkey AS cp
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    cd AS (SELECT cp, count(*) AS d FROM e0 GROUP BY cp),
+    e AS (SELECT e0.en, e0.cp FROM e0 JOIN cd ON cd.cp = e0.cp
+          WHERE cd.d <= 2000),
     deg AS (SELECT en, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY en),
     pairs AS (
       SELECT x.en AS ea, y.en AS eb, CAST(count(*) AS BIGINT) AS ns
@@ -3952,6 +4046,7 @@ def collusion_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER (PARTITION BY ring_id) AS BIGINT) AS ring_size
     FROM comp ORDER BY entity
     """,
+    bench=True,
 )
 def collusion_rings_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collusion RINGS (operators/cooccur.py::shared_counterparty_rings):
@@ -3960,10 +4055,13 @@ def collusion_rings_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     suspect edges, and the connected components of that pair graph are
     the rings — a shell network is a COMPONENT, not a pair list (13
     suspect edges at sf0.01 resolve into the actual groups). The pair
-    leg shares collusion_pairs_customers' Σdeg² cost profile; the
-    component leg is large-star/small-star over a tiny-by-construction
-    graph. Oracle: the thresholded pair SQL + the recursive-closure
-    CC twin (the scc_parts discipline), exact end to end."""
+    leg shares collusion_pairs_customers' Σdeg² cost profile AND its
+    shipped-on ``max_counterparty_degree=2000`` cap (same oracle CTE,
+    same hub-report twin — see collusion_pairs_customers for the
+    SF-invariance argument); the component leg is
+    large-star/small-star over a tiny-by-construction graph. Oracle:
+    the capped + thresholded pair SQL + the recursive-closure CC twin
+    (the scc_parts discipline), exact end to end."""
     from ..operators.cooccur import shared_counterparty_rings
 
     o = read_table(spark, sf_dir, "orders")
@@ -3973,7 +4071,13 @@ def collusion_rings_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("counterparty"),
     )
     return shared_counterparty_rings(
-        edges, "entity", "counterparty", min_shared=2, jaccard_num=1, jaccard_den=2
+        edges,
+        "entity",
+        "counterparty",
+        min_shared=2,
+        jaccard_num=1,
+        jaccard_den=2,
+        max_counterparty_degree=2000,
     )
 
 
@@ -4180,7 +4284,7 @@ def _k_truss_ctes(k: int, rounds: int, pre: str = "") -> tuple:
     return ctes, p, f"{pre}sf"
 
 
-@query("k_truss_parts", oracle=_k_truss_oracle_sql(12, 7))
+@query("k_truss_parts", oracle=_k_truss_oracle_sql(12, 7), bench=True)
 def k_truss_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """12-truss of the part co-order graph (operators/graph.py::
     k_truss — synchronous support peeling over the degree-ordered

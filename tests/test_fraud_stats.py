@@ -450,6 +450,162 @@ class TestSharedCounterpartyPairs:
         assert all(r["jaccard"] == 1.0 for r in out)
 
 
+class TestCollusionCapAndReport:
+    """VERDICT r12 item 1: the stop-counterparty cap ships ON in the
+    registered screens, with the hub-report truncation twin (the
+    minhash_bucket_report discipline)."""
+
+    # one hub (999) every entity pays, plus honest pairwise structure:
+    # (1,2) share {10,11}; (5,6) share ONLY {999, 50} so the pair
+    # qualifies uncapped (n_shared=2) but dies with the hub dropped
+    _HUB_ROWS = (
+        [(e, 999) for e in (1, 2, 3, 4, 5, 6)]
+        + [(1, 10), (1, 11), (2, 10), (2, 11)]
+        + [(5, 50), (6, 50), (3, 30), (4, 40)]
+    )
+
+    def test_cap_drops_hub_witnessed_pairs(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_pairs,
+        )
+
+        df = spark.createDataFrame(
+            self._HUB_ROWS, "entity long, counterparty long"
+        )
+        un = {
+            (r["entity_a"], r["entity_b"])
+            for r in shared_counterparty_pairs(df, min_shared=2, top_k=100).collect()
+        }
+        assert (5, 6) in un and (1, 2) in un
+        capped = {
+            (r["entity_a"], r["entity_b"]): r
+            for r in shared_counterparty_pairs(
+                df, min_shared=2, top_k=100, max_counterparty_degree=5
+            ).collect()
+        }
+        # hub gone: (5,6) no longer shares 2; (1,2) survives on {10,11}
+        assert set(capped) == {(1, 2)}
+        r = capped[(1, 2)]
+        # degrees exclude the dropped hub edge
+        assert r["deg_a"] == 2 and r["deg_b"] == 2 and r["jaccard"] == 1.0
+
+    def test_hub_report_flags_and_pair_accounting(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            counterparty_hub_report,
+        )
+
+        df = spark.createDataFrame(
+            self._HUB_ROWS, "entity long, counterparty long"
+        )
+        rep = {
+            r["counterparty"]: r
+            for r in counterparty_hub_report(
+                df, max_counterparty_degree=5, top_k=100
+            ).collect()
+        }
+        hub = rep[999]
+        assert hub["degree"] == 6 and hub["n_pairs_witnessed"] == 15
+        assert hub["dropped"] and hub["n_pairs_avoided"] == 15
+        for cp in (10, 11, 50):
+            assert rep[cp]["degree"] == 2 and not rep[cp]["dropped"]
+            assert rep[cp]["n_pairs_witnessed"] == 1
+            assert rep[cp]["n_pairs_avoided"] == 0
+        # dropped hubs lead the (degree desc) ordering by construction
+        first = counterparty_hub_report(
+            df, max_counterparty_degree=5, top_k=100
+        ).collect()[0]
+        assert first["counterparty"] == 999
+
+    def test_registered_cap_is_a_noop_on_hub_free_driver_data(
+        self, spark, sf_dir
+    ):
+        """Pins the docstring claim: supplier degree is SF-invariant
+        (~600) so the shipped cap=2000 never bites on the driver
+        tables — the capped registered query is bit-identical to the
+        uncapped exact screen."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_pairs,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            queries,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+            read_table,
+        )
+        import pyspark.sql.functions as F
+
+        got = queries()["collusion_pairs_customers"](spark, sf_dir).collect()
+        o = read_table(spark, sf_dir, "orders")
+        li = read_table(spark, sf_dir, "lineitem")
+        edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            F.col("o_custkey").alias("entity"),
+            F.col("l_suppkey").alias("counterparty"),
+        )
+        want = shared_counterparty_pairs(
+            edges, min_shared=2, top_k=100, max_counterparty_degree=None
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+class TestCollusionLsh:
+    def test_precision_one_and_recall_vs_exact(self, spark, sf_dir):
+        """The LSH leg surfaces ONLY true (J >= 1/2, shared >= 2)
+        pairs with exact-verified values (precision 1); recall is
+        measured against the exact screen's thresholded output —
+        deterministic (xxhash64 banding, no RNG), expected ~1 at
+        j >= 0.5 with 32x2 bands (collision prob 1-(1-j^2)^32)."""
+        import pyspark.sql.functions as F
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_pairs,
+            shared_counterparty_pairs_lsh,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+            read_table,
+        )
+
+        o = read_table(spark, sf_dir, "orders")
+        li = read_table(spark, sf_dir, "lineitem")
+        edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            F.col("o_custkey").alias("entity"),
+            F.col("l_suppkey").alias("counterparty"),
+        )
+        exact = {
+            (r["entity_a"], r["entity_b"]): tuple(r)
+            for r in shared_counterparty_pairs(
+                edges, min_shared=2, top_k=10**9
+            ).collect()
+            if 2 * r["n_shared"] >= r["n_union"]
+        }
+        got = {
+            (r["entity_a"], r["entity_b"]): tuple(r)
+            for r in shared_counterparty_pairs_lsh(
+                edges, min_shared=2, jaccard_num=1, jaccard_den=2
+            ).collect()
+        }
+        # precision 1: every surfaced pair is a true pair, values exact
+        for k, v in got.items():
+            assert k in exact and v == exact[k]
+        if exact:
+            recall = len(got) / len(exact)
+            assert recall >= 0.9, (len(got), len(exact))
+
+    def test_lsh_hand_fixture_identical_sets_collide(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_pairs_lsh,
+        )
+
+        # identical sets (J=1) collide in EVERY band — guaranteed hit;
+        # the disjoint third entity can never be verified in
+        rows = [(1, c) for c in (10, 11, 12)] + [
+            (2, c) for c in (10, 11, 12)
+        ] + [(3, c) for c in (90, 91, 92)]
+        df = spark.createDataFrame(rows, "entity long, counterparty long")
+        out = shared_counterparty_pairs_lsh(df, min_shared=2).collect()
+        assert [(r["entity_a"], r["entity_b"]) for r in out] == [(1, 2)]
+        assert out[0]["jaccard"] == 1.0 and out[0]["n_shared"] == 3
+
+
 class TestPeerGroupOutliers:
     def test_hand_computed_leave_one_out(self, spark):
         import math
