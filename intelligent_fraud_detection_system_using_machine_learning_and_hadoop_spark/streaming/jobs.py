@@ -1131,37 +1131,114 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def _make_incremental_agg_fold(spark: SparkSession, state: dict):
+class _ParquetFoldState:
+    """Executor/disk-resident state store for foreachBatch additive
+    folds (VERDICT r12 item 3: state residence). Replaces the
+    driver-resident ``delta.collect()`` dict the MV / attribution /
+    structuring / peer-outlier / incremental-CC folds used to carry:
+    the running state is a PARQUET SNAPSHOT, one versioned directory
+    per applied batch id, committed by Spark's own ``_SUCCESS`` marker
+    — so per-batch merges are distributed DataFrame work end-to-end
+    and NO per-entity row ever transits the driver (the pytest at
+    tests/test_ml_streaming.py asserts exactly that). This is the
+    plain-parquet form of the Delta/state-table pattern the verdict
+    prescribes; ``merge_upsert`` is the right tool for keyed upserts,
+    but these folds are pure additive groupBy merges, for which
+    snapshot-out = groupBy(prev ∪ delta) is the exact algebra.
+
+    Exactly-once under foreachBatch's at-least-once retries comes out
+    STRONGER than the in-memory guard it replaces: the last applied
+    batch id IS the latest committed snapshot version, so (a) a replay
+    of an applied batch sees ``last_batch() >= batch_id`` and no-ops,
+    (b) a crash mid-write leaves a version directory without
+    ``_SUCCESS`` that ``last_batch()`` ignores — the same-id retry
+    redoes the work against the previous committed snapshot, and (c)
+    both guard and state now survive a driver restart (the dict
+    guard's weakness). Superseded snapshots are pruned after each
+    commit, so disk holds ≤ 2 versions (current + the uncommitted
+    scratch of a writing batch).
+
+    100 TB shape: state is |entities| rows in parquet, read and merged
+    by the cluster; the per-batch groupBy merge shuffles state once —
+    a deployment would bucket the state table on the key (or use a
+    Delta MERGE) to make that co-located, which changes none of the
+    fold algebra here."""
+
+    def __init__(self, spark: SparkSession, prefix: str):
+        import tempfile
+
+        self._spark = spark
+        self.dir = tempfile.mkdtemp(prefix=f"ifds_fold_state_{prefix}_")
+
+    def _committed(self) -> list[int]:
+        return sorted(
+            int(name[1:])
+            for name in os.listdir(self.dir)
+            if name.startswith("v")
+            and os.path.exists(os.path.join(self.dir, name, "_SUCCESS"))
+        )
+
+    def last_batch(self) -> int:
+        vs = self._committed()
+        return vs[-1] if vs else -1
+
+    def read(self) -> DataFrame | None:
+        """Latest committed snapshot, or None before the first commit."""
+        b = self.last_batch()
+        if b < 0:
+            return None
+        return self._spark.read.parquet(os.path.join(self.dir, f"v{b}"))
+
+    def write(self, df: DataFrame, batch_id: int) -> None:
+        """Commit ``df`` as the post-``batch_id`` snapshot, then prune
+        superseded versions (best-effort; stale dirs are harmless)."""
+        import shutil
+
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.dir, f"v{batch_id}")
+        )
+        for v in self._committed():
+            if v < batch_id:
+                shutil.rmtree(
+                    os.path.join(self.dir, f"v{v}"), ignore_errors=True
+                )
+
+    def read_or_empty(self, schema: str) -> DataFrame:
+        """Latest committed snapshot, or an empty frame with the fold's
+        state schema — for drains where no batch carried state-changing
+        rows (e.g. a conversion-free attribution stream)."""
+        df = self.read()
+        return df if df is not None else self._spark.createDataFrame([], schema)
+
+
+def _make_incremental_agg_fold(spark: SparkSession, state: _ParquetFoldState):
     """The foreachBatch fold for ``stream_incremental_agg``, factored
     out so the crash-replay contract is directly testable.
 
     foreachBatch is AT-LEAST-ONCE on failure: a crashed batch is
     re-invoked with the SAME batch_id. Additive state folding becomes
-    exactly-once the standard way — record the last applied id in the
-    state and skip replays (tests/test_ml_streaming.py pins that a
-    same-id re-invocation is a no-op)."""
+    exactly-once the standard way — here the last applied id IS the
+    latest committed snapshot version in the ``_ParquetFoldState``
+    store, so replays skip and crashed writes retry without any
+    driver-held guard (tests/test_ml_streaming.py pins both). State
+    residence contract: the |keys|-row running aggregate lives as a
+    parquet snapshot merged by a distributed groupBy — the driver
+    never collects a state row."""
     from ..operators.incremental_agg import agg_state, merge_agg_state
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= state["last_batch"]:
+        if batch_id <= state.last_batch():
             return
         if batch_df.isEmpty():
-            state["last_batch"] = batch_id
             return
         delta = agg_state(batch_df, ["event_type"], "value")
-        if state["df"] is None:
-            merged = delta
-        else:
-            prev = spark.createDataFrame(state["df"], delta.schema)
-            merged = merge_agg_state(prev, delta, ["event_type"])
-        # |keys| rows by construction — the collect is state-sized,
-        # never batch- or history-sized
-        state["df"] = merged.collect()
-        # Record the applied id LAST: if the merge/collect above throws,
-        # the at-least-once re-invocation with the same batch_id must
-        # retry the work, not skip it (recording first would silently
-        # drop the batch — at-most-once, not exactly-once).
-        state["last_batch"] = batch_id
+        prev = state.read()
+        merged = delta if prev is None else merge_agg_state(prev, delta, ["event_type"])
+        # Committing the snapshot records the applied id ATOMICALLY
+        # with the state update (_SUCCESS marker): if the merge/write
+        # throws, the at-least-once re-invocation with the same
+        # batch_id retries against the previous committed snapshot.
+        state.write(merged, batch_id)
 
     return fold
 
@@ -1177,13 +1254,15 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str, n_files: int = 8) -
     foreachBatch's at-least-once retry contract via the last-applied
     batch_id guard (``_make_incremental_agg_fold``).
 
-    State is held as a DataFrame re-merged per batch (here collected to
-    a local list between batches — the state is |keys| rows by
-    construction; a deployment would write it to a bucketed table).
-    Over a drained availableNow stream the final state must equal the
-    full-table aggregation EXACTLY (the algebra's merge property, which
-    the integer-cent sums make bit-true) — the oracle attests that."""
-    from ..operators.incremental_agg import agg_state, finalize, merge_agg_state
+    State residence (VERDICT r12 item 3): the |keys|-row running
+    aggregate lives as a committed parquet snapshot
+    (``_ParquetFoldState``), merged per batch by a distributed
+    groupBy — no driver collect of state, and both the state and the
+    exactly-once replay guard survive a driver restart. Over a drained
+    availableNow stream the final state must equal the full-table
+    aggregation EXACTLY (the algebra's merge property, which the
+    integer-cent sums make bit-true) — the oracle attests that."""
+    from ..operators.incremental_agg import finalize
     from ..sources.readers import normalize_event_ts
 
     src = _events_multifile_dir(spark, sf_dir, n_files)
@@ -1194,34 +1273,37 @@ def stream_incremental_agg(spark: SparkSession, sf_dir: str, n_files: int = 8) -
         .parquet(src)
     )
 
-    state: dict = {"df": None, "last_batch": -1}
+    state = _ParquetFoldState(spark, "mv")
     fold = _make_incremental_agg_fold(spark, state)
 
     q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
     q.awaitTermination()
-    final = spark.createDataFrame(
-        state["df"],
+    final = state.read_or_empty(
         "event_type string, n_rows long, sum_cents long, "
-        "min_value double, max_value double",
+        "min_value double, max_value double"
     )
     return finalize(final).orderBy("event_type")
 
 
-def _make_attribution_fold(spark: SparkSession, state: dict, touches: DataFrame):
+def _make_attribution_fold(
+    spark: SparkSession, state: _ParquetFoldState, touches: DataFrame
+):
     """The foreachBatch fold for ``stream_attribution``, factored out
     so the crash-replay contract is directly testable: a same-batch_id
     re-invocation (foreachBatch's at-least-once failure mode) must be
-    a no-op on the additive credit state."""
+    a no-op on the additive credit state. State residence: the
+    |touch types|-row credit state is a committed parquet snapshot
+    (``_ParquetFoldState``) merged by a distributed groupBy — no
+    driver collect; the commit marker is the replay guard."""
     from pyspark.sql import functions as F
 
     from ..operators.funnel import linear_attribution
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= state["last_batch"]:
+        if batch_id <= state.last_batch():
             return
         convs = batch_df.where(F.col("event_type") == "purchase")
         if convs.isEmpty():
-            state["last_batch"] = batch_id
             return
         delta = linear_attribution(
             touches.unionByName(convs.select(*touches.columns)),
@@ -1229,10 +1311,10 @@ def _make_attribution_fold(spark: SparkSession, state: dict, touches: DataFrame)
             ["view", "click"],
             raw=True,
         )
-        if not state["rows"]:
+        prev = state.read()
+        if prev is None:
             merged = delta
         else:
-            prev = spark.createDataFrame(state["rows"], delta.schema)
             merged = (
                 prev.unionByName(delta)
                 .groupBy("touch_type")
@@ -1243,11 +1325,10 @@ def _make_attribution_fold(spark: SparkSession, state: dict, touches: DataFrame)
                     F.sum("_cc_q").cast("long").alias("_cc_q"),
                 )
             )
-        state["rows"] = merged.collect()
-        # Record the applied id only after the state update succeeds
-        # (see _make_incremental_agg_fold): a mid-batch failure must be
-        # retried on the same-id re-invocation, not skipped.
-        state["last_batch"] = batch_id
+        # Committing the snapshot records the applied id atomically
+        # with the state update — a mid-batch failure is retried on
+        # the same-id re-invocation, never skipped.
+        state.write(merged, batch_id)
 
     return fold
 
@@ -1263,7 +1344,9 @@ def stream_attribution(
     batch that carries it), and the per-touch-type integer credit rows
     fold additively into running state inside ``foreachBatch`` (the
     stream_incremental_agg discipline: state is |touch types| rows,
-    history never re-scanned, the between-batch collect is state-sized).
+    history never re-scanned, and — VERDICT r12 item 3 — the state
+    lives as a committed parquet snapshot merged distributedly, never
+    collected to the driver).
 
     Every state column is an exact BIGINT that ADDS across the disjoint
     conversion partition — so over a drained availableNow stream the
@@ -1287,18 +1370,16 @@ def stream_attribution(
         .parquet(src)
     )
 
-    # [] (not None): a conversion-free stream must degrade to an empty
-    # result like the batch twin (tests/test_empty_inputs.py), and
-    # createDataFrame(None, schema) would raise instead.
-    state: dict = {"rows": [], "last_batch": -1}
+    state = _ParquetFoldState(spark, "attr")
     fold = _make_attribution_fold(spark, state, touches)
 
     q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
     q.awaitTermination()
-    final = spark.createDataFrame(
-        state["rows"],
+    # read_or_empty: a conversion-free stream must degrade to an empty
+    # result like the batch twin (tests/test_empty_inputs.py)
+    final = state.read_or_empty(
         "touch_type string, n_touches long, n_conversions long, "
-        "_cv_q long, _cc_q long",
+        "_cv_q long, _cc_q long"
     )
     return final.select(
         "touch_type",
@@ -1406,7 +1487,7 @@ def _lineitem_multifile_by_order_dir(
     return out
 
 
-def _make_incremental_cc_fold(spark: SparkSession, state: dict):
+def _make_incremental_cc_fold(spark: SparkSession, state: _ParquetFoldState):
     """foreachBatch fold for ``stream_incremental_cc``: maintains the
     connected-components labeling of the part co-order graph as edge
     batches arrive, WITHOUT ever re-reading old edges — the classic
@@ -1415,15 +1496,18 @@ def _make_incremental_cc_fold(spark: SparkSession, state: dict):
     star edges) reproduces exactly the components of everything seen,
     at per-batch cost ∝ |V| + |batch|, not Σ|batches|.
 
-    Exactly-once under foreachBatch's at-least-once replay: the
-    last-applied batch_id is recorded only AFTER the state update (the
-    r9-ADVICE contract shared by the MV and attribution folds)."""
+    Exactly-once under foreachBatch's at-least-once replay AND state
+    residence (VERDICT r12 item 3) come from the ``_ParquetFoldState``
+    commit marker: the |V|-row star forest lives as a committed
+    parquet snapshot joined distributedly per batch — the driver never
+    collects a state row (the r12 form collected the labeling between
+    batches)."""
     from pyspark.sql import functions as F
 
     from ..operators.graph import connected_components
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= state["last_batch"]:
+        if batch_id <= state.last_batch():
             return
         edges = (
             batch_df.groupBy("l_orderkey")
@@ -1439,20 +1523,19 @@ def _make_incremental_cc_fold(spark: SparkSession, state: dict):
             )
             .select(F.col("p.u").alias("id_a"), F.col("p.v").alias("id_b"))
         )  # no .distinct() here — connected_components canonicalizes
-        if state["rows"]:
-            prev = spark.createDataFrame(
-                state["rows"], "id_a long, id_b long"
+        prev = state.read()
+        if prev is not None:
+            # the committed labeling IS a spanning star forest — feed
+            # it back as (component, id) edges
+            edges = edges.unionByName(
+                prev.select(
+                    F.col("component").alias("id_a"), F.col("id").alias("id_b")
+                )
             )
-            edges = edges.unionByName(prev)
         if edges.isEmpty():
-            state["last_batch"] = batch_id
             return
         labels = connected_components(edges, "id_a", "id_b")
-        # |V|-row star forest (component, member) — state-sized collect
-        state["rows"] = [
-            (r["component"], r["id"]) for r in labels.collect()
-        ]
-        state["last_batch"] = batch_id
+        state.write(labels.select("id", "component"), batch_id)
 
     return fold
 
@@ -1481,11 +1564,11 @@ def stream_incremental_cc(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    state: dict = {"rows": [], "last_batch": -1}
+    state = _ParquetFoldState(spark, "cc")
     fold = _make_incremental_cc_fold(spark, state)
     q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
     q.awaitTermination()
-    final = spark.createDataFrame(state["rows"], "component long, id long")
+    final = state.read_or_empty("id long, component long")
     return final.select("id", "component").orderBy("id")
 
 
@@ -1579,8 +1662,11 @@ def stream_structuring(
     cross-multiplied flags compute ONCE on the drained state with the
     identical tail as the batch operator, so drained availableNow
     equals ``structuring_orders`` bit-for-bit — which the SHARED
-    oracle attests. Exactly-once under retries via the last-applied
-    batch_id guard."""
+    oracle attests. State residence (VERDICT r12 item 3): the
+    |entities|-row count-triple state is a committed parquet snapshot
+    (``_ParquetFoldState``) merged by a distributed groupBy — no
+    driver collect of per-entity state, and the commit marker doubles
+    as the exactly-once replay guard."""
     from pyspark.sql import functions as F
 
     src = _orders_multifile_dir(spark, sf_dir, n_files)
@@ -1590,12 +1676,12 @@ def stream_structuring(
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    state: dict = {"rows": [], "last_batch": -1}
+    state = _ParquetFoldState(spark, "structuring")
     schema = "entity long, n_amounts long, band_hits long, round_hits long"
     lo, hi, mod = 45_000_00, 50_000_00, 100
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= state["last_batch"]:
+        if batch_id <= state.last_batch():
             return
         cents = F.round(F.col("o_totalprice") * 100).cast("long")
         delta = (
@@ -1616,8 +1702,8 @@ def stream_structuring(
                 .alias("round_hits"),
             )
         )
-        if state["rows"]:
-            prev = spark.createDataFrame(state["rows"], schema)
+        prev = state.read()
+        if prev is not None:
             delta = (
                 prev.unionByName(delta)
                 .groupBy("entity")
@@ -1627,14 +1713,11 @@ def stream_structuring(
                     F.sum("round_hits").cast("long").alias("round_hits"),
                 )
             )
-        state["rows"] = delta.collect()
-        state["last_batch"] = batch_id
+        state.write(delta, batch_id)
 
     q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
     q.awaitTermination()
-    per = spark.createDataFrame(state["rows"], schema).where(
-        F.col("n_amounts") >= 5
-    )
+    per = state.read_or_empty(schema).where(F.col("n_amounts") >= 5)
     # identical finish as operators/fraud_stats.py::amount_structuring:
     # |entities|-row base-rate reduce + exact cross-multiplied flags
     glob = per.agg(
@@ -1834,7 +1917,11 @@ def stream_peer_outliers(
     peer_group_outliers' finish, inlined with the identical expression
     tree) run once on the drained state. Drained availableNow ≡ the
     batch ``peer_outlier_customers`` bit-for-bit — attested by the
-    SHARED oracle. Exactly-once via the last-applied batch_id guard."""
+    SHARED oracle. State residence (VERDICT r12 item 3): the
+    |entities|-row moment state is a committed parquet snapshot
+    (``_ParquetFoldState``) merged by a distributed groupBy — no
+    driver collect of per-entity state; the commit marker doubles as
+    the exactly-once replay guard."""
     from pyspark.sql import functions as F
 
     src = _orders_multifile_dir(spark, sf_dir, n_files)
@@ -1847,13 +1934,13 @@ def stream_peer_outliers(
     cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
         "c_custkey", "c_nationkey"
     )
-    state: dict = {"rows": [], "last_batch": -1}
+    state = _ParquetFoldState(spark, "peer")
     schema = (
         "entity long, peer int, n_e long, s_e decimal(38,0), ss_e decimal(38,0)"
     )
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= state["last_batch"]:
+        if batch_id <= state.last_batch():
             return
         cents = F.round(F.col("o_totalprice") * 100).cast("long")
         delta = (
@@ -1875,8 +1962,8 @@ def stream_peer_outliers(
                 .alias("ss_e"),
             )
         )
-        if state["rows"]:
-            prev = spark.createDataFrame(state["rows"], schema)
+        prev = state.read()
+        if prev is not None:
             delta = (
                 prev.unionByName(delta)
                 .groupBy("entity", "peer")
@@ -1886,12 +1973,11 @@ def stream_peer_outliers(
                     F.sum("ss_e").cast("decimal(38,0)").alias("ss_e"),
                 )
             )
-        state["rows"] = delta.collect()
-        state["last_batch"] = batch_id
+        state.write(delta, batch_id)
 
     q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
     q.awaitTermination()
-    per = spark.createDataFrame(state["rows"], schema)
+    per = state.read_or_empty(schema)
     # identical finish as peer_group_outliers (min_peers=10, |z| > 3)
     d38 = "decimal(38,0)"
     grp = per.groupBy("peer").agg(
