@@ -39,6 +39,14 @@ from pyspark.sql import functions as F
 #: DOUBLE, not DECIMAL).
 BENFORD_P = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
 
+#: chi-square(8 df) 0.99 critical value, pinned identically on both
+#: engine sides of the composed risk reports (the comparison operand —
+#: not the statistic — so any shared literal works). Lives here so the
+#: batch query (plans/data_ops.py) and the streaming twin
+#: (streaming/jobs.py) share one definition without a plans<->streaming
+#: import cycle.
+CHI2_8DF_99 = 20.0902
+
 
 def benford_profile(
     df: DataFrame,

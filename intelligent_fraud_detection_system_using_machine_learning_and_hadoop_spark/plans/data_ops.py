@@ -7326,10 +7326,10 @@ def lorenz_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lorenz_concentration(per, "o_custkey", "cents", 10)
 
 
-#: chi-square(8 df) 0.99 critical value, pinned identically on both
-#: engine sides (the comparison operand — not the statistic — so any
-#: shared literal works; exponent form per the DuckDB-decimal rule).
-_CHI2_8DF_99 = 20.0902
+#: chi-square(8 df) 0.99 critical value — canonical definition moved to
+#: operators/fraud_stats.py::CHI2_8DF_99 so the streaming twin shares
+#: it; aliased here for the oracle f-string and the batch query.
+from ..operators.fraud_stats import CHI2_8DF_99 as _CHI2_8DF_99  # noqa: E402
 
 
 def _fraud_risk_oracle() -> str:

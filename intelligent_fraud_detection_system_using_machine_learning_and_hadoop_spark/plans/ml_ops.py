@@ -335,6 +335,31 @@ REGISTRY["streaming_peer_outlier_orders"] = REGISTRY[
 )
 
 
+@query("streaming_fraud_risk_report", oracle=None)
+def streaming_fraud_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED per-entity fraud-risk report as a live stream
+    (streaming/jobs.py::stream_fraud_risk_report, VERDICT r12 item 4):
+    one events feed, one applyInPandasWithState pass folding the
+    velocity trailing-window slice + rollups, the burstiness gap
+    moments, and the Benford digit counts per entity simultaneously;
+    verdicts computed once on the drained state with the batch
+    report's identical pinned expression trees. Drained availableNow ≡
+    the batch ``fraud_risk_report_events`` bit-for-bit — attested by
+    the SHARED full-chain oracle."""
+    from ..streaming.jobs import stream_fraud_risk_report
+
+    return stream_fraud_risk_report(spark, sf_dir)
+
+
+REGISTRY["streaming_fraud_risk_report"] = REGISTRY[
+    "streaming_fraud_risk_report"
+].__class__(
+    builder=REGISTRY["streaming_fraud_risk_report"].builder,
+    oracle=REGISTRY["fraud_risk_report_events"].oracle,
+    bench=False,
+)
+
+
 @query("streaming_dormancy_orders", oracle=None)
 def streaming_dormancy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dormancy-reactivation screen as a live ledger stream

@@ -2002,3 +2002,263 @@ def stream_peer_outliers(
         z.alias("z"),
         F.coalesce(F.abs(z) > F.lit(3.0), F.lit(False)).alias("outlier_flag"),
     )
+
+
+def stream_fraud_risk_report(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    window_seconds: int = 3600,
+    count_threshold: int = 3,
+    cents_threshold: int = 200_00,
+) -> DataFrame:
+    """STREAMING composed fraud-risk report (VERDICT r12 item 4): the
+    operator a live deployment would actually run — ONE events-ledger
+    feed, and per entity a SINGLE ``applyInPandasWithState`` pass
+    folds all three screens' sufficient statistics simultaneously:
+
+    * VELOCITY — the trailing-hour (second, cents) slice (exactly the
+      ``stream_velocity_flags`` state and tie-group walk) plus the
+      three rollups the report keeps: events whose trailing count /
+      cents crossed the thresholds, and the peak trailing cents.
+      Aggregated ON ARRIVAL — exact because the ordered source
+      delivers complete windows at processing time (tie seconds never
+      split across batches);
+    * BURSTINESS — (n_gaps, Σgap, Σgap² hi/lo-split to dodge int64)
+      plus the entity's last second for the cross-batch bridge gap;
+      gap values depend only on the sorted second sequence, so
+      in-order arrival makes the fold exact;
+    * BENFORD — the nine leading-digit counts of positive cents.
+
+    Each batch emits the entity's updated fold (state-row sized, all
+    additive); the drained finish keeps the LATEST emission per
+    entity (n_events is strictly monotone — the
+    stream_user_stats_stateful discipline) and computes the batch
+    report's IDENTICAL pinned expression trees: the burstiness
+    decimal moment tail (operators/fraud_stats.py::
+    interevent_burstiness's spelling), the Benford chi-square via the
+    shared ``benford_from_counts``, and the same flag / score /
+    verdict combine — so drained availableNow equals the batch
+    ``fraud_risk_report_events`` BIT-FOR-BIT, attested by the SHARED
+    full-chain oracle.
+
+    State residence: per-entity state lives in the streaming state
+    store (executor-resident, keyed shuffle per batch), size
+    O(events-per-entity-per-hour) + 15 scalars — never history; the
+    drained tail touches only |entities|-row emissions."""
+    import pandas as pd
+    from pyspark.sql import Window, types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.fraud_stats import CHI2_8DF_99, benford_from_counts
+
+    stream = _ordered_events_source(spark, sf_dir, n_files).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("epoch_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_velocity_events", T.LongType()),
+            T.StructField("n_spend_events", T.LongType()),
+            T.StructField("max_cents_trailing", T.LongType()),
+            T.StructField("n_gaps", T.LongType()),
+            T.StructField("sg", T.LongType()),
+            T.StructField("ss_hi", T.LongType()),
+            T.StructField("ss_lo", T.LongType()),
+            T.StructField("digits", T.ArrayType(T.LongType())),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_vel", T.LongType()),
+            T.StructField("n_spend", T.LongType()),
+            T.StructField("max_ctr", T.LongType()),
+            T.StructField("epochs", T.ArrayType(T.LongType())),
+            T.StructField("cents_tr", T.ArrayType(T.LongType())),
+            T.StructField("last_s", T.LongType()),
+            T.StructField("n_gaps", T.LongType()),
+            T.StructField("sg", T.LongType()),
+            T.StructField("ss_hi", T.LongType()),
+            T.StructField("ss_lo", T.LongType()),
+            T.StructField("digits", T.ArrayType(T.LongType())),
+        ]
+    )
+    _SPLIT = 1 << 62
+
+    def update(key_, pdf_iter, state: GroupState):
+        if state.exists:
+            (
+                n_ev, n_vel, n_sp, max_ctr, epochs, cents_tr, last_s,
+                n_gaps, sg, ss_hi, ss_lo, digs,
+            ) = state.get
+            epochs, cents_tr, digs = list(epochs), list(cents_tr), list(digs)
+            ss = ss_hi * _SPLIT + ss_lo
+        else:
+            n_ev = n_vel = n_sp = 0
+            max_ctr = None
+            epochs, cents_tr, last_s = [], [], None
+            n_gaps = sg = ss = 0
+            digs = [0] * 9
+        # concat the whole iterator before ONE sort (the ADVICE r12
+        # chunk-boundary contract shared by every stateful walk here)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks and not state.exists:
+            return
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["epoch_s", "event_id"]
+            )
+            secs = pdf["epoch_s"].tolist()
+            cnts = pdf["cents"].tolist()
+            i = 0
+            while i < len(secs):
+                j = i
+                while j < len(secs) and secs[j] == secs[i]:
+                    j += 1
+                s = int(secs[i])
+                lo = s - window_seconds
+                k = 0
+                while k < len(epochs) and epochs[k] < lo:
+                    k += 1
+                if k:
+                    epochs, cents_tr = epochs[k:], cents_tr[k:]
+                tie_n = j - i
+                tie_c = sum(int(c) for c in cnts[i:j])
+                n_tr = len(epochs) + tie_n
+                c_tr = sum(cents_tr) + tie_c
+                if n_tr >= count_threshold:
+                    n_vel += tie_n
+                if c_tr >= cents_threshold:
+                    n_sp += tie_n
+                max_ctr = c_tr if max_ctr is None else max(max_ctr, c_tr)
+                for t in range(i, j):
+                    if last_s is not None:
+                        gap = s - last_s
+                        n_gaps += 1
+                        sg += gap
+                        ss += gap * gap
+                    last_s = s
+                    c = int(cnts[t])
+                    if c > 0:
+                        digs[int(str(c)[0]) - 1] += 1
+                n_ev += tie_n
+                epochs.extend([s] * tie_n)
+                cents_tr.extend(int(c) for c in cnts[i:j])
+                i = j
+        state.update(
+            (
+                n_ev, n_vel, n_sp, int(max_ctr), epochs, cents_tr,
+                int(last_s), n_gaps, sg, ss // _SPLIT, ss % _SPLIT, digs,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key_[0])],
+                "n_events": [n_ev],
+                "n_velocity_events": [n_vel],
+                "n_spend_events": [n_sp],
+                "max_cents_trailing": [int(max_ctr)],
+                "n_gaps": [n_gaps],
+                "sg": [sg],
+                "ss_hi": [ss // _SPLIT],
+                "ss_lo": [ss % _SPLIT],
+                "digits": [digs],
+            }
+        )
+
+    emitted = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"fraud_risk_sink_{next(_sink_ids)}"
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    st = (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    from ..cache import plan_key, swap_cache
+
+    st = swap_cache(plan_key(f"stream_fraud_risk.final:{name}", st), st)
+
+    # --- Benford leg: drained digit counts through the SHARED batch
+    # tail (benford_from_counts), then the batch query's digit==1 pick
+    obs = (
+        st.select("user_id", F.posexplode("digits").alias("pos", "n_obs"))
+        .where(F.col("n_obs") > 0)
+        .select(
+            F.col("user_id").alias("grp"),
+            (F.col("pos") + 1).cast("int").alias("digit"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+        )
+    )
+    ben = (
+        benford_from_counts(obs, "user_id")
+        .where(F.col("digit") == 1)
+        .select(
+            "user_id",
+            F.col("n_total").alias("benford_n"),
+            F.col("chi2").alias("benford_chi2"),
+        )
+    )
+
+    # --- burstiness tail: interevent_burstiness's exact decimal
+    # moment spelling, gated on the batch HAVING n_rows >= 3
+    d38 = "decimal(38,0)"
+    gate = F.col("n_events") >= 3
+    ss_dec = F.col("ss_hi").cast(d38) * F.lit(_SPLIT).cast(d38) + F.col(
+        "ss_lo"
+    ).cast(d38)
+    n_dec = F.col("n_gaps").cast(d38)
+    sg_dec = F.col("sg").cast(d38)
+    mu = F.col("sg").cast("double") / F.col("n_gaps").cast("double")
+    sd = F.sqrt((n_dec * ss_dec - sg_dec * sg_dec).cast("double")) / F.col(
+        "n_gaps"
+    ).cast("double")
+    burst = F.when(gate & (sd + mu > 0), (sd - mu) / (sd + mu))
+
+    rep = st.join(ben, "user_id", "left")
+    bot = gate & (burst.isNull() | (burst <= F.lit(-0.5)))
+    benf = F.coalesce(
+        (F.col("benford_n") >= 30)
+        & (F.col("benford_chi2") > F.lit(CHI2_8DF_99)),
+        F.lit(False),
+    )
+    score = (
+        (F.col("n_velocity_events") > 0).cast("long")
+        + (F.col("n_spend_events") > 0).cast("long")
+        + F.lit(2) * bot.cast("long")
+        + F.lit(2) * benf.cast("long")
+    )
+    return rep.select(
+        "user_id",
+        "n_events",
+        "n_velocity_events",
+        "n_spend_events",
+        "max_cents_trailing",
+        burst.alias("burstiness"),
+        bot.alias("bot_flag"),
+        "benford_chi2",
+        "benford_n",
+        benf.alias("benford_flag"),
+        score.cast("long").alias("risk_score"),
+        F.when(score >= 3, F.lit("high"))
+        .when(score >= 1, F.lit("review"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    ).orderBy("user_id")

@@ -990,3 +990,30 @@ class TestStreamingPeerOutlier:
             .collect()
         )
         assert got == want  # LOO moments and z doubles, row for row
+
+
+class TestStreamingFraudRiskReport:
+    def test_drained_equals_batch_full_chain(self, spark, sf_dir):
+        """VERDICT r12 item 4: the composed risk report streams — one
+        applyInPandasWithState pass folding velocity + burstiness +
+        Benford sufficient statistics, drained ≡ the batch full-chain
+        report bit-for-bit (every double: burstiness, benford_chi2;
+        every flag, score, verdict)."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+            stream_fraud_risk_report,
+        )
+
+        got = sorted(
+            tuple(r)
+            for r in stream_fraud_risk_report(spark, sf_dir, n_files=3).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in REGISTRY["fraud_risk_report_events"]
+            .builder(spark, sf_dir)
+            .collect()
+        )
+        assert got == want
