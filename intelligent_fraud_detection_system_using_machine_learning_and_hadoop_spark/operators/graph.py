@@ -1184,6 +1184,7 @@ def strongly_connected_components(
     max_inner: int = 256,
     broadcast_nodes: bool = False,
     driver_threshold: int = 100_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph, run to
     convergence — the circular-trading-ring primitive the fraud suite
@@ -1208,14 +1209,31 @@ def strongly_connected_components(
        label min instead of distance min; runs to its fixed point.
     3. BACKWARD pass: b(u) = the same over reversed edges (min id that
        reaches u).
-    4. ASSIGN: f(u) = b(u) = m certifies u ∈ SCC(m) (u reaches m and m
-       reaches u); conversely within one SCC both minima agree on
-       min(SCC) for its members whose two minima coincide — so the
-       assigned set is a union of COMPLETE SCCs, always including
-       SCC(min active id) (nothing smaller exists for either side to
-       see): every outer round makes progress and termination is
-       guaranteed in ≤ #SCC rounds, in practice the depth of the
-       condensation DAG after trimming.
+    4. ASSIGN — multi-pivot coloring (VERDICT r12 item 5; Orzan's
+       coloring step as scheduled in Slota et al.'s MultiStep, public
+       literature): the label classes of f partition the active nodes
+       (one class per ROOT m with f(m) = m — note m = min(SCC(m)),
+       since any smaller member would lower f(m)); within class C_m a
+       flag propagated from m along forward edges whose BOTH endpoints
+       carry label m marks exactly SCC(m) = {u ∈ C_m : m → u} (u → m
+       already from f(u) = m, and every intermediate node of an
+       m-to-C_m path provably stays in C_m, so the class restriction
+       loses nothing). The same step runs on b over reversed edges,
+       and both legs' assignments union (distinct — a doubly-rooted
+       SCC is found by both with the same id). EVERY root class
+       certifies a complete SCC per outer round, so the round count is
+       no longer the condensation depth: the r12 assignment
+       (f(u) = b(u) alone) certified exactly ONE ring per round on a
+       chain-of-rings fixture — 48 3-rings in a path needed 48 outer
+       rounds and raised past ``max_outer`` = 32 — while this coloring
+       assignment measured 1 outer round at BOTH chain orientations
+       (ids ascending and descending along the chain; differential
+       pytest tests/test_graph.py pins byte-equality and the round
+       count). The remaining depth-shaped cost is the INNER min-label
+       fixpoint when the global min sits at the condensation sink
+       (labels must traverse the chain — the frontier algorithms'
+       standard diameter bound, shared with BFS/shortest_paths; raise
+       ``max_inner`` for pathologically deep graphs).
 
     Scale shape: every step is a frontier⋈edges join plus a keyed min
     aggregation (map-side combinable) on the pre-partitioned edge
@@ -1308,6 +1326,8 @@ def strongly_connected_components(
         for n, c in comp.items():
             if c not in cmin or n < cmin[c]:
                 cmin[c] = n
+        if stats is not None:
+            stats["outer_rounds"] = 0  # driver fast path
         spark = edges.sparkSession
         return spark.createDataFrame(
             [(n, cmin[c]) for n, c in comp.items()],
@@ -1369,7 +1389,56 @@ def strongly_connected_components(
             f"scc label propagation did not converge in {max_inner} rounds"
         )
 
-    for _ in range(max_outer):
+    def _class_reach(
+        labels: DataFrame, edge_from: str, edge_to: str
+    ) -> DataFrame:
+        """The multi-pivot coloring assignment: flags spread from every
+        label-class ROOT (node == lbl) along ``edge_from``→``edge_to``
+        edges whose endpoints share the label — marking, per class in
+        parallel, exactly the root's complete SCC (see step 4 of the
+        docstring). Returns (node, scc_id)."""
+        lu = labels.select(
+            F.col("node").alias(edge_from), F.col("lbl").alias("_lf")
+        )
+        lv = labels.select(
+            F.col("node").alias(edge_to), F.col("lbl").alias("_lt")
+        )
+        ef = (
+            eact.join(_bc(lu), edge_from)
+            .join(_bc(lv), edge_to)
+            .where(F.col("_lf") == F.col("_lt"))
+            .select(
+                F.col(edge_from).alias("_from"),
+                F.col(edge_to).alias("_to"),
+                F.col("_lf").alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        marked = (
+            labels.where(F.col("node") == F.col("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = marked
+        for _ in range(max_inner):
+            nxt = (
+                ef.join(
+                    _bc(frontier.select(F.col("node").alias("_from"))),
+                    "_from",
+                )
+                .select(F.col("_to").alias("node"), "lbl")
+                .distinct()
+                .join(_bc(marked.select("node")), "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                return marked.select("node", F.col("lbl").alias("scc_id"))
+            marked = marked.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        raise RuntimeError(
+            f"scc class reach did not converge in {max_inner} rounds"
+        )
+
+    for _outer in range(max_outer):
         # --- trim to fixpoint: no-in or no-out nodes are singleton SCCs
         while True:
             has_out = eact.select(F.col("u").alias("node")).distinct()
@@ -1396,19 +1465,26 @@ def strongly_connected_components(
                 .localCheckpoint(eager=True)
             )
         if active.isEmpty():
+            if stats is not None:
+                stats["outer_rounds"] = _outer + 1
             return assigned
         # --- forward / backward min-reach fixed points
         f = _min_fixpoint("v", "u")  # pull from successors: min reachable
         b = _min_fixpoint("u", "v")  # pull from predecessors: min reaching
+        # --- multi-pivot coloring assignment: every f-root and b-root
+        # certifies its complete SCC this round (strict superset of the
+        # old f==b set: f(u)=b(u)=m implies u is forward-marked from m)
         done = (
-            f.join(b.withColumnRenamed("lbl", "_bl"), "node")
-            .where(F.col("lbl") == F.col("_bl"))
-            .select("node", F.col("lbl").alias("scc_id"))
+            _class_reach(f, "u", "v")
+            .unionByName(_class_reach(b, "v", "u"))
+            .distinct()
         )
         assigned = assigned.union(done).localCheckpoint(eager=True)
         active = active.join(_bc(done.select("node")), "node", "left_anti")
         active = active.localCheckpoint(eager=True)
         if active.isEmpty():
+            if stats is not None:
+                stats["outer_rounds"] = _outer + 1
             return assigned
         eact = (
             eact.join(

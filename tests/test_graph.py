@@ -859,6 +859,52 @@ class TestStronglyConnectedComponents:
         loops = spark.createDataFrame([(1, 1), (2, 2)], "src long, dst long")
         assert strongly_connected_components(loops).count() == 0
 
+    @staticmethod
+    def _chain_of_rings(bases):
+        """3-rings at each base id, bridged base_i -> base_{i+1}: a
+        condensation PATH of len(bases) SCCs — the deep-chain hazard."""
+        edges, prev = [], None
+        for base in bases:
+            a, b, c = base, base + 1, base + 2
+            edges += [(a, b), (b, c), (c, a)]
+            if prev is not None:
+                edges.append((prev, a))
+            prev = a
+        return edges
+
+    def test_chain_of_rings_multi_pivot_rounds(self, spark):
+        """VERDICT r12 item 5: 48 3-rings in a condensation path —
+        deeper than max_outer=32, so the r12 one-certified-SCC-per-
+        round assignment (f==b) could not converge; the multi-pivot
+        coloring assignment must finish in ~1 outer round at BOTH id
+        orientations (ascending ids put every ring's min at its own
+        level for the forward labels; descending ids for the backward
+        labels) and stay byte-equal to the driver Kosaraju path."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            strongly_connected_components,
+        )
+
+        for bases in (
+            [10 * i for i in range(1, 49)],       # ids ascend along chain
+            [10 * (49 - i) for i in range(1, 49)],  # ids descend
+        ):
+            edges = self._chain_of_rings(bases)
+            df = spark.createDataFrame(edges, "src long, dst long")
+            want = {
+                r["node"]: r["scc_id"]
+                for r in strongly_connected_components(df).collect()
+            }
+            assert want == self._brute(edges)
+            stats: dict = {}
+            got = {
+                r["node"]: r["scc_id"]
+                for r in strongly_connected_components(
+                    df, broadcast_nodes=True, driver_threshold=0, stats=stats
+                ).collect()
+            }
+            assert got == want
+            assert stats["outer_rounds"] <= 2, stats
+
 
 class TestShortestPathsFrontierStrategy:
     def test_all_three_modes_byte_equal(self, spark):
