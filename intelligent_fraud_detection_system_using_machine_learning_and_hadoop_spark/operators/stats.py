@@ -1777,3 +1777,82 @@ def mahalanobis_outliers_2d(
             "outlier_flag"
         ),
     )
+
+
+def mahalanobis_outliers_2d_grouped(
+    points: DataFrame,
+    id_col: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    d2_threshold: float = 13.815510557964274,
+    min_group: int = 10,
+) -> DataFrame:
+    """PER-GROUP 2-D Mahalanobis outlier screen (VERDICT r12 item 8):
+    :func:`mahalanobis_outliers_2d` with the baseline distribution
+    computed within each peer group — the natural composition with
+    ``peer_group_outliers``' peer keys: "far off the JOINT
+    distribution OF THEIR COHORT" (a whale nation's normal spender is
+    a global outlier but a peer non-event, and vice versa).
+
+    Identical exact-moments-then-pinned-tail structure per group: the
+    five decimal(38,0) moment sums aggregate at group grain
+    (map-side-combinable, |groups| rows), re-join the points on the
+    group key (AQE broadcasts when the group dimension is small), and
+    the SAME fixed double expression tree as the global screen
+    produces d². Groups with fewer than ``min_group`` points, or with
+    degenerate covariance (det ≤ 0), yield NULL d² and no flags — the
+    peer_group_outliers gating discipline. Unlike the leave-one-out z
+    screen, the point is NOT excluded from its own baseline (matching
+    the global screen's convention; with full covariance the LOO
+    correction has no closed 2-D form this cheap).
+
+    Width bound: per GROUP, n_g·max(x)² < 10³⁸ — smaller groups mean
+    strictly smaller sums than the global screen's documented budget.
+    Returns (id, group, x, y, d2, outlier_flag)."""
+    d38 = "decimal(38,0)"
+    base = points.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    m = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("_x").cast(d38).alias("sx"),
+        F.sum("_y").cast(d38).alias("sy"),
+        F.sum(F.col("_x").cast("decimal(19,0)") * F.col("_x").cast("decimal(19,0)"))
+        .cast(d38)
+        .alias("sxx"),
+        F.sum(F.col("_y").cast("decimal(19,0)") * F.col("_y").cast("decimal(19,0)"))
+        .cast(d38)
+        .alias("syy"),
+        F.sum(F.col("_x").cast("decimal(19,0)") * F.col("_y").cast("decimal(19,0)"))
+        .cast(d38)
+        .alias("sxy"),
+    )
+    j = base.join(m, "_g")
+    n = F.col("n").cast("double")
+    mux = F.col("sx").cast("double") / n
+    muy = F.col("sy").cast("double") / n
+    cxx = F.col("sxx").cast("double") / n - mux * mux
+    cyy = F.col("syy").cast("double") / n - muy * muy
+    cxy = F.col("sxy").cast("double") / n - mux * muy
+    det = cxx * cyy - cxy * cxy
+    dx = F.col("_x").cast("double") - mux
+    dy = F.col("_y").cast("double") - muy
+    ok = (F.col("n") >= F.lit(min_group).cast(d38)) & (det > 0)
+    d2 = F.when(
+        ok,
+        (cyy * dx * dx - F.lit(2.0) * cxy * dx * dy + cxx * dy * dy) / det,
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        F.col("_g").alias(group_col),
+        F.col("_x").alias(x_col),
+        F.col("_y").alias(y_col),
+        d2.alias("d2"),
+        F.coalesce(d2 > F.lit(float(d2_threshold)), F.lit(False)).alias(
+            "outlier_flag"
+        ),
+    )

@@ -6568,6 +6568,91 @@ def mahalanobis_outliers_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "mahalanobis_peer_outliers_customers",
+    oracle="""
+    WITH p AS (
+      SELECT o.o_custkey AS id, c.c_nationkey AS g,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_nationkey),
+    m AS (
+      SELECT g, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM p GROUP BY g),
+    t AS (
+      SELECT p.id, p.g, p.x, p.y, m.n,
+             CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mux,
+             CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE) AS muy,
+             CAST(m.sxx AS DOUBLE) / CAST(m.n AS DOUBLE)
+               - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+               * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)) AS cxx,
+             CAST(m.syy AS DOUBLE) / CAST(m.n AS DOUBLE)
+               - (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+               * (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)) AS cyy,
+             CAST(m.sxy AS DOUBLE) / CAST(m.n AS DOUBLE)
+               - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+               * (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)) AS cxy
+      FROM p JOIN m ON m.g = p.g),
+    d AS (
+      SELECT id, g, x, y, n,
+             cxx * cyy - cxy * cxy AS det,
+             CAST(x AS DOUBLE) - mux AS dx,
+             CAST(y AS DOUBLE) - muy AS dy,
+             cxx, cyy, cxy
+      FROM t)
+    SELECT id AS o_custkey, g AS c_nationkey,
+           x AS n_orders, y AS total_cents,
+           CASE WHEN n >= 10 AND det > 0 THEN
+             (cyy * dx * dx - 2.0e+00 * cxy * dx * dy + cxx * dy * dy) / det
+           END AS d2,
+           COALESCE(CASE WHEN n >= 10 AND det > 0 THEN
+             (cyy * dx * dx - 2.0e+00 * cxy * dx * dy + cxx * dy * dy) / det
+             > 1.3815510557964274e+01 END, FALSE) AS outlier_flag
+    FROM d
+    """,
+)
+def mahalanobis_peer_outliers_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-PEER-GROUP Mahalanobis screen (operators/stats.py::
+    mahalanobis_outliers_2d_grouped, VERDICT r12 item 8): each
+    customer's joint (order count, total spend cents) profile against
+    their NATION's joint distribution — the covariance-aware
+    composition of ``mahalanobis_outliers_customers`` with
+    ``peer_outlier_customers``' peer keys (a whale cohort's normal
+    member is a global outlier but a peer non-event). Per-nation exact
+    decimal moments (|nations| rows), the identical pinned quadratic
+    tail, min_group=10 gating. Width bound: per-nation Σy² ≈
+    60·(3e7)² ≈ 5e16 at sf0.01 and n_g·max(cents)² generally — group
+    grain only shrinks the global screen's documented budget."""
+    from ..operators.stats import mahalanobis_outliers_2d_grouped
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_custkey").alias("id"), F.col("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("total_cents"),
+        )
+    )
+    return mahalanobis_outliers_2d_grouped(
+        per, "id", "c_nationkey", "n_orders", "total_cents"
+    ).withColumnRenamed("id", "o_custkey")
+
+
+@query(
     "k_anonymity_customers",
     oracle="""
     WITH s AS (

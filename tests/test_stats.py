@@ -1164,3 +1164,60 @@ class TestMahalanobis2D:
         df = spark.createDataFrame(pts, "id long, x long, y long")
         out = mahalanobis_outliers_2d(df, "id", "x", "y").collect()
         assert all(r["d2"] is None and not r["outlier_flag"] for r in out)
+
+    def test_grouped_peer_baseline_and_gates(self, spark):
+        """VERDICT r12 item 8: the grouped screen scores each point
+        against ITS group's joint distribution (per-group exact
+        moments, same pinned tail — replica asserted bitwise); small
+        groups (< min_group) gate to NULL."""
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            mahalanobis_outliers_2d_grouped,
+        )
+
+        random.seed(9)
+        # group 1: ordinary cloud; group 2: whales (100x scale) with
+        # the same relative shape plus one within-whale joint outlier —
+        # only the per-peer baseline sees it against ITS cohort.
+        g1 = [(i, 1, x := random.randint(10, 30), 10 * x + random.randint(-5, 5))
+              for i in range(40)]
+        g2 = [(100 + i, 2, x := random.randint(1000, 3000),
+               10 * x + random.randint(-500, 500))
+              for i in range(40)]
+        joint_outlier = (999, 2, 3000, 10_000)  # whale ranges, wrong joint
+        small = [(200 + i, 3, i, 3 * i + i % 2) for i in range(5)]  # < min_group
+        pts = g1 + g2 + [joint_outlier] + small
+        df = spark.createDataFrame(pts, "id long, g int, x long, y long")
+
+        grouped = {
+            r["id"]: r
+            for r in mahalanobis_outliers_2d_grouped(
+                df, "id", "g", "x", "y"
+            ).collect()
+        }
+        # ordinary whales are peer non-events; the joint outlier flags
+        whale_ids = [p[0] for p in g2]
+        assert not any(grouped[i]["outlier_flag"] for i in whale_ids)
+        assert grouped[999]["outlier_flag"]  # joint outlier vs its peers
+        # python replica of group 2's pinned tree, point 999
+        members = g2 + [joint_outlier]
+        n = float(len(members))
+        sx = float(sum(p[2] for p in members))
+        sy = float(sum(p[3] for p in members))
+        sxx = float(sum(p[2] * p[2] for p in members))
+        syy = float(sum(p[3] * p[3] for p in members))
+        sxy = float(sum(p[2] * p[3] for p in members))
+        mux, muy = sx / n, sy / n
+        cxx = sxx / n - mux * mux
+        cyy = syy / n - muy * muy
+        cxy = sxy / n - mux * muy
+        det = cxx * cyy - cxy * cxy
+        dx, dy = 3000.0 - mux, 10_000.0 - muy
+        want = (cyy * dx * dx - 2.0 * cxy * dx * dy + cxx * dy * dy) / det
+        assert grouped[999]["d2"] == want
+        # small group: gated to NULL regardless of shape
+        assert all(
+            grouped[p[0]]["d2"] is None and not grouped[p[0]]["outlier_flag"]
+            for p in small
+        )
