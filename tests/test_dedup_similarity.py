@@ -531,5 +531,11 @@ def test_pq_codebooks_deterministic_and_dim_guard(spark):
     with _pytest.raises(ValueError, match="must divide"):
         pq_cosine_topk(df, q, m=2)
 
+    # empty corpus: a clear ValueError, not an opaque IndexError on a
+    # (0,)-shaped training sample (ADVICE r12)
+    empty = df.where(F_col("vec_id") < 0)
+    with _pytest.raises(ValueError, match="no vectors"):
+        pq_cosine_topk(empty, q, m=3)
+
 
 from pyspark.sql.functions import col as F_col  # noqa: E402
