@@ -156,7 +156,12 @@ def counterparty_hub_report(
         F.col(entity_col).alias("_e"), F.col(counterparty_col).alias("_c")
     ).distinct()
     d = F.col("degree")
-    pairs = (d * (d - F.lit(1).cast("long"))) / F.lit(2)
+    # exact BIGINT C(d,2) (ADVICE r13): d·(d−1) is always even, so one
+    # long multiply + shiftright(…,1) is exact everywhere the multiply
+    # fits a long (d < ~3.04e9 — degree is bounded by |entities|, far
+    # inside the documented width bound); the old IEEE `/2` lost
+    # exactness past 2^53 (d ≈ 1.3e8). Oracle twin uses DuckDB's `//`.
+    pairs = F.shiftright(d * (d - F.lit(1).cast("long")), 1)
     dropped = (
         F.lit(False)
         if max_counterparty_degree is None
@@ -457,6 +462,16 @@ def shared_counterparty_pairs_lsh(
     screen)."""
     from .dedup import _lsh_buckets, _signatures_from_shingled
 
+    # ADVICE r13: bands > num_hashes would make rows_per_band 0 —
+    # xxhash64 over ZERO signature columns, i.e. one constant bucket
+    # and the exact quadratic blowup this leg exists to avoid; a
+    # non-dividing bands would silently ignore the trailing hashes.
+    # Mirror the dedup.py call sites' implicit contract explicitly.
+    if not (0 < bands <= num_hashes) or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes with 0 < bands <= num_hashes; "
+            f"got bands={bands}, num_hashes={num_hashes}"
+        )
     rows_per_band = num_hashes // bands
     e = _distinct_capped_edges(
         edges, entity_col, counterparty_col, max_counterparty_degree

@@ -491,9 +491,15 @@ def pq_cosine_topk(
     reuses ``_dot`` on the ``refine``-sized sliver only.
 
     Returns the ``cosine_topk`` contract (query_id, vec_id, cos_sim,
-    rank) with EXACT reranked cosines — approximate only in WHICH
-    candidates reach the rerank, which the recall pytest measures
-    against the brute-force baseline."""
+    rank) with reranked cosines equal to the brute-force baseline at
+    the published ``round(…, 6)`` grain (ADVICE r13: the rerank
+    normalizes query and corpus vectors on a different IEEE path than
+    the baseline — one fused fold here vs. separate norm/dot there —
+    so last-ulp differences below the rounding grain are possible and
+    the recall pytest asserts 1e-6-tolerance equality, not
+    bit-equality); approximate only in WHICH candidates reach the
+    rerank, which the recall pytest measures against the brute-force
+    baseline."""
     sub_dim_err = "embedding dim must divide m"
     norm = lambda df, idc, out: df.select(  # noqa: E731
         F.col(idc).alias(out),

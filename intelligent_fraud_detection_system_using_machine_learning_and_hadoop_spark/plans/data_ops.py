@@ -3947,9 +3947,9 @@ def collusion_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
     cd AS (SELECT cp, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY cp)
     SELECT cp AS counterparty, d AS degree,
-           CAST(d * (d - 1) / 2 AS BIGINT) AS n_pairs_witnessed,
+           CAST(d * (d - 1) // 2 AS BIGINT) AS n_pairs_witnessed,
            d > 2000 AS dropped,
-           CAST(CASE WHEN d > 2000 THEN d * (d - 1) / 2 ELSE 0 END
+           CAST(CASE WHEN d > 2000 THEN d * (d - 1) // 2 ELSE 0 END
                 AS BIGINT) AS n_pairs_avoided
     FROM cd
     ORDER BY degree DESC, counterparty

@@ -605,6 +605,26 @@ class TestCollusionLsh:
         assert [(r["entity_a"], r["entity_b"]) for r in out] == [(1, 2)]
         assert out[0]["jaccard"] == 1.0 and out[0]["n_shared"] == 3
 
+    def test_band_parameter_validation(self, spark):
+        """ADVICE r13: bands > num_hashes would hash ZERO signature
+        columns (one constant bucket = the quadratic blowup this leg
+        avoids); a non-dividing bands silently drops trailing hashes.
+        Both must raise before any Spark work."""
+        import pytest
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_pairs_lsh,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 10)], "entity long, counterparty long"
+        )
+        for bad in (dict(num_hashes=8, bands=16),   # rows_per_band = 0
+                    dict(num_hashes=64, bands=48),  # non-dividing
+                    dict(num_hashes=64, bands=0)):  # degenerate
+            with pytest.raises(ValueError, match="bands"):
+                shared_counterparty_pairs_lsh(df, **bad)
+
 
 class TestPeerGroupOutliers:
     def test_hand_computed_leave_one_out(self, spark):
