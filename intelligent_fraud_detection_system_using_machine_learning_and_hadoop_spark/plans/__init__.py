@@ -5,21 +5,26 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-13 rotation (VERDICT r12 "Next round" item 2 — the prescribed
-least-recently-attested discipline): after r12 re-attested the r8 tail
-and the new r12 cohort, the OLDEST driver rows in the registry are the
-thirty-four-query round-9 tail (``dedup_source_flow_documents`` …
-``zonemap_prune_orders``, last attested r9), so it LEADS the window;
-the remaining 16 slots go to the alphabetical head of the round-10
-cohort (``array_funcs_orders`` … ``important_parts_value``, last
-attested r10). After this round no oracled query's driver attestation
-is older than r10 — exactly the verdict's Done criterion. Queries new
-in r13 (the streaming composed risk report, the capped-collusion
-report twins, the grouped Mahalanobis screen) enter via the full local
-gate (tools/check_oracle.py) this round and rotate into the driver
-window at r14 under the same discipline. Queries outside the window
-keep pytest + local-gate coverage; registry content is unchanged —
-only iteration order moves.
+Round-14 rotation (VERDICT r13 "Next round" item 4 — the prescribed
+least-recently-attested discipline): after r13 re-attested the r9 tail
+plus the r10 alphabetical head, the OLDEST driver rows are the
+thirty-four-query remainder of the round-10 cohort
+(``interleave_sources_documents`` … ``zorder_key_orders``, i.e. the
+alphabetical tail after ``important_parts_value``, last attested r10),
+so it LEADS the window; next come the first thirteen of the round-11
+cohort (``acf_events`` … ``funnel_view_click_purchase``); the last
+three slots rotate in the oracled r13-new queries
+(``collusion_hub_report_customers``,
+``mahalanobis_peer_outliers_customers``,
+``streaming_fraud_risk_report``) as promised in the r13 note. The
+fourth r13-new query, ``collusion_pairs_lsh_customers``, is rows-only
+by the ANN discipline (approximate recall has no SQL twin) — a window
+slot would record ``err:no_oracle`` and NO attestation, so it stays
+outside with pytest recall + precision-1 coverage. After this round no
+oracled query's driver attestation is older than r11 — exactly the
+verdict's Done criterion. Queries outside the window keep pytest +
+local-gate coverage; registry content is unchanged — only iteration
+order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -30,58 +35,60 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- the r9 tail: oldest attestations, leads per VERDICT r12 item 2 ---
-    "dedup_source_flow_documents",
-    "domain_stats_documents",
-    "drift_report_orders",
-    "equi_depth_hist_orders",
-    "event_transitions",
-    "expectations_orders",
-    "fuzzy_join_part_names",
-    "html_extract_documents",
-    "incremental_agg_orders",
-    "incremental_pipeline_documents",
-    "label_centroids_embeddings",
-    "large_volume_customers",
-    "pmi_cooccurrence_documents",
-    "pricing_summary",
-    "quantile_normalize_events",
-    "quota_sample_documents",
-    "resample_locf_events",
-    "revenue_by_nation",
-    "seasonal_decompose_events",
-    "seasonal_decompose_grouped",
-    "source_overlap_matrix",
-    "spearman_corr_lineitem",
-    "streaming_attribution",
-    "streaming_html_extract",
-    "streaming_incremental_agg",
-    "triangle_count_parts",
-    "trimmed_mean_orders",
-    "udtf_sentences_documents",
-    "url_canonicalize_documents",
-    "value_histogram_events",
-    "web_corpus_pipeline",
-    "weighted_sample_documents",
-    "winsorize_orders_by_status",
-    "zonemap_prune_orders",
-    # --- alphabetical head of the r10 cohort (next-oldest) ---
-    "array_funcs_orders",
-    "bfs_distances_parts",
-    "disjunctive_brand_revenue",
-    "doc_repetition_filter",
-    "doc_text_analysis",
-    "dominant_part_suppliers",
-    "dsir_select_documents",
-    "entity_resolution_parts",
-    "epoch_shuffle_documents",
-    "ewma_events",
-    "exact_substring_dup_documents",
-    "exclusive_late_suppliers",
-    "gini_by_status_orders",
-    "hash_split_documents",
-    "idle_rich_customers",
-    "important_parts_value",
+    # --- r10 cohort remainder: oldest attestations, leads per
+    # --- VERDICT r13 item 4 ---
+    "interleave_sources_documents",
+    "interval_overlap_purchase_error",
+    "label_propagation_parts",
+    "line_dedup_documents",
+    "llm_data_pipeline",
+    "market_share_by_year",
+    "min_price_supplier_per_part",
+    "mixture_sample_documents",
+    "nation_pair_volume",
+    "near_dup_clusters",
+    "ols_trend_orders",
+    "pack_sequences_documents",
+    "pii_scan_documents",
+    "profile_orders",
+    "quality_funnel_documents",
+    "range_join_price_bands",
+    "salted_distinct_suppliers",
+    "semi_anti_join_customers",
+    "small_qty_order_revenue",
+    "stratified_sample_documents",
+    "streaming_cc_parts",
+    "streaming_events_hourly",
+    "streaming_join_click_purchase",
+    "streaming_pii_scan",
+    "streaming_static_enrich",
+    "streaming_topk_trending",
+    "temperature_mix_lang",
+    "tfidf_top_terms",
+    "token_budget_trim",
+    "token_vocab_topk",
+    "top_revenue_supplier",
+    "unicode_normalize_documents",
+    "unigram_fluency_documents",
+    "zorder_key_orders",
+    # --- alphabetical head of the r11 cohort (next-oldest) ---
+    "acf_events",
+    "benford_orders",
+    "big_spenders_vs_nation",
+    "burstiness_events",
+    "count_distinct_having",
+    "cusum_change_events",
+    "dedup_exact_documents",
+    "doc_redact_pii",
+    "embedding_cosine_dup",
+    "embedding_topk_cosine",
+    "events_hourly",
+    "exists_late_shipments",
+    "funnel_view_click_purchase",
+    # --- oracled r13-new queries, first driver attestation ---
+    "collusion_hub_report_customers",
+    "mahalanobis_peer_outliers_customers",
+    "streaming_fraud_risk_report",
 ]
 
 def _apply_driver_window() -> None:
