@@ -44,7 +44,11 @@ def test_schemas_identical_and_rows_scaled(scaled):
         if t in ("region", "nation"):
             assert n_out == n_base  # fixed dimensions
         else:
-            assert n_out == 3 * n_base
+            # + the planted collusive cohort (VERDICT r13 item 7) on
+            # customer/orders/lineitem; zero elsewhere
+            assert n_out == 3 * n_base + meta["planted"].get(t, 0)
+    # the plant is invisible in any cost curve
+    assert sum(meta["planted"].values()) < 300
 
 
 def test_copies_are_key_disjoint_and_joins_intra_copy(scaled):
@@ -58,6 +62,63 @@ def test_copies_are_key_disjoint_and_joins_intra_copy(scaled):
     # every foreign key resolves (joins stay inside the copy)
     ckeys = set(cust["c_custkey"].to_pylist())
     assert set(orders["o_custkey"].to_pylist()) <= ckeys
+
+
+def test_planted_cohort_carries_recall_signal(scaled, spark):
+    """VERDICT r13 item 7: the planted customer pairs must be exactly
+    the ≥½-Jaccard pairs of the scaled corpus, found by BOTH the
+    capped exact screen and the LSH leg (recall signal), with the
+    J = 1/3 negative control found by NEITHER."""
+    import pyspark.sql.functions as F
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+        shared_counterparty_pairs,
+        shared_counterparty_pairs_lsh,
+    )
+
+    out, meta = scaled
+    truth = {
+        (p["entity_a"], p["entity_b"]): p
+        for p in meta["planted_pairs"]
+        if p["jaccard"] >= 0.5
+    }
+    neg = [
+        (p["entity_a"], p["entity_b"])
+        for p in meta["planted_pairs"]
+        if p["jaccard"] < 0.5
+    ]
+    # tiny sf0.001 supplier population: at least the J=1 groups fit
+    # (full-size bases plant 3x J=1 + 2x J=0.6 + the negative control)
+    assert len(truth) >= 3
+    o = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("entity"),
+        F.col("l_suppkey").alias("counterparty"),
+    )
+    exact = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in shared_counterparty_pairs(
+            edges, min_shared=2, top_k=10**9, max_counterparty_degree=2000
+        ).collect()
+        if 2 * r["n_shared"] >= r["n_union"]
+    }
+    lsh = {
+        (r["entity_a"], r["entity_b"]): r
+        for r in shared_counterparty_pairs_lsh(
+            edges, min_shared=2, max_counterparty_degree=2000
+        ).collect()
+    }
+    for pair, p in truth.items():
+        assert pair in exact, f"exact screen missed planted {pair}"
+        assert pair in lsh, f"LSH leg missed planted {pair}"
+        assert abs(exact[pair]["jaccard"] - p["jaccard"]) < 1e-12
+        assert exact[pair]["n_shared"] == p["n_shared"]
+    for pair in neg:
+        assert pair not in exact and pair not in lsh
+    # the plant is part of the ≥½ signal (organic pairs can also exist
+    # at tiny sf — the planted ones are the SF-invariant floor)
+    assert set(truth) <= set(exact) and set(truth) <= set(lsh)
 
 
 def test_documents_fresh_not_copied(scaled):

@@ -19,8 +19,19 @@ ENGINE's scaling, not a distribution shift:
   the observed proportions, ~0.16%% forced exact duplicates), because
   key-offset text copies would create cross-copy near-duplicate
   cliques that sf0.1 does not have.
+* PLANTED COLLUSIVE COHORT (VERDICT r13 item 7) — twelve synthetic
+  customers in six pairs appended to customer/orders/lineitem, with
+  engineered supplier-set Jaccards: three pairs at J = 1, two at
+  J = 0.6 (share 15 of 20+5-own), one NEGATIVE control at J = 1/3
+  (below the screens' ½ threshold). The uniform-degree scaled corpus
+  has zero true ½-Jaccard pairs, so without the plant the LSH
+  collusion leg's sf1/sf3 curve measures cost only; the plant makes
+  it carry RECALL against the capped exact screen. Ground truth is
+  emitted in the meta JSON (``planted_pairs``) so the scaling run
+  asserts recall without recomputing. ~12 customers / 12 orders /
+  ~230 lineitems — invisible in any cost curve.
 
-Deterministic (seed 42). Usage:
+Deterministic (seed 42; plant seed 43). Usage:
 
     python tools/gen_sf.py /root/testdata/sf0.1 testdata_sf1 10
 """
@@ -82,7 +93,14 @@ def _stride(base_dir: str) -> dict[str, int]:
     return strides
 
 
-def _scale_table(base_dir: str, out_dir: str, table: str, k: int, strides) -> int:
+def _scale_table(
+    base_dir: str,
+    out_dir: str,
+    table: str,
+    k: int,
+    strides,
+    extra: pa.Table | None = None,
+) -> int:
     src = pq.read_table(os.path.join(base_dir, f"{table}.parquet"))
     copies = []
     for i in range(k):
@@ -97,9 +115,112 @@ def _scale_table(base_dir: str, out_dir: str, table: str, k: int, strides) -> in
             else:
                 cols.append(col)
         copies.append(pa.table(dict(zip(src.column_names, cols))))
+    if extra is not None:
+        copies.append(extra.select(src.column_names).cast(src.schema))
     out = pa.concat_tables(copies)
     pq.write_table(out, os.path.join(out_dir, f"{table}.parquet"))
     return out.num_rows
+
+
+def _replace(tmpl: pa.Table, values: dict[str, list[int]]) -> pa.Table:
+    """Template rows with key columns swapped (types preserved)."""
+    cols = {}
+    for name in tmpl.column_names:
+        if name in values:
+            cols[name] = pa.compute.cast(
+                pa.array(values[name], pa.int64()), tmpl[name].type
+            )
+        else:
+            cols[name] = tmpl[name]
+    return pa.table(cols)
+
+
+def _collusion_extras(base_dir: str, k: int, strides, seed: int = 43):
+    """The planted collusive cohort: six customer pairs with engineered
+    supplier-set Jaccards (3×J=1, 2×J=0.6, 1×J=1/3 negative control),
+    each customer one order whose lineitems cover its supplier set
+    exactly once. Planted keys sit ABOVE every copy's range (base =
+    k·stride), so they collide with nothing; suppliers/parts are
+    copy-0 ids, so referential joins resolve. Returns ({table: extra
+    rows}, ground-truth pair list)."""
+    rng = np.random.default_rng(seed)
+    sup = pq.read_table(
+        os.path.join(base_dir, "supplier.parquet"), columns=["s_suppkey"]
+    )["s_suppkey"].to_pylist()
+    rng.shuffle(sup)
+    base_c = k * strides["c_custkey"]
+    base_o = k * strides["o_orderkey"]
+    # (shared, own_a, own_b) full shapes and ratio-preserving minimum
+    # shapes for tiny supplier populations (sf0.001 has ~10 suppliers)
+    templates = (
+        [((20, 0, 0), (2, 0, 0))] * 3          # J = 1
+        + [((15, 5, 5), (3, 1, 1))] * 2        # J = 0.6
+        + [((10, 10, 10), (2, 2, 2))]          # J = 1/3 — below threshold
+    )
+    # pools are pairwise DISJOINT (taken off one shuffled deck), so no
+    # accidental cross-GROUP pair can reach the threshold; overlap with
+    # ORGANIC customers is possible and fine — the screens' ground
+    # truth here is only the planted pairs themselves
+    groups, idx = [], 0
+    for full, mn in templates:
+        for shape in (full, mn):
+            need = sum(shape)
+            if idx + need <= len(sup):
+                groups.append((shape, sup[idx : idx + need]))
+                idx += need
+                break
+
+    cust_ids, order_rows, li_rows, truth = [], [], [], []
+    next_c, next_o = base_c + 1, base_o + 1
+    for (shared, own_a, own_b), pool in groups:
+        s_shared = list(pool[:shared])
+        s_a = s_shared + list(pool[shared : shared + own_a])
+        s_b = s_shared + list(pool[shared + own_a :])
+        a, b = next_c, next_c + 1
+        next_c += 2
+        for cust, sset in ((a, s_a), (b, s_b)):
+            cust_ids.append(cust)
+            okey = next_o
+            next_o += 1
+            order_rows.append((okey, cust))
+            li_rows.extend((okey, int(s)) for s in sset)
+        union = len(s_a) + len(s_b) - shared
+        truth.append(
+            {
+                "entity_a": a,
+                "entity_b": b,
+                "n_shared": shared,
+                "jaccard": shared / union,
+            }
+        )
+
+    cust_t = pq.read_table(os.path.join(base_dir, "customer.parquet")).slice(
+        0, len(cust_ids)
+    )
+    orders_t = pq.read_table(os.path.join(base_dir, "orders.parquet")).slice(
+        0, len(order_rows)
+    )
+    li_t = pq.read_table(os.path.join(base_dir, "lineitem.parquet")).slice(
+        0, len(li_rows)
+    )
+    extras = {
+        "customer": _replace(cust_t, {"c_custkey": cust_ids}),
+        "orders": _replace(
+            orders_t,
+            {
+                "o_orderkey": [o for o, _ in order_rows],
+                "o_custkey": [c for _, c in order_rows],
+            },
+        ),
+        "lineitem": _replace(
+            li_t,
+            {
+                "l_orderkey": [o for o, _ in li_rows],
+                "l_suppkey": [s for _, s in li_rows],
+            },
+        ),
+    }
+    return extras, truth
 
 
 def _gen_documents(base_dir: str, out_dir: str, k: int, seed: int = 42) -> int:
@@ -144,10 +265,24 @@ def main() -> None:
         src = pq.read_table(os.path.join(base_dir, f"{table}.parquet"))
         pq.write_table(src, os.path.join(out_dir, f"{table}.parquet"))
         counts[table] = src.num_rows
+    extras, truth = _collusion_extras(base_dir, k, strides)
+    planted = {t: e.num_rows for t, e in extras.items()}
     for table in KEYED:
-        counts[table] = _scale_table(base_dir, out_dir, table, k, strides)
+        counts[table] = _scale_table(
+            base_dir, out_dir, table, k, strides, extra=extras.get(table)
+        )
     counts["documents"] = _gen_documents(base_dir, out_dir, k)
-    print(json.dumps({"out": out_dir, "k": k, "rows": counts}))
+    print(
+        json.dumps(
+            {
+                "out": out_dir,
+                "k": k,
+                "rows": counts,
+                "planted": planted,
+                "planted_pairs": truth,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
