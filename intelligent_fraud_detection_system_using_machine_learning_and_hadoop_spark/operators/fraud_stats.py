@@ -487,3 +487,155 @@ def peer_group_outliers(
             "outlier_flag"
         ),
     )
+
+
+def split_transactions(
+    df: DataFrame,
+    key_col: str,
+    date_col: str,
+    value_col: str,
+    id_col: str,
+    threshold_cents: int = 50_000_00,
+    window_days: int = 7,
+    min_parts: int = 3,
+) -> DataFrame:
+    """Split-transaction (smurfing-by-splitting) screen: per ledger
+    row, the trailing ``window_days``-day window of the SAME entity's
+    SUB-THRESHOLD amounts — count and exact cents sum — with the flag
+    firing when the current amount is itself sub-threshold, at least
+    ``min_parts`` sub-threshold parts land in the window, and their
+    joint total clears the threshold a single transaction would have
+    tripped. The classic structuring complement to the static band
+    screen (``amount_structuring`` finds amounts SHAPED near the
+    threshold; this finds amounts SPLIT under it — 31 CFR 1010.314's
+    "structured to evade" pattern over time, extending the reference's
+    static amount rule at run_pipeline.py:23-25 to the temporal axis).
+
+    Determinism: the RANGE frame is defined on the DAY VALUE (epoch
+    days), so same-day ties are symmetric peers on every engine — no
+    tiebreaker column needed (the ``velocity_flags`` discipline); all
+    window arithmetic is exact integer cents.
+
+    Scale shape: ONE shuffle on the entity key, then a value-range
+    window — no time-range self-join (the naive form is |rows|²), no
+    driver participation; identical plan at any corpus size."""
+    day = F.unix_date(F.col(date_col).cast("date"))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("entity"),
+        day.alias("day"),
+        cents.alias("cents"),
+    )
+    sub = (F.col("cents") > 0) & (F.col("cents") < threshold_cents)
+    w = (
+        Window.partitionBy("entity")
+        .orderBy("day")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    n_parts = F.sum(F.when(sub, 1).otherwise(0)).over(w).cast("long")
+    sum_sub = F.sum(F.when(sub, F.col("cents")).otherwise(0)).over(w).cast("long")
+    return base.select(
+        F.col("_id").alias(id_col),
+        F.col("entity").alias(key_col),
+        "day",
+        "cents",
+        n_parts.alias("n_parts_window"),
+        sum_sub.alias("cents_window"),
+        (
+            sub
+            & (n_parts >= F.lit(min_parts))
+            & (sum_sub >= F.lit(threshold_cents))
+        ).alias("split_flag"),
+    )
+
+
+def fdr_alert_ranking(
+    scores: DataFrame,
+    key_col: str,
+    z_col: str = "z",
+    n_col: str | None = None,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Multiple-testing-corrected alert list: Benjamini-Hochberg FDR
+    (Benjamini & Hochberg 1995, public) over DISTRIBUTION-FREE
+    Cantelli p-bounds. Every fraud screen that thresholds a z-score
+    runs one implicit hypothesis test per entity; screening 10⁶
+    entities at a fixed |z| cutoff mass-produces false alerts. This
+    operator takes any screen's positive z-scores, bounds each tail
+    probability without a normality assumption via the one-sided
+    Cantelli inequality — P(X − μ ≥ zσ) ≤ 1/(1+z²), or, when the
+    score is a MEAN of ``n_col`` independent events (the peer screen's
+    shape, Var(mean) = σ²/n), the correspondingly tighter
+    1/(1 + n·z²) — a RATIONAL function of the already-pinned z, so it
+    is oracle-exact where a normal CDF would be transcendental — and
+    keeps the largest prefix of the p-ascending ranking with
+    p_(i) ≤ α·i/m (the BH step-up rule), controlling the
+    false-discovery rate at α among the fired alerts. On a clean
+    uniform ledger the corrected list is typically EMPTY — that is
+    the point of FDR control (the raw |z|>3 screen fires ~0.3% of a
+    clean book by construction); the pytest fixture plants signal and
+    pins the step-up frontier.
+
+    Exactness: p = 1/(1 + n·(z·z)) is a pinned IEEE tree on the
+    already-pinned z; the BH comparison is p·(m·α_den) ≤ i·α_num with
+    the integer factors exact in doubles (m·α_den < 2⁵³) —
+    bit-reproducible on any engine. Ranking is deterministic under
+    (p, key) order. The bound is a distribution-free CONSERVATIVE
+    p (independence across an entity's events is the peer-model
+    assumption, stated, not hidden); the oracle pins the arithmetic.
+
+    Scale shape: the global p-rank uses the repo's range-bucketed
+    prefix-sum rank (operators/stats.py::_rank_rows) — never a
+    single-partition window; the scalar m and the step-up cutoff
+    i* = max{i : hit} are 1-row aggregates broadcast back. Returns
+    (key, z, p_bound, bh_rank, fdr_alert) for every positive-z
+    candidate, ordered by bh_rank."""
+    from .stats import _rank_rows
+
+    n = (
+        F.col(n_col).cast("double")
+        if n_col is not None
+        else F.lit(1.0)
+    )
+    cand = scores.where(
+        F.col(z_col).isNotNull() & (F.col(z_col) > 0)
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.col(z_col).alias("_z"),
+        n.alias("_n"),
+    )
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.col("_n") * (F.col("_z") * F.col("_z"))
+    )
+    cand = cand.withColumn("_p", p)
+    ranked = _rank_rows(cand, "_p", "_k").select(
+        F.col("_id").alias("_k"),
+        F.col("_v").alias("_p"),
+        F.col("_rank").alias("_i"),
+    )
+    # _rank_rows drops extra columns; re-join z by key (one broadcastable
+    # |alerts|-row join — alerts are screen output, not fact rows)
+    ranked = ranked.join(cand.select("_k", "_z"), "_k")
+    m = cand.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    j = ranked.crossJoin(F.broadcast(m))
+    hit = (
+        F.col("_p") * (F.col("_m") * F.lit(alpha_den)).cast("double")
+        <= (F.col("_i") * F.lit(alpha_num)).cast("double")
+    )
+    j = j.withColumn("_hit_i", F.when(hit, F.col("_i")))
+    istar = j.agg(F.max("_hit_i").alias("_istar"))
+    return (
+        j.crossJoin(F.broadcast(istar))
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_z").alias(z_col),
+            F.col("_p").alias("p_bound"),
+            F.col("_i").alias("bh_rank"),
+            F.coalesce(
+                F.col("_i") <= F.col("_istar"), F.lit(False)
+            ).alias("fdr_alert"),
+        )
+        .orderBy("bh_rank")
+    )

@@ -3898,7 +3898,12 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY jaccard DESC, entity_a, entity_b
     LIMIT 100
     """,
-    bench=True,
+    # NOT benched since r14 (VERDICT r13 items 1-2): this exact leg's
+    # 172M-pair shuffle was 23% of the whole bench and its GC pressure
+    # measurably inflated the graph-heavy neighbors' minima in the
+    # shared JVM (A/B in SCALING.md r14); the rings row re-pays the
+    # identical pair screen, and this leg's cost story lives in
+    # SCALING.md's sf0.1/1/3 curve. The LSH leg is benched instead.
 )
 def collusion_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-counterparty collusion screen (operators/cooccur.py::
@@ -3982,7 +3987,7 @@ def collusion_hub_report_customers(
     )
 
 
-@query("collusion_pairs_lsh_customers")
+@query("collusion_pairs_lsh_customers", bench=True)
 def collusion_pairs_lsh_customers(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7683,3 +7688,139 @@ def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return interevent_burstiness(e)
+
+
+@query(
+    "split_transactions_orders",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    w AS (
+      SELECT *,
+             CAST(SUM(CASE WHEN cents > 0 AND cents < 20000000
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_parts_window,
+             CAST(SUM(CASE WHEN cents > 0 AND cents < 20000000
+                           THEN cents ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cents_window
+      FROM b)
+    SELECT o_orderkey, o_custkey, day, cents, n_parts_window, cents_window,
+           (cents > 0 AND cents < 20000000 AND n_parts_window >= 3
+            AND cents_window >= 20000000) AS split_flag
+    FROM w
+    """,
+)
+def split_transactions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-transaction (structuring-over-time) screen
+    (operators/fraud_stats.py::split_transactions): per order, the
+    customer's trailing-30-day count and exact cents sum of
+    SUB-$200k amounts, flagging orders that are part of >= 3 splits
+    jointly clearing the $200k threshold a single transaction would
+    have tripped — the temporal complement of the static
+    ``structuring_orders`` band screen. RANGE frame on the day VALUE
+    (same-day ties are symmetric peers, engine-independent without a
+    tiebreaker); one entity-keyed shuffle, no time-range self-join.
+    On the sf0.01 book exactly 6 orders flag — rare by construction
+    on a clean ledger."""
+    from ..operators.fraud_stats import split_transactions
+
+    o = read_table(spark, sf_dir, "orders")
+    return split_transactions(
+        o,
+        key_col="o_custkey",
+        date_col="o_orderdate",
+        value_col="o_totalprice",
+        id_col="o_orderkey",
+        threshold_cents=200_000_00,
+        window_days=30,
+        min_parts=3,
+    )
+
+
+@query(
+    "fdr_peer_alerts_customers",
+    oracle="""
+    WITH f AS (
+      SELECT c.c_custkey AS entity, c.c_nationkey AS peer,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE round(o.o_totalprice * 100) IS NOT NULL),
+    per AS (
+      SELECT entity, peer, CAST(count(*) AS BIGINT) AS n_e,
+             CAST(sum(c) AS HUGEINT) AS s_e,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss_e
+      FROM f GROUP BY entity, peer),
+    g AS (
+      SELECT peer, CAST(sum(n_e) AS HUGEINT) AS n_g,
+             CAST(sum(s_e) AS HUGEINT) AS s_g,
+             CAST(sum(ss_e) AS HUGEINT) AS ss_g
+      FROM per GROUP BY peer),
+    j AS (
+      SELECT per.*, CAST(g.n_g - per.n_e AS DOUBLE) AS n_rest,
+             CAST(g.s_g - per.s_e AS DOUBLE) AS ds,
+             CAST(g.ss_g - per.ss_e AS DOUBLE) AS dss,
+             (g.n_g - per.n_e) >= 10 AS enough
+      FROM per JOIN g USING (peer)),
+    m AS (
+      SELECT entity, n_e,
+             CASE WHEN enough
+                   AND (dss/n_rest - (ds/n_rest)*(ds/n_rest)) > 0
+                  THEN (CAST(s_e AS DOUBLE)/CAST(n_e AS DOUBLE) - ds/n_rest)
+                       / sqrt(dss/n_rest - (ds/n_rest)*(ds/n_rest)) END AS z
+      FROM j),
+    cand AS (
+      SELECT entity, z,
+             1.0/(1.0 + CAST(n_e AS DOUBLE) * (z*z)) AS p
+      FROM m WHERE z IS NOT NULL AND z > 0),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p, entity) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS mm
+      FROM cand),
+    star AS (
+      SELECT MAX(CASE WHEN p * CAST(mm*100 AS DOUBLE)
+                        <= CAST(i*5 AS DOUBLE) THEN i END) AS istar
+      FROM ranked)
+    SELECT entity AS c_custkey, z, p AS p_bound, i AS bh_rank,
+           COALESCE(i <= (SELECT istar FROM star), FALSE) AS fdr_alert
+    FROM ranked
+    ORDER BY bh_rank
+    """,
+)
+def fdr_peer_alerts_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR-corrected alert list over the peer-group
+    outlier screen (operators/fraud_stats.py::fdr_alert_ranking
+    composed on ::peer_group_outliers): positive-z customers ranked by
+    the distribution-free Cantelli mean bound p = 1/(1 + n·z²) with
+    the BH step-up frontier at alpha = 0.05. On the clean uniform book
+    the corrected list is EMPTY (755 ranked candidates, 0 alerts at
+    sf0.01) — the raw |z|>3 screen alone would mass-produce false
+    positives at 10⁶ entities, which is what this corrects. Global
+    p-rank via the range-bucketed prefix-sum rank machinery (never a
+    single-partition window); the step-up cutoff is a 1-row broadcast
+    aggregate."""
+    from ..operators.fraud_stats import fdr_alert_ranking, peer_group_outliers
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    scores = peer_group_outliers(
+        o.join(c, o.o_custkey == c.c_custkey),
+        entity_col="c_custkey",
+        peer_col="c_nationkey",
+        value_col="o_totalprice",
+    )
+    return fdr_alert_ranking(
+        scores,
+        key_col="c_custkey",
+        z_col="z",
+        n_col="n_events",
+        alpha_num=5,
+        alpha_den=100,
+    )

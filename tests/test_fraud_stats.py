@@ -709,3 +709,134 @@ class TestCollusionRings:
         df = spark.createDataFrame(rows, "entity long, counterparty long")
         out = shared_counterparty_rings(df, min_shared=2).collect()
         assert {r["entity"] for r in out} == {1, 2}
+
+
+class TestSplitTransactions:
+    def test_hand_computed_window_and_flags(self, spark):
+        """Entity 1 splits $2,700 across days 0/2/5 (each sub-$2,000):
+        the third part sees 3 parts / $2,700 in its 7-day window and
+        flags. An ABOVE-threshold order neither counts as a part nor
+        flags; a distant part falls out of the window."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            split_transactions,
+        )
+
+        rows = [
+            (1, 1, "1994-01-01", 900.0),   # part 1
+            (2, 1, "1994-01-03", 900.0),   # part 2
+            (3, 1, "1994-01-06", 900.0),   # part 3 -> flags
+            (4, 1, "1994-02-01", 900.0),   # window empty again
+            (5, 2, "1994-01-01", 5000.0),  # above threshold: no part
+            (6, 2, "1994-01-02", 900.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double"
+        )
+        got = {
+            r["o_orderkey"]: r
+            for r in split_transactions(
+                df,
+                key_col="o_custkey",
+                date_col="o_orderdate",
+                value_col="o_totalprice",
+                id_col="o_orderkey",
+                threshold_cents=2_000_00,
+                window_days=7,
+                min_parts=3,
+            ).collect()
+        }
+        assert [got[k]["split_flag"] for k in (1, 2, 3, 4, 5, 6)] == [
+            False, False, True, False, False, False,
+        ]
+        assert got[3]["n_parts_window"] == 3
+        assert got[3]["cents_window"] == 270_000
+        # the above-threshold order contributes nothing to its window
+        assert got[6]["n_parts_window"] == 1
+
+    def test_same_day_ties_are_symmetric_peers(self, spark):
+        """RANGE frame on the day value: two same-day parts see each
+        other regardless of row order — engine-independent without a
+        tiebreaker (the velocity_flags discipline)."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            split_transactions,
+        )
+
+        rows = [
+            (1, 7, "1994-01-01", 900.0),
+            (2, 7, "1994-01-01", 900.0),
+            (3, 7, "1994-01-01", 900.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double"
+        )
+        out = split_transactions(
+            df, "o_custkey", "o_orderdate", "o_totalprice", "o_orderkey",
+            threshold_cents=2_000_00, window_days=7, min_parts=3,
+        ).collect()
+        assert all(r["n_parts_window"] == 3 and r["split_flag"] for r in out)
+
+
+class TestFdrAlertRanking:
+    def _run(self, spark, zs, **kw):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            fdr_alert_ranking,
+        )
+
+        df = spark.createDataFrame(
+            [(k, z) for k, z in zs], "k long, z double"
+        )
+        return {
+            r["k"]: r for r in fdr_alert_ranking(df, "k", "z", **kw).collect()
+        }
+
+    def test_bh_frontier_hand_computed(self, spark):
+        """m=4, alpha=1/2: sorted p = .1 .2 .5 .8 vs thresholds
+        .125 .25 .375 .5 -> i* = 2, alerts = two smallest p's."""
+        import math
+
+        zs = [(1, 3.0), (2, 1.0), (3, 2.0), (4, math.sqrt(0.25))]
+        got = self._run(spark, zs, alpha_num=1, alpha_den=2)
+        assert [got[k]["fdr_alert"] for k in (1, 3, 2, 4)] == [
+            True, True, False, False,
+        ]
+        assert [got[k]["bh_rank"] for k in (1, 3, 2, 4)] == [1, 2, 3, 4]
+        assert abs(got[1]["p_bound"] - 0.1) < 1e-12
+
+    def test_bh_step_up_rescues_earlier_misses(self, spark):
+        """The defining BH property: p=(.3,.55,.58) at alpha=.6 fails
+        thresholds (.2,.4) individually but the LAST rank passes .6 ->
+        i*=3 -> ALL three alert (a step-DOWN rule would fire none)."""
+        import math
+
+        z = lambda p: math.sqrt(1.0 / p - 1.0)  # noqa: E731
+        zs = [(1, z(0.3)), (2, z(0.55)), (3, z(0.58))]
+        got = self._run(spark, zs, alpha_num=6, alpha_den=10)
+        assert all(got[k]["fdr_alert"] for k in (1, 2, 3))
+
+    def test_nonpositive_and_null_z_excluded(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            fdr_alert_ranking,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, -3.0), (3, None), (4, 0.0)], "k long, z double"
+        )
+        got = fdr_alert_ranking(df, "k", "z").collect()
+        assert [r["k"] for r in got] == [1]
+
+    def test_n_weighted_bound_tightens(self, spark):
+        """Mean-of-n bound: same z with n=100 gives p ~ 1/(1+100 z^2),
+        two orders of magnitude tighter than n=1."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            fdr_alert_ranking,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 3.0, 100), (2, 3.0, 1)], "k long, z double, n long"
+        )
+        got = {
+            r["k"]: r["p_bound"]
+            for r in fdr_alert_ranking(df, "k", "z", n_col="n").collect()
+        }
+        assert abs(got[1] - 1.0 / 901.0) < 1e-15
+        assert abs(got[2] - 0.1) < 1e-15

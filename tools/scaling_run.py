@@ -57,6 +57,13 @@ HEAVIES = [
     "structuring_orders",
     "temporal_reach_parts",
     "holt_trend_events",
+    # round-14 additions (VERDICT r13 item 8): the r13-new operators
+    # that had no sf1 point yet, plus the LSH collusion leg now that
+    # the planted cohort makes its curve carry recall
+    "streaming_fraud_risk_report",
+    "mahalanobis_peer_outliers_customers",
+    "collusion_hub_report_customers",
+    "collusion_pairs_lsh_customers",
 ]
 
 
