@@ -1856,3 +1856,61 @@ def mahalanobis_outliers_2d_grouped(
             "outlier_flag"
         ),
     )
+
+
+def conformal_thresholds(
+    calib: DataFrame,
+    group_col: str,
+    score_col: str,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+) -> DataFrame:
+    """Split-conformal anomaly thresholds per group (Vovk's conformal
+    prediction / Lei et al., public literature): given a CALIBRATION
+    sample of anomaly scores, the per-group threshold is the k-th
+    smallest score with
+
+        k = ⌈(n + 1)·(1 − α)⌉  (clamped to n)
+
+    — the finite-sample-valid quantile: a fresh exchangeable score
+    exceeds it with probability ≤ α, with NO distributional
+    assumption. This is how a modern pipeline calibrates "flag the
+    top α%" so the promise holds on day one instead of after the
+    fact; the companion of the BH-FDR ranking (that corrects multiple
+    tests; this calibrates the single test's cutoff).
+
+    Exactness: k is PURE INTEGER arithmetic —
+    k = ((n+1)·(α_den − α_num) + α_den − 1) div α_den — and the
+    threshold is the k-th order statistic by VALUE (tie-invariant:
+    whatever order ties take, the k-th value is the same; the window
+    still carries a deterministic tiebreaker). No interpolation, no
+    floats until the score itself.
+
+    Scale shape: one grouped window (partitioned by group — ranks are
+    distributed across groups, never a global sort) + a 1-row-per-
+    group filter. Returns (group, n_calib, k, threshold)."""
+    rows = calib.select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    wg = W.partitionBy("_g").orderBy("_s")
+    ranked = rows.withColumn("_r", F.row_number().over(wg).cast("long"))
+    sizes = rows.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    # integer division: Spark's `/` on longs is double — use DIV
+    k = F.least(
+        F.col("_n"),
+        F.expr(
+            f"CAST(((_n + 1) * {alpha_den - alpha_num} + {alpha_den - 1}) "
+            f"DIV {alpha_den} AS BIGINT)"
+        ),
+    )
+    return (
+        ranked.join(sizes.withColumn("_k", k), "_g")
+        .where(F.col("_r") == F.col("_k"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").alias("n_calib"),
+            F.col("_k").alias("k"),
+            F.col("_s").alias("threshold"),
+        )
+    )

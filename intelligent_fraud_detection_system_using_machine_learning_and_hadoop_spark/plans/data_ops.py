@@ -7824,3 +7824,65 @@ def fdr_peer_alerts_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha_num=5,
         alpha_den=100,
     )
+
+
+@query(
+    "conformal_anomaly_events",
+    oracle="""
+    WITH calib AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS s
+      FROM events WHERE event_id % 2 = 0),
+    ranked AS (
+      SELECT g, s,
+             CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY s)
+                  AS BIGINT) AS r
+      FROM calib),
+    sizes AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             LEAST(CAST(count(*) AS BIGINT),
+                   CAST(((count(*) + 1) * 95 + 99) // 100 AS BIGINT)) AS k
+      FROM calib GROUP BY g),
+    thr AS (
+      SELECT ranked.g, sizes.n AS n_calib, sizes.k, ranked.s AS threshold
+      FROM ranked JOIN sizes USING (g) WHERE ranked.r = sizes.k)
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value,
+           t.n_calib, t.k, t.threshold,
+           CAST(e.value AS DOUBLE) > t.threshold AS anomaly_flag
+    FROM events e JOIN thr t ON e.event_type = t.g
+    WHERE e.event_id % 2 = 1
+    """,
+)
+def conformal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibrated anomaly flags
+    (operators/stats.py::conformal_thresholds): per event type, the
+    finite-sample-valid 95% threshold is the k-th smallest calibration
+    score (k = ceil((n+1)·0.95), pure integer arithmetic) computed on
+    the EVEN-event_id half, then the ODD half is flagged against it —
+    the standard split-conformal protocol: a fresh exchangeable score
+    exceeds its group threshold with probability ≤ 5%, no
+    distributional assumption. One grouped window on the calibration
+    half + one broadcastable |groups|-row join back; the hash split is
+    the repo's deterministic-sampling discipline (no df.sample)."""
+    from ..operators.stats import conformal_thresholds
+
+    e = read_table(spark, sf_dir, "events")
+    calib = e.where(F.col("event_id") % 2 == 0)
+    thr = conformal_thresholds(
+        calib, "event_type", "value", alpha_num=5, alpha_den=100
+    )
+    return (
+        e.where(F.col("event_id") % 2 == 1)
+        .join(F.broadcast(thr), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            "n_calib",
+            "k",
+            "threshold",
+            (F.col("value").cast("double") > F.col("threshold")).alias(
+                "anomaly_flag"
+            ),
+        )
+    )

@@ -1221,3 +1221,62 @@ class TestMahalanobis2D:
             grouped[p[0]]["d2"] is None and not grouped[p[0]]["outlier_flag"]
             for p in small
         )
+
+
+class TestConformalThresholds:
+    def test_hand_computed_k_and_threshold(self, spark):
+        """n=19, alpha=0.05: k = ceil(20*0.95) = 19 -> the max;
+        n=19, alpha=0.5: k = ceil(20*0.5) = 10 -> the 10th smallest;
+        n=3, alpha=0.05: k = ceil(4*0.95) = 4 clamps to n=3."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            conformal_thresholds,
+        )
+
+        rows = [("a", float(i)) for i in range(1, 20)]
+        rows += [("b", 1.0), ("b", 2.0), ("b", 3.0)]
+        df = spark.createDataFrame(rows, "g string, s double")
+        got = {
+            r["g"]: r
+            for r in conformal_thresholds(df, "g", "s", 5, 100).collect()
+        }
+        assert got["a"]["n_calib"] == 19 and got["a"]["k"] == 19
+        assert got["a"]["threshold"] == 19.0
+        assert got["b"]["k"] == 3 and got["b"]["threshold"] == 3.0  # clamped
+        mid = {
+            r["g"]: r
+            for r in conformal_thresholds(df, "g", "s", 50, 100).collect()
+        }
+        assert mid["a"]["k"] == 10 and mid["a"]["threshold"] == 10.0
+
+    def test_marginal_coverage_on_exchangeable_split(self, spark):
+        """The conformal promise itself: flag rate on the held-out
+        exchangeable half stays ~<= alpha (binomial slack allowed)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            conformal_thresholds,
+        )
+
+        rng = random.Random(5)
+        rows = [(i, "g", rng.gauss(0.0, 1.0)) for i in range(4000)]
+        df = spark.createDataFrame(rows, "id long, g string, s double")
+        thr = conformal_thresholds(
+            df.where(F.col("id") % 2 == 0), "g", "s", 5, 100
+        )
+        test = df.where(F.col("id") % 2 == 1).join(F.broadcast(thr), "g")
+        n = test.count()
+        n_flag = test.where(F.col("s") > F.col("threshold")).count()
+        assert n_flag / n <= 0.05 + 0.02, (n_flag, n)
+
+    def test_threshold_is_tie_invariant(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            conformal_thresholds,
+        )
+
+        rows = [("t", v) for v in [1.0, 2.0, 2.0, 2.0, 3.0]]
+        df = spark.createDataFrame(rows, "g string, s double")
+        # n=5, alpha=0.4: k = ceil(6*0.6) = 4 -> 4th smallest = 2.0
+        r = conformal_thresholds(df, "g", "s", 40, 100).collect()[0]
+        assert r["k"] == 4 and r["threshold"] == 2.0
