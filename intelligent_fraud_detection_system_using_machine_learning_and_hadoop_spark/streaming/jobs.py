@@ -491,11 +491,18 @@ def stream_velocity_flags(
     )
 
     def update(key_, pdf_iter, state: GroupState):
+        from collections import deque
+
         if state.exists:
-            epochs, cents = state.get
-            epochs, cents = list(epochs), list(cents)
+            ep0, ce0 = state.get
+            epochs, cents = deque(ep0), deque(ce0)
         else:
-            epochs, cents = [], []
+            epochs, cents = deque(), deque()
+        # running window total: O(state) ONCE per batch at restore,
+        # then O(1) amortized per event (popleft on evict, add on
+        # append) — the old per-tie-group sum(cents) + list slice was
+        # O(window-state) per tie group (VERDICT r12/r13 carried item)
+        total = sum(cents)
         uid = int(key_[0])
         out = {k: [] for k in ("eid", "s", "n", "c")}
         # concat before the one sort — a tie-second split across
@@ -517,15 +524,13 @@ def stream_velocity_flags(
                 s = int(secs[i])
                 # evict state strictly older than the frame start
                 lo = s - window_seconds
-                k = 0
-                while k < len(epochs) and epochs[k] < lo:
-                    k += 1
-                if k:
-                    epochs, cents = epochs[k:], cents[k:]
+                while epochs and epochs[0] < lo:
+                    epochs.popleft()
+                    total -= cents.popleft()
                 tie_n = j - i
                 tie_c = sum(int(c) for c in cnts[i:j])
                 n_tr = len(epochs) + tie_n
-                c_tr = sum(cents) + tie_c
+                c_tr = total + tie_c
                 for t in range(i, j):
                     out["eid"].append(int(eids[t]))
                     out["s"].append(s)
@@ -533,8 +538,9 @@ def stream_velocity_flags(
                     out["c"].append(c_tr)
                 epochs.extend([s] * tie_n)
                 cents.extend(int(c) for c in cnts[i:j])
+                total += tie_c
                 i = j
-        state.update((epochs, cents))
+        state.update((list(epochs), list(cents)))
         yield pd.DataFrame(
             {
                 "event_id": out["eid"],
@@ -2247,19 +2253,24 @@ def stream_fraud_risk_report(
     _SPLIT = 1 << 62
 
     def update(key_, pdf_iter, state: GroupState):
+        from collections import deque
+
         if state.exists:
             (
                 n_ev, n_vel, n_sp, max_ctr, epochs, cents_tr, last_s,
                 n_gaps, sg, ss_hi, ss_lo, digs,
             ) = state.get
-            epochs, cents_tr, digs = list(epochs), list(cents_tr), list(digs)
+            epochs, cents_tr, digs = deque(epochs), deque(cents_tr), list(digs)
             ss = ss_hi * _SPLIT + ss_lo
         else:
             n_ev = n_vel = n_sp = 0
             max_ctr = None
-            epochs, cents_tr, last_s = [], [], None
+            epochs, cents_tr, last_s = deque(), deque(), None
             n_gaps = sg = ss = 0
             digs = [0] * 9
+        # running window total: O(state) once per batch, O(1) amortized
+        # per event after (the velocity-fold fix — VERDICT carried item)
+        total = sum(cents_tr)
         # concat the whole iterator before ONE sort (the ADVICE r12
         # chunk-boundary contract shared by every stateful walk here)
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
@@ -2278,15 +2289,13 @@ def stream_fraud_risk_report(
                     j += 1
                 s = int(secs[i])
                 lo = s - window_seconds
-                k = 0
-                while k < len(epochs) and epochs[k] < lo:
-                    k += 1
-                if k:
-                    epochs, cents_tr = epochs[k:], cents_tr[k:]
+                while epochs and epochs[0] < lo:
+                    epochs.popleft()
+                    total -= cents_tr.popleft()
                 tie_n = j - i
                 tie_c = sum(int(c) for c in cnts[i:j])
                 n_tr = len(epochs) + tie_n
-                c_tr = sum(cents_tr) + tie_c
+                c_tr = total + tie_c
                 if n_tr >= count_threshold:
                     n_vel += tie_n
                 if c_tr >= cents_threshold:
@@ -2305,11 +2314,13 @@ def stream_fraud_risk_report(
                 n_ev += tie_n
                 epochs.extend([s] * tie_n)
                 cents_tr.extend(int(c) for c in cnts[i:j])
+                total += tie_c
                 i = j
         state.update(
             (
-                n_ev, n_vel, n_sp, int(max_ctr), epochs, cents_tr,
-                int(last_s), n_gaps, sg, ss // _SPLIT, ss % _SPLIT, digs,
+                n_ev, n_vel, n_sp, int(max_ctr), list(epochs),
+                list(cents_tr), int(last_s), n_gaps, sg, ss // _SPLIT,
+                ss % _SPLIT, digs,
             )
         )
         yield pd.DataFrame(
