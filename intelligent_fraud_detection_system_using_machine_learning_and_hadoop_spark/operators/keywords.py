@@ -1,0 +1,127 @@
+"""RAKE keyword extraction (Rapid Automatic Keyword Extraction — Rose,
+Engel, Cramer & Cowley 2010, public literature), distributed and
+oracle-exact.
+
+LLM-data-pipeline extension (the reference — a 300-line pandas fraud
+scorer — has no text surface): corpus keywording is the standard first
+pass for topic labeling, dataset cards, and domain-mixture audits.
+RAKE's insight is that keywords are MULTI-WORD phrases delimited by
+stopwords/punctuation: candidate phrases are the maximal stopword-free
+token runs, each word w gets corpus statistics
+
+    freq(w)   = number of phrase occurrences containing w
+    degree(w) = Σ over those occurrences of the phrase length
+                (co-occurrence degree, word itself included)
+
+and a phrase scores Σ_w degree(w)/freq(w) — long phrases of
+well-connected words win.
+
+Exactness discipline: the per-word ratio is quantized to a BIGINT
+ninth-decimal floor — ``(degree · 10⁹) DIV freq`` — so the phrase
+score is an ORDER-INDEPENDENT integer sum (the chi-square
+quantization playbook; a raw float Σ would be association-order
+dependent and engine-divergent). The published ``score`` double is
+one final IEEE cast+divide of the exact integer. Width bound:
+degree·10⁹ must fit a signed 64-bit — degree < 9.2×10⁹ phrase-length
+units per word, i.e. ~3×10⁹ occurrences of one word at
+max_phrase_words = 3; past that (trillion-token corpora) lift the
+quantum to 10⁶ or route through decimal(38,0) — same algebra.
+
+Scale shape: one doc-keyed window pass segments phrases (running
+stopword count — the sessionize idiom), one explode + keyed aggregate
+builds the vocabulary-sized (freq, degree) table, one join back (left
+to AQE — the vocabulary is NOT broadcastable at web scale), one
+map-side-combinable phrase aggregate, and a TakeOrderedAndProject
+top-k. No self-joins, no driver participation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+#: Fixed phrase-delimiter stopword list, pinned identically in the SQL
+#: twin. Tiny by design (the operator's contract is the segmentation
+#: algebra; a deployment broadcasts its own list).
+RAKE_STOPWORDS = (
+    "a", "the", "and", "of", "to", "in", "is", "for", "on", "with",
+)
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    max_phrase_words: int = 3,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top-``top_k`` RAKE keyword phrases of the corpus:
+    (phrase, n_words, n_occurrences, score_q, score), ordered by
+    (score_q desc, phrase) — a total deterministic order. Phrases
+    longer than ``max_phrase_words`` are dropped (the RAKE convention:
+    unbounded runs are boilerplate, not keywords)."""
+    pos = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    is_stop = F.col("tok").isin(*stopwords)
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = pos.select(
+        "_id",
+        "pos",
+        "tok",
+        is_stop.alias("_stop"),
+        F.sum(is_stop.cast("int")).over(w).cast("long").alias("_pid"),
+    )
+    phrases = (
+        seg.where(~F.col("_stop"))
+        .groupBy("_id", "_pid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ).alias("_words")
+        )
+        .withColumn("_nw", F.size("_words").cast("long"))
+        .where(F.col("_nw").between(1, max_phrase_words))
+        .withColumn("_phrase", F.concat_ws(" ", F.col("_words")))
+    )
+    pw = phrases.select(
+        "_id", "_pid", "_phrase", "_nw", F.explode("_words").alias("word")
+    )
+    stats = pw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("_nw").cast("long").alias("degree"),
+    )
+    # exact ninth-decimal floor of degree/freq — integer, order-free
+    wq = stats.select(
+        "word", F.expr("(degree * 1000000000L) DIV freq").alias("_wq")
+    )
+    occ = (
+        pw.join(wq, "word")
+        .groupBy("_id", "_pid", "_phrase", "_nw")
+        .agg(F.sum("_wq").cast("long").alias("_sq"))
+    )
+    agg = occ.groupBy(F.col("_phrase").alias("phrase")).agg(
+        F.max("_nw").alias("n_words"),  # identical across occurrences
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.max("_sq").alias("score_q"),  # identical across occurrences
+    )
+    return (
+        agg.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "score_q",
+            (F.col("score_q").cast("double") / F.lit(1.0e9)).alias("score"),
+        )
+        .orderBy(F.desc("score_q"), "phrase")
+        .limit(top_k)
+    )

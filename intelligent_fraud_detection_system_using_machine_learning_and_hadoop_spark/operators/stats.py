@@ -1914,3 +1914,82 @@ def conformal_thresholds(
             F.col("_s").alias("threshold"),
         )
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    crit_sq_num: int = 38416,
+    crit_sq_den: int = 10000,
+) -> DataFrame:
+    """Pairwise two-proportion z-test across groups — the A/B
+    significance primitive (pooled-variance z; any statistics text,
+    public): for every unordered group pair, is the success-rate
+    difference larger than chance at the critical value c (default
+    c² = 3.8416, i.e. c = 1.96, two-sided 5%)?
+
+    The DECISION is exact integer arithmetic — no sqrt, no float
+    compare. With x = x₁+x₂, n = n₁+n₂, algebra collapses the pooled
+    z² to a rational:
+
+        z² = (x₁n₂ − x₂n₁)² · n / (n₁ · n₂ · x · (n−x))
+
+    so ``significant`` is the decimal(38,0) cross-multiplication
+    (x₁n₂−x₂n₁)²·n·c²_den ≥ c²_num·n₁·n₂·x·(n−x) — engine-independent
+    at ties. Width: (x₁n₂)² ≤ 10³⁸ holds to n ≈ 3×10⁹ rows per group
+    at gate+scale sizes (documented; lift to two-level decimals past
+    that). The published ``z`` is the pinned IEEE tree
+    (p₁−p₂)/sqrt(p̂(1−p̂)(1/n₁+1/n₂)) for human eyes, each exact
+    operand cast to double once.
+
+    Degenerate pairs (x = 0 or x = n: zero pooled variance) get NULL z
+    and significant = false — no difference is detectable when
+    everyone (or no one) converts.
+
+    Scale shape: ONE fact-grain aggregate to the |groups|-row
+    (n, x) table, then a groups×groups self-join on the tiny
+    aggregate (broadcast) — the fact table is never re-scanned and
+    never self-joined."""
+    agg = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(success_col).cast("int")).cast("long").alias("_x"),
+    )
+    a = agg.toDF("group_a", "n_a", "x_a")
+    b = agg.toDF("group_b", "n_b", "x_b")
+    j = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    n = d38("n_a") + d38("n_b")
+    x = d38("x_a") + d38("x_b")
+    diff = d38("x_a") * d38("n_b") - d38("x_b") * d38("n_a")
+    lhs = diff * diff * n * F.lit(crit_sq_den).cast("decimal(38,0)")
+    rhs = (
+        F.lit(crit_sq_num).cast("decimal(38,0)")
+        * d38("n_a") * d38("n_b") * x * (n - x)
+    )
+    degenerate = (x == F.lit(0)) | (x == n)
+    p1 = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    p2 = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pp = x.cast("double") / n.cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(~degenerate, (p1 - p2) / se)
+    return j.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        p1.alias("rate_a"),
+        p2.alias("rate_b"),
+        z.alias("z"),
+        F.when(degenerate, F.lit(False)).otherwise(lhs >= rhs).alias(
+            "significant"
+        ),
+    ).orderBy("group_a", "group_b")

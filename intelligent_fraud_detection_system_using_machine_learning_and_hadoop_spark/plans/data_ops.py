@@ -7886,3 +7886,123 @@ def conformal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RAKE_STOPS = "('a','the','and','of','to','in','is','for','on','with')"
+
+
+@query(
+    "rake_keywords_documents",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, u.pos AS pos, u.tok AS tok
+      FROM (SELECT doc_id,
+                   unnest(list_transform(toks, (x, i) -> {{'tok': x, 'pos': i}})) AS u
+            FROM d)),
+    seg AS (
+      SELECT doc_id, pos, tok, tok IN {_RAKE_STOPS} AS is_stop,
+             CAST(SUM(CASE WHEN tok IN {_RAKE_STOPS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pid
+      FROM pos),
+    ph AS (
+      SELECT doc_id, pid, list(tok ORDER BY pos) AS words
+      FROM seg WHERE NOT is_stop GROUP BY doc_id, pid),
+    ph2 AS (
+      SELECT doc_id, pid, array_to_string(words, ' ') AS phrase,
+             CAST(len(words) AS BIGINT) AS nw, words
+      FROM ph WHERE len(words) BETWEEN 1 AND 3),
+    pw AS (
+      SELECT doc_id, pid, phrase, nw, unnest(words) AS word FROM ph2),
+    stats AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(nw) AS BIGINT) AS degree
+      FROM pw GROUP BY word),
+    wq AS (
+      SELECT word,
+             CAST((degree * 1000000000) // freq AS BIGINT) AS wq
+      FROM stats),
+    occ AS (
+      SELECT doc_id, pid, phrase, nw, CAST(SUM(wq) AS BIGINT) AS sq
+      FROM pw JOIN wq USING (word) GROUP BY doc_id, pid, phrase, nw),
+    agg AS (
+      SELECT phrase, MAX(nw) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             MAX(sq) AS score_q
+      FROM occ GROUP BY phrase)
+    SELECT phrase, n_words, n_occurrences, score_q,
+           CAST(score_q AS DOUBLE) / 1.0e+09 AS score
+    FROM agg ORDER BY score_q DESC, phrase LIMIT 100
+    """,
+)
+def rake_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus RAKE keyword extraction (operators/keywords.py::
+    rake_keywords — Rose et al. 2010): top-100 stopword-delimited
+    phrases by the degree/frequency co-occurrence score, with the
+    per-word ratio quantized to an exact BIGINT ninth-decimal floor so
+    the phrase score is an order-independent integer sum (the
+    chi-square quantization discipline). One doc-keyed window pass +
+    one vocabulary aggregate + one AQE-planned join back; no
+    self-joins."""
+    from ..operators.keywords import rake_keywords
+
+    d = read_table(spark, sf_dir, "documents")
+    return rake_keywords(d)
+
+
+@query(
+    "ztest_returns_by_priority",
+    oracle="""
+    WITH agg AS (
+      SELECT o.o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderpriority),
+    j AS (
+      SELECT a.g AS group_a, a.n AS n_a, a.x AS x_a,
+             b.g AS group_b, b.n AS n_b, b.x AS x_b
+      FROM agg a JOIN agg b ON a.g < b.g),
+    m AS (
+      SELECT *,
+             CAST(n_a AS HUGEINT) + n_b AS n,
+             CAST(x_a AS HUGEINT) + x_b AS x,
+             CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a
+               AS diff
+      FROM j)
+    SELECT group_a, group_b, n_a, x_a, n_b, x_b,
+           CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           CASE WHEN x > 0 AND x < n THEN
+             (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           END AS z,
+           CASE WHEN x = 0 OR x = n THEN FALSE
+                ELSE diff * diff * n * 10000
+                     >= 38416 * CAST(n_a AS HUGEINT) * n_b * x * (n - x)
+           END AS significant
+    FROM m ORDER BY group_a, group_b
+    """,
+)
+def ztest_returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-proportion z-test of RETURN RATES across order
+    priorities (operators/stats.py::two_proportion_ztest): for each of
+    the 10 priority pairs, is the l_returnflag='R' rate difference
+    real at the two-sided 5% level? The significance decision is the
+    exact decimal(38,0) cross-multiplication of the collapsed pooled
+    z² = diff²·n / (n₁n₂x(n−x)) against c² = 3.8416 — no sqrt in the
+    flag, bit-stable at ties; the displayed z is the pinned IEEE tree.
+    One join + one fact-grain aggregate + a 5-row broadcast self-join;
+    the fact table is never self-joined."""
+    from ..operators.stats import two_proportion_ztest
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    facts = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", (F.col("l_returnflag") == "R").alias("returned")
+    )
+    return two_proportion_ztest(facts, "o_orderpriority", "returned")

