@@ -574,3 +574,27 @@ def streaming_full_outer_click_purchase(
     from ..streaming.jobs import stream_stream_click_purchase_full_outer
 
     return stream_stream_click_purchase_full_outer(spark, sf_dir)
+
+
+@query("streaming_split_transactions", oracle=None)
+def streaming_split_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-transaction screen as a live ledger stream
+    (streaming/jobs.py::stream_split_transactions): per-entity
+    trailing-30-day sub-threshold window maintained as a deque +
+    running total inside ONE applyInPandasWithState pass (O(1)
+    amortized per order), same-day ties processed as one symmetric
+    peer group — drained date-ordered availableNow ≡ the batch
+    ``split_transactions_orders`` row for row, which the SHARED oracle
+    attests."""
+    from ..streaming.jobs import stream_split_transactions
+
+    return stream_split_transactions(spark, sf_dir)
+
+
+REGISTRY["streaming_split_transactions"] = REGISTRY[
+    "streaming_split_transactions"
+].__class__(
+    builder=REGISTRY["streaming_split_transactions"].builder,
+    oracle=REGISTRY["split_transactions_orders"].oracle,
+    bench=False,
+)

@@ -334,6 +334,174 @@ def _ordered_events_source(
     )
 
 
+def _ordered_orders_source(
+    spark: SparkSession, sf_dir: str, n_files: int
+) -> DataFrame:
+    """DATE-ORDERED multi-file streaming source over the orders table —
+    the ``_ordered_events_source`` pattern at ledger (day) granularity:
+    ``repartitionByRange(o_orderdate)`` keeps an equal-date tie group
+    in ONE part file and the staggered mtimes make the file source
+    deliver micro-batches in date order, so a day-windowed stateful
+    walk reproduces its batch RANGE frame exactly. Cached per
+    (sf_dir, n_files)."""
+    import hashlib
+    import tempfile
+
+    raw = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:orders_ordered:{n_files}:v1".encode()
+    ).hexdigest()[:10]
+    src = os.path.join(tempfile.gettempdir(), f"ifds_orders_ordered_{key}")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        raw.repartitionByRange(n_files, "o_orderdate").sortWithinPartitions(
+            "o_orderdate"
+        ).write.mode("overwrite").parquet(src)
+        import time as _time
+
+        base = _time.time() - 3600
+        parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+        for i, f in enumerate(parts):
+            os.utime(os.path.join(src, f), (base + i * 60, base + i * 60))
+    return (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+
+
+def stream_split_transactions(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    threshold_cents: int = 200_000_00,
+    window_days: int = 30,
+    min_parts: int = 3,
+) -> DataFrame:
+    """The split-transaction screen as a LIVE ledger stream: per
+    arriving order, the entity's trailing-``window_days`` count and
+    exact cents sum of SUB-threshold amounts, flagging splits that
+    jointly clear the threshold — the streaming twin of
+    ``split_transactions_orders`` (operators/fraud_stats.py::
+    split_transactions), sharing its batch oracle bit-for-bit over a
+    drained date-ordered availableNow stream.
+
+    One ``applyInPandasWithState`` pass per entity: state is the
+    window's sub-threshold (day, cents) deque plus a running total —
+    O(1) amortized per order (popleft eviction), never a window
+    recompute; same-day ties are processed as one group so the batch
+    RANGE frame's symmetric-peer semantics reproduce exactly (the
+    velocity-fold discipline). State is bounded by the entity's
+    sub-threshold orders per ``window_days`` — O(1) for any real
+    ledger."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    stream = _ordered_orders_source(spark, sf_dir, n_files).select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out_type = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("day", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("n_parts_window", T.LongType()),
+            T.StructField("cents_window", T.LongType()),
+            T.StructField("split_flag", T.BooleanType()),
+        ]
+    )
+    state_type = T.StructType(
+        [
+            T.StructField("days", T.ArrayType(T.LongType())),
+            T.StructField("cents", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key_, pdf_iter, state: GroupState):
+        from collections import deque
+
+        if state.exists:
+            d0, c0 = state.get
+            days, cts = deque(d0), deque(c0)
+        else:
+            days, cts = deque(), deque()
+        total = sum(cts)
+        ent = int(key_[0])
+        out = {k: [] for k in ("oid", "d", "c", "n", "s", "f")}
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["day", "o_orderkey"]
+            )
+            oids = pdf["o_orderkey"].tolist()
+            dss = pdf["day"].tolist()
+            cns = pdf["cents"].tolist()
+            i = 0
+            while i < len(oids):
+                j = i
+                while j < len(oids) and dss[j] == dss[i]:
+                    j += 1
+                d = int(dss[i])
+                lo = d - (window_days - 1)
+                while days and days[0] < lo:
+                    days.popleft()
+                    total -= cts.popleft()
+                tie = [
+                    int(c)
+                    for c in cns[i:j]
+                    if 0 < int(c) < threshold_cents
+                ]
+                tie_n, tie_c = len(tie), sum(tie)
+                n_w = len(days) + tie_n
+                c_w = total + tie_c
+                for t in range(i, j):
+                    c = int(cns[t])
+                    sub = 0 < c < threshold_cents
+                    out["oid"].append(int(oids[t]))
+                    out["d"].append(d)
+                    out["c"].append(c)
+                    out["n"].append(n_w)
+                    out["s"].append(c_w)
+                    out["f"].append(
+                        sub and n_w >= min_parts and c_w >= threshold_cents
+                    )
+                days.extend([d] * tie_n)
+                cts.extend(tie)
+                total += tie_c
+                i = j
+        state.update((list(days), list(cts)))
+        yield pd.DataFrame(
+            {
+                "o_orderkey": out["oid"],
+                "o_custkey": [ent] * len(out["oid"]),
+                "day": out["d"],
+                "cents": out["c"],
+                "n_parts_window": out["n"],
+                "cents_window": out["s"],
+                "split_flag": out["f"],
+            }
+        )
+
+    emitted = stream.groupBy("o_custkey").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"split_tx_sink_{next(_sink_ids)}"
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_rolling_anomaly(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> DataFrame:
