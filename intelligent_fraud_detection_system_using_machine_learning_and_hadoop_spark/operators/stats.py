@@ -1882,9 +1882,12 @@ def conformal_thresholds(
     Exactness: k is PURE INTEGER arithmetic —
     k = ((n+1)·(α_den − α_num) + α_den − 1) div α_den — and the
     threshold is the k-th order statistic by VALUE (tie-invariant:
-    whatever order ties take, the k-th value is the same; the window
-    still carries a deterministic tiebreaker). No interpolation, no
-    floats until the score itself.
+    whatever order ties take, the k-th value is the same — the window
+    orders by the score alone and needs no tiebreaker for the OUTPUT
+    to be deterministic; this is the one sanctioned exception to the
+    repo's unique-tiebreaker window rule, and it is an exception
+    because the k-th VALUE, not the row at rank k, is what's
+    returned). No interpolation, no floats until the score itself.
 
     Scale shape: one grouped window (partitioned by group — ranks are
     distributed across groups, never a global sort) + a 1-row-per-
@@ -1916,6 +1919,48 @@ def conformal_thresholds(
     )
 
 
+# Base for the two_proportion_ztest limb arithmetic: decimal(38,0)
+# "words" of 18 decimal digits, so any single limb*scalar product
+# (limb < 1e18, scalar <= 2e15) stays < 1e38 and every carry
+# (product DIV base) fits a BIGINT — Spark's decimal DIV returns long.
+_ZT_BASE = "CAST(1000000000000000000 AS DECIMAL(38,0))"
+_ZT_MAX_GROUP = 10**15  # per-group count bound of the exact decision
+
+
+def _limb_ge(lhs: list, rhs: list):
+    """lhs >= rhs for equal-length little-endian limb Column lists."""
+    cond = lhs[0] >= rhs[0]
+    for lo, ro in zip(lhs[1:], rhs[1:]):
+        cond = (lo > ro) | ((lo == ro) & cond)
+    return cond
+
+
+def _limb_mul_scalar(j: DataFrame, in_names, scalar_name, out_prefix):
+    """Multiply a little-endian decimal(38,0) limb vector by a scalar
+    column (contract: 0 <= scalar <= 2e15, limbs < 1e18, so every
+    product < 1e38 and every carry fits BIGINT). Appends
+    len(in_names)+1 limbs named {out_prefix}{i} via staged selects —
+    each carry is a NAMED column, never a re-expanded subtree, so the
+    codegen'd projection stays linear in limb count."""
+    carry = None
+    for i, name in enumerate(in_names):
+        t = f"{out_prefix}_t{i}"
+        prod = F.col(name) * F.col(scalar_name)
+        if carry is not None:
+            prod = prod + F.col(carry)
+        j = j.select("*", prod.alias(t))
+        carry = f"{out_prefix}_c{i}"
+        j = j.select(
+            "*",
+            F.pmod(F.col(t), F.expr(_ZT_BASE)).alias(f"{out_prefix}{i}"),
+            F.expr(f"CAST({t} DIV {_ZT_BASE} AS DECIMAL(38,0))").alias(carry),
+        )
+    j = j.select(
+        "*", F.col(carry).alias(f"{out_prefix}{len(in_names)}")
+    )
+    return j, [f"{out_prefix}{i}" for i in range(len(in_names) + 1)]
+
+
 def two_proportion_ztest(
     df: DataFrame,
     group_col: str,
@@ -1929,48 +1974,169 @@ def two_proportion_ztest(
     difference larger than chance at the critical value c (default
     c² = 3.8416, i.e. c = 1.96, two-sided 5%)?
 
+    ONE fact-grain aggregate to the |groups|-row (n, x) table, then
+    the pairwise decision on the tiny broadcast self-join — see
+    ``two_proportion_ztest_from_counts`` for the exact-arithmetic
+    contract (valid to 10¹⁵ rows per group; loud error beyond, never
+    a silent NULL). The fact table is never re-scanned and never
+    self-joined."""
+    agg = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(success_col).cast("int")).cast("long").alias("x"),
+    )
+    return two_proportion_ztest_from_counts(
+        agg, crit_sq_num=crit_sq_num, crit_sq_den=crit_sq_den
+    )
+
+
+def two_proportion_ztest_from_counts(
+    counts: DataFrame,
+    group_col: str = "group",
+    n_col: str = "n",
+    x_col: str = "x",
+    crit_sq_num: int = 38416,
+    crit_sq_den: int = 10000,
+) -> DataFrame:
+    """The pairwise decision on a precomputed (group, n, x) table.
+
     The DECISION is exact integer arithmetic — no sqrt, no float
     compare. With x = x₁+x₂, n = n₁+n₂, algebra collapses the pooled
     z² to a rational:
 
         z² = (x₁n₂ − x₂n₁)² · n / (n₁ · n₂ · x · (n−x))
 
-    so ``significant`` is the decimal(38,0) cross-multiplication
-    (x₁n₂−x₂n₁)²·n·c²_den ≥ c²_num·n₁·n₂·x·(n−x) — engine-independent
-    at ties. Width: (x₁n₂)² ≤ 10³⁸ holds to n ≈ 3×10⁹ rows per group
-    at gate+scale sizes (documented; lift to two-level decimals past
-    that). The published ``z`` is the pinned IEEE tree
+    so ``significant`` is the cross-multiplication
+    diff²·n·c²_den ≥ c²_num·n₁n₂·x·(n−x) — engine-independent at ties.
+
+    Width (the r14 finding): a single decimal(38,0) cannot hold the
+    left side — worst case it is n⁵·c²_den/16, 38 digits already at
+    n ≈ 2.8×10⁷ combined rows per pair, nowhere near 100 TB group
+    sizes. So the comparison is staged in TWO-LEVEL DECIMALS: both
+    sides are computed as little-endian vectors of 18-digit
+    decimal(38,0) limbs (diff split at 10¹⁸, schoolbook square with
+    named-column carry chains, then scalar-multiply passes by c²_den,
+    n and by c²_num, x, n−x), compared lexicographically. Every limb
+    product is < 10³⁸ and every carry fits BIGINT provided
+    n₁, n₂ ≤ 10¹⁵ (a quadrillion rows per group — beyond any 100 TB
+    corpus), 0 ≤ x ≤ n, c²_num ≤ 10⁶, c²_den ≤ 10⁴; the bounds are
+    enforced, not assumed: crit args are validated here, and a count
+    outside contract routes the row into a raise_error() branch — a
+    LOUD failure, never a silently NULL ``significant`` (inputs are
+    clamped to 0 before the limb pipeline so no intermediate can
+    overflow on the way to the raise). Verified by a planted-width
+    pytest at n = 2.8×10⁷ / 3×10⁹ / 10¹² / 10¹⁵ against Python
+    arbitrary-precision ints (tests/test_stats.py).
+
+    The published ``z`` is the pinned IEEE tree
     (p₁−p₂)/sqrt(p̂(1−p̂)(1/n₁+1/n₂)) for human eyes, each exact
-    operand cast to double once.
+    operand cast to double once. Degenerate pairs (x = 0 or x = n:
+    zero pooled variance) get NULL z and significant = false.
 
-    Degenerate pairs (x = 0 or x = n: zero pooled variance) get NULL z
-    and significant = false — no difference is detectable when
-    everyone (or no one) converts.
-
-    Scale shape: ONE fact-grain aggregate to the |groups|-row
-    (n, x) table, then a groups×groups self-join on the tiny
-    aggregate (broadcast) — the fact table is never re-scanned and
-    never self-joined."""
-    agg = df.groupBy(F.col(group_col).alias("_g")).agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(F.col(success_col).cast("int")).cast("long").alias("_x"),
+    Scale shape: all arithmetic on the groups×groups broadcast
+    self-join of the aggregate — O(|groups|²) rows, fact-scale work
+    is zero here. The DuckDB oracle twin keeps the single-level
+    HUGEINT cross-multiplication: exact to ~2.8×10⁷ rows/group, and
+    it ERRORS (HUGEINT overflow) rather than diverging beyond."""
+    if not 0 < crit_sq_num <= 10**6:
+        raise ValueError("crit_sq_num must be in (0, 1e6]")
+    if not 0 < crit_sq_den <= 10**4:
+        raise ValueError("crit_sq_den must be in (0, 1e4]")
+    agg = counts.select(
+        F.col(group_col).alias("group"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(x_col).cast("long").alias("x"),
     )
     a = agg.toDF("group_a", "n_a", "x_a")
     b = agg.toDF("group_b", "n_b", "x_b")
     j = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
-    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    n = d38("n_a") + d38("n_b")
-    x = d38("x_a") + d38("x_b")
-    diff = d38("x_a") * d38("n_b") - d38("x_b") * d38("n_a")
-    lhs = diff * diff * n * F.lit(crit_sq_den).cast("decimal(38,0)")
-    rhs = (
-        F.lit(crit_sq_num).cast("decimal(38,0)")
-        * d38("n_a") * d38("n_b") * x * (n - x)
+    lim = F.lit(_ZT_MAX_GROUP).cast("long")
+    in_contract = (
+        F.col("n_a").isNotNull()
+        & F.col("n_b").isNotNull()
+        & F.col("x_a").isNotNull()
+        & F.col("x_b").isNotNull()
+        & (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("n_a") <= lim)
+        & (F.col("n_b") <= lim)
+        & (F.col("x_a") >= 0)
+        & (F.col("x_a") <= F.col("n_a"))
+        & (F.col("x_b") >= 0)
+        & (F.col("x_b") <= F.col("n_b"))
     )
-    degenerate = (x == F.lit(0)) | (x == n)
+    # clamp out-of-contract rows to 0 so NO intermediate can overflow;
+    # the final CASE routes such rows to raise_error before the
+    # clamped garbage is ever visible.
+    def _cl(c):
+        return F.when(in_contract, F.col(c)).otherwise(F.lit(0)).cast(
+            "decimal(38,0)"
+        )
+
+    j = j.select(
+        "*",
+        in_contract.alias("_ok"),
+        (_cl("n_a") + _cl("n_b")).alias("_n"),
+        (_cl("x_a") + _cl("x_b")).alias("_x"),
+        F.abs(
+            _cl("x_a") * _cl("n_b") - _cl("x_b") * _cl("n_a")
+        ).alias("_diff"),
+        (_cl("n_a") * _cl("n_b")).alias("_w"),
+        F.lit(crit_sq_num).cast("decimal(38,0)").alias("_cnum"),
+        F.lit(crit_sq_den).cast("decimal(38,0)").alias("_cden"),
+    )
+    B = _ZT_BASE
+    # split |diff| (<= 1e30) and n1*n2 (<= 1e30) into 18-digit limbs
+    j = j.select(
+        "*",
+        (F.col("_n") - F.col("_x")).alias("_y"),
+        F.pmod(F.col("_diff"), F.expr(B)).alias("_d0"),
+        F.expr(f"CAST(_diff DIV {B} AS DECIMAL(38,0))").alias("_d1"),
+        F.pmod(F.col("_w"), F.expr(B)).alias("_w0"),
+        F.expr(f"CAST(_w DIV {B} AS DECIMAL(38,0))").alias("_w1"),
+    )
+    # diff² = d1²·B² + 2d1d0·B + d0² (terms < 1e36, 2e30, 1e24)
+    j = j.select(
+        "*",
+        (F.col("_d0") * F.col("_d0")).alias("_p0"),
+        (
+            F.lit(2).cast("decimal(38,0)") * F.col("_d0") * F.col("_d1")
+        ).alias("_p1"),
+        (F.col("_d1") * F.col("_d1")).alias("_p2"),
+    )
+    # carry-normalize the square into 4 limbs _s0.._s3
+    j = j.select(
+        "*",
+        F.pmod(F.col("_p0"), F.expr(B)).alias("_s0"),
+        F.expr(f"CAST(_p0 DIV {B} AS DECIMAL(38,0))").alias("_q0"),
+    )
+    j = j.select("*", (F.col("_p1") + F.col("_q0")).alias("_t1"))
+    j = j.select(
+        "*",
+        F.pmod(F.col("_t1"), F.expr(B)).alias("_s1"),
+        F.expr(f"CAST(_t1 DIV {B} AS DECIMAL(38,0))").alias("_q1"),
+    )
+    j = j.select("*", (F.col("_p2") + F.col("_q1")).alias("_t2"))
+    j = j.select(
+        "*",
+        F.pmod(F.col("_t2"), F.expr(B)).alias("_s2"),
+        F.expr(f"CAST(_t2 DIV {B} AS DECIMAL(38,0))").alias("_s3"),
+    )
+    # lhs = diff² · c²_den · n   (two scalar passes; n <= 2e15)
+    j, u = _limb_mul_scalar(j, ["_s0", "_s1", "_s2", "_s3"], "_cden", "_u")
+    j, lhs = _limb_mul_scalar(j, u, "_n", "_l")
+    # rhs = n₁n₂ · c²_num · x · (n−x)
+    j, v = _limb_mul_scalar(j, ["_w0", "_w1"], "_cnum", "_v")
+    j, r = _limb_mul_scalar(j, v, "_x", "_r")
+    j, rhs = _limb_mul_scalar(j, r, "_y", "_e")
+    rhs = rhs + ["_zero"] * (len(lhs) - len(rhs))
+    j = j.select("*", F.lit(0).cast("decimal(38,0)").alias("_zero"))
+    cmp_ge = _limb_ge(
+        [F.col(c) for c in lhs], [F.col(c) for c in rhs]
+    )
+    degenerate = (F.col("_x") == F.lit(0)) | (F.col("_x") == F.col("_n"))
     p1 = F.col("x_a").cast("double") / F.col("n_a").cast("double")
     p2 = F.col("x_b").cast("double") / F.col("n_b").cast("double")
-    pp = x.cast("double") / n.cast("double")
+    pp = F.col("_x").cast("double") / F.col("_n").cast("double")
     se = F.sqrt(
         pp * (F.lit(1.0) - pp)
         * (
@@ -1978,7 +2144,18 @@ def two_proportion_ztest(
             + F.lit(1.0) / F.col("n_b").cast("double")
         )
     )
-    z = F.when(~degenerate, (p1 - p2) / se)
+    z = F.when(F.col("_ok") & ~degenerate, (p1 - p2) / se)
+    significant = (
+        F.when(F.col("_ok") & degenerate, F.lit(False))
+        .when(F.col("_ok"), cmp_ge)
+        .otherwise(
+            F.expr(
+                "CAST(raise_error('two_proportion_ztest: counts exceed "
+                "the exact-width contract (0 < n <= 1e15 per group, "
+                "0 <= x <= n, non-null)') AS BOOLEAN)"
+            )
+        )
+    )
     return j.select(
         "group_a",
         "group_b",
@@ -1989,7 +2166,5 @@ def two_proportion_ztest(
         p1.alias("rate_a"),
         p2.alias("rate_b"),
         z.alias("z"),
-        F.when(degenerate, F.lit(False)).otherwise(lhs >= rhs).alias(
-            "significant"
-        ),
+        significant.alias("significant"),
     ).orderBy("group_a", "group_b")

@@ -7993,9 +7993,12 @@ def ztest_returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     priorities (operators/stats.py::two_proportion_ztest): for each of
     the 10 priority pairs, is the l_returnflag='R' rate difference
     real at the two-sided 5% level? The significance decision is the
-    exact decimal(38,0) cross-multiplication of the collapsed pooled
-    z² = diff²·n / (n₁n₂x(n−x)) against c² = 3.8416 — no sqrt in the
-    flag, bit-stable at ties; the displayed z is the pinned IEEE tree.
+    exact two-level-decimal (18-digit limb) cross-multiplication of
+    the collapsed pooled z² = diff²·n / (n₁n₂x(n−x)) against
+    c² = 3.8416 — no sqrt in the flag, bit-stable at ties, exact to
+    10¹⁵ rows per group (the DuckDB HUGEINT twin is exact to
+    ~2.8×10⁷/group and ERRORS, not diverges, beyond); the displayed z
+    is the pinned IEEE tree.
     One join + one fact-grain aggregate + a 5-row broadcast self-join;
     the fact table is never self-joined."""
     from ..operators.stats import two_proportion_ztest

