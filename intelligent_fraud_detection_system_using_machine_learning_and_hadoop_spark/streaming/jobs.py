@@ -1476,11 +1476,25 @@ class _ParquetFoldState:
         delta.withColumn("_kb", kb).write.mode("overwrite").partitionBy(
             "_kb"
         ).parquet(scratch)
-        touched = sorted(
-            int(name.split("=")[1])
-            for name in os.listdir(scratch)
-            if name.startswith("_kb=")
-        )
+        # NULL fold keys are SAFE here, by construction: xxhash64
+        # skips null inputs and returns its seed (42), so _kb is never
+        # null and no __HIVE_DEFAULT_PARTITION__ dir can appear
+        # (pinned by tests/test_ml_streaming.py null-key fold test).
+        # The parse guard below turns any future violation of that
+        # invariant into a named error instead of an opaque int().
+        touched = []
+        for name in os.listdir(scratch):
+            if not name.startswith("_kb="):
+                continue
+            try:
+                touched.append(int(name.split("=")[1]))
+            except ValueError:
+                raise ValueError(
+                    f"_ParquetFoldState.apply_delta: non-integer bucket "
+                    f"partition {name!r} under {scratch} — the _kb "
+                    f"expression must never be null/non-int"
+                ) from None
+        touched.sort()
         todo = [k for k in touched if self._bucket_last(k) < batch_id]
         if todo:
             delta_todo = self._spark.read.option("basePath", scratch).parquet(
@@ -1507,6 +1521,13 @@ class _ParquetFoldState:
                     continue
                 dest = os.path.join(self._bucket_dir(k), f"v{batch_id}")
                 os.makedirs(self._bucket_dir(k), exist_ok=True)
+                # crash-window repair (ADVICE r14): a crash BETWEEN the
+                # move and the _SUCCESS touch leaves an uncommitted
+                # dest; _bucket_last ignores it (no marker) so the
+                # retry re-merges — but a bare move would then nest the
+                # fresh files INSIDE the stale dir as a spurious
+                # '_kb=' subdir. Replace, never nest.
+                shutil.rmtree(dest, ignore_errors=True)
                 shutil.move(part, dest)
                 open(os.path.join(dest, "_SUCCESS"), "w").close()
                 for v in self._versions(self._bucket_dir(k)):

@@ -121,6 +121,47 @@ def test_planted_cohort_carries_recall_signal(scaled, spark):
     assert set(truth) <= set(exact) and set(truth) <= set(lsh)
 
 
+def test_planted_lineitem_rows_keep_the_primary_key(scaled):
+    """ADVICE r14: planted lineitem rows are templated from base rows,
+    which used to inherit repeating l_linenumber values. The PLANTED
+    rows (orderkeys above every copy's range, i.e. >= k·stride) must
+    carry a 1..n l_linenumber sequence per order so they never ADD
+    (l_orderkey, l_linenumber) duplicates. Scope note: the driver's
+    BASE corpus itself carries duplicate pairs (sf0.001: 6000 rows,
+    4599 unique), so the whole-table PK is not the generator's to
+    promise — only that plants don't make it worse."""
+    out, _ = scaled
+    k = 3
+    base_max = int(
+        pq.read_table(
+            os.path.join(BASE, "orders.parquet"), columns=["o_orderkey"]
+        )["o_orderkey"]
+        .combine_chunks()
+        .to_pandas()
+        .max()
+    )
+    stride = base_max + 1
+    t = pq.read_table(
+        os.path.join(out, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber"],
+    )
+    pairs = [
+        p
+        for p in zip(
+            t["l_orderkey"].to_pylist(), t["l_linenumber"].to_pylist()
+        )
+        if p[0] >= k * stride
+    ]
+    assert pairs, "no planted rows found — fixture broken"
+    assert len(pairs) == len(set(pairs))
+    # and each planted order's linenumbers are exactly 1..n
+    by_order = {}
+    for o, ln in pairs:
+        by_order.setdefault(o, []).append(ln)
+    for o, lns in by_order.items():
+        assert sorted(lns) == list(range(1, len(lns) + 1)), o
+
+
 def test_documents_fresh_not_copied(scaled):
     out, _ = scaled
     base_texts = set(

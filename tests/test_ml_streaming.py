@@ -851,6 +851,81 @@ def test_fold_state_survives_driver_restart_with_stable_path(spark, tmp_path):
     assert {tuple(r) for r in s2.read().collect()} == {(1, 15), (2, 20)}
 
 
+def test_fold_state_retry_replaces_uncommitted_leftover(spark):
+    """ADVICE r14 (crash recovery): simulate a crash BETWEEN
+    shutil.move and the _SUCCESS touch — dest exists with the merged
+    files but no marker. The retry must REPLACE that leftover, not
+    nest the fresh merge inside it as a spurious '_kb=' subdir; the
+    recovered state must read back exactly once."""
+    import os
+    import shutil
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        _ParquetFoldState,
+    )
+
+    state = _ParquetFoldState(spark, "test_crash_window", n_buckets=2)
+    d0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, n long")
+    state.apply_delta(d0, 0, ["k"], _fold_sum_merge)
+
+    # forge the crash window for every bucket of batch 1: v1 moved
+    # into place but _SUCCESS not yet touched — which also means the
+    # prune of v0 (it runs after the touch) has not happened, so v0
+    # must still be the committed version. Snapshot v0 first, apply
+    # batch 1 for real, then rewind to the mid-commit state.
+    import tempfile
+
+    snap = tempfile.mkdtemp(prefix="ifds_v0_snap_")
+    for k in range(state.n_buckets):
+        v0 = os.path.join(state._bucket_dir(k), "v0")
+        if os.path.isdir(v0):
+            shutil.copytree(v0, os.path.join(snap, f"b{k}"))
+    d1 = spark.createDataFrame([(1, 5), (2, 7)], "k long, n long")
+    state.apply_delta(d1, 1, ["k"], _fold_sum_merge)
+    stale = []
+    for k in range(state.n_buckets):
+        dest = os.path.join(state._bucket_dir(k), "v1")
+        if os.path.isdir(dest):
+            os.remove(os.path.join(dest, "_SUCCESS"))
+            stale.append(dest)
+        saved = os.path.join(snap, f"b{k}")
+        if os.path.isdir(saved):
+            shutil.copytree(
+                saved, os.path.join(state._bucket_dir(k), "v0")
+            )
+    assert stale, "batch 1 committed no buckets — fixture broken"
+    assert state.last_batch() == 0  # uncommitted v1 is invisible
+    shutil.rmtree(snap, ignore_errors=True)
+
+    # the foreachBatch retry re-invokes with the SAME batch id
+    state.apply_delta(d1, 1, ["k"], _fold_sum_merge)
+    assert state.last_batch() == 1
+    for dest in stale:
+        nested = [n for n in os.listdir(dest) if n.startswith("_kb=")]
+        assert nested == [], f"retry nested fresh files inside {dest}"
+    got = {r["k"]: r["n"] for r in state.read().collect()}
+    assert got == {1: 15, 2: 27}
+    shutil.rmtree(state.dir, ignore_errors=True)
+
+
+def test_fold_state_null_key_folds_cleanly(spark):
+    """ADVICE r14 (null fold keys): xxhash64 skips null inputs and
+    returns its seed, so a null-keyed delta row lands in a REAL
+    integer bucket (never __HIVE_DEFAULT_PARTITION__) and the fold
+    completes; null is a legal group key end-to-end."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+        _ParquetFoldState,
+    )
+
+    state = _ParquetFoldState(spark, "test_null_key", n_buckets=4)
+    d0 = spark.createDataFrame([(None, 3), ("a", 1)], "k string, n long")
+    state.apply_delta(d0, 0, ["k"], _fold_sum_merge)
+    d1 = spark.createDataFrame([(None, 4)], "k string, n long")
+    state.apply_delta(d1, 1, ["k"], _fold_sum_merge)
+    got = {r["k"]: r["n"] for r in state.read().collect()}
+    assert got == {None: 7, "a": 1}
+
+
 def test_incremental_cc_fold_contract(spark, sf_dir):
     """The contracted-graph CC fold: replay of an applied batch is a
     no-op; a crashed batch is retried (last_batch recorded only after

@@ -135,6 +135,16 @@ def _replace(tmpl: pa.Table, values: dict[str, list[int]]) -> pa.Table:
     return pa.table(cols)
 
 
+def _seq_per_key(keys: list[int]) -> list[int]:
+    """1..n running sequence within each key's run (keys arrive
+    grouped by construction)."""
+    out, counts = [], {}
+    for k in keys:
+        counts[k] = counts.get(k, 0) + 1
+        out.append(counts[k])
+    return out
+
+
 def _collusion_extras(base_dir: str, k: int, strides, seed: int = 43):
     """The planted collusive cohort: six customer pairs with engineered
     supplier-set Jaccards (3×J=1, 2×J=0.6, 1×J=1/3 negative control),
@@ -217,6 +227,11 @@ def _collusion_extras(base_dir: str, k: int, strides, seed: int = 43):
             {
                 "l_orderkey": [o for o, _ in li_rows],
                 "l_suppkey": [s for _, s in li_rows],
+                # templated rows inherit repeating l_linenumber values;
+                # overwrite with a 1..n sequence per planted order so
+                # the TPC-H (l_orderkey, l_linenumber) primary key
+                # holds on the scaled corpus (ADVICE r14)
+                "l_linenumber": _seq_per_key([o for o, _ in li_rows]),
             },
         ),
     }
