@@ -527,3 +527,68 @@ def shared_counterparty_pairs_lsh(
         )
         .orderBy(F.desc("jaccard"), "entity_a", "entity_b")
     )
+
+
+def shared_counterparty_rings_lsh(
+    edges: DataFrame,
+    entity_col: str = "entity",
+    counterparty_col: str = "counterparty",
+    min_shared: int = 2,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+    num_hashes: int = 64,
+    bands: int = 32,
+    max_counterparty_degree: int | None = None,
+) -> DataFrame:
+    """Collusion rings at scale (VERDICT r14 item 2): connected
+    components over the LSH candidate pairs — the composition that
+    retires the exact rings leg's one does-not-survive-100× plan.
+
+    :func:`shared_counterparty_rings`' suspect-edge leg is the Σdeg²
+    counterparty-keyed self-join, which SCALING r13 measured
+    overrunning shuffle disk at sf3; this leg swaps it for
+    :func:`shared_counterparty_pairs_lsh` (banded MinHash candidates,
+    exact verification on the true sets — precision 1 by
+    construction) and labels the SAME large-star/small-star
+    components over the surviving edges. Semantics: identical output
+    contract to the exact rings — (entity, ring_id = min member,
+    ring_size ≥ 2) — and EQUAL results whenever every qualifying pair
+    collides in some band (recall 1); approximate only in recall (a
+    missed edge can split or shrink a ring), which is why the driver
+    records rows-only while the ring-set-equality pytest
+    (tests/test_fraud_stats.py) pins equality with the exact leg at
+    gate scale and the planted-cohort recall holds at sf1/sf3.
+
+    Scale shape: ONE entity-keyed shuffle for signatures (linear,
+    64×deg map-side work), bucket-local candidate pairs (Σdeg² never
+    materializes), exact verify on the candidate sliver, then
+    O(log² n) CC rounds on the tiny-by-construction suspect graph —
+    every leg keyed, no all-pairs anywhere."""
+    from .graph import connected_components
+
+    suspect = shared_counterparty_pairs_lsh(
+        edges,
+        entity_col,
+        counterparty_col,
+        min_shared=min_shared,
+        jaccard_num=jaccard_num,
+        jaccard_den=jaccard_den,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_counterparty_degree=max_counterparty_degree,
+    ).select(
+        F.col("entity_a").alias("id_a"), F.col("entity_b").alias("id_b")
+    )
+    comp = connected_components(suspect)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("ring_size")
+    )
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            F.col("id").alias(entity_col),
+            F.col("component").alias("ring_id"),
+            "ring_size",
+        )
+        .orderBy(entity_col)
+    )

@@ -4051,7 +4051,14 @@ def collusion_pairs_lsh_customers(
            CAST(COUNT(*) OVER (PARTITION BY ring_id) AS BIGINT) AS ring_size
     FROM comp ORDER BY entity
     """,
-    bench=True,
+    # NOT benched since r15 (VERDICT r14 item 2): the exact suspect-
+    # edge leg is the same Σdeg² pair shuffle the pairs screen
+    # unbenched in r14 (44.9 s = 30% of the r14 bench wall, and
+    # SCALING r13 recorded it overrunning shuffle disk at sf3 — the
+    # one plan that did not survive 100×). Its cost story lives in
+    # SCALING.md's sf0.1/1 curve; the gate still value-checks it every
+    # round. The scale path, collusion_rings_lsh_customers, is benched
+    # in its place and pytest-pinned ring-set-equal at gate scale.
 )
 def collusion_rings_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collusion RINGS (operators/cooccur.py::shared_counterparty_rings):
@@ -4083,6 +4090,46 @@ def collusion_rings_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_num=1,
         jaccard_den=2,
         max_counterparty_degree=2000,
+    )
+
+
+@query("collusion_rings_lsh_customers", bench=True)
+def collusion_rings_lsh_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collusion rings at scale (operators/cooccur.py::
+    shared_counterparty_rings_lsh, VERDICT r14 item 2): connected
+    components over the MinHash-LSH candidate pairs instead of the
+    exact leg's Σdeg² self-join — the scale path for the ONE plan
+    SCALING r13 measured dying at sf3. Same parameters as the exact
+    collusion_rings_customers (Jaccard ≥ ½ by exact integer
+    cross-multiplication, min_shared=2, identical output contract);
+    every surfaced edge is exact-verified on the true supplier sets
+    (precision 1), so the output differs from the exact leg ONLY if a
+    qualifying pair misses every band (32 bands × 2 rows: collision
+    prob ≈ 0.9999 at j = ½). Rows-only at the driver by design — the
+    recall-approximate ANN discipline; ring-set equality with the
+    exact leg is pytest-pinned at gate scale
+    (tests/test_fraud_stats.py) and the planted cohort's rings hold
+    at sf1/sf3 in SCALING.md where the exact leg cannot run. No hub
+    cap here: the LSH leg's cost is bucket-local, not Σdeg², so it
+    needs no valve (and the exact twin's 2000 cap never binds on this
+    corpus — the pytest equality holds with both settings)."""
+    from ..operators.cooccur import shared_counterparty_rings_lsh
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("entity"),
+        F.col("l_suppkey").alias("counterparty"),
+    )
+    return shared_counterparty_rings_lsh(
+        edges,
+        "entity",
+        "counterparty",
+        min_shared=2,
+        jaccard_num=1,
+        jaccard_den=2,
     )
 
 

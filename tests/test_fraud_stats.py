@@ -590,6 +590,72 @@ class TestCollusionLsh:
             recall = len(got) / len(exact)
             assert recall >= 0.9, (len(got), len(exact))
 
+    def test_rings_lsh_equals_exact_rings_at_gate_scale(self, spark, sf_dir):
+        """VERDICT r14 item 2: rings over the LSH candidate pairs must
+        produce the SAME ring sets as the exact Σdeg² leg at gate
+        scale (recall 1 there) — same members, same ring_id labeling
+        (min member), same sizes — both with the exact twin's shipped
+        hub cap and without it (the cap never binds on this corpus)."""
+        import pyspark.sql.functions as F
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_rings,
+            shared_counterparty_rings_lsh,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+            read_table,
+        )
+
+        o = read_table(spark, sf_dir, "orders")
+        li = read_table(spark, sf_dir, "lineitem")
+        edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            F.col("o_custkey").alias("entity"),
+            F.col("l_suppkey").alias("counterparty"),
+        )
+        for cap in (2000, None):
+            want = sorted(
+                tuple(r)
+                for r in shared_counterparty_rings(
+                    edges, min_shared=2, max_counterparty_degree=cap
+                ).collect()
+            )
+            got = sorted(
+                tuple(r)
+                for r in shared_counterparty_rings_lsh(
+                    edges, min_shared=2, max_counterparty_degree=cap
+                ).collect()
+            )
+            assert want, "exact rings empty at gate scale — fixture broken"
+            assert got == want, cap
+
+    def test_rings_lsh_hand_fixture(self, spark):
+        """Two identical-set pairs chained through a shared middle
+        entity form ONE ring of 3; a disjoint identical pair is its
+        own ring of 2."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
+            shared_counterparty_rings_lsh,
+        )
+
+        rows = (
+            [(1, c) for c in (10, 11, 12)]
+            + [(2, c) for c in (10, 11, 12)]
+            + [(3, c) for c in (10, 11, 12)]
+            + [(7, c) for c in (90, 91)]
+            + [(8, c) for c in (90, 91)]
+            + [(9, c) for c in (50, 51)]  # no partner -> no ring
+        )
+        df = spark.createDataFrame(rows, "entity long, counterparty long")
+        got = sorted(
+            tuple(r) for r in shared_counterparty_rings_lsh(df).collect()
+        )
+        assert got == [
+            (1, 1, 3),
+            (2, 1, 3),
+            (3, 1, 3),
+            (7, 7, 2),
+            (8, 7, 2),
+        ]
+
     def test_lsh_hand_fixture_identical_sets_collide(self, spark):
         from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.cooccur import (
             shared_counterparty_pairs_lsh,
