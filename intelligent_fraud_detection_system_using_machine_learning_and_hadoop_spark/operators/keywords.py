@@ -44,7 +44,7 @@ from .text import tokens
 
 #: Fixed phrase-delimiter stopword list, pinned identically in the SQL
 #: twin. Tiny by design (the operator's contract is the segmentation
-#: algebra; a deployment broadcasts its own list).
+#: algebra; a deployment passes its own list — see ``stopwords``).
 RAKE_STOPWORDS = (
     "a", "the", "and", "of", "to", "in", "is", "for", "on", "with",
 )
@@ -54,7 +54,7 @@ def rake_keywords(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    stopwords: tuple[str, ...] | DataFrame = RAKE_STOPWORDS,
     max_phrase_words: int = 3,
     top_k: int = 100,
 ) -> DataFrame:
@@ -62,12 +62,33 @@ def rake_keywords(
     (phrase, n_words, n_occurrences, score_q, score), ordered by
     (score_q desc, phrase) — a total deterministic order. Phrases
     longer than ``max_phrase_words`` are dropped (the RAKE convention:
-    unbounded runs are boilerplate, not keywords)."""
+    unbounded runs are boilerplate, not keywords).
+
+    ``stopwords`` (VERDICT r14 item 6): a tuple compiles to an
+    ``isin`` literal set — right for the pinned 10-word oracle
+    contract, wrong for a production list of hundreds. Pass a
+    DataFrame instead (first column = the stopword; case-folded,
+    deduped here) and membership becomes a broadcast left join on the
+    token stream — same semantics, list size bounded by the broadcast
+    budget instead of the expression tree."""
     pos = docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
     )
-    is_stop = F.col("tok").isin(*stopwords)
+    if isinstance(stopwords, DataFrame):
+        sw = (
+            stopwords.select(
+                F.lower(F.col(stopwords.columns[0]).cast("string")).alias(
+                    "tok"
+                )
+            )
+            .distinct()
+            .withColumn("_hit", F.lit(True))
+        )
+        pos = pos.join(F.broadcast(sw), "tok", "left")
+        is_stop = F.coalesce(F.col("_hit"), F.lit(False))
+    else:
+        is_stop = F.col("tok").isin(*stopwords)
     w = (
         Window.partitionBy("_id")
         .orderBy("pos")

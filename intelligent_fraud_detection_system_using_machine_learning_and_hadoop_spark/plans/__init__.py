@@ -5,23 +5,24 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-14 rotation (VERDICT r13 "Next round" item 4 — the prescribed
-least-recently-attested discipline): after r13 re-attested the r9 tail
-plus the r10 alphabetical head, the OLDEST driver rows are the
-thirty-four-query remainder of the round-10 cohort
-(``interleave_sources_documents`` … ``zorder_key_orders``, i.e. the
-alphabetical tail after ``important_parts_value``, last attested r10),
-so it LEADS the window; next come the first thirteen of the round-11
-cohort (``acf_events`` … ``funnel_view_click_purchase``); the last
-three slots rotate in the oracled r13-new queries
-(``collusion_hub_report_customers``,
-``mahalanobis_peer_outliers_customers``,
-``streaming_fraud_risk_report``) as promised in the r13 note. The
-fourth r13-new query, ``collusion_pairs_lsh_customers``, is rows-only
-by the ANN discipline (approximate recall has no SQL twin) — a window
+Round-15 rotation (VERDICT r14 item 3 — the prescribed
+least-recently-attested discipline): the OLDEST driver rows are the
+thirty-seven-query remainder of the round-11 cohort (alphabetical
+tail after ``funnel_view_click_purchase``, ``grouping_analytics_orders``
+… ``velocity_flags_events``, last attested r11 — computed from the
+CORRECTNESS_r*.json history, hash-match rows only), so it LEADS the
+window; next come first attestations for the six oracled r14-new
+queries (``split_transactions_orders``, ``fdr_peer_alerts_customers``,
+``conformal_anomaly_events``, ``rake_keywords_documents``,
+``ztest_returns_by_priority``, ``streaming_split_transactions`` — the
+verdict's own order); the remaining seven slots advance the rotation
+into the alphabetical head of the round-12 cohort
+(``analytics_pipeline_events`` … ``bm25_topk_documents``). 37+6+7 = 50.
+The r15-new ``collusion_rings_lsh_customers`` is rows-only by the ANN
+recall discipline (like ``collusion_pairs_lsh_customers``) — a window
 slot would record ``err:no_oracle`` and NO attestation, so it stays
-outside with pytest recall + precision-1 coverage. After this round no
-oracled query's driver attestation is older than r11 — exactly the
+outside with the ring-set-equality pytest. After this round no
+oracled query's driver attestation is older than r12 — exactly the
 verdict's Done criterion. Queries outside the window keep pytest +
 local-gate coverage; registry content is unchanged — only iteration
 order moves.
@@ -35,60 +36,61 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- r10 cohort remainder: oldest attestations, leads per
-    # --- VERDICT r13 item 4 ---
-    "interleave_sources_documents",
-    "interval_overlap_purchase_error",
-    "label_propagation_parts",
-    "line_dedup_documents",
-    "llm_data_pipeline",
-    "market_share_by_year",
-    "min_price_supplier_per_part",
-    "mixture_sample_documents",
-    "nation_pair_volume",
-    "near_dup_clusters",
-    "ols_trend_orders",
-    "pack_sequences_documents",
-    "pii_scan_documents",
-    "profile_orders",
-    "quality_funnel_documents",
-    "range_join_price_bands",
-    "salted_distinct_suppliers",
-    "semi_anti_join_customers",
-    "small_qty_order_revenue",
-    "stratified_sample_documents",
-    "streaming_cc_parts",
-    "streaming_events_hourly",
-    "streaming_join_click_purchase",
-    "streaming_pii_scan",
-    "streaming_static_enrich",
-    "streaming_topk_trending",
-    "temperature_mix_lang",
-    "tfidf_top_terms",
-    "token_budget_trim",
-    "token_vocab_topk",
-    "top_revenue_supplier",
-    "unicode_normalize_documents",
-    "unigram_fluency_documents",
-    "zorder_key_orders",
-    # --- alphabetical head of the r11 cohort (next-oldest) ---
-    "acf_events",
-    "benford_orders",
-    "big_spenders_vs_nation",
-    "burstiness_events",
-    "count_distinct_having",
-    "cusum_change_events",
-    "dedup_exact_documents",
-    "doc_redact_pii",
-    "embedding_cosine_dup",
-    "embedding_topk_cosine",
-    "events_hourly",
-    "exists_late_shipments",
-    "funnel_view_click_purchase",
-    # --- oracled r13-new queries, first driver attestation ---
-    "collusion_hub_report_customers",
-    "mahalanobis_peer_outliers_customers",
-    "streaming_fraud_risk_report",
+    # --- r11 cohort remainder: oldest attestations, leads per
+    # --- VERDICT r14 item 3 ---
+    "grouping_analytics_orders",
+    "hits_supplier_part",
+    "incremental_dedup_documents",
+    "inverted_index_documents",
+    "json_extract_events",
+    "k_core_parts",
+    "kruskal_wallis_events",
+    "ks_test_events",
+    "lorenz_customers",
+    "mad_outliers_events",
+    "mann_whitney_events",
+    "math_null_funcs_lineitem",
+    "merge_upsert_orders",
+    "multimodal_meta",
+    "ngram_jaccard_pairs",
+    "pagerank_supplier_part",
+    "pivot_status_by_nation",
+    "posexplode_doc_tokens",
+    "ppr_supplier_part",
+    "profile_orders_columns",
+    "promo_revenue_ratio",
+    "quality_classifier_documents",
+    "returned_item_customers",
+    "rolling_anomaly_events",
+    "rule_flags_orders",
+    "scalar_stats_global",
+    "scalar_subquery_above_avg",
+    "scd2_customers",
+    "sessionize_events",
+    "set_ops_custkeys",
+    "shipmode_priority_counts",
+    "shortest_paths_parts",
+    "streaks_events",
+    "streaming_full_outer_click_purchase",
+    "streaming_left_outer_click_purchase",
+    "theil_sen_events",
+    "velocity_flags_events",
+    # --- oracled r14-new queries, first driver attestation
+    # --- (the verdict's own listing order) ---
+    "split_transactions_orders",
+    "fdr_peer_alerts_customers",
+    "conformal_anomaly_events",
+    "rake_keywords_documents",
+    "ztest_returns_by_priority",
+    "streaming_split_transactions",
+    # --- alphabetical head of the r12 cohort (next-oldest) ---
+    "analytics_pipeline_events",
+    "asof_click_purchase",
+    "association_rules_parts",
+    "attribution_linear_events",
+    "auc_orders",
+    "bigram_fluency_documents",
+    "bm25_topk_documents",
 ]
 
 def _apply_driver_window() -> None:

@@ -42,6 +42,24 @@ def test_final_line_is_registry_size_invariant():
     assert abs(len(a) - len(b)) <= 3  # only the digits of n_queries
 
 
+def test_norm_vs_prev_carries_both_ratios():
+    """VERDICT r14 item 4: the cross-round diag must carry BOTH the
+    probe-normalized ratio and the raw shared-sum ratio — a 24% probe
+    spread turned r14's raw 0.99 into a phantom 1.247 normalized."""
+    prev = ("r14", {"queries": {"q1": 2.0, "q2": 4.0}, "probe_sec": 0.4})
+    # same raw times, but THIS session's probe ran 25% faster
+    out = bench.compute_norm_vs_prev({"q1": 2.0, "q2": 4.0, "q3": 9.0}, prev, 0.3)
+    assert out["n_shared"] == 2
+    assert out["raw_shared_ratio"] == 1.0  # the truth: no regression
+    assert out["total_norm_ratio"] == round((6.0 / 0.3) / (6.0 / 0.4), 3)
+    assert out["total_norm_ratio"] > 1.3  # the phantom the raw ratio exposes
+    # degenerate bases stay loud but non-crashing
+    assert bench.compute_norm_vs_prev({"q1": 1.0}, None, 0.3) == {}
+    assert bench.compute_norm_vs_prev(
+        {"q9": 1.0}, prev, 0.3
+    ) == {"base": "r14", "n_shared": 0}
+
+
 def test_final_line_parses_and_has_driver_contract_fields():
     line = bench.render_final_line(12.34, 0.1, 3, 61, 0.56)
     obj = json.loads(line)

@@ -27,3 +27,26 @@ def test_every_window_query_is_oracled():
 
 def test_window_has_no_duplicates():
     assert len(set(plans._DRIVER_WINDOW)) == 50
+
+
+def test_r15_rotation_segments():
+    """VERDICT r14 item 3: r11-cohort remainder (37, alphabetical)
+    leads, then the six oracled r14-new queries in the verdict's
+    order, then the alphabetical head of the r12 cohort (7)."""
+    w = plans._DRIVER_WINDOW
+    r11_tail = w[:37]
+    assert r11_tail[0] == "grouping_analytics_orders"
+    assert r11_tail[-1] == "velocity_flags_events"
+    assert r11_tail == sorted(r11_tail)
+    assert w[37:43] == [
+        "split_transactions_orders",
+        "fdr_peer_alerts_customers",
+        "conformal_anomaly_events",
+        "rake_keywords_documents",
+        "ztest_returns_by_priority",
+        "streaming_split_transactions",
+    ]
+    r12_head = w[43:]
+    assert r12_head[0] == "analytics_pipeline_events"
+    assert r12_head[-1] == "bm25_topk_documents"
+    assert r12_head == sorted(r12_head)

@@ -56,3 +56,40 @@ class TestRake:
         assert got["x"]["score_q"] == 1_666_666_666
         # x y z = wq(x)+wq(y)+wq(z) = 1666666666 + 3e9 + 3e9
         assert got["x y z"]["score_q"] == 1_666_666_666 + 6_000_000_000
+
+    def test_stopword_dataframe_overload(self, spark):
+        """VERDICT r14 item 6: a DataFrame stopword list (broadcast
+        join membership) must (a) reproduce the tuple path exactly
+        when it carries the same words, and (b) change segmentation
+        when it carries MORE words — 'quick' as a stopword splits
+        'the quick brown fox' into ['brown fox']."""
+        rows = [
+            (1, "the quick brown fox"),
+            (2, "of the quick fox and the quick fox"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.keywords import (
+            RAKE_STOPWORDS,
+        )
+
+        base = sorted(tuple(r) for r in rake_keywords(df).collect())
+        same = spark.createDataFrame(
+            [(w,) for w in RAKE_STOPWORDS], "word string"
+        )
+        assert sorted(
+            tuple(r) for r in rake_keywords(df, stopwords=same).collect()
+        ) == base
+
+        bigger = spark.createDataFrame(
+            # mixed case + a duplicate: the overload folds and dedupes
+            [(w,) for w in RAKE_STOPWORDS] + [("QUICK",), ("quick",)],
+            "word string",
+        )
+        got = {
+            r["phrase"]: r
+            for r in rake_keywords(df, stopwords=bigger).collect()
+        }
+        assert got != {r[0]: r for r in base}
+        assert "brown fox" in got  # 'quick' now delimits
+        assert got["fox"]["n_occurrences"] == 2
+        assert not any("quick" in p for p in got)
