@@ -7935,6 +7935,134 @@ def conformal_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "conformal_fdr_alerts_events",
+    oracle="""
+    WITH calib AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS s
+      FROM events WHERE event_id % 2 = 0),
+    ranked_c AS (
+      SELECT g, s,
+             CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY s)
+                  AS BIGINT) AS r
+      FROM calib),
+    sizes AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             LEAST(CAST(count(*) AS BIGINT),
+                   CAST(((count(*) + 1) * 95 + 99) // 100 AS BIGINT)) AS k
+      FROM calib GROUP BY g),
+    thr AS (
+      SELECT ranked_c.g, ranked_c.s AS threshold
+      FROM ranked_c JOIN sizes USING (g) WHERE ranked_c.r = sizes.k),
+    per_user AS (
+      SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) > t.threshold
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+      FROM events e JOIN thr t ON e.event_type = t.g
+      WHERE e.event_id % 2 = 1
+      GROUP BY e.user_id),
+    scores AS (
+      SELECT user_id, n_events, n_exceed,
+             (CAST(n_exceed AS DOUBLE) / CAST(n_events AS DOUBLE) - 0.05)
+               / sqrt(0.05 * 0.95) AS z
+      FROM per_user),
+    cand AS (
+      SELECT *, 1.0/(1.0 + CAST(n_events AS DOUBLE) * (z*z)) AS p
+      FROM scores WHERE z IS NOT NULL AND z > 0),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p, user_id) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS mm
+      FROM cand),
+    star AS (
+      SELECT MAX(CASE WHEN p * CAST(mm*100 AS DOUBLE)
+                        <= CAST(i*5 AS DOUBLE) THEN i END) AS istar
+      FROM ranked)
+    SELECT user_id, n_events, n_exceed, z, p AS p_bound, i AS bh_rank,
+           COALESCE(i <= (SELECT istar FROM star), FALSE) AS fdr_alert
+    FROM ranked ORDER BY bh_rank
+    """,
+)
+def conformal_fdr_alerts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed calibrate→rank→alert screen (VERDICT r14 item 8): the
+    split-conformal event-level calibration of
+    ``conformal_anomaly_events`` feeding the BH-FDR entity-level
+    correction of ``fdr_peer_alerts_customers`` — conformal anomaly
+    detection with false-discovery control (Bates et al. 2023 shape,
+    public literature). Per event type, the 95% threshold is the
+    finite-sample k-th calibration order statistic on the even-id
+    half; each user's ODD-half exceedance count is Binomial(n, ≤0.05)
+    under the conformal guarantee, so the one-proportion z against
+    p₀ = 0.05 (single-event σ = √(p₀(1−p₀)), the peer-screen shape)
+    ranks users by the distribution-free Cantelli bound
+    p = 1/(1+n·z²) with the BH step-up frontier at α = 5%. On the
+    clean book the corrected alert list is empty — flagging users for
+    exceedance RATES the calibration already permits is exactly the
+    mass-false-positive failure FDR control exists to prevent.
+
+    Exactness: conformal k is pure integer arithmetic; z and p are
+    pinned IEEE trees on exact BIGINT counts; the BH comparison is
+    p·(m·α_den) ≤ i·α_num (integers exact in doubles); ranking is
+    total under (p, user_id). Scale shape: one grouped calibration
+    window (distributed across event types) + a |types|-row broadcast
+    join + one user-keyed aggregate + the range-bucketed global
+    p-rank — no single-partition window, no driver loop."""
+    from ..operators.fraud_stats import fdr_alert_ranking
+    from ..operators.stats import conformal_thresholds
+
+    e = read_table(spark, sf_dir, "events")
+    calib = e.where(F.col("event_id") % 2 == 0)
+    thr = conformal_thresholds(
+        calib, "event_type", "value", alpha_num=5, alpha_den=100
+    )
+    per_user = (
+        e.where(F.col("event_id") % 2 == 1)
+        .join(F.broadcast(thr.select("event_type", "threshold")), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                (F.col("value").cast("double") > F.col("threshold")).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_exceed"),
+        )
+    )
+    scores = per_user.withColumn(
+        "z",
+        (
+            F.col("n_exceed").cast("double") / F.col("n_events").cast("double")
+            - F.lit(0.05)
+        )
+        / F.sqrt(F.lit(0.05) * F.lit(0.95)),
+    )
+    alerts = fdr_alert_ranking(
+        scores,
+        key_col="user_id",
+        z_col="z",
+        n_col="n_events",
+        alpha_num=5,
+        alpha_den=100,
+    )
+    return (
+        alerts.join(
+            F.broadcast(per_user.select("user_id", "n_events", "n_exceed")),
+            "user_id",
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_exceed",
+            "z",
+            "p_bound",
+            "bh_rank",
+            "fdr_alert",
+        )
+        .orderBy("bh_rank")
+    )
+
+
 _RAKE_STOPS = "('a','the','and','of','to','in','is','for','on','with')"
 
 

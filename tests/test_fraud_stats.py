@@ -906,3 +906,62 @@ class TestFdrAlertRanking:
         }
         assert abs(got[1] - 1.0 / 901.0) < 1e-15
         assert abs(got[2] - 0.1) < 1e-15
+
+
+class TestConformalFdrAlerts:
+    def test_planted_hot_user_fires_clean_users_do_not(self, spark, tmp_path):
+        """End-to-end through the registered query on a planted
+        events.parquet: calibration (even event_ids) sets the 95%
+        threshold from values 1..100; a hot user whose odd-half values
+        all exceed it is the ONLY BH-FDR alert; clean users (values at
+        the calibration median, rate 0) never become candidates."""
+        import datetime
+        import os
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark import (
+            plans,
+        )
+
+        rows = []
+        ts = datetime.datetime(2024, 1, 1)
+        eid = 0
+        # calibration half: even ids, values 1..100 for type 'a'
+        for v in range(1, 101):
+            rows.append((eid, ts, 999, "a", float(v), "{}"))
+            eid += 2
+        # test half: odd ids
+        eid = 1
+        for _ in range(50):  # hot user: every value over the threshold
+            rows.append((eid, ts, 1, "a", 1000.0, "{}"))
+            eid += 2
+        for u in range(2, 12):  # clean users: never exceed
+            for _ in range(50):
+                rows.append((eid, ts, u, "a", 50.0, "{}"))
+                eid += 2
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        sf_dir = str(tmp_path / "planted")
+        os.makedirs(sf_dir, exist_ok=True)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        got = {
+            r["user_id"]: r
+            for r in plans.REGISTRY["conformal_fdr_alerts_events"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        # only the hot user is a positive-z candidate, and it alerts
+        assert set(got) == {1}
+        r = got[1]
+        assert r["n_events"] == 50 and r["n_exceed"] == 50
+        assert r["fdr_alert"] and r["bh_rank"] == 1
+        # Cantelli bound on the exact one-proportion z: p = 1/(1+50 z^2)
+        import math
+
+        z = (1.0 - 0.05) / math.sqrt(0.05 * 0.95)
+        assert abs(r["z"] - z) < 1e-12
+        assert abs(r["p_bound"] - 1.0 / (1.0 + 50 * z * z)) < 1e-15

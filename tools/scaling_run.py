@@ -64,6 +64,16 @@ HEAVIES = [
     "mahalanobis_peer_outliers_customers",
     "collusion_hub_report_customers",
     "collusion_pairs_lsh_customers",
+    # round-15 additions (VERDICT r14 item 5): the r14-new operators
+    # with no sf1 row yet, plus the rings-over-LSH scale path (item 2)
+    # which must carry a curve at the scales the exact leg cannot run
+    "split_transactions_orders",
+    "fdr_peer_alerts_customers",
+    "conformal_anomaly_events",
+    "rake_keywords_documents",
+    "ztest_returns_by_priority",
+    "streaming_split_transactions",
+    "collusion_rings_lsh_customers",
 ]
 
 
