@@ -184,3 +184,48 @@ def overwrite_partitions_dynamic(
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     finally:
         spark.conf.set(key, prev)
+
+
+def avro_available(spark) -> bool:
+    """True iff the spark-avro connector is on the classpath. Spark
+    ships Avro CORE jars (avro-*.jar, used internally for shuffle
+    metadata) but the ``avro`` DATA SOURCE lives in the separate
+    spark-avro module that clusters add with --packages; resolving the
+    format against an empty temp read is offline-safe and touches no
+    files. This sandbox does not carry the module, so the probe gates
+    the round-trip test exactly like the Kafka connector probe
+    (streaming/jobs.py::kafka_available)."""
+    try:
+        spark.read.format("avro").load("/nonexistent/__avro_probe__")
+        return True
+    except Exception as e:
+        # connector present but path missing -> AnalysisException about
+        # the PATH; connector absent -> FAILED_TO_FIND_DATA_SOURCE
+        msg = str(e)
+        return "DATA_SOURCE" not in msg.upper().replace(" ", "_") and (
+            "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+        )
+
+
+def write_avro(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Row-oriented Avro sink (the Kafka-ecosystem interchange format;
+    schema travels in the file header). Requires the spark-avro
+    connector — absent here, the write raises Spark's
+    FAILED_TO_FIND_DATA_SOURCE with the module coordinates, which the
+    gated test pins so a deployment knows exactly what to add. Same
+    partitioning contract as the parquet/ORC sinks."""
+    w = df.write.mode(mode).format("avro")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_avro(spark, path: str) -> DataFrame:
+    """Avro scan via the spark-avro connector (gated, see
+    :func:`avro_available`)."""
+    return spark.read.format("avro").load(path)

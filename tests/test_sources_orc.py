@@ -46,3 +46,30 @@ def test_orc_filter_pushdown_and_pruning(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "LessThan(o_orderkey,100)" in plan
     # column pruning reaches the scan: only o_orderkey in ReadSchema
     assert "struct<o_orderkey:bigint>" in plan.replace("ReadSchema: ", "")
+
+
+def test_avro_gated_roundtrip_or_named_error(spark, tmp_path):
+    """Avro is connector-gated like Kafka: with spark-avro on the
+    classpath the round-trip must preserve rows; without it the write
+    raises Spark's find-data-source error naming 'avro' (so a
+    deployment knows the missing module), never a silent no-op."""
+    import pytest
+
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.writers import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "t.avro")
+    if avro_available(spark):
+        write_avro(df, path)
+        got = sorted(tuple(r) for r in read_avro(spark, path).collect())
+        assert got == [(1, "a", 1.5), (2, "b", -2.0)]
+    else:
+        with pytest.raises(Exception) as exc:
+            write_avro(df, path)
+        assert "avro" in str(exc.value).lower()
