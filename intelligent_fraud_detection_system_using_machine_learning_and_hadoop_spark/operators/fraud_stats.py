@@ -639,3 +639,67 @@ def fdr_alert_ranking(
         )
         .orderBy("bh_rank")
     )
+
+
+def round_amount_bias(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_cents: int = 100_00,
+) -> DataFrame:
+    """Round-number bias screen: per group, the share of amounts that
+    are exact multiples of ``round_cents`` (default whole $100), with
+    a one-proportion z against the book-wide round rate. Fabricated or
+    negotiated-after-the-fact amounts over-represent round numbers
+    relative to organically priced ledgers — the last-digits
+    complement of the Benford first-digit screen (``benford_profile``)
+    in the standard forensic-accounting playbook (Nigrini's
+    number-duplication/round-number tests, public literature).
+
+    Exactness: roundness is decided on exact integer cents
+    (``round(value*100)`` cast long — the repo's cents quantization),
+    so float representation noise (e.g. 1234.00 stored as
+    1233.9999...) cannot flip a multiple; counts are exact BIGINTs and
+    z is a pinned IEEE tree on those counts, reproduced term-for-term
+    by the SQL oracle.
+
+    Scale shape: one scan + one |groups|-row keyed aggregation + a
+    1-row global aggregate broadcast back — agg-cheap at any SF, no
+    window, no join on data-sized keys."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per = (
+        df.select(F.col(group_col).alias("grp"), cents.alias("_c"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("_c") % round_cents == 0, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_round"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_tn"),
+        F.sum("n_round").cast("long").alias("_tr"),
+    )
+    p0 = F.col("_tr").cast("double") / F.col("_tn").cast("double")
+    nd = F.col("n").cast("double")
+    z = (F.col("n_round").cast("double") - nd * p0) / F.sqrt(
+        nd * p0 * (F.lit(1.0) - p0)
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "n",
+            "n_round",
+            (F.col("n_round").cast("double") / nd).alias("round_rate"),
+            p0.alias("base_rate"),
+            z.alias("z"),
+            # 99.5% two-sided normal critical value, pinned literal on
+            # both engine sides (comparison operand, not statistic).
+            (F.abs(z) > F.lit(2.8070337683438042)).alias("biased"),
+        )
+        .orderBy("grp")
+    )

@@ -2168,3 +2168,50 @@ def two_proportion_ztest_from_counts(
         z.alias("z"),
         significant.alias("significant"),
     ).orderBy("group_a", "group_b")
+
+
+def poisson_rate_ztest(
+    counts: DataFrame,
+    exposure: DataFrame,
+    group_col: str = "grp",
+    k1_col: str = "k1",
+    k_col: str = "k",
+) -> DataFrame:
+    """Two-sample Poisson rate comparison via the conditional
+    binomial (C-)test: for each group, stratum-1 events ``k1`` out of
+    ``k`` total are Binomial(k, p) under the equal-rates null, where
+    p = e1/e is the stratum-1 share of exposure (Przyborowski &
+    Wilenski 1940; the standard exact-conditioning trick that removes
+    the unknown common rate). ``exposure`` is a ONE-ROW frame with
+    exact integer exposure counts ``e1``, ``e`` (e.g. weekend days
+    observed vs total days observed) — broadcast, never shuffled.
+
+    The normal approximation z = (k1 - k·p)/sqrt(k·p·(1-p)) is used
+    (k is event-count sized, far past the rule-of-thumb k·p > 10),
+    with the two-sided 99% decision pinned as a shared literal.
+    Exactness: k1/k/e1/e are exact BIGINTs; z is a pinned IEEE tree
+    reproduced term-for-term by the SQL twin.
+
+    Scale shape: |groups|-row input (callers aggregate first), one
+    broadcast crossJoin — free at any SF; the caller's aggregation is
+    the only data-sized pass."""
+    p = F.col("e1").cast("double") / F.col("e").cast("double")
+    kd = F.col(k_col).cast("double")
+    mu = kd * p
+    z = (F.col(k1_col).cast("double") - mu) / F.sqrt(
+        mu * (F.lit(1.0) - p)
+    )
+    return (
+        counts.crossJoin(F.broadcast(exposure))
+        .select(
+            group_col,
+            k1_col,
+            k_col,
+            p.alias("p_null"),
+            z.alias("z"),
+            # two-sided 99% normal critical value, pinned literal on
+            # both engine sides (comparison operand, not statistic).
+            (F.abs(z) > F.lit(2.5758293035489004)).alias("significant"),
+        )
+        .orderBy(group_col)
+    )

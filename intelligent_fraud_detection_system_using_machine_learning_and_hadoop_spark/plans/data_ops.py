@@ -8184,3 +8184,189 @@ def ztest_returns_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", (F.col("l_returnflag") == "R").alias("returned")
     )
     return two_proportion_ztest(facts, "o_orderpriority", "returned")
+
+
+@query(
+    "skyline_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders o
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      AND NOT EXISTS (
+        SELECT 1 FROM orders d
+        WHERE d.o_orderdate >= o.o_orderdate
+          AND d.o_totalprice >= o.o_totalprice
+          AND (d.o_orderdate > o.o_orderdate
+               OR d.o_totalprice > o.o_totalprice))
+    ORDER BY o_orderdate, o_orderkey
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders on (recency, amount): the SKYLINE OF
+    o_orderdate MAX, o_totalprice MAX (operators/skyline.py — the
+    ICDE'01 operator the reference engine lacks, the "best trade-off"
+    screen shape). The oracle is the literal quadratic NOT EXISTS
+    dominance definition; the engine plan is the bounded-domain
+    collapse — one keyed max per date, a suffix max over the ~|date
+    domain| aggregate (a domain constant at any SF), and a broadcast
+    join back. Value comparisons are exact: both engines compare the
+    identical stored doubles/timestamps, no arithmetic in the
+    predicate."""
+    from ..operators.skyline import skyline_2d_max
+
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        skyline_2d_max(o, "o_orderdate", "o_totalprice")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+    )
+
+
+@query(
+    "key_islands_orders",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    g AS (
+      SELECT k,
+             k - ROW_NUMBER() OVER (ORDER BY k) AS isl
+      FROM f),
+    isl AS (
+      SELECT CAST(min(k) AS BIGINT) AS island_start,
+             CAST(max(k) AS BIGINT) AS island_end,
+             CAST(count(*) AS BIGINT) AS island_len
+      FROM g GROUP BY isl),
+    o AS (
+      SELECT *,
+             LEAD(island_start) OVER (ORDER BY island_start) AS _nxt
+      FROM isl)
+    SELECT island_start, island_end, island_len,
+           _nxt - island_end - 1 AS next_gap
+    FROM o ORDER BY island_start
+    """,
+)
+def key_islands_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands audit over the fulfilled slice of the order
+    ledger (operators/sequences.py::key_islands): maximal runs of
+    consecutive o_orderkey among o_orderstatus = 'F' rows, with the
+    missing-key gap to the next run — the missing-invoice-number
+    screen. The oracle is Ben-Gan's ROW_NUMBER idiom (a global window
+    DuckDB can afford); the engine computes the same global rank with
+    the range-bucketed exact-rank machinery (no single-partition
+    window) and one keyed aggregation on k - rank(k)."""
+    from ..operators.sequences import key_islands
+
+    o = read_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    return key_islands(o, "o_orderkey").orderBy("island_start")
+
+
+@query(
+    "round_amount_bias_orders",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    per AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c % 100 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_round
+      FROM c GROUP BY grp),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS tn,
+             CAST(sum(n_round) AS BIGINT) AS tr
+      FROM per)
+    SELECT grp, n, n_round,
+           CAST(n_round AS DOUBLE) / CAST(n AS DOUBLE) AS round_rate,
+           CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE) AS base_rate,
+           (CAST(n_round AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)))
+             / sqrt(CAST(n AS DOUBLE)
+                      * (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                      * (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)))
+             AS z,
+           abs((CAST(n_round AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE)))
+             / sqrt(CAST(n AS DOUBLE)
+                      * (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                      * (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))))
+             > 2.8070337683438042 AS biased
+    FROM per CROSS JOIN tot ORDER BY grp
+    """,
+)
+def round_amount_bias_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number bias per order priority
+    (operators/fraud_stats.py::round_amount_bias, whole-dollar
+    multiples): the Nigrini last-digits screen complementing the
+    Benford first-digit family. Roundness decided on exact integer
+    cents; per-group one-proportion z against the book-wide rate as a
+    pinned IEEE tree on exact counts. One scan + |priorities|-row agg
+    + broadcast total — agg-cheap at any SF."""
+    from ..operators.fraud_stats import round_amount_bias
+
+    o = read_table(spark, sf_dir, "orders")
+    return round_amount_bias(
+        o, "o_orderpriority", "o_totalprice", round_cents=100
+    )
+
+
+@query(
+    "weekend_rate_poisson_events",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS d FROM events),
+    expo AS (
+      SELECT CAST(sum(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS e1,
+             CAST(count(*) AS BIGINT) AS e
+      FROM (SELECT DISTINCT d FROM ev)),
+    cnt AS (
+      SELECT event_type AS grp,
+             CAST(sum(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k1,
+             CAST(count(*) AS BIGINT) AS k
+      FROM ev GROUP BY event_type)
+    SELECT grp, k1, k,
+           CAST(e1 AS DOUBLE) / CAST(e AS DOUBLE) AS p_null,
+           (CAST(k1 AS DOUBLE)
+              - CAST(k AS DOUBLE) * (CAST(e1 AS DOUBLE) / CAST(e AS DOUBLE)))
+             / sqrt(CAST(k AS DOUBLE) * (CAST(e1 AS DOUBLE) / CAST(e AS DOUBLE))
+                      * (1.0 - CAST(e1 AS DOUBLE) / CAST(e AS DOUBLE))) AS z,
+           abs((CAST(k1 AS DOUBLE)
+              - CAST(k AS DOUBLE) * (CAST(e1 AS DOUBLE) / CAST(e AS DOUBLE)))
+             / sqrt(CAST(k AS DOUBLE) * (CAST(e1 AS DOUBLE) / CAST(e AS DOUBLE))
+                      * (1.0 - CAST(e1 AS DOUBLE) / CAST(e AS DOUBLE))))
+             > 2.5758293035489004 AS significant
+    FROM cnt CROSS JOIN expo ORDER BY grp
+    """,
+)
+def weekend_rate_poisson_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday event-rate comparison per event type via
+    the conditional-binomial Poisson C-test
+    (operators/stats.py::poisson_rate_ztest): under the equal-rates
+    null, a type's weekend count is Binomial(total, p) with p the
+    weekend share of OBSERVED exposure (distinct calendar days in the
+    book, computed from the data — no whole-weeks assumption).
+    Weekend = ISO day-of-week >= 6 on both engines (Spark ``weekday``
+    is Monday-0, DuckDB ``isodow`` Monday-1 — offset pinned in both
+    predicates). One data-sized aggregation + a 1-row broadcast
+    exposure frame."""
+    from ..operators.stats import poisson_rate_ztest
+
+    e = read_table(spark, sf_dir, "events")
+    d = e.select(F.col("ts").cast("date").alias("d")).distinct()
+    expo = d.agg(
+        F.sum((F.weekday(F.col("d")) >= 5).cast("int"))
+        .cast("long")
+        .alias("e1"),
+        F.count(F.lit(1)).cast("long").alias("e"),
+    )
+    counts = e.groupBy(F.col("event_type").alias("grp")).agg(
+        F.sum((F.weekday(F.col("ts").cast("date")) >= 5).cast("int"))
+        .cast("long")
+        .alias("k1"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return poisson_rate_ztest(counts, expo)

@@ -1,0 +1,179 @@
+"""Hand fixtures + brute-force differentials for the r15 operators:
+skyline (Pareto dominance), gaps-and-islands, round-amount bias, and
+the Poisson conditional-binomial rate test."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+    round_amount_bias,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.sequences import (
+    key_islands,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.skyline import (
+    skyline_2d_max,
+)
+from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+    poisson_rate_ztest,
+)
+
+
+def _brute_skyline(pts):
+    out = []
+    for a in pts:
+        dominated = any(
+            d[0] >= a[0]
+            and d[1] >= a[1]
+            and (d[0] > a[0] or d[1] > a[1])
+            for d in pts
+        )
+        if not dominated:
+            out.append(a)
+    return sorted(out)
+
+
+class TestSkyline:
+    def test_hand_fixture_with_ties(self, spark):
+        # (3,5) and a duplicate of it both survive (mutual ties);
+        # (3,4) is dominated by (3,5) (x tie, y strict);
+        # (2,9) survives (best y); (5,1) survives (best x);
+        # (1,1) dominated by everything.
+        pts = [(3, 5), (3, 5), (3, 4), (2, 9), (5, 1), (1, 1)]
+        df = spark.createDataFrame(pts, "x int, y int")
+        got = sorted(
+            (r.x, r.y) for r in skyline_2d_max(df, "x", "y").collect()
+        )
+        assert got == [(2, 9), (3, 5), (3, 5), (5, 1)]
+
+    def test_differential_vs_brute_force(self, spark):
+        rng = random.Random(7)
+        pts = [(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(300)]
+        df = spark.createDataFrame(pts, "x int, y int")
+        got = sorted(
+            (r.x, r.y) for r in skyline_2d_max(df, "x", "y").collect()
+        )
+        assert got == _brute_skyline(pts)
+
+    def test_nulls_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (None, 9), (2, 2)], "x int, y int"
+        )
+        got = [(r.x, r.y) for r in skyline_2d_max(df, "x", "y").collect()]
+        assert got == [(2, 2)]
+
+    def test_keeps_all_columns(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, "a"), (2, 2, "b")], "x int, y int, tag string"
+        )
+        got = skyline_2d_max(df, "x", "y")
+        assert got.columns == ["x", "y", "tag"]
+        assert [r.tag for r in got.collect()] == ["b"]
+
+
+class TestKeyIslands:
+    def test_hand_fixture(self, spark):
+        keys = [1, 2, 3, 7, 9, 10]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = sorted(
+            (r.island_start, r.island_end, r.island_len, r.next_gap)
+            for r in key_islands(df, "k").collect()
+        )
+        assert got == [(1, 3, 3, 3), (7, 7, 1, 1), (9, 10, 2, None)]
+
+    def test_single_island_no_gap(self, spark):
+        df = spark.createDataFrame([(k,) for k in range(5, 11)], "k long")
+        got = key_islands(df, "k").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.island_start, r.island_end, r.island_len, r.next_gap) == (
+            5,
+            10,
+            6,
+            None,
+        )
+
+    def test_differential_vs_python(self, spark):
+        rng = random.Random(42)
+        keys = sorted(rng.sample(range(0, 2000), 700))
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        # brute islands
+        exp = []
+        start = prev = keys[0]
+        for k in keys[1:]:
+            if k == prev + 1:
+                prev = k
+                continue
+            exp.append((start, prev, prev - start + 1, k - prev - 1))
+            start = prev = k
+        exp.append((start, prev, prev - start + 1, None))
+        got = sorted(
+            (r.island_start, r.island_end, r.island_len, r.next_gap)
+            for r in key_islands(df, "k").collect()
+        )
+        assert got == sorted(exp)
+
+    def test_ignores_nulls(self, spark):
+        df = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+        got = key_islands(df, "k").collect()
+        assert len(got) == 1 and got[0].island_len == 2
+
+
+class TestRoundAmountBias:
+    def test_hand_counts(self, spark):
+        # group a: 100.00, 200.00, 33.33 -> 2 round of 3
+        # group b: 50.001 (rounds to 5000 cents -> round), 7.77 -> 1 of 2
+        rows = [
+            ("a", 100.00),
+            ("a", 200.00),
+            ("a", 33.33),
+            ("b", 50.001),
+            ("b", 7.77),
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r.grp: r
+            for r in round_amount_bias(df, "g", "v", round_cents=100).collect()
+        }
+        assert (got["a"].n, got["a"].n_round) == (3, 2)
+        assert (got["b"].n, got["b"].n_round) == (2, 1)
+        p0 = 3.0 / 5.0
+        z_a = (2.0 - 3.0 * p0) / math.sqrt(3.0 * p0 * (1.0 - p0))
+        assert got["a"].z == z_a
+        assert got["a"].base_rate == p0
+
+    def test_cents_exactness(self, spark):
+        # 0.1+0.2-style float noise must not flip roundness: a value
+        # stored as 99.99999999999999 dollars is 100.00 in cents.
+        df = spark.createDataFrame(
+            [("a", 99.99999999999999), ("a", 100.01)], "g string, v double"
+        )
+        got = round_amount_bias(df, "g", "v", round_cents=100).collect()[0]
+        assert got.n_round == 1
+
+
+class TestPoissonRateZtest:
+    def test_hand_z(self, spark):
+        counts = spark.createDataFrame(
+            [("t", 30, 100)], "grp string, k1 long, k long"
+        )
+        expo = spark.createDataFrame([(2, 7)], "e1 long, e long")
+        r = poisson_rate_ztest(counts, expo).collect()[0]
+        p = 2.0 / 7.0
+        mu = 100.0 * p
+        assert r.p_null == p
+        assert r.z == (30.0 - mu) / math.sqrt(mu * (1.0 - p))
+        assert bool(r.significant) == (abs(r.z) > 2.5758293035489004)
+
+    def test_null_rate_no_flag(self, spark):
+        # exactly the null proportion -> z == 0, not significant
+        counts = spark.createDataFrame(
+            [("t", 20, 70)], "grp string, k1 long, k long"
+        )
+        expo = spark.createDataFrame([(2, 7)], "e1 long, e long")
+        r = poisson_rate_ztest(counts, expo).collect()[0]
+        assert r.z == 0.0 and not r.significant
