@@ -8370,3 +8370,147 @@ def weekend_rate_poisson_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("k"),
     )
     return poisson_rate_ztest(counts, expo)
+
+
+@query(
+    "rfm_segments_customers",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey AS custkey,
+             CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS last_order,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    s AS (
+      SELECT custkey, last_order, n_orders, cents,
+             CAST(NTILE(5) OVER (ORDER BY last_order, custkey)
+                  AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY n_orders, custkey)
+                  AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY cents, custkey)
+                  AS BIGINT) AS m_score
+      FROM agg)
+    SELECT custkey, last_order, n_orders, cents, r_score, f_score,
+           m_score, r_score * 100 + f_score * 10 + m_score AS rfm
+    FROM s ORDER BY custkey
+    """,
+)
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Recency / Frequency / Monetary quintiles) —
+    the standard customer-value screen, scored with EXACT ntiles: the
+    oracle's NTILE(5) is positional, so the engine reproduces its
+    bucket arithmetic exactly via the range-bucketed rank machinery
+    (operators/stats.py::exact_ntile_assign — the equi-depth/Lorenz
+    path, differentially pinned) under the same total order
+    (measure, custkey). Recency ranks epoch days of the last order
+    (same order as the oracle's DATE sort); monetary is exact integer
+    cents. Scale shape: one keyed aggregation + three rank-bucketed
+    ntile passes + |customers|-keyed joins — no single-partition
+    window, no floats anywhere."""
+    from ..operators.stats import exact_ntile_assign
+
+    o = read_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+    def _score(val_col, out_name):
+        scored = exact_ntile_assign(
+            agg.select(F.col(val_col).alias("_sv"), "custkey"),
+            "_sv",
+            "custkey",
+            5,
+            cast_type="long",
+        )
+        return scored.select(
+            F.col("_id").alias("custkey"),
+            F.col("bucket").alias(out_name),
+        )
+
+    with_days = agg.withColumn("_days", F.unix_date(F.col("last_order")))
+    r = exact_ntile_assign(
+        with_days.select(F.col("_days").alias("_sv"), "custkey"),
+        "_sv",
+        "custkey",
+        5,
+        cast_type="long",
+    ).select(F.col("_id").alias("custkey"), F.col("bucket").alias("r_score"))
+    f_ = _score("n_orders", "f_score")
+    m = _score("cents", "m_score")
+    return (
+        agg.join(r, "custkey")
+        .join(f_, "custkey")
+        .join(m, "custkey")
+        .select(
+            "custkey",
+            "last_order",
+            "n_orders",
+            "cents",
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            ).alias("rfm"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "skyline_supplier_profile",
+    oracle="""
+    WITH prof AS (
+      SELECT l_suppkey AS suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS rev_fp4,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT suppkey, rev_fp4, n_parts, n_orders
+    FROM prof p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM prof d
+      WHERE d.rev_fp4 >= p.rev_fp4 AND d.n_parts >= p.n_parts
+        AND d.n_orders >= p.n_orders
+        AND (d.rev_fp4 > p.rev_fp4 OR d.n_parts > p.n_parts
+             OR d.n_orders > p.n_orders))
+    ORDER BY suppkey
+    """,
+)
+def skyline_supplier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D supplier skyline (operators/skyline.py::skyline_nd_max):
+    the Pareto frontier of (exact fixed-point revenue, distinct parts
+    served, distinct orders served) — the generic
+    local-skyline-then-merge path for dimensions with UNBOUNDED
+    domains, where skyline_2d_max's bounded-domain collapse does not
+    apply. The profile aggregation is the data-sized pass (one keyed
+    shuffle over lineitem); the skyline runs over the |suppliers|-row
+    aggregate with partition-local SFS dominance filters and one
+    small merge partition bounded by Σ|local skylines|. All three
+    dimensions are exact BIGINTs, so dominance is integer comparison
+    on both engines; the oracle is the literal quadratic NOT EXISTS."""
+    from ..operators.skyline import skyline_nd_max
+
+    li = read_table(spark, sf_dir, "lineitem")
+    prof = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        )
+        .cast("long")
+        .alias("rev_fp4"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+    )
+    return skyline_nd_max(
+        prof, ["rev_fp4", "n_parts", "n_orders"]
+    ).orderBy("suppkey")

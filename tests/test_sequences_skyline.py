@@ -177,3 +177,97 @@ class TestPoissonRateZtest:
         expo = spark.createDataFrame([(2, 7)], "e1 long, e long")
         r = poisson_rate_ztest(counts, expo).collect()[0]
         assert r.z == 0.0 and not r.significant
+
+
+def _brute_skyline_nd(pts):
+    out = []
+    for a in pts:
+        dominated = any(
+            all(d[i] >= a[i] for i in range(len(a)))
+            and any(d[i] > a[i] for i in range(len(a)))
+            for d in pts
+        )
+        if not dominated:
+            out.append(a)
+    return sorted(out)
+
+
+class TestSkylineNd:
+    def test_differential_3d_vs_brute_force(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.skyline import (
+            skyline_nd_max,
+        )
+
+        rng = random.Random(11)
+        pts = [
+            (rng.randint(0, 15), rng.randint(0, 15), rng.randint(0, 15))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(pts, "x long, y long, z long").repartition(
+            8
+        )
+        got = sorted(
+            (r.x, r.y, r.z)
+            for r in skyline_nd_max(df, ["x", "y", "z"]).collect()
+        )
+        assert got == _brute_skyline_nd(pts)
+
+    def test_ties_survive_and_columns_kept(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.skyline import (
+            skyline_nd_max,
+        )
+
+        df = spark.createDataFrame(
+            [(5, 5, "a"), (5, 5, "b"), (4, 6, "c"), (4, 5, "d")],
+            "x long, y long, tag string",
+        )
+        got = sorted(
+            (r.x, r.y, r.tag)
+            for r in skyline_nd_max(df, ["x", "y"]).collect()
+        )
+        assert got == [(4, 6, "c"), (5, 5, "a"), (5, 5, "b")]
+
+    def test_max_local_cap_raises(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.skyline import (
+            skyline_nd_max,
+        )
+        import pytest as _pytest
+
+        # anti-chain: every point is on the skyline -> cap must trip
+        pts = [(i, 100 - i) for i in range(50)]
+        df = spark.createDataFrame(pts, "x long, y long").coalesce(1)
+        with _pytest.raises(Exception, match="max_local"):
+            skyline_nd_max(df, ["x", "y"], max_local=10).collect()
+
+    def test_agrees_with_2d_operator(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.skyline import (
+            skyline_2d_max,
+            skyline_nd_max,
+        )
+
+        rng = random.Random(3)
+        pts = [(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(500)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        a = sorted((r.x, r.y) for r in skyline_2d_max(df, "x", "y").collect())
+        b = sorted(
+            (r.x, r.y) for r in skyline_nd_max(df, ["x", "y"]).collect()
+        )
+        assert a == b
+
+
+class TestRfmNtiles:
+    def test_quintiles_hand_fixture(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            exact_ntile_assign,
+        )
+
+        # 10 customers, values 1..10 -> quintiles of size 2: value 1,2
+        # -> bucket 1 ... value 9,10 -> bucket 5
+        df = spark.createDataFrame(
+            [(i, i) for i in range(1, 11)], "v long, id long"
+        )
+        got = {
+            r._id: r.bucket
+            for r in exact_ntile_assign(df, "v", "id", 5, "long").collect()
+        }
+        assert got == {i: (i + 1) // 2 for i in range(1, 11)}
