@@ -679,6 +679,17 @@ def round_amount_bias(
             .alias("n_round"),
         )
     )
+    return round_amount_bias_from_counts(per)
+
+
+def round_amount_bias_from_counts(per: DataFrame) -> DataFrame:
+    """The z-screen finish of ``round_amount_bias`` on an exact
+    (grp, n, n_round) counts frame — factored out because the counts
+    are the ADDITIVE sufficient statistic of the whole test, so the
+    streaming twin folds them per micro-batch and runs this finish
+    once on the drained state (the benford_from_counts discipline);
+    sharing one function keeps the pinned IEEE tree identical on both
+    paths."""
     tot = per.agg(
         F.sum("n").cast("long").alias("_tn"),
         F.sum("n_round").cast("long").alias("_tr"),

@@ -598,3 +598,29 @@ REGISTRY["streaming_split_transactions"] = REGISTRY[
     oracle=REGISTRY["split_transactions_orders"].oracle,
     bench=False,
 )
+
+
+@query("streaming_round_bias_orders", oracle=None)
+def streaming_round_bias_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-number bias screen as a live ledger stream
+    (streaming/jobs.py::stream_round_amount_bias): per micro-batch,
+    exact (priority, n, n_round) counts fold additively through the
+    bucketed parquet state store — counts are the mergeable
+    sufficient statistic, so state is |priorities| rows and history
+    is never re-scanned — and the shared
+    ``round_amount_bias_from_counts`` finish runs once on the drained
+    state. Drained availableNow ≡ the batch
+    ``round_amount_bias_orders`` bit-for-bit, which the SHARED oracle
+    attests."""
+    from ..streaming.jobs import stream_round_amount_bias
+
+    return stream_round_amount_bias(spark, sf_dir)
+
+
+REGISTRY["streaming_round_bias_orders"] = REGISTRY[
+    "streaming_round_bias_orders"
+].__class__(
+    builder=REGISTRY["streaming_round_bias_orders"].builder,
+    oracle=REGISTRY["round_amount_bias_orders"].oracle,
+    bench=False,
+)

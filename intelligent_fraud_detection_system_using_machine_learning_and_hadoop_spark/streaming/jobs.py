@@ -334,42 +334,6 @@ def _ordered_events_source(
     )
 
 
-def _ordered_orders_source(
-    spark: SparkSession, sf_dir: str, n_files: int
-) -> DataFrame:
-    """DATE-ORDERED multi-file streaming source over the orders table —
-    the ``_ordered_events_source`` pattern at ledger (day) granularity:
-    ``repartitionByRange(o_orderdate)`` keeps an equal-date tie group
-    in ONE part file and the staggered mtimes make the file source
-    deliver micro-batches in date order, so a day-windowed stateful
-    walk reproduces its batch RANGE frame exactly. Cached per
-    (sf_dir, n_files)."""
-    import hashlib
-    import tempfile
-
-    raw = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    key = hashlib.md5(
-        f"{sf_dir}:orders_ordered:{n_files}:v1".encode()
-    ).hexdigest()[:10]
-    src = os.path.join(tempfile.gettempdir(), f"ifds_orders_ordered_{key}")
-    if not os.path.exists(os.path.join(src, "_SUCCESS")):
-        raw.repartitionByRange(n_files, "o_orderdate").sortWithinPartitions(
-            "o_orderdate"
-        ).write.mode("overwrite").parquet(src)
-        import time as _time
-
-        base = _time.time() - 3600
-        parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(src, f), (base + i * 60, base + i * 60))
-    return (
-        spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(src)
-    )
-
-
 def stream_split_transactions(
     spark: SparkSession,
     sf_dir: str,
@@ -2617,3 +2581,67 @@ def stream_fraud_risk_report(
         .otherwise(F.lit("ok"))
         .alias("verdict"),
     ).orderBy("user_id")
+
+
+def stream_round_amount_bias(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """Streaming round-number bias screen: the Nigrini last-digits
+    test against a LIVE order ledger — per micro-batch, exact
+    (priority, n, n_round) counts aggregate batch-locally and fold
+    ADDITIVELY into running state inside ``foreachBatch`` (the
+    stream_benford discipline: the counts are the mergeable
+    sufficient statistic of the whole test, so state is |groups| rows
+    and history is never re-scanned); the one-proportion z finish
+    (operators/fraud_stats.py::round_amount_bias_from_counts) runs
+    ONCE on the drained state with the identical pinned IEEE tree as
+    the batch operator, so the drained availableNow stream equals
+    ``round_amount_bias_orders`` bit-for-bit — which the SHARED
+    oracle attests. State lives in the bucketed ``_ParquetFoldState``
+    store; exactly-once under foreachBatch retries via the per-bucket
+    commit-marker guard."""
+    from ..operators.fraud_stats import round_amount_bias_from_counts
+
+    src = _orders_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = _ParquetFoldState(spark, "round_bias")
+    schema = "grp string, n long, n_round long"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        delta = (
+            batch_df.select(
+                F.col("o_orderpriority").alias("grp"), cents.alias("_c")
+            )
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.when(F.col("_c") % 100 == 0, 1).otherwise(0))
+                .cast("long")
+                .alias("n_round"),
+            )
+        )
+
+        def merge(prev, d):
+            if prev is None:
+                return d
+            return (
+                prev.unionByName(d)
+                .groupBy("grp")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("n_round").cast("long").alias("n_round"),
+                )
+            )
+
+        state.apply_delta(delta, batch_id, ["grp"], merge)
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    final = state.read_or_empty(schema)
+    return round_amount_bias_from_counts(final)

@@ -271,3 +271,26 @@ class TestRfmNtiles:
             for r in exact_ntile_assign(df, "v", "id", 5, "long").collect()
         }
         assert got == {i: (i + 1) // 2 for i in range(1, 11)}
+
+
+class TestStreamingRoundBias:
+    def test_drained_stream_equals_batch(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            round_amount_bias,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+            read_table,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+            stream_round_amount_bias,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch = round_amount_bias(
+            read_table(spark, sf_dir, "orders"),
+            "o_orderpriority",
+            "o_totalprice",
+            round_cents=100,
+        ).collect()
+        streamed = stream_round_amount_bias(spark, sf_dir, n_files=3).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
