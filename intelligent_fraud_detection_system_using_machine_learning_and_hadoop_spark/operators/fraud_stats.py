@@ -100,13 +100,26 @@ def benford_from_counts(obs: DataFrame, group_col: str) -> DataFrame:
     additively (counts are the mergeable sufficient statistic) and
     finish with the identical pinned expression tree; the drained
     stream therefore equals the batch query bit-for-bit."""
-    digits = obs.sparkSession.range(1, 10).select(
-        F.col("id").cast("int").alias("digit")
+    return _benford_chi2_over_spine(
+        obs, group_col, list(zip(range(1, 10), BENFORD_P))
     )
-    spine = obs.select("grp").distinct().crossJoin(F.broadcast(digits))
-    p_expr = F.lit(None).cast("double")
-    for d, p in zip(range(9, 0, -1), reversed(BENFORD_P)):
-        p_expr = F.when(F.col("digit") == d, F.lit(p)).otherwise(p_expr)
+
+
+def _benford_chi2_over_spine(
+    obs: DataFrame, group_col: str, masses: list
+) -> DataFrame:
+    """Shared digit-spine + quantized chi-square finish for the
+    first-digit (spine 1..9) and first-two-digits (spine 10..99)
+    Benford screens. ``masses`` is the [(digit, expected_p)] list —
+    the expected_p doubles are the SAME Python floats the oracle's
+    %.17e literals round-trip to, entering the plan through a
+    broadcast spine frame (a join, not a 90-arm CASE, so codegen
+    never sees a deep conditional)."""
+    spine_rows = obs.sparkSession.createDataFrame(
+        [(int(d), float(p)) for d, p in masses],
+        "digit int, expected_p double",
+    )
+    spine = obs.select("grp").distinct().crossJoin(F.broadcast(spine_rows))
     full = (
         spine.join(obs, ["grp", "digit"], "left")
         .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)).cast("long"))
@@ -114,7 +127,6 @@ def benford_from_counts(obs: DataFrame, group_col: str) -> DataFrame:
             "n_total",
             F.sum("n_obs").over(Window.partitionBy("grp")).cast("long"),
         )
-        .withColumn("expected_p", p_expr)
     )
     e = F.col("n_total").cast("double") * F.col("expected_p")
     dev = F.col("n_obs").cast("double") - e
@@ -148,6 +160,47 @@ def benford_oracle_case() -> str:
     the DuckDB oracle so both engines evaluate the SAME doubles."""
     whens = " ".join(
         f"WHEN {d} THEN {p:.17e}" for d, p in zip(range(1, 10), BENFORD_P)
+    )
+    return f"CASE digit {whens} END"
+
+
+#: log10(1 + 1/d) for the first-TWO significant digits d = 10..99 —
+#: Nigrini's more discriminating F2D test (fabricators who learn to
+#: spread first digits still leave second-digit structure).
+BENFORD2_P = [math.log10(1.0 + 1.0 / d) for d in range(10, 100)]
+
+
+def benford_first2_profile(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Per (group, first-two-digits 10..99): observed count, total,
+    fraction, the F2D Benford mass log10(1+1/d), and the group's
+    89-df chi-square — ``benford_profile``'s discipline on the
+    two-digit spine (exact integer cents, string-prefix digits — no
+    float log10; the 1e-9-quantized decimal(38,0) chi-square sum).
+    Rows with cents < 10 have no two significant digits and are
+    excluded, mirroring the > 0 exclusion of the first-digit test.
+    Same scale shape: one scan + a ≤ 90·|groups|-row aggregate."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    obs = (
+        df.where(cents >= 10)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.substring(cents.cast("string"), 1, 2).cast("int").alias("digit"),
+        )
+        .groupBy("grp", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    return _benford_chi2_over_spine(
+        obs, group_col, list(zip(range(10, 100), BENFORD2_P))
+    )
+
+
+def benford2_oracle_case() -> str:
+    """The pinned-literal CASE for the two-digit spine, shared with
+    the DuckDB oracle (the benford_oracle_case discipline)."""
+    whens = " ".join(
+        f"WHEN {d} THEN {p:.17e}" for d, p in zip(range(10, 100), BENFORD2_P)
     )
     return f"CASE digit {whens} END"
 

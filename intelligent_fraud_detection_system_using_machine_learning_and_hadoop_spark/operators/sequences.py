@@ -88,3 +88,59 @@ def key_islands(df: DataFrame, key_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def trailing_distinct_count(
+    df: DataFrame,
+    entity_col: str,
+    day_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct-entity count per day (the WAU/rolling-actives
+    metric): for every day in the data's [min, max] range, the number
+    of DISTINCT entities active in the trailing ``window_days`` days
+    (current day inclusive). ``day_col`` must be an epoch-day long.
+
+    Scale shape — the naive form is a day-range self-join and exact
+    windowed COUNT(DISTINCT) is not frame-computable; the standard
+    collapse is interval COVERAGE: each distinct (entity, active-day)
+    pair covers days [d, d+W-1], so a day's trailing distinct count is
+    the number of distinct (entity, covered-day) pairs on that day.
+    That is one distinct on the (entity, day) pairs (data-sized, keyed),
+    a constant W-fold explode, a second distinct, and one keyed count —
+    all shuffles on (entity, day) keys, no range join, no window. The
+    W× intermediate is a bounded multiplier, the discipline the C4
+    line-dedup and gram-digest passes already accept. The day spine is
+    a |days|-row broadcast (bounded domain: a calendar)."""
+    pairs = (
+        df.select(
+            F.col(entity_col).alias("_e"), F.col(day_col).alias("_d")
+        )
+        .where(F.col("_e").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    bounds = pairs.agg(
+        F.min("_d").alias("_mn"), F.max("_d").alias("_mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("day")
+    )
+    covered = (
+        pairs.select(
+            "_e",
+            F.explode(
+                F.sequence(F.col("_d"), F.col("_d") + F.lit(window_days - 1))
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    return (
+        spine.join(covered, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_active"),
+        )
+        .orderBy("day")
+    )

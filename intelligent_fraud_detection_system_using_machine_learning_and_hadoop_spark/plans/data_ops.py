@@ -8514,3 +8514,96 @@ def skyline_supplier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_nd_max(
         prof, ["rev_fp4", "n_parts", "n_orders"]
     ).orderBy("suppkey")
+
+
+def _benford2_oracle() -> str:
+    from ..operators.fraud_stats import benford2_oracle_case
+
+    return f"""
+    WITH d AS (
+      SELECT o_orderpriority AS grp,
+             CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 2) AS INTEGER) AS digit
+      FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 10),
+    obs AS (
+      SELECT grp, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY grp, digit),
+    spine AS (
+      SELECT grp, digit
+      FROM (SELECT DISTINCT grp FROM obs)
+      CROSS JOIN (SELECT unnest(generate_series(10, 99)) AS digit)),
+    full_t AS (
+      SELECT s.grp, s.digit,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+      FROM spine s LEFT JOIN obs o
+        ON s.grp = o.grp AND s.digit = o.digit),
+    tot AS (
+      SELECT grp, digit, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY grp) AS BIGINT) AS n_total,
+             {benford2_oracle_case()} AS expected_p
+      FROM full_t),
+    q AS (
+      SELECT grp, digit, n_obs, n_total, expected_p,
+             CAST(floor(
+               (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               / (CAST(n_total AS DOUBLE) * expected_p) * 1e9
+             ) AS BIGINT) AS contrib_q
+      FROM tot)
+    SELECT grp AS o_orderpriority, digit, n_obs, n_total,
+           CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_frac,
+           expected_p,
+           CAST(SUM(contrib_q) OVER (PARTITION BY grp) AS DOUBLE) / 1e9 AS chi2
+    FROM q ORDER BY o_orderpriority, digit
+    """
+
+
+@query("benford_first2_orders", oracle=_benford2_oracle())
+def benford_first2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nigrini's first-TWO-digits (F2D) Benford screen per order
+    priority (operators/fraud_stats.py::benford_first2_profile) — the
+    more discriminating second-stage digit test: fabricators who
+    learn to spread first digits still leave second-digit structure,
+    so the 89-df chi-square over the 10..99 spine catches what the
+    9-digit test misses. Exact integer cents, string-prefix digits,
+    the 1e-9-quantized decimal chi-square sum, %.17e-pinned expected
+    masses entering via a broadcast 90-row spine. One scan + a
+    ≤ 90·|priorities|-row aggregate — agg-cheap at any SF."""
+    from ..operators.fraud_stats import benford_first2_profile
+
+    o = read_table(spark, sf_dir, "orders")
+    return benford_first2_profile(o, "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "rolling_wau_events",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events WHERE user_id IS NOT NULL),
+    b AS (SELECT min(d) AS mn, max(d) AS mx FROM pairs),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx)) AS day FROM b)
+    SELECT s.day,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_active
+    FROM spine s LEFT JOIN pairs p ON p.d <= s.day AND s.day <= p.d + 6
+    GROUP BY s.day ORDER BY s.day
+    """,
+)
+def rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per calendar day
+    (operators/sequences.py::trailing_distinct_count) — the WAU
+    metric. The oracle is the literal day-range join with windowed
+    COUNT(DISTINCT) semantics; the engine computes the same numbers
+    via interval COVERAGE (each distinct (user, day) pair covers
+    [d, d+6]; a constant 7× explode + distinct + keyed count — no
+    range join, no non-frame-computable distinct window), all
+    shuffles keyed, the day spine a bounded-domain broadcast."""
+    from ..operators.sequences import trailing_distinct_count
+
+    e = read_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.unix_date(F.col("ts").cast("date")).cast("long").alias("d")
+    )
+    return trailing_distinct_count(days, "user_id", "d", window_days=7)

@@ -294,3 +294,84 @@ class TestStreamingRoundBias:
         ).collect()
         streamed = stream_round_amount_bias(spark, sf_dir, n_files=3).collect()
         assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+class TestBenfordFirst2:
+    def test_hand_counts_and_masses(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            BENFORD2_P,
+            benford_first2_profile,
+        )
+
+        assert len(BENFORD2_P) == 90
+        assert abs(sum(BENFORD2_P) - 1.0) < 1e-12
+        # amounts 1.23 (123 cents -> 12), 0.10 (10 cents -> 10),
+        # 0.05 (5 cents -> excluded: single digit), 99.00 (9900 -> 99)
+        rows = [("a", 1.23), ("a", 0.10), ("a", 0.05), ("a", 99.00)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r.digit: r
+            for r in benford_first2_profile(df, "v", "g").collect()
+        }
+        assert len(got) == 90
+        assert got[12].n_obs == 1 and got[10].n_obs == 1 and got[99].n_obs == 1
+        assert got[11].n_obs == 0
+        assert got[12].n_total == 3  # the 5-cent row is excluded
+        assert got[10].expected_p == math.log10(1.0 + 1.0 / 10.0)
+
+    def test_chi2_matches_python(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            BENFORD2_P,
+            benford_first2_profile,
+        )
+
+        rng = random.Random(5)
+        rows = [("g", round(rng.uniform(0.10, 9999.0), 2)) for _ in range(500)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = benford_first2_profile(df, "v", "g").collect()
+        n_total = out[0].n_total
+        obs = {r.digit: r.n_obs for r in out}
+        q = 0
+        for d, p in zip(range(10, 100), BENFORD2_P):
+            e = n_total * p
+            q += math.floor((obs[d] - e) * (obs[d] - e) / e * 1e9)
+        assert out[0].chi2 == q / 1e9
+
+
+class TestTrailingDistinct:
+    def test_differential_vs_python(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.sequences import (
+            trailing_distinct_count,
+        )
+
+        rng = random.Random(9)
+        rows = [
+            (rng.randint(1, 20), rng.randint(100, 160)) for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "u long, d long")
+        got = {
+            r.day: r.n_active
+            for r in trailing_distinct_count(df, "u", "d", 7).collect()
+        }
+        mn, mx = min(d for _, d in rows), max(d for _, d in rows)
+        assert set(got) == set(range(mn, mx + 1))
+        for day in range(mn, mx + 1):
+            exp = len({u for u, d in rows if day - 6 <= d <= day})
+            assert got[day] == exp, day
+
+    def test_gap_days_counted_as_zero_or_carry(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.sequences import (
+            trailing_distinct_count,
+        )
+
+        # activity on day 100 only: days 100..106 see 1 active, and a
+        # second burst on 120 leaves 107..113 carrying... nothing:
+        # 107-113 have window [101,107]..[107,113] -> 0 from day 107 on
+        df = spark.createDataFrame([(1, 100), (1, 120)], "u long, d long")
+        got = {
+            r.day: r.n_active
+            for r in trailing_distinct_count(df, "u", "d", 7).collect()
+        }
+        assert all(got[d] == 1 for d in range(100, 107))
+        assert all(got[d] == 0 for d in range(107, 120))
+        assert got[120] == 1
