@@ -2215,3 +2215,52 @@ def poisson_rate_ztest(
         )
         .orderBy(group_col)
     )
+
+
+def ljung_box_daily(
+    events: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3),
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Ljung–Box portmanteau white-noise test per series over the
+    daily totals: Q = n(n+2)·Σ_k ρ̂_k²/(n−k) on the ``acf_daily``
+    coefficients (Ljung & Box 1978) — the standard "is there ANY
+    autocorrelation structure" screen; for a ledger, autocorrelated
+    daily spend is the structured-behavior signal the per-lag ACF
+    diagnoses lag by lag. Under the null Q ~ χ²(m); the two-sided
+    99% decision at m = |lags| df is a pinned shared literal
+    (comparison operand, not statistic).
+
+    Exactness: the ρ̂_k inherit acf_daily's bit-parity (exact decimal
+    moments, one IEEE division each); Q is a pinned IEEE tree on
+    them, reproduced term-for-term (same association order) by the
+    SQL twin. Series too short for the deepest lag yield NULL Q and
+    NULL decision on both engines. Same scale shape as acf_daily —
+    the finish is |groups|-row arithmetic."""
+    if tuple(lags) != tuple(range(1, len(lags) + 1)):
+        raise ValueError("lags must be 1..m for the chi-square df claim")
+    crit = {
+        1: 6.6348966010212145,
+        2: 9.21034037197618,
+        3: 11.344866730144373,
+    }[len(lags)]
+    acf = acf_daily(
+        events, lags=lags, group_col=group_col,
+        ts_col=ts_col, value_col=value_col,
+    )
+    nd = F.col("n_days").cast("double")
+    tsum = None
+    for k in lags:
+        a = F.col(f"acf_lag{k}")
+        t = (a * a) / (nd - F.lit(float(k)))
+        tsum = t if tsum is None else (tsum + t)
+    q = nd * (nd + F.lit(2.0)) * tsum
+    return acf.select(
+        group_col,
+        "n_days",
+        *[f"acf_lag{k}" for k in lags],
+        q.alias("lb_q"),
+        (q > F.lit(crit)).alias("reject_white_noise"),
+    ).orderBy(group_col)

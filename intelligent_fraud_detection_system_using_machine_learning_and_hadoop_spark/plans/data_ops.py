@@ -8607,3 +8607,34 @@ def rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.unix_date(F.col("ts").cast("date")).cast("long").alias("d")
     )
     return trailing_distinct_count(days, "user_id", "d", window_days=7)
+
+
+def _ljung_box_oracle() -> str:
+    nd = "CAST(n_days AS DOUBLE)"
+    t = " + ".join(
+        f"(acf_lag{k} * acf_lag{k}) / ({nd} - {float(k)})" for k in (1, 2, 3)
+    )
+    return f"""
+    SELECT event_type, n_days, acf_lag1, acf_lag2, acf_lag3,
+           {nd} * ({nd} + 2.0) * ({t}) AS lb_q,
+           {nd} * ({nd} + 2.0) * ({t})
+             > 11.344866730144373 AS reject_white_noise
+    FROM ({_acf_oracle()}) acf
+    ORDER BY event_type
+    """
+
+
+@query("ljung_box_events", oracle=_ljung_box_oracle())
+def ljung_box_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box white-noise test (m = 3) on each event type's daily
+    value series (operators/stats.py::ljung_box_daily): the
+    portmanteau Q over the exact-decimal ACF coefficients with the
+    pinned χ²(3) 99% critical value — the "any structure at all"
+    companion to the per-lag acf_events diagnostic. Q's IEEE tree is
+    reproduced term-for-term by the oracle over the same HUGEINT ACF
+    twin; the finish is |types|-row arithmetic on the acf_daily plan
+    (one roll-up + one window pass + one keyed agg)."""
+    from ..operators.stats import ljung_box_daily
+
+    e = read_table(spark, sf_dir, "events")
+    return ljung_box_daily(e, lags=(1, 2, 3))

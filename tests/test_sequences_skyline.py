@@ -375,3 +375,57 @@ class TestTrailingDistinct:
         assert all(got[d] == 1 for d in range(100, 107))
         assert all(got[d] == 0 for d in range(107, 120))
         assert got[120] == 1
+
+
+class TestLjungBox:
+    def test_q_matches_python_formula(self, spark):
+        import datetime as _dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            acf_daily,
+            ljung_box_daily,
+        )
+
+        rng = random.Random(13)
+        rows = [
+            (
+                "t",
+                _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i, hours=3),
+                round(rng.uniform(1, 50), 2),
+            )
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+        acf = acf_daily(df).collect()[0]
+        lb = ljung_box_daily(df).collect()[0]
+        n = float(acf.n_days)
+        t = (
+            (acf.acf_lag1 * acf.acf_lag1) / (n - 1.0)
+            + (acf.acf_lag2 * acf.acf_lag2) / (n - 2.0)
+        ) + (acf.acf_lag3 * acf.acf_lag3) / (n - 3.0)
+        assert lb.lb_q == n * (n + 2.0) * t
+        assert bool(lb.reject_white_noise) == (lb.lb_q > 11.344866730144373)
+
+    def test_short_series_null(self, spark):
+        import datetime as _dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            ljung_box_daily,
+        )
+
+        rows = [
+            ("t", _dt.datetime(2024, 1, 1 + i), 5.0) for i in range(2)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+        r = ljung_box_daily(df).collect()[0]
+        assert r.lb_q is None and r.reject_white_noise is None
+
+    def test_lags_guard(self, spark):
+        import pytest as _pytest
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            ljung_box_daily,
+        )
+
+        with _pytest.raises(ValueError, match="1..m"):
+            ljung_box_daily(None, lags=(2, 3))
