@@ -2264,3 +2264,48 @@ def ljung_box_daily(
         q.alias("lb_q"),
         (q > F.lit(crit)).alias("reject_white_noise"),
     ).orderBy(group_col)
+
+
+def pacf_daily(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 per series over the daily
+    totals, via the Durbin–Levinson recursion UNROLLED to its
+    closed-form rational functions of (ρ₁, ρ₂, ρ₃):
+
+        φ₁₁ = ρ₁
+        φ₂₂ = (ρ₂ − ρ₁²) / (1 − ρ₁²);     φ₂₁ = ρ₁ − φ₂₂·ρ₁
+        φ₃₃ = ((ρ₃ − φ₂₁·ρ₂) − φ₂₂·ρ₁) / ((1 − φ₂₁·ρ₁) − φ₂₂·ρ₂)
+
+    — the AR-order diagnostic completing the ACF family (an AR(p)
+    series has φ_kk ≈ 0 past lag p, while its plain ACF decays
+    forever). Because the recursion depth is FIXED, every φ is a
+    pinned IEEE tree on acf_daily's bit-parity coefficients —
+    reproduced association-for-association by the SQL twin — rather
+    than a driver-side loop; no collect anywhere. Degenerate
+    denominators (|ρ| hitting exactly 1 on a perfectly linear series)
+    yield NULL by explicit guard on both engines rather than IEEE
+    infinities. Same scale shape as acf_daily."""
+    acf = acf_daily(
+        events, lags=(1, 2, 3), group_col=group_col,
+        ts_col=ts_col, value_col=value_col,
+    )
+    r1, r2, r3 = F.col("acf_lag1"), F.col("acf_lag2"), F.col("acf_lag3")
+    den2 = F.lit(1.0) - r1 * r1
+    phi22 = F.when(den2 != 0.0, (r2 - r1 * r1) / den2)
+    staged = acf.withColumn("_phi22", phi22).withColumn(
+        "_phi21", r1 - F.col("_phi22") * r1
+    )
+    p21, p22 = F.col("_phi21"), F.col("_phi22")
+    num3 = (r3 - p21 * r2) - p22 * r1
+    den3 = (F.lit(1.0) - p21 * r1) - p22 * r2
+    return staged.select(
+        group_col,
+        "n_days",
+        r1.alias("pacf_lag1"),
+        p22.alias("pacf_lag2"),
+        F.when(den3 != 0.0, num3 / den3).alias("pacf_lag3"),
+    ).orderBy(group_col)

@@ -8638,3 +8638,42 @@ def ljung_box_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return ljung_box_daily(e, lags=(1, 2, 3))
+
+
+def _pacf_oracle() -> str:
+    return f"""
+    WITH acf AS ({_acf_oracle()}),
+    s AS (
+      SELECT event_type, n_days, acf_lag1 AS r1, acf_lag2 AS r2,
+             acf_lag3 AS r3,
+             CASE WHEN (1.0 - acf_lag1 * acf_lag1) <> 0.0
+                  THEN (acf_lag2 - acf_lag1 * acf_lag1)
+                         / (1.0 - acf_lag1 * acf_lag1)
+             END AS phi22
+      FROM acf),
+    t AS (
+      SELECT *, r1 - phi22 * r1 AS phi21 FROM s)
+    SELECT event_type, n_days,
+           r1 AS pacf_lag1,
+           phi22 AS pacf_lag2,
+           CASE WHEN ((1.0 - phi21 * r1) - phi22 * r2) <> 0.0
+                THEN ((r3 - phi21 * r2) - phi22 * r1)
+                       / ((1.0 - phi21 * r1) - phi22 * r2)
+           END AS pacf_lag3
+    FROM t ORDER BY event_type
+    """
+
+
+@query("pacf_events", oracle=_pacf_oracle())
+def pacf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 of each event type's daily
+    value series (operators/stats.py::pacf_daily): Durbin–Levinson
+    unrolled to fixed-depth rational functions of the exact-decimal
+    ACF — the AR-order diagnostic, with every φ a pinned IEEE tree
+    the oracle reproduces association-for-association over the same
+    HUGEINT ACF twin. No driver loop; |types|-row finish on the
+    acf_daily plan."""
+    from ..operators.stats import pacf_daily
+
+    e = read_table(spark, sf_dir, "events")
+    return pacf_daily(e)

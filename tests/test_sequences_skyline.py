@@ -429,3 +429,67 @@ class TestLjungBox:
 
         with _pytest.raises(ValueError, match="1..m"):
             ljung_box_daily(None, lags=(2, 3))
+
+
+class TestPacf:
+    def test_matches_durbin_levinson_python(self, spark):
+        import datetime as _dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            acf_daily,
+            pacf_daily,
+        )
+
+        rng = random.Random(21)
+        rows = [
+            (
+                "t",
+                _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i, hours=2),
+                round(rng.uniform(1, 80), 2),
+            )
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        acf = acf_daily(df).collect()[0]
+        got = pacf_daily(df).collect()[0]
+        r = [None, acf.acf_lag1, acf.acf_lag2, acf.acf_lag3]
+        # generic Durbin-Levinson (float, not the pinned tree —
+        # compare with tolerance)
+        phi = {(1, 1): r[1]}
+        for k in (2, 3):
+            num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+            den = 1.0 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
+            phi[(k, k)] = num / den
+            for j in range(1, k):
+                phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+        assert abs(got.pacf_lag1 - phi[(1, 1)]) < 1e-12
+        assert abs(got.pacf_lag2 - phi[(2, 2)]) < 1e-12
+        assert abs(got.pacf_lag3 - phi[(3, 3)]) < 1e-12
+
+    def test_white_noise_pacf_small(self, spark):
+        import datetime as _dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            pacf_daily,
+        )
+
+        rng = random.Random(2)
+        rows = [
+            (
+                "t",
+                _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i),
+                round(rng.uniform(10, 20), 2),
+            )
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        got = pacf_daily(df).collect()[0]
+        # iid series: every pacf within a loose 3/sqrt(n) band
+        band = 3.0 / math.sqrt(200)
+        assert abs(got.pacf_lag1) < band
+        assert abs(got.pacf_lag2) < band
+        assert abs(got.pacf_lag3) < band

@@ -74,6 +74,20 @@ HEAVIES = [
     "ztest_returns_by_priority",
     "streaming_split_transactions",
     "collusion_rings_lsh_customers",
+    # round-15b additions: the operators/queries added within round 15
+    # itself, so their first sf1 rows land in the same round's
+    # SCALING section instead of waiting for the next verdict
+    "skyline_orders",
+    "skyline_supplier_profile",
+    "key_islands_orders",
+    "round_amount_bias_orders",
+    "weekend_rate_poisson_events",
+    "rfm_segments_customers",
+    "conformal_fdr_alerts_events",
+    "streaming_round_bias_orders",
+    "benford_first2_orders",
+    "rolling_wau_events",
+    "ljung_box_events",
 ]
 
 
