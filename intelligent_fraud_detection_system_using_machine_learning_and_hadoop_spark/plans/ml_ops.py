@@ -624,3 +624,24 @@ REGISTRY["streaming_round_bias_orders"] = REGISTRY[
     oracle=REGISTRY["round_amount_bias_orders"].oracle,
     bench=False,
 )
+
+
+@query("streaming_rolling_wau", oracle=None)
+def streaming_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives as a live stream
+    (streaming/jobs.py::stream_rolling_wau): new distinct
+    (user, day) pairs fold through the bucketed parquet state store
+    per micro-batch — the pair set is the metric's sufficient
+    statistic — and the interval-coverage finish runs once on the
+    drained state. Drained availableNow ≡ the batch
+    ``rolling_wau_events``, which the SHARED oracle attests."""
+    from ..streaming.jobs import stream_rolling_wau
+
+    return stream_rolling_wau(spark, sf_dir)
+
+
+REGISTRY["streaming_rolling_wau"] = REGISTRY["streaming_rolling_wau"].__class__(
+    builder=REGISTRY["streaming_rolling_wau"].builder,
+    oracle=REGISTRY["rolling_wau_events"].oracle,
+    bench=False,
+)

@@ -2645,3 +2645,53 @@ def stream_round_amount_bias(
     q.awaitTermination()
     final = state.read_or_empty(schema)
     return round_amount_bias_from_counts(final)
+
+
+def stream_rolling_wau(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """Streaming rolling-WAU: the 7-day trailing distinct-actives
+    metric maintained against a live event feed. Per micro-batch the
+    NEW distinct (user, epoch-day) pairs fold into the bucketed
+    parquet state store (the incremental-dedup discipline — the
+    distinct pair set is the sufficient statistic of the whole
+    metric, so state is |distinct pairs| and history is never
+    re-scanned); the interval-coverage finish
+    (operators/sequences.py::trailing_distinct_count's tail) runs
+    ONCE on the drained pair set, so the drained availableNow stream
+    equals the batch ``rolling_wau_events`` bit-for-bit — which the
+    SHARED oracle attests."""
+    from ..operators.sequences import trailing_distinct_count
+    from ..sources.readers import normalize_event_ts
+
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = _ParquetFoldState(spark, "rolling_wau")
+    schema = "user_id long, d long"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.where(F.col("user_id").isNotNull())
+            .select(
+                "user_id",
+                F.unix_date(F.col("ts").cast("date")).cast("long").alias("d"),
+            )
+            .distinct()
+        )
+
+        def merge(prev, d):
+            if prev is None:
+                return d
+            return prev.unionByName(d).distinct()
+
+        state.apply_delta(delta, batch_id, ["user_id", "d"], merge)
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    pairs = state.read_or_empty(schema)
+    return trailing_distinct_count(pairs, "user_id", "d", window_days=7)

@@ -493,3 +493,17 @@ class TestPacf:
         assert abs(got.pacf_lag1) < band
         assert abs(got.pacf_lag2) < band
         assert abs(got.pacf_lag3) < band
+
+
+class TestStreamingRollingWau:
+    def test_drained_stream_equals_batch(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch = REGISTRY["rolling_wau_events"].builder(spark, sf_dir).collect()
+        streamed = REGISTRY["streaming_rolling_wau"].builder(
+            spark, sf_dir
+        ).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))

@@ -88,6 +88,8 @@ HEAVIES = [
     "benford_first2_orders",
     "rolling_wau_events",
     "ljung_box_events",
+    "pacf_events",
+    "streaming_rolling_wau",
 ]
 
 
