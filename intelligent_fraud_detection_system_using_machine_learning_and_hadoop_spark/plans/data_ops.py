@@ -8677,3 +8677,22 @@ def pacf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return pacf_daily(e)
+
+
+@query("betweenness_parts")
+def betweenness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled betweenness centrality on the part co-order graph
+    (operators/graph.py::betweenness_sampled — Brandes forward
+    path-count BFS + backward dependency accumulation from the 8
+    deterministically-hashed sources, Brandes–Pich scale): the broker
+    screen completing the centrality family (degree via k-core,
+    eigenvector via PageRank/HITS, now shortest-path betweenness).
+    Iterative + sampled → rows-only per the driver contract;
+    correctness pinned by the exact-Brandes differential in
+    tests/test_sequences_skyline.py (k = |V| on a fixture) and the
+    path/star hand graphs. One row per graph node at any SF."""
+    from ..operators.graph import betweenness_sampled
+
+    return betweenness_sampled(
+        _co_order_edges(spark, sf_dir), k_sources=8, max_hops=8
+    )

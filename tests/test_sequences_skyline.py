@@ -507,3 +507,80 @@ class TestStreamingRollingWau:
             spark, sf_dir
         ).collect()
         assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def _exact_brandes(adj, nodes):
+    # Brandes 2001, exact, all sources; undirected -> final /2
+    import collections
+
+    btw = {v: 0.0 for v in nodes}
+    for s in nodes:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        qd = collections.deque([s])
+        while qd:
+            v = qd.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    order.append(w)
+                    qd.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v, -2) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                btw[w] += delta[w]
+    return {v: b / 2.0 for v, b in btw.items()}
+
+
+class TestBetweenness:
+    def _run(self, spark, edges, k):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            betweenness_sampled,
+        )
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r.id: r.betweenness
+            for r in betweenness_sampled(
+                df, k_sources=k, max_hops=10
+            ).collect()
+        }
+
+    def test_path_graph_hand(self, spark):
+        # a-b-c: b carries the single (a,c) pair -> betweenness 1
+        got = self._run(spark, [(1, 2), (2, 3)], k=3)
+        assert abs(got[2] - 1.0) < 1e-6
+        assert abs(got[1]) < 1e-6 and abs(got[3]) < 1e-6
+
+    def test_star_graph_hand(self, spark):
+        # hub 0 with 4 leaves: hub carries C(4,2)=6 pairs
+        got = self._run(spark, [(0, i) for i in range(1, 5)], k=5)
+        assert abs(got[0] - 6.0) < 1e-6
+        assert all(abs(got[i]) < 1e-6 for i in range(1, 5))
+
+    def test_differential_vs_exact_brandes(self, spark):
+        import collections
+
+        rng = random.Random(17)
+        nodes = list(range(20))
+        edges = set()
+        while len(edges) < 35:
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        present = sorted(adj)
+        exp = _exact_brandes(adj, present)
+        got = self._run(spark, sorted(edges), k=len(present))
+        assert set(got) == set(present)
+        for v in present:
+            assert abs(got[v] - exp[v]) < 1e-5, (v, got[v], exp[v])

@@ -90,6 +90,7 @@ HEAVIES = [
     "ljung_box_events",
     "pacf_events",
     "streaming_rolling_wau",
+    "betweenness_parts",
 ]
 
 
