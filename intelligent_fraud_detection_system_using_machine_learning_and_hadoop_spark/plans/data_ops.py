@@ -8696,3 +8696,20 @@ def betweenness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_sampled(
         _co_order_edges(spark, sf_dir), k_sources=8, max_hops=8
     )
+
+
+@query("harmonic_closeness_parts")
+def harmonic_closeness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic closeness on the part co-order graph
+    (operators/graph.py::harmonic_closeness_sampled — Eppstein–Wang
+    estimator over the Boldi–Vigna harmonic variant, 8 hashed
+    sources, one bounded forward BFS): reach-speed centrality
+    completing the family (betweenness = broker, harmonic =
+    proximity). Disconnection-native: unreachable pairs contribute 0.
+    Rows-only per the driver contract; exact differential at k = |V|
+    and hand graphs in pytest. One row per node at any SF."""
+    from ..operators.graph import harmonic_closeness_sampled
+
+    return harmonic_closeness_sampled(
+        _co_order_edges(spark, sf_dir), k_sources=8, max_hops=8
+    )

@@ -584,3 +584,69 @@ class TestBetweenness:
         assert set(got) == set(present)
         for v in present:
             assert abs(got[v] - exp[v]) < 1e-5, (v, got[v], exp[v])
+
+
+class TestHarmonicCloseness:
+    def _run(self, spark, edges, k):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            harmonic_closeness_sampled,
+        )
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r.id: r.harmonic
+            for r in harmonic_closeness_sampled(
+                df, k_sources=k, max_hops=10
+            ).collect()
+        }
+
+    def test_path_graph_hand(self, spark):
+        # a-b-c with k=n: h(b) = (1/1 + 1/1) * (n-1)/k = 2 * 2/3
+        got = self._run(spark, [(1, 2), (2, 3)], k=3)
+        assert abs(got[2] - 2.0 * 2.0 / 3.0) < 1e-6
+        assert abs(got[1] - 1.5 * 2.0 / 3.0) < 1e-6
+
+    def test_disconnected_contributes_zero(self, spark):
+        # two components: pairs across contribute nothing, no NaN/inf
+        got = self._run(spark, [(1, 2), (10, 11)], k=4)
+        exp = 1.0 * 3.0 / 4.0  # one in-component neighbor at d=1
+        for v in (1, 2, 10, 11):
+            assert abs(got[v] - exp) < 1e-6
+
+    def test_differential_vs_exact(self, spark):
+        import collections
+
+        rng = random.Random(23)
+        nodes = list(range(18))
+        edges = set()
+        while len(edges) < 30:
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        adj = collections.defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        present = sorted(adj)
+        n = len(present)
+        # exact harmonic via BFS from every node
+        import math as _m
+
+        exp = {}
+        for s in present:
+            dist = {s: 0}
+            q = [s]
+            while q:
+                nq = []
+                for v in q:
+                    for w in adj[v]:
+                        if w not in dist:
+                            dist[w] = dist[v] + 1
+                            nq.append(w)
+                q = nq
+            for v, d in dist.items():
+                if d > 0:
+                    exp[v] = exp.get(v, 0.0) + 1.0 / d
+        exp = {v: exp.get(v, 0.0) * (n - 1) / n for v in present}
+        got = self._run(spark, sorted(edges), k=n)
+        for v in present:
+            assert abs(got[v] - exp[v]) < 1e-5, (v, got[v], exp[v])

@@ -91,6 +91,7 @@ HEAVIES = [
     "pacf_events",
     "streaming_rolling_wau",
     "betweenness_parts",
+    "harmonic_closeness_parts",
 ]
 
 
