@@ -8713,3 +8713,60 @@ def harmonic_closeness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic_closeness_sampled(
         _co_order_edges(spark, sf_dir), k_sources=8, max_hops=8
     )
+
+
+@query(
+    "duplicate_charges_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      FROM events),
+    w AS (
+      SELECT *,
+             LAG(epoch_s) OVER (PARTITION BY user_id, cents
+                                ORDER BY epoch_s, event_id) AS prev_s
+      FROM b)
+    SELECT event_id, user_id, cents, epoch_s, prev_s,
+           epoch_s - prev_s AS gap_s
+    FROM w
+    WHERE prev_s IS NOT NULL AND epoch_s - prev_s <= 604800
+    ORDER BY event_id
+    """,
+)
+def duplicate_charges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-charge screen: events with the SAME entity and SAME
+    exact amount within a trailing week — the classic double-billing /
+    replay audit (the AP duplicate-payment test at transaction
+    granularity; the 7-day horizon is the standard AP review window). Exact integer cents make the equality robust to
+    float noise; the per-(entity, cents) lag carries the unique
+    (epoch_s, event_id) tiebreaker per the window discipline. One
+    keyed window shuffle on (user, cents) — no time-range self-join;
+    identical plan at any SF."""
+    e = read_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    b = e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.floor(F.unix_timestamp(F.col("ts"))).cast("long").alias("epoch_s"),
+    )
+    w = W.partitionBy("user_id", "cents").orderBy("epoch_s", "event_id")
+    out = b.withColumn("prev_s", F.lag("epoch_s").over(w))
+    return (
+        out.where(
+            F.col("prev_s").isNotNull()
+            & (F.col("epoch_s") - F.col("prev_s") <= 604800)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "cents",
+            "epoch_s",
+            "prev_s",
+            (F.col("epoch_s") - F.col("prev_s")).alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )
