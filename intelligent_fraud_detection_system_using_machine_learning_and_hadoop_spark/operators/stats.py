@@ -2309,3 +2309,54 @@ def pacf_daily(
         p22.alias("pacf_lag2"),
         F.when(den3 != 0.0, num3 / den3).alias("pacf_lag3"),
     ).orderBy(group_col)
+
+
+def loo_target_encode(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    encoding used in training-data pipelines: each row's category is
+    replaced by the mean of the TARGET over the OTHER rows of the
+    category, enc = (S_g − x)/(n_g − 1), so a row never sees its own
+    label (the standard LOO remedy for target leakage; Micci-Barreca
+    2001 family). Singleton categories fall back to the global LOO
+    mean (S − x)/(N − 1) — the same guarantee at book scope.
+
+    Exactness: S_g, S, n_g, N accumulate as exact integer cents; each
+    encoding is ONE IEEE division of exact longs, bit-reproducible by
+    the SQL twin. Scale shape: one |groups|-row keyed aggregation
+    broadcast back + a 1-row global aggregate — no window, no
+    data-sized join keys beyond the group column itself."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("grp"),
+        cents.alias("_c"),
+    )
+    per = base.groupBy("grp").agg(
+        F.sum("_c").cast("long").alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    tot = base.agg(
+        F.sum("_c").cast("long").alias("_ts"),
+        F.count(F.lit(1)).cast("long").alias("_tn"),
+    )
+    loo = (F.col("_s") - F.col("_c")).cast("double") / (
+        (F.col("_n") - F.lit(1)).cast("double")
+    )
+    glob = (F.col("_ts") - F.col("_c")).cast("double") / (
+        (F.col("_tn") - F.lit(1)).cast("double")
+    )
+    return (
+        base.join(F.broadcast(per), "grp")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.col("_c").alias("cents"),
+            F.when(F.col("_n") > 1, loo).otherwise(glob).alias("loo_enc"),
+        )
+    )

@@ -8770,3 +8770,44 @@ def duplicate_charges_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "target_encode_orders",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    per AS (
+      SELECT grp, CAST(sum(c) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY grp),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS ts,
+             CAST(count(*) AS BIGINT) AS tn
+      FROM b)
+    SELECT o_orderkey, grp AS o_orderpriority, c AS cents,
+           CASE WHEN n > 1
+                THEN CAST(s - c AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                ELSE CAST(ts - c AS DOUBLE) / CAST(tn - 1 AS DOUBLE)
+           END AS loo_enc
+    FROM b JOIN per USING (grp) CROSS JOIN tot
+    ORDER BY o_orderkey
+    """,
+)
+def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority by amount
+    (operators/stats.py::loo_target_encode): the leakage-safe
+    categorical encoding for downstream models — each row's category
+    becomes the mean target over the category's OTHER rows, singleton
+    categories falling back to the global LOO mean. Exact cents
+    aggregation, one IEEE division per row; |groups|-row broadcast +
+    1-row global broadcast, no window."""
+    from ..operators.stats import loo_target_encode
+
+    o = read_table(spark, sf_dir, "orders")
+    return loo_target_encode(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey"
+    ).orderBy("o_orderkey")

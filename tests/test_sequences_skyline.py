@@ -650,3 +650,41 @@ class TestHarmonicCloseness:
         got = self._run(spark, sorted(edges), k=n)
         for v in present:
             assert abs(got[v] - exp[v]) < 1e-5, (v, got[v], exp[v])
+
+
+class TestLooTargetEncode:
+    def test_hand_values_and_singleton_fallback(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            loo_target_encode,
+        )
+
+        rows = [
+            (1, "a", 10.00),
+            (2, "a", 20.00),
+            (3, "a", 30.00),
+            (4, "b", 40.00),  # singleton -> global LOO
+        ]
+        df = spark.createDataFrame(rows, "id long, g string, v double")
+        got = {
+            r.id: r.loo_enc
+            for r in loo_target_encode(df, "g", "v", "id").collect()
+        }
+        assert got[1] == (2000 + 3000) / 2.0  # cents
+        assert got[2] == (1000 + 3000) / 2.0
+        assert got[3] == (1000 + 2000) / 2.0
+        assert got[4] == (1000 + 2000 + 3000) / 3.0
+
+    def test_no_self_leakage(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            loo_target_encode,
+        )
+
+        # two rows in a group: each must see exactly the OTHER value
+        df = spark.createDataFrame(
+            [(1, "g", 5.00), (2, "g", 7.00)], "id long, g string, v double"
+        )
+        got = {
+            r.id: r.loo_enc
+            for r in loo_target_encode(df, "g", "v", "id").collect()
+        }
+        assert got[1] == 700.0 and got[2] == 500.0
