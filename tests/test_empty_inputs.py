@@ -106,3 +106,42 @@ def test_round11_operators_empty_inputs(spark, empties):
     assert len(mw) == 1 and mw[0]["z"] is None and mw[0]["u_a"] is None
     kw = kruskal_wallis(em["gv"], "g", "v").collect()
     assert len(kw) == 1 and kw[0]["h"] is None
+
+
+def test_round15_operators_empty_inputs(spark, empties):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+        benford_first2_profile,
+        round_amount_bias,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        betweenness_sampled,
+        harmonic_closeness_sampled,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.sequences import (
+        key_islands,
+        trailing_distinct_count,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.skyline import (
+        skyline_2d_max,
+        skyline_nd_max,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        loo_target_encode,
+        pacf_daily,
+        ljung_box_daily,
+    )
+
+    gv, iv, e, ev = empties["gv"], empties["iv"], empties["e"], empties["ev"]
+    xy = spark.createDataFrame([], "x long, y long")
+    ud = spark.createDataFrame([], "u long, d long")
+    assert skyline_2d_max(xy, "x", "y").count() == 0
+    assert skyline_nd_max(xy, ["x", "y"]).count() == 0
+    assert key_islands(iv, "id").count() == 0
+    assert trailing_distinct_count(ud, "u", "d").count() == 0
+    assert round_amount_bias(gv, "g", "v").count() == 0
+    assert benford_first2_profile(gv, "v", "g").count() == 0
+    assert betweenness_sampled(e).count() == 0
+    assert harmonic_closeness_sampled(e).count() == 0
+    assert pacf_daily(ev).count() == 0
+    assert ljung_box_daily(ev).count() == 0
+    assert loo_target_encode(iv, "id", "v", "id").count() == 0
