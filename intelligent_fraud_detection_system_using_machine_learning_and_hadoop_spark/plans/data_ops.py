@@ -8811,3 +8811,64 @@ def target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loo_target_encode(
         o, "o_orderpriority", "o_totalprice", "o_orderkey"
     ).orderBy("o_orderkey")
+
+
+@query(
+    "stickiness_events",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events WHERE user_id IS NOT NULL),
+    b AS (SELECT min(d) AS mn, max(d) AS mx FROM pairs),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+    dau AS (
+      SELECT s.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS dau
+      FROM spine s LEFT JOIN pairs p ON p.d = s.day
+      GROUP BY s.day),
+    mau AS (
+      SELECT s.day, CAST(count(DISTINCT p.user_id) AS BIGINT) AS mau
+      FROM spine s LEFT JOIN pairs p ON p.d <= s.day AND s.day <= p.d + 29
+      GROUP BY s.day)
+    SELECT day, dau, mau,
+           CASE WHEN mau > 0
+                THEN CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE)
+           END AS stickiness
+    FROM dau JOIN mau USING (day) ORDER BY day
+    """,
+)
+def stickiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar day — the engagement-intensity
+    metric composed from two ``trailing_distinct_count`` passes
+    (W = 1 and W = 30, the interval-coverage collapse — see
+    rolling_wau_events) joined on the day spine; the ratio is one
+    IEEE division of exact counts, NULL on empty months. Scale shape:
+    two coverage passes (1× and 30× bounded explodes) + a
+    |days|-keyed join."""
+    from ..operators.sequences import trailing_distinct_count
+
+    e = read_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.unix_date(F.col("ts").cast("date")).cast("long").alias("d"),
+    )
+    dau = trailing_distinct_count(days, "user_id", "d", window_days=1).select(
+        "day", F.col("n_active").alias("dau")
+    )
+    mau = trailing_distinct_count(days, "user_id", "d", window_days=30).select(
+        "day", F.col("n_active").alias("mau")
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.when(
+                F.col("mau") > 0,
+                F.col("dau").cast("double") / F.col("mau").cast("double"),
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
