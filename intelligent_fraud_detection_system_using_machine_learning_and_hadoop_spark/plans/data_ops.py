@@ -8872,3 +8872,79 @@ def stickiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "new_vs_returning_events",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM events WHERE user_id IS NOT NULL),
+    firstd AS (
+      SELECT user_id, min(d) AS fd FROM pairs GROUP BY user_id),
+    b AS (SELECT min(d) AS mn, max(d) AS mx FROM pairs),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+    act AS (
+      SELECT d AS day, CAST(count(*) AS BIGINT) AS n_active
+      FROM pairs GROUP BY d),
+    nw AS (
+      SELECT fd AS day, CAST(count(*) AS BIGINT) AS n_new
+      FROM firstd GROUP BY fd)
+    SELECT s.day,
+           COALESCE(a.n_active, 0) AS n_active,
+           COALESCE(n.n_new, 0) AS n_new,
+           COALESCE(a.n_active, 0) - COALESCE(n.n_new, 0) AS n_returning
+    FROM spine s
+    LEFT JOIN act a ON a.day = s.day
+    LEFT JOIN nw n ON n.day = s.day
+    ORDER BY s.day
+    """,
+)
+def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning actives per calendar day: a user is NEW on
+    their first-seen day, RETURNING after — the account-age split
+    behind new-account attack-burst detection (a fraud wave shows as
+    n_new spiking while n_returning holds). Distinct (user, day)
+    pairs (keyed), per-user min-day (keyed agg), per-day counts, all
+    joined on the bounded-domain day spine — no window, no explode;
+    exact BIGINT counts end to end."""
+    e = read_table(spark, sf_dir, "events")
+    pairs = (
+        e.where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.unix_date(F.col("ts").cast("date")).cast("long").alias("d"),
+        )
+        .distinct()
+    )
+    firstd = pairs.groupBy("user_id").agg(F.min("d").alias("fd"))
+    bounds = pairs.agg(F.min("d").alias("_mn"), F.max("d").alias("_mx"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("day")
+    )
+    act = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    nw = firstd.groupBy(F.col("fd").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    return (
+        spine.join(act, "day", "left")
+        .join(nw, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n_active"), F.lit(0)).cast("long").alias(
+                "n_active"
+            ),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            (
+                F.coalesce(F.col("n_active"), F.lit(0))
+                - F.coalesce(F.col("n_new"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_returning"),
+        )
+        .orderBy("day")
+    )
