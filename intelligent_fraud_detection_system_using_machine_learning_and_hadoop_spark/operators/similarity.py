@@ -591,3 +591,108 @@ def pq_cosine_topk(
         F.round(_dot(F.col("_vu"), F.col("_qu")), 6).alias("cos_sim"),
     )
     return _topk_per_query(rerank, k)
+
+
+def mmr_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick argmax of
+    λ·rel(d) − (1−λ)·max_{s ∈ S} sim(d, s) — the de-duplicating
+    retrieval head that plain cosine top-k lacks (top-k over a corpus
+    with near-duplicates returns k copies of one document; MMR's
+    penalty term spends the budget on COVERAGE).
+
+    Determinism: rel and every pairwise sim round to 6 decimals before
+    any comparison (the cosine_topk discipline) and the greedy argmax
+    breaks ties on ascending id, so the picked set is exact and
+    engine-independent. ``query`` is a one-row frame (vector column
+    ``vec_col``) — broadcast, never collected.
+
+    Scale shape: MMR is inherently sequential-greedy, so the plan is
+    k bounded rounds; round i scans the remaining corpus once against
+    a ≤ i-row broadcast of the selected vectors (JVM-side zip_with
+    dot products, no Python) and takes ONE TakeOrdered(1). Total extra
+    work vs one scan is the bounded k²/2 pairwise-penalty multiplier;
+    per-round results are eagerly checkpointed so lineage stays flat.
+    Greedy/iterative → rows-only registration + exact Python
+    differential in pytest."""
+    v = vectors.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("_nrm", F.sqrt(_norm_sq(F.col("v"))))
+    q = (
+        query.select(F.col(vec_col).cast("array<double>").alias("qv"))
+        .limit(1)
+        .withColumn("_qn", F.sqrt(_norm_sq(F.col("qv"))))
+    )
+    rel = (
+        v.crossJoin(F.broadcast(q))
+        .withColumn(
+            "rel",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.col("_nrm") * F.col("_qn")),
+                6,
+            ),
+        )
+        .select("vec_id", "v", "_nrm", "rel")
+        .localCheckpoint(eager=True)
+    )
+    spark = vectors.sparkSession
+    selected = spark.createDataFrame(
+        [], "rank long, vec_id long, v array<double>, _nrm double, "
+            "rel double, mmr double"
+    )
+    remaining = rel
+    for i in range(1, k + 1):
+        if i == 1:
+            scored = remaining.withColumn(
+                "mmr", F.lit(lam) * F.col("rel")
+            )
+        else:
+            sel = F.broadcast(
+                selected.select(
+                    F.col("v").alias("sv"), F.col("_nrm").alias("_sn")
+                )
+            )
+            pen = (
+                remaining.crossJoin(sel)
+                .withColumn(
+                    "_sim",
+                    F.round(
+                        _dot(F.col("v"), F.col("sv"))
+                        / (F.col("_nrm") * F.col("_sn")),
+                        6,
+                    ),
+                )
+                .groupBy("vec_id")
+                .agg(F.max("_sim").alias("_maxsim"))
+            )
+            scored = remaining.join(pen, "vec_id").withColumn(
+                "mmr",
+                F.lit(lam) * F.col("rel")
+                - F.lit(1.0 - lam) * F.col("_maxsim"),
+            )
+        pick = (
+            scored.orderBy(F.col("mmr").desc(), F.col("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(i).cast("long").alias("rank"),
+                "vec_id",
+                "v",
+                "_nrm",
+                "rel",
+                "mmr",
+            )
+        )
+        selected = selected.union(pick).localCheckpoint(eager=True)
+        remaining = remaining.join(
+            selected.select("vec_id"), "vec_id", "left_anti"
+        )
+    return selected.select("rank", "vec_id", "rel", "mmr").orderBy("rank")

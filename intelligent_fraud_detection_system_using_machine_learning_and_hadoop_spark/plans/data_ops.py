@@ -8948,3 +8948,23 @@ def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query("mmr_topk_embeddings")
+def mmr_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-10 over the embeddings table
+    (operators/similarity.py::mmr_topk, λ = 0.7), querying with the
+    min-vec_id embedding — the de-duplicating retrieval head
+    completing the ANN family (brute/LSH/IVF/PQ answer "nearest";
+    MMR answers "nearest AND non-redundant"). Greedy k-round plan
+    with 6-decimal score rounding and id tiebreaks (deterministic);
+    rows-only per the driver contract, exact Python differential in
+    pytest."""
+    from ..operators.similarity import mmr_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(1).select("embedding")
+    corpus = emb.join(
+        emb.orderBy("vec_id").limit(1).select("vec_id"), "vec_id", "left_anti"
+    )
+    return mmr_topk(corpus, q, k=10, lam=0.7)

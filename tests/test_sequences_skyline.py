@@ -688,3 +688,64 @@ class TestLooTargetEncode:
             for r in loo_target_encode(df, "g", "v", "id").collect()
         }
         assert got[1] == 700.0 and got[2] == 500.0
+
+
+class TestMmr:
+    def test_differential_vs_exact_python(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+            mmr_topk,
+        )
+
+        rng = random.Random(31)
+        dim = 8
+        vecs = {
+            i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(40)
+        }
+        qv = [rng.uniform(-1, 1) for _ in range(dim)]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return round(d / (na * nb), 6)
+
+        lam, k = 0.7, 6
+        rel = {i: cos(v, qv) for i, v in vecs.items()}
+        sel, remaining = [], set(vecs)
+        for _ in range(k):
+            best = None
+            for i in sorted(remaining):
+                pen = max((cos(vecs[i], vecs[j]) for j in sel), default=None)
+                s = lam * rel[i] if pen is None else lam * rel[i] - (1 - lam) * pen
+                if best is None or s > best[1]:
+                    best = (i, s)
+            sel.append(best[0])
+            remaining.discard(best[0])
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()],
+            "vec_id long, embedding array<double>",
+        )
+        qdf = spark.createDataFrame([(qv,)], "embedding array<double>")
+        got = [r.vec_id for r in mmr_topk(df, qdf, k=k, lam=lam).collect()]
+        assert got == sel
+
+    def test_diversifies_duplicates(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+            mmr_topk,
+        )
+
+        # three exact copies of the best match + one orthogonal doc:
+        # plain top-2 would return two copies; MMR picks one copy then
+        # the orthogonal doc
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [1.0, 0.0]),
+                (3, [1.0, 0.0]),
+                (4, [0.0, 1.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        qdf = spark.createDataFrame([([1.0, 0.1],)], "embedding array<double>")
+        got = [r.vec_id for r in mmr_topk(df, qdf, k=2, lam=0.5).collect()]
+        assert got == [1, 4]
