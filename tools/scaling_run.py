@@ -92,6 +92,11 @@ HEAVIES = [
     "streaming_rolling_wau",
     "betweenness_parts",
     "harmonic_closeness_parts",
+    "duplicate_charges_events",
+    "target_encode_orders",
+    "stickiness_events",
+    "new_vs_returning_events",
+    "mmr_topk_embeddings",
 ]
 
 
