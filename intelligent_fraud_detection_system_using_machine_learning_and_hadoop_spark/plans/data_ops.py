@@ -8679,7 +8679,7 @@ def pacf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pacf_daily(e)
 
 
-@query("betweenness_parts")
+@query("betweenness_parts", bench=True)
 def betweenness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled betweenness centrality on the part co-order graph
     (operators/graph.py::betweenness_sampled — Brandes forward
