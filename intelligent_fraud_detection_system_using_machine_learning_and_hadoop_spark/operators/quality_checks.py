@@ -180,3 +180,101 @@ def k_anonymity_report(
         (F.col("class_size") < k).alias("k_violation"),
         (F.col("l_distinct") < l).alias("l_violation"),
     ).orderBy(*quasi_cols)
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    t_num: int = 1,
+    t_den: int = 5,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007, public) —
+    the privacy rung ABOVE k-anonymity/l-diversity: a class can be
+    large and diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the table's (e.g. one nation's
+    class is 90% bottom-band balances). For an ORDERED categorical
+    sensitive attribute the prescribed distance is the Earth Mover's
+    Distance with unit ground distance between adjacent categories:
+
+        EMD(class, global) = (1/(m−1)) · Σ_i |CumF_class(i) − CumF(i)|
+
+    computed here in EXACT integer arithmetic: with cum_c the class's
+    cumulative count, cum_g the global's, Cs the class size and N the
+    table size, each cumulative-fraction difference is the rational
+    (cum_c·N − cum_g·Cs)/(Cs·N), so EMD = Σ|cum_c·N − cum_g·Cs| /
+    (Cs·N·(m−1)) — numerators accumulate as decimal(38,0) (exact to
+    Cs·N < 10³⁸, i.e. any table under ~10¹⁹ rows) and ONE final IEEE
+    division produces the double, bit-reproducible by the SQL twin.
+    The violation flag compares EMD against t = t_num/t_den by exact
+    cross-multiplication on the integer stage — no float in the
+    decision at all: Σ|·|·t_den > t·Cs·N·(m−1)·... stays integral.
+
+    Scale shape: counts at (quasi…, band) grain (map-side
+    combinable), the band spine is the GLOBAL distinct band list
+    (bounded domain — bands are engineered categories), per-class
+    windows run over ≤ m rows, and m, |classes| are domain constants
+    — every data-sized pass is one keyed aggregation."""
+    from pyspark.sql import Window as W
+
+    qcols = list(quasi_cols)
+    sv = F.col(sensitive_col).alias("_sv")
+    per = df.groupBy(*[F.col(c) for c in qcols], sv).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    bands = per.select("_sv").distinct()
+    m = bands.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    glob = per.groupBy("_sv").agg(F.sum("_n").cast("long").alias("_gn"))
+    tot = glob.agg(F.sum("_gn").cast("long").alias("_tn"))
+    classes = per.groupBy(*qcols).agg(
+        F.sum("_n").cast("long").alias("class_size")
+    )
+    # class × band spine (both domain-bounded), observed counts or 0
+    spine = classes.crossJoin(F.broadcast(bands)).join(
+        per, qcols + ["_sv"], "left"
+    ).select(
+        *qcols,
+        "class_size",
+        "_sv",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("_cn"),
+    )
+    wc = W.partitionBy(*qcols).orderBy("_sv")
+    wg = W.orderBy("_sv")
+    g = glob.withColumn(
+        "_cum_g", F.sum("_gn").over(wg).cast("long")
+    ).select("_sv", "_cum_g")
+    staged = (
+        spine.withColumn("_cum_c", F.sum("_cn").over(wc).cast("long"))
+        .join(F.broadcast(g), "_sv")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_absdiff",
+            F.abs(
+                F.col("_cum_c").cast("decimal(38,0)")
+                * F.col("_tn").cast("decimal(38,0)")
+                - F.col("_cum_g").cast("decimal(38,0)")
+                * F.col("class_size").cast("decimal(38,0)")
+            ),
+        )
+    )
+    agg = staged.groupBy(*qcols, "class_size", "_tn").agg(
+        F.sum("_absdiff").cast("decimal(38,0)").alias("_sumabs"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+    )
+    den = (
+        F.col("class_size").cast("decimal(38,0)")
+        * F.col("_tn").cast("decimal(38,0)")
+        * (F.col("_m") - F.lit(1)).cast("decimal(38,0)")
+    )
+    return agg.select(
+        *qcols,
+        "class_size",
+        (
+            F.col("_sumabs").cast("double") / den.cast("double")
+        ).alias("emd"),
+        # exact integer decision: sumabs * t_den > t_num * den
+        (
+            F.col("_sumabs") * F.lit(t_den).cast("decimal(38,0)")
+            > den * F.lit(t_num).cast("decimal(38,0)")
+        ).alias("t_violation"),
+    ).orderBy(*qcols)

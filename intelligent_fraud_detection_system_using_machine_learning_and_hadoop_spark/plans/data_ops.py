@@ -8968,3 +8968,76 @@ def mmr_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.orderBy("vec_id").limit(1).select("vec_id"), "vec_id", "left_anti"
     )
     return mmr_topk(corpus, q, k=10, lam=0.7)
+
+
+@query(
+    "t_closeness_customers",
+    oracle="""
+    WITH b AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1.0e+03) AS BIGINT) AS band
+      FROM customer),
+    per AS (
+      SELECT c_nationkey, c_mktsegment, band,
+             CAST(count(*) AS BIGINT) AS cn
+      FROM b GROUP BY 1, 2, 3),
+    bands AS (SELECT DISTINCT band FROM per),
+    gband AS (
+      SELECT band, CAST(sum(cn) AS BIGINT) AS gn FROM per GROUP BY band),
+    tot AS (SELECT CAST(sum(gn) AS BIGINT) AS tn FROM gband),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(sum(cn) AS BIGINT) AS class_size
+      FROM per GROUP BY 1, 2),
+    spine AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.class_size, d.band,
+             CAST(COALESCE(p.cn, 0) AS BIGINT) AS cn
+      FROM cls c CROSS JOIN bands d
+      LEFT JOIN per p ON p.c_nationkey = c.c_nationkey
+        AND p.c_mktsegment = c.c_mktsegment AND p.band = d.band),
+    cum AS (
+      SELECT s.c_nationkey, s.c_mktsegment, s.class_size, s.band, s.cn,
+             CAST(SUM(s.cn) OVER (PARTITION BY s.c_nationkey,
+                                s.c_mktsegment ORDER BY s.band)
+                  AS BIGINT) AS cum_c,
+             g.cum_g
+      FROM spine s JOIN (
+        SELECT band,
+               CAST(SUM(gn) OVER (ORDER BY band) AS BIGINT) AS cum_g
+        FROM gband) g ON g.band = s.band),
+    agg AS (
+      SELECT c_nationkey, c_mktsegment, class_size,
+             CAST(SUM(ABS(CAST(cum_c AS HUGEINT) * tn
+                          - CAST(cum_g AS HUGEINT) * class_size))
+                  AS HUGEINT) AS sumabs,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(max(tn) AS BIGINT) AS tn
+      FROM cum CROSS JOIN tot
+      GROUP BY 1, 2, 3)
+    SELECT c_nationkey, c_mktsegment, class_size,
+           CAST(sumabs AS DOUBLE)
+             / CAST(CAST(class_size AS HUGEINT) * tn * (m - 1) AS DOUBLE)
+             AS emd,
+           sumabs * 5 > CAST(class_size AS HUGEINT) * tn * (m - 1) * 1
+             AS t_violation
+    FROM agg ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of the customer export
+    (operators/quality_checks.py::t_closeness_report, t = 1/5) over
+    the same quasi-identifiers and sensitive banding as the
+    k-anonymity gate — the distributional leak k/l cannot see: EMD
+    between each class's balance-band distribution and the book's,
+    computed in exact integer cumulative-difference arithmetic with
+    ONE final IEEE division, the violation decided by exact decimal
+    cross-multiplication (no float in the decision). Counts at
+    (quasi, band) grain, bounded band spine, ≤ m-row class windows."""
+    from ..operators.quality_checks import t_closeness_report
+
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    )
+    return t_closeness_report(
+        c, ["c_nationkey", "c_mktsegment"], "bal_band", t_num=1, t_den=5
+    )

@@ -749,3 +749,63 @@ class TestMmr:
         qdf = spark.createDataFrame([([1.0, 0.1],)], "embedding array<double>")
         got = [r.vec_id for r in mmr_topk(df, qdf, k=2, lam=0.5).collect()]
         assert got == [1, 4]
+
+
+class TestTCloseness:
+    def test_emd_matches_python(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.quality_checks import (
+            t_closeness_report,
+        )
+
+        rng = random.Random(41)
+        rows = [
+            (rng.choice(["x", "y"]), rng.randint(0, 4))
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame(rows, "q string, band long")
+        got = {
+            r.q: r for r in t_closeness_report(df, ["q"], "band").collect()
+        }
+        # python EMD on ordered bands
+        import collections
+
+        per = collections.Counter(rows)
+        bands = sorted({b for _, b in rows})
+        m = len(bands)
+        tot = len(rows)
+        gcum, acc = {}, 0
+        for b in bands:
+            acc += sum(v for (q, bb), v in per.items() if bb == b)
+            gcum[b] = acc
+        for q in ("x", "y"):
+            cs = sum(v for (qq, _), v in per.items() if qq == q)
+            acc, sumabs = 0, 0
+            for b in bands:
+                acc += per.get((q, b), 0)
+                sumabs += abs(acc * tot - gcum[b] * cs)
+            emd = sumabs / (cs * tot * (m - 1))
+            assert abs(got[q].emd - emd) < 1e-12
+            assert bool(got[q].t_violation) == (sumabs * 5 > cs * tot * (m - 1))
+
+    def test_identical_distribution_zero(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.quality_checks import (
+            t_closeness_report,
+        )
+
+        # both classes share the global distribution exactly -> EMD 0
+        rows = [(q, b) for q in ("a", "b") for b in (1, 1, 2, 3)]
+        df = spark.createDataFrame(rows, "q string, band long")
+        got = t_closeness_report(df, ["q"], "band").collect()
+        assert all(r.emd == 0.0 and not r.t_violation for r in got)
+
+    def test_disjoint_distribution_violates(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.quality_checks import (
+            t_closeness_report,
+        )
+
+        # class a all band 0, class b all band 9 -> large EMD, flag
+        rows = [("a", 0)] * 10 + [("b", 9)] * 10
+        df = spark.createDataFrame(rows, "q string, band long")
+        got = {r.q: r for r in t_closeness_report(df, ["q"], "band").collect()}
+        assert got["a"].t_violation and got["b"].t_violation
+        assert got["a"].emd == 0.5 and got["b"].emd == 0.5
