@@ -1808,6 +1808,7 @@ def betweenness_sampled(
     src: str = "id_a",
     dst: str = "id_b",
     seed: int = 42,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Sampled betweenness centrality on the undirected graph —
     Brandes' dependency accumulation (Brandes 2001) from a
@@ -1840,7 +1841,14 @@ def betweenness_sampled(
     scale; non-intermediate nodes carry 0. Iterative and sampled →
     rows-only registration + exact-Brandes differential in pytest
     (k = |V| makes the estimator exact up to the quantization grid).
-    """
+
+    ``broadcast_frontier=True`` pins every frontier-sized join side
+    (forward expansion, backward lower/upper levels) as the EXPLICIT
+    broadcast build side — the bfs_distances convention. Checkpointed
+    frames carry no usable stats, so leaving the choice to Catalyst
+    let it build a hash relation over the EDGE side at sf3 (measured
+    heap OOM in the shared scaling session); False keeps
+    hash-partitioned joins for web-scale frontiers."""
     e = _canonical(
         edges.select(
             F.col(src).cast("long").alias("u"),
@@ -1869,10 +1877,13 @@ def betweenness_sampled(
     frontier = settled
     deepest = 0
     for h in range(1, max_hops + 1):
-        ex = (
-            frontier.select("s", "v", "sigma")
-            .join(both, "v")
-            .select("s", F.col("v"), F.col("u"), "sigma")
+        fb = (
+            F.broadcast(frontier.select("s", "v", "sigma"))
+            if broadcast_frontier
+            else frontier.select("s", "v", "sigma")
+        )
+        ex = fb.join(both, "v").select(
+            "s", F.col("v"), F.col("u"), "sigma"
         )
         # both is (u, v); joining on v walks v's neighbors u — the
         # undirected union makes u range over ALL neighbors
@@ -1890,15 +1901,19 @@ def betweenness_sampled(
         if frontier.isEmpty():
             break
         deepest = h
-    # BACKWARD: delta rows exist only where computed; missing = 0
+    # BACKWARD: level h only ever needs level h+1's delta, so carry
+    # ONE level frame (delta_prev) instead of joining an ever-growing
+    # union — O(rounds) join work, and each checkpoint holds a single
+    # level, not the accumulation.
     Q = 1e12
-    delta = settled.sparkSession.createDataFrame(
+    delta_prev = settled.sparkSession.createDataFrame(
         [], "s long, v long, qd decimal(38,0)"
     )
+    level_deltas = []
     for h in range(deepest - 1, -1, -1):
         upper = (
             settled.where(F.col("dist") == h + 1)
-            .join(delta, ["s", "v"], "left")
+            .join(delta_prev, ["s", "v"], "left")
             .select(
                 "s",
                 F.col("v").alias("w"),
@@ -1911,10 +1926,11 @@ def betweenness_sampled(
         lower = settled.where(F.col("dist") == h).select(
             "s", "v", F.col("sigma").alias("_sv")
         )
-        pairs = (
-            lower.join(both.select(F.col("u").alias("v"), F.col("v").alias("w")), "v")
-            .join(upper, ["s", "w"])
-        )
+        lb = F.broadcast(lower) if broadcast_frontier else lower
+        ub = F.broadcast(upper) if broadcast_frontier else upper
+        pairs = lb.join(
+            both.select(F.col("u").alias("v"), F.col("v").alias("w")), "v"
+        ).join(ub, ["s", "w"])
         contrib = (
             F.col("_sv").cast("double") / F.col("_sw").cast("double")
         ) * (
@@ -1926,8 +1942,13 @@ def betweenness_sampled(
             )
             .groupBy("s", "v")
             .agg(F.sum("_q").cast("decimal(38,0)").alias("qd"))
+            .localCheckpoint(eager=True)
         )
-        delta = delta.union(d_h).localCheckpoint(eager=True)
+        level_deltas.append(d_h)
+        delta_prev = d_h
+    delta = delta_prev  # empty-frame fallback when no rounds ran
+    for d in level_deltas[:-1]:
+        delta = delta.union(d)
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     k_eff = srcs.agg(F.count(F.lit(1)).cast("long").alias("_k"))
     btw = (
@@ -1962,6 +1983,7 @@ def harmonic_closeness_sampled(
     src: str = "id_a",
     dst: str = "id_b",
     seed: int = 42,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Sampled harmonic closeness centrality: ĥ(v) = ((n−1)/k) ·
     Σ_{s ∈ S, s≠v} 1/d(s, v) over a deterministic source sample
@@ -1981,7 +2003,10 @@ def harmonic_closeness_sampled(
     the betweenness_sampled sample, so composed screens see one
     consistent panel. Returns one row per node: (id, harmonic) —
     nodes unreached by every source carry 0. Rows-only registration +
-    exact differential at k = |V| in pytest."""
+    exact differential at k = |V| in pytest. ``broadcast_frontier``
+    as in betweenness_sampled: the frontier side is the explicit
+    broadcast build side (checkpointed frames carry no stats — the
+    sf3 OOM lesson), False for web-scale frontiers."""
     e = _canonical(
         edges.select(
             F.col(src).cast("long").alias("u"),
@@ -2002,9 +2027,13 @@ def harmonic_closeness_sampled(
     ).localCheckpoint(eager=True)
     frontier = settled
     for h in range(1, max_hops + 1):
+        fb = (
+            F.broadcast(frontier.select("s", "v"))
+            if broadcast_frontier
+            else frontier.select("s", "v")
+        )
         nxt = (
-            frontier.select("s", "v")
-            .join(both, "v")
+            fb.join(both, "v")
             .select("s", F.col("u").alias("v"))
             .distinct()
             .join(settled.select("s", "v"), ["s", "v"], "left_anti")
