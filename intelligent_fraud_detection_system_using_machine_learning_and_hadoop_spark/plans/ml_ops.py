@@ -645,3 +645,25 @@ REGISTRY["streaming_rolling_wau"] = REGISTRY["streaming_rolling_wau"].__class__(
     oracle=REGISTRY["rolling_wau_events"].oracle,
     bench=False,
 )
+
+
+@query("streaming_new_vs_returning", oracle=None)
+def streaming_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning actives as a live stream
+    (streaming/jobs.py::stream_new_vs_returning): the distinct
+    (user, day) pair fold shared with streaming_rolling_wau, with the
+    batch first-seen/day-spine finish run once on the drained state.
+    Drained availableNow ≡ the batch ``new_vs_returning_events``,
+    which the SHARED oracle attests."""
+    from ..streaming.jobs import stream_new_vs_returning
+
+    return stream_new_vs_returning(spark, sf_dir)
+
+
+REGISTRY["streaming_new_vs_returning"] = REGISTRY[
+    "streaming_new_vs_returning"
+].__class__(
+    builder=REGISTRY["streaming_new_vs_returning"].builder,
+    oracle=REGISTRY["new_vs_returning_events"].oracle,
+    bench=False,
+)

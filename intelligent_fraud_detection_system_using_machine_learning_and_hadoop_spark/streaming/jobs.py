@@ -2695,3 +2695,76 @@ def stream_rolling_wau(
     q.awaitTermination()
     pairs = state.read_or_empty(schema)
     return trailing_distinct_count(pairs, "user_id", "d", window_days=7)
+
+
+def stream_new_vs_returning(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """Streaming new-vs-returning split: the distinct (user, day) pair
+    set folds through the bucketed parquet state store per micro-batch
+    (the stream_rolling_wau fold — the pair set is the sufficient
+    statistic of BOTH metrics), and the batch finish (per-user min
+    day + day-spine counts) runs once on the drained state. Drained
+    availableNow ≡ the batch ``new_vs_returning_events`` bit-for-bit,
+    which the SHARED oracle attests."""
+    from ..sources.readers import normalize_event_ts
+
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = _ParquetFoldState(spark, "new_vs_ret")
+    schema = "user_id long, d long"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.where(F.col("user_id").isNotNull())
+            .select(
+                "user_id",
+                F.unix_date(F.col("ts").cast("date")).cast("long").alias("d"),
+            )
+            .distinct()
+        )
+
+        def merge(prev, d):
+            if prev is None:
+                return d
+            return prev.unionByName(d).distinct()
+
+        state.apply_delta(delta, batch_id, ["user_id", "d"], merge)
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    pairs = state.read_or_empty(schema)
+    firstd = pairs.groupBy("user_id").agg(F.min("d").alias("fd"))
+    bounds = pairs.agg(F.min("d").alias("_mn"), F.max("d").alias("_mx"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("day")
+    )
+    act = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    nw = firstd.groupBy(F.col("fd").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    return (
+        spine.join(act, "day", "left")
+        .join(nw, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n_active"), F.lit(0)).cast("long").alias(
+                "n_active"
+            ),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            (
+                F.coalesce(F.col("n_active"), F.lit(0))
+                - F.coalesce(F.col("n_new"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_returning"),
+        )
+        .orderBy("day")
+    )
