@@ -809,3 +809,19 @@ class TestTCloseness:
         got = {r.q: r for r in t_closeness_report(df, ["q"], "band").collect()}
         assert got["a"].t_violation and got["b"].t_violation
         assert got["a"].emd == 0.5 and got["b"].emd == 0.5
+
+
+class TestStreamingNewVsReturning:
+    def test_drained_stream_equals_batch(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch = REGISTRY["new_vs_returning_events"].builder(
+            spark, sf_dir
+        ).collect()
+        streamed = REGISTRY["streaming_new_vs_returning"].builder(
+            spark, sf_dir
+        ).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
