@@ -1985,7 +1985,7 @@ def harmonic_closeness_sampled(
     seed: int = 42,
     broadcast_frontier: bool = True,
 ) -> DataFrame:
-    """Sampled harmonic closeness centrality: ĥ(v) = ((n−1)/k) ·
+    """Sampled harmonic closeness centrality: ĥ(v) = (n/k) ·
     Σ_{s ∈ S, s≠v} 1/d(s, v) over a deterministic source sample
     (Eppstein–Wang 2004 estimator shape, on the HARMONIC variant —
     Boldi–Vigna's axiom-clean closeness that handles disconnected
@@ -2003,7 +2003,13 @@ def harmonic_closeness_sampled(
     the betweenness_sampled sample, so composed screens see one
     consistent panel. Returns one row per node: (id, harmonic) —
     nodes unreached by every source carry 0. Rows-only registration +
-    exact differential at k = |V| in pytest. ``broadcast_frontier``
+    exact differential at k = |V| in pytest. The n/k scale is the
+    UNBIASED estimator under uniform source sampling (each s ≠ v is
+    sampled with probability k/n, so E[Σ_S] = (k/n)·h(v)) and matches
+    ``betweenness_sampled``'s Brandes–Pich n/k convention; at k = |V|
+    it reproduces exact h(v) with no deflation (ADVICE r15 fixed the
+    earlier (n−1)/k scale, which was biased by (n−1)/n).
+    ``broadcast_frontier``
     as in betweenness_sampled: the frontier side is the explicit
     broadcast build side (checkpointed frames carry no stats — the
     sf3 OOM lesson), False for web-scale frontiers."""
@@ -2065,10 +2071,7 @@ def harmonic_closeness_sampled(
             (
                 F.coalesce(F.col("_qsum").cast("double"), F.lit(0.0))
                 / F.lit(Q)
-                * (
-                    (F.col("_n").cast("double") - F.lit(1.0))
-                    / F.col("_k").cast("double")
-                )
+                * (F.col("_n").cast("double") / F.col("_k").cast("double"))
             ).alias("harmonic"),
         )
         .orderBy("id")

@@ -223,7 +223,6 @@ def t_closeness_report(
         F.count(F.lit(1)).cast("long").alias("_n")
     )
     bands = per.select("_sv").distinct()
-    m = bands.agg(F.count(F.lit(1)).cast("long").alias("_m"))
     glob = per.groupBy("_sv").agg(F.sum("_n").cast("long").alias("_gn"))
     tot = glob.agg(F.sum("_gn").cast("long").alias("_tn"))
     classes = per.groupBy(*qcols).agg(
@@ -269,9 +268,16 @@ def t_closeness_report(
     return agg.select(
         *qcols,
         "class_size",
-        (
+        # m = 1 guard (ADVICE r15): with a single sensitive band every
+        # class distribution IS the global distribution, so EMD is
+        # definitionally 0 — but the (m−1) factor makes den 0 and the
+        # unguarded division produced 0/0 = NaN. The violation flag
+        # below was already safe (0 > 0 is false on the integer stage).
+        F.when(F.col("_m") == 1, F.lit(0.0))
+        .otherwise(
             F.col("_sumabs").cast("double") / den.cast("double")
-        ).alias("emd"),
+        )
+        .alias("emd"),
         # exact integer decision: sumabs * t_den > t_num * den
         (
             F.col("_sumabs") * F.lit(t_den).cast("decimal(38,0)")

@@ -33,18 +33,38 @@ def key_islands(df: DataFrame, key_col: str) -> DataFrame:
     ``next_gap`` — the count of missing keys between this island and
     the next one (null for the last island). Null keys are ignored.
 
-    Uniqueness is asserted structurally: avg_rank2's doubled average
-    rank r2 is odd iff the tie group has odd size, and exactly 2*rank
-    only for singleton groups; duplicated keys would make
-    ``k - rank`` drift and merge unrelated islands, so callers must
-    pass a key column (callers here pass primary keys)."""
+    Uniqueness is ASSERTED, not assumed (ADVICE r15): duplicated keys
+    would make ``k - rank`` drift and silently merge unrelated
+    islands, and r2-parity catches only even-sized tie groups — so
+    the function counts per-key multiplicity up front (one map-side
+    combinable keyed aggregation, the same shuffle grain the rank
+    pass needs anyway) and raises ``ValueError`` when any key repeats.
+    Duplicate invoice numbers are themselves an audit finding — they
+    must surface loudly, never pass through as corrupted islands. The
+    deduplicated count frame then FEEDS the rank pass, so the check
+    adds one bounded action (``isEmpty`` on the aggregated filter),
+    not a second data-sized scan."""
     from .stats import avg_rank2
 
-    keys = (
+    counted = (
         df.select(F.col(key_col).cast("long").alias("_k"))
         .where(F.col("_k").isNotNull())
+        .groupBy("_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+        .localCheckpoint(eager=True)
     )
-    # r2 = 2*lt + cnt + 1; for unique keys cnt == 1 so rank = r2 / 2.
+    dups = counted.where(F.col("_cnt") > 1)
+    if not dups.isEmpty():
+        sample = [r._k for r in dups.select("_k").limit(5).collect()]
+        raise ValueError(
+            f"key_islands requires a UNIQUE key column; duplicates in "
+            f"{key_col!r} (sample: {sample}) — duplicated keys merge "
+            f"unrelated islands. Deduplicate or audit the duplicates "
+            f"first (they are themselves a sequence-fraud signal)."
+        )
+    keys = counted.select("_k")
+    # r2 = 2*lt + cnt + 1; keys are now provably unique so cnt == 1
+    # and rank = r2 / 2.
     ranks = avg_rank2(keys, "_k", cast_type="long").toDF("_k", "_r2")
     islands = (
         keys.join(ranks, "_k")

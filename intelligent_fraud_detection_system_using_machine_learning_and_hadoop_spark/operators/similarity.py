@@ -622,14 +622,24 @@ def mmr_topk(
     per-round results are eagerly checkpointed so lineage stays flat.
     Greedy/iterative → rows-only registration + exact Python
     differential in pytest."""
-    v = vectors.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("_nrm", F.sqrt(_norm_sq(F.col("v"))))
+    # Zero-norm guard (ADVICE r15): cosine is undefined for the zero
+    # vector and NaN sorts GREATEST under descending order, so an
+    # unguarded all-zero embedding would be greedily picked first
+    # every round. Drop non-comparable rows up front, mirroring the
+    # skyline/benford discipline for rows outside the metric's domain.
+    v = (
+        vectors.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("_nrm", F.sqrt(_norm_sq(F.col("v"))))
+        .where(F.col("_nrm") > 0)
+    )
     q = (
         query.select(F.col(vec_col).cast("array<double>").alias("qv"))
         .limit(1)
         .withColumn("_qn", F.sqrt(_norm_sq(F.col("qv"))))
+        .where(F.col("_qn") > 0)
     )
     rel = (
         v.crossJoin(F.broadcast(q))

@@ -2241,11 +2241,25 @@ def ljung_box_daily(
     the finish is |groups|-row arithmetic."""
     if tuple(lags) != tuple(range(1, len(lags) + 1)):
         raise ValueError("lags must be 1..m for the chi-square df claim")
-    crit = {
+    # pinned two-sided-99% chi-square critical values, χ²₀.₉₉(m)
+    # (ADVICE r15: the guard above accepts any 1..m but the table
+    # used to stop at 3, so lags=(1,2,3,4) crashed with a bare
+    # KeyError — table extended to m ≤ 6 and the bound made explicit)
+    _CRIT = {
         1: 6.6348966010212145,
         2: 9.21034037197618,
         3: 11.344866730144373,
-    }[len(lags)]
+        4: 13.276704135987622,
+        5: 15.08627246938899,
+        6: 16.811893829770927,
+    }
+    if len(lags) not in _CRIT:
+        raise ValueError(
+            f"lags depth m={len(lags)} exceeds the pinned chi-square "
+            f"critical-value table (m <= {max(_CRIT)}); extend _CRIT "
+            f"with the χ²_0.99(m) literal to go deeper"
+        )
+    crit = _CRIT[len(lags)]
     acf = acf_daily(
         events, lags=lags, group_col=group_col,
         ts_col=ts_col, value_col=value_col,

@@ -5,27 +5,27 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-15 rotation (VERDICT r14 item 3 — the prescribed
-least-recently-attested discipline): the OLDEST driver rows are the
-thirty-seven-query remainder of the round-11 cohort (alphabetical
-tail after ``funnel_view_click_purchase``, ``grouping_analytics_orders``
-… ``velocity_flags_events``, last attested r11 — computed from the
-CORRECTNESS_r*.json history, hash-match rows only), so it LEADS the
-window; next come first attestations for the six oracled r14-new
-queries (``split_transactions_orders``, ``fdr_peer_alerts_customers``,
-``conformal_anomaly_events``, ``rake_keywords_documents``,
-``ztest_returns_by_priority``, ``streaming_split_transactions`` — the
-verdict's own order); the remaining seven slots advance the rotation
-into the alphabetical head of the round-12 cohort
-(``analytics_pipeline_events`` … ``bm25_topk_documents``). 37+6+7 = 50.
-The r15-new ``collusion_rings_lsh_customers`` is rows-only by the ANN
-recall discipline (like ``collusion_pairs_lsh_customers``) — a window
-slot would record ``err:no_oracle`` and NO attestation, so it stays
-outside with the ring-set-equality pytest. After this round no
-oracled query's driver attestation is older than r12 — exactly the
-verdict's Done criterion. Queries outside the window keep pytest +
-local-gate coverage; registry content is unchanged — only iteration
-order moves.
+Round-16 rotation (VERDICT r15 item 4 — least-recently-attested):
+the OLDEST driver rows are the forty-three-query remainder of the
+round-12 cohort (everything last hash-attested r12 after the r15
+window advanced the alphabetical head ``analytics_pipeline_events``
+… ``bm25_topk_documents`` — computed from the CORRECTNESS_r*.json
+history, hash-match rows only: ``canonical_dedup_documents`` …
+``window_funcs_orders``), so it LEADS the window and the binding
+Done criterion ("no oracled query's last driver row older than
+r13") is met in one round. The verdict's full 19-query r15-new list
+plus the 43-row r12 remainder is 62 names for 50 slots, so the
+remaining seven slots take first attestations for the verdict's
+explicitly-named r15-new heads, in its own order:
+``benford_first2_orders``, ``weekend_rate_poisson_events``,
+``conformal_fdr_alerts_events``, the three r15 streaming twins
+(``streaming_rolling_wau``, ``streaming_round_bias_orders``,
+``streaming_new_vs_returning``), and ``t_closeness_customers``.
+43 + 7 = 50. The twelve other r15-new oracled queries (skylines,
+``key_islands_orders``, ``rfm_segments_customers``, RFM/stickiness/
+time-series rows) rotate in next round with the r13 cohort; all
+keep local-gate + pytest coverage meanwhile. Registry content is
+unchanged — only iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -36,61 +36,60 @@ from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- r11 cohort remainder: oldest attestations, leads per
-    # --- VERDICT r14 item 3 ---
-    "grouping_analytics_orders",
-    "hits_supplier_part",
-    "incremental_dedup_documents",
-    "inverted_index_documents",
-    "json_extract_events",
-    "k_core_parts",
-    "kruskal_wallis_events",
-    "ks_test_events",
-    "lorenz_customers",
-    "mad_outliers_events",
-    "mann_whitney_events",
-    "math_null_funcs_lineitem",
-    "merge_upsert_orders",
-    "multimodal_meta",
-    "ngram_jaccard_pairs",
-    "pagerank_supplier_part",
-    "pivot_status_by_nation",
-    "posexplode_doc_tokens",
-    "ppr_supplier_part",
-    "profile_orders_columns",
-    "promo_revenue_ratio",
-    "quality_classifier_documents",
-    "returned_item_customers",
-    "rolling_anomaly_events",
-    "rule_flags_orders",
-    "scalar_stats_global",
-    "scalar_subquery_above_avg",
-    "scd2_customers",
-    "sessionize_events",
-    "set_ops_custkeys",
-    "shipmode_priority_counts",
-    "shortest_paths_parts",
-    "streaks_events",
-    "streaming_full_outer_click_purchase",
-    "streaming_left_outer_click_purchase",
-    "theil_sen_events",
-    "velocity_flags_events",
-    # --- oracled r14-new queries, first driver attestation
-    # --- (the verdict's own listing order) ---
-    "split_transactions_orders",
-    "fdr_peer_alerts_customers",
-    "conformal_anomaly_events",
-    "rake_keywords_documents",
-    "ztest_returns_by_priority",
-    "streaming_split_transactions",
-    # --- alphabetical head of the r12 cohort (next-oldest) ---
-    "analytics_pipeline_events",
-    "asof_click_purchase",
-    "association_rules_parts",
-    "attribution_linear_events",
-    "auc_orders",
-    "bigram_fluency_documents",
-    "bm25_topk_documents",
+    # --- r12 cohort remainder: oldest attestations, leads per
+    # --- VERDICT r15 item 4 (alphabetical, all 43) ---
+    "canonical_dedup_documents",
+    "chi_square_orders",
+    "chunk_documents_sliding",
+    "cogroup_purchase_error_stats",
+    "cohort_retention_events",
+    "collusion_pairs_customers",
+    "collusion_rings_customers",
+    "corpus_curation",
+    "corpus_snapshot_diff",
+    "cust_order_histogram",
+    "decontaminate_train_docs",
+    "dormancy_reactivation_orders",
+    "fraud_risk_report_events",
+    "graph_risk_profile_parts",
+    "holt_trend_events",
+    "k_anonymity_customers",
+    "k_truss_parts",
+    "lexical_diversity_documents",
+    "mahalanobis_outliers_customers",
+    "peer_outlier_customers",
+    "scc_parts",
+    "shipping_priority",
+    "stats_moments_by_status",
+    "status_priority_counts",
+    "streaming_benford_events",
+    "streaming_distinct_pairs",
+    "streaming_dormancy_orders",
+    "streaming_incremental_dedup",
+    "streaming_peer_outlier_orders",
+    "streaming_rolling_anomaly",
+    "streaming_structuring_orders",
+    "streaming_user_stats",
+    "streaming_velocity_flags",
+    "string_funcs_part",
+    "structuring_orders",
+    "suppliers_by_region",
+    "temporal_funcs_orders",
+    "temporal_reach_parts",
+    "topk_orders",
+    "weighted_quantiles_lineitem",
+    "wilcoxon_spend_shift_events",
+    "window_dist_orders",
+    "window_funcs_orders",
+    # --- oracled r15-new queries, first driver attestation
+    # --- (the verdict's own listing order, first seven) ---
+    "benford_first2_orders",
+    "weekend_rate_poisson_events",
+    "conformal_fdr_alerts_events",
+    "streaming_rolling_wau",
+    "streaming_round_bias_orders",
+    "streaming_new_vs_returning",
+    "t_closeness_customers",
 ]
 
 def _apply_driver_window() -> None:

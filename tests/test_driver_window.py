@@ -29,24 +29,47 @@ def test_window_has_no_duplicates():
     assert len(set(plans._DRIVER_WINDOW)) == 50
 
 
-def test_r15_rotation_segments():
-    """VERDICT r14 item 3: r11-cohort remainder (37, alphabetical)
-    leads, then the six oracled r14-new queries in the verdict's
-    order, then the alphabetical head of the r12 cohort (7)."""
+def test_r16_rotation_segments():
+    """VERDICT r15 item 4: the full r12-cohort remainder (43,
+    alphabetical — closing the "no row older than r13" criterion in
+    one round), then the verdict's explicitly-named r15-new heads in
+    its own order (7)."""
     w = plans._DRIVER_WINDOW
-    r11_tail = w[:37]
-    assert r11_tail[0] == "grouping_analytics_orders"
-    assert r11_tail[-1] == "velocity_flags_events"
-    assert r11_tail == sorted(r11_tail)
-    assert w[37:43] == [
-        "split_transactions_orders",
-        "fdr_peer_alerts_customers",
-        "conformal_anomaly_events",
-        "rake_keywords_documents",
-        "ztest_returns_by_priority",
-        "streaming_split_transactions",
+    r12_tail = w[:43]
+    assert r12_tail[0] == "canonical_dedup_documents"
+    assert r12_tail[-1] == "window_funcs_orders"
+    assert r12_tail == sorted(r12_tail)
+    assert w[43:] == [
+        "benford_first2_orders",
+        "weekend_rate_poisson_events",
+        "conformal_fdr_alerts_events",
+        "streaming_rolling_wau",
+        "streaming_round_bias_orders",
+        "streaming_new_vs_returning",
+        "t_closeness_customers",
     ]
-    r12_head = w[43:]
-    assert r12_head[0] == "analytics_pipeline_events"
-    assert r12_head[-1] == "bm25_topk_documents"
-    assert r12_head == sorted(r12_head)
+
+
+def test_r12_cohort_fully_covered_by_r16_window():
+    """The binding criterion: after r16 no oracled query's last
+    driver attestation may be older than r13. Recompute the r12
+    cohort from the committed CORRECTNESS history and require every
+    member to hold a window slot."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        n = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for q, r in json.load(open(f)).items():
+            if isinstance(r, dict) and r.get("hash_match"):
+                last[q] = max(last.get(q, 0), n)
+    registered = set(plans.queries())
+    stale = sorted(
+        q for q, n in last.items() if q in registered and n <= 12
+    )
+    missing = [q for q in stale if q not in plans._DRIVER_WINDOW]
+    assert not missing, f"r12-or-older rows left out of the window: {missing}"

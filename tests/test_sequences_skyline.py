@@ -122,6 +122,25 @@ class TestKeyIslands:
         got = key_islands(df, "k").collect()
         assert len(got) == 1 and got[0].island_len == 2
 
+    def test_duplicate_keys_raise(self, spark):
+        # ADVICE r15: duplicates must raise, not silently merge
+        # islands — including ODD-sized tie groups, which the old
+        # r2-parity claim could never detect (three 7s below).
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(1,), (2,), (7,), (7,), (7,), (9,)], "k long"
+        )
+        with _pytest.raises(ValueError, match="UNIQUE key column"):
+            key_islands(df, "k")
+
+    def test_even_duplicate_keys_raise(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(4,), (4,), (6,)], "k long")
+        with _pytest.raises(ValueError, match="UNIQUE key column"):
+            key_islands(df, "k")
+
 
 class TestRoundAmountBias:
     def test_hand_counts(self, spark):
@@ -430,6 +449,36 @@ class TestLjungBox:
         with _pytest.raises(ValueError, match="1..m"):
             ljung_box_daily(None, lags=(2, 3))
 
+    def test_lags_depth4_works_depth7_raises(self, spark):
+        # ADVICE r15: lags=(1,2,3,4) used to pass the 1..m guard and
+        # crash with a bare KeyError on the critical-value lookup
+        import datetime as _dt
+
+        import pytest as _pytest
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            ljung_box_daily,
+        )
+
+        rng = random.Random(29)
+        rows = [
+            (
+                "t",
+                _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i, hours=2),
+                round(rng.uniform(1, 40), 2),
+            )
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        r = ljung_box_daily(df, lags=(1, 2, 3, 4)).collect()[0]
+        assert r.lb_q is not None
+        # χ²_0.99(4) pinned literal drives the decision
+        assert bool(r.reject_white_noise) == (r.lb_q > 13.276704135987622)
+        with _pytest.raises(ValueError, match="critical-value table"):
+            ljung_box_daily(df, lags=tuple(range(1, 8)))
+
 
 class TestPacf:
     def test_matches_durbin_levinson_python(self, spark):
@@ -601,15 +650,16 @@ class TestHarmonicCloseness:
         }
 
     def test_path_graph_hand(self, spark):
-        # a-b-c with k=n: h(b) = (1/1 + 1/1) * (n-1)/k = 2 * 2/3
+        # a-b-c with k=n: unbiased n/k scale = 1, so estimates ARE the
+        # exact harmonic values (ADVICE r15: was (n-1)/k, deflated)
         got = self._run(spark, [(1, 2), (2, 3)], k=3)
-        assert abs(got[2] - 2.0 * 2.0 / 3.0) < 1e-6
-        assert abs(got[1] - 1.5 * 2.0 / 3.0) < 1e-6
+        assert abs(got[2] - 2.0) < 1e-6
+        assert abs(got[1] - 1.5) < 1e-6
 
     def test_disconnected_contributes_zero(self, spark):
         # two components: pairs across contribute nothing, no NaN/inf
         got = self._run(spark, [(1, 2), (10, 11)], k=4)
-        exp = 1.0 * 3.0 / 4.0  # one in-component neighbor at d=1
+        exp = 1.0  # one in-component neighbor at d=1; n/k = 1 at k=n
         for v in (1, 2, 10, 11):
             assert abs(got[v] - exp) < 1e-6
 
@@ -646,7 +696,9 @@ class TestHarmonicCloseness:
             for v, d in dist.items():
                 if d > 0:
                     exp[v] = exp.get(v, 0.0) + 1.0 / d
-        exp = {v: exp.get(v, 0.0) * (n - 1) / n for v in present}
+        # n/k = 1 at k = |V|: the unbiased estimator reproduces the
+        # exact harmonic values with no (n-1)/n deflation
+        exp = {v: exp.get(v, 0.0) for v in present}
         got = self._run(spark, sorted(edges), k=n)
         for v in present:
             assert abs(got[v] - exp[v]) < 1e-5, (v, got[v], exp[v])
@@ -750,6 +802,41 @@ class TestMmr:
         got = [r.vec_id for r in mmr_topk(df, qdf, k=2, lam=0.5).collect()]
         assert got == [1, 4]
 
+    def test_zero_norm_vectors_dropped(self, spark):
+        # ADVICE r15: a zero-norm embedding yields NaN rel, and NaN
+        # sorts greatest under desc — unguarded it was picked FIRST
+        # every run. It must now be excluded from the candidate set.
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+            mmr_topk,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [0.0, 0.0]),
+                (2, [1.0, 0.0]),
+                (3, [0.0, 1.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        qdf = spark.createDataFrame(
+            [([1.0, 0.2],)], "embedding array<double>"
+        )
+        got = [r.vec_id for r in mmr_topk(df, qdf, k=2, lam=0.5).collect()]
+        assert got == [2, 3]
+
+    def test_zero_norm_query_yields_empty(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+            mmr_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        qdf = spark.createDataFrame(
+            [([0.0, 0.0],)], "embedding array<double>"
+        )
+        assert mmr_topk(df, qdf, k=2).count() == 0
+
 
 class TestTCloseness:
     def test_emd_matches_python(self, spark):
@@ -809,6 +896,20 @@ class TestTCloseness:
         got = {r.q: r for r in t_closeness_report(df, ["q"], "band").collect()}
         assert got["a"].t_violation and got["b"].t_violation
         assert got["a"].emd == 0.5 and got["b"].emd == 0.5
+
+    def test_single_band_emd_zero_not_nan(self, spark):
+        # ADVICE r15: m=1 made the (m-1) denominator 0 and EMD 0/0 =
+        # NaN; with one sensitive band every class trivially matches
+        # the global distribution, so EMD is definitionally 0.
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.quality_checks import (
+            t_closeness_report,
+        )
+
+        rows = [("a", 7)] * 3 + [("b", 7)] * 5
+        df = spark.createDataFrame(rows, "q string, band long")
+        got = t_closeness_report(df, ["q"], "band").collect()
+        assert len(got) == 2
+        assert all(r.emd == 0.0 and not r.t_violation for r in got)
 
 
 class TestStreamingNewVsReturning:
