@@ -78,6 +78,113 @@ def render_final_line(
     )
 
 
+def archive_accepted_round(here: str, sf: float) -> str | None:
+    """Round-close archival (VERDICT r15 item 1): stamp the LAST
+    driver-accepted full bench as ``BENCH_FULL_r{N}_sf{sf}.json`` so
+    cross-round comparisons have an immutable base.
+
+    ``BENCH_FULL_sf{sf}.json`` is refreshed on EVERY full run, so in
+    r15 a mid-round refresh silently became the "previous" record and
+    the committed 0.943 "vs previous" compared r15 against r15-mid
+    (true vs-r14 shared-60 raw was 1.07-1.13×). The driver writes
+    ``BENCH_r{N}.json`` exactly once at round close, immediately after
+    its own bench run refreshed BENCH_FULL — so at the FIRST bench
+    invocation of the next round, BENCH_FULL still holds the accepted
+    run. This function (called before anything overwrites BENCH_FULL)
+    detects that state by matching headline value + probe_sec against
+    the newest BENCH_r{N}.json and copies the full per-query record to
+    the round-stamped file. Returns the archive path if one was
+    written."""
+    import glob
+    import re
+
+    best = None
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, f)
+    if best is None:
+        return None
+    n, f = best
+    dst = os.path.join(here, f"BENCH_FULL_r{n}_sf{sf}.json")
+    if os.path.exists(dst):
+        return None
+    try:
+        parsed = json.load(open(f)).get("parsed") or {}
+        full = json.load(open(os.path.join(here, f"BENCH_FULL_sf{sf}.json")))
+    except Exception:
+        return None
+    if not (
+        full.get("queries")
+        and parsed.get("value") == full.get("value")
+        and parsed.get("probe_sec") == full.get("probe_sec")
+    ):
+        # BENCH_FULL no longer holds the accepted run (already
+        # refreshed mid-round before the first archive attempt, or a
+        # different sf) — do NOT stamp a wrong base; previous_bench
+        # falls back to older stamped rounds.
+        return None
+    with open(dst, "w") as fh:
+        json.dump(dict(full, accepted_round=n), fh, indent=1)
+    return dst
+
+
+def previous_bench(here: str, sf: float) -> tuple[str, dict] | None:
+    """The cross-round comparison base: the newest ROUND-STAMPED
+    archive ``BENCH_FULL_r{N}_sf{sf}.json`` (written by
+    ``archive_accepted_round`` from the driver-accepted round-close
+    run — VERDICT r15 item 1: the un-stamped ``BENCH_FULL_sf{sf}``
+    self-record is refreshed every run, so it must NEVER be the
+    cross-round base; it feeds only the separately-labeled
+    ``norm_vs_self`` within-round delta). Fallback for rounds predating
+    the archives: the parsed driver BENCH_r{N}.json artifacts (≤ r12
+    format, which still carried the per-query map)."""
+    import glob
+    import re
+
+    best = None
+    for f in glob.glob(os.path.join(here, f"BENCH_FULL_r*_sf{sf}.json")):
+        m = re.search(r"BENCH_FULL_r(\d+)_sf", f)
+        if not m:
+            continue
+        try:
+            rec = json.load(open(f))
+        except Exception:
+            continue
+        if rec.get("probe_sec") and rec.get("queries"):
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, rec)
+    if best is not None:
+        return (f"r{best[0]}", best[1])
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", f)
+        if not m:
+            continue
+        try:
+            parsed = json.load(open(f)).get("parsed") or {}
+        except Exception:
+            continue
+        if parsed.get("probe_sec") and parsed.get("queries"):
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, parsed)
+    return (f"r{best[0]}", best[1]) if best else None
+
+
+def self_full_bench(here: str, sf: float) -> tuple[str, dict] | None:
+    """The un-stamped self-record — the WITHIN-round base only."""
+    try:
+        rec = json.load(open(os.path.join(here, f"BENCH_FULL_sf{sf}.json")))
+        if rec.get("probe_sec") and rec.get("queries"):
+            return ("self_full", rec)
+    except Exception:
+        pass
+    return None
+
+
 def compute_norm_vs_prev(
     mins: dict, prev: tuple | None, probe_sec: float
 ) -> dict:
@@ -160,41 +267,10 @@ def main() -> None:
 
     probe_sec = round(min(calibration_probe() for _ in range(5)), 4)
 
-    def previous_bench() -> tuple[str, dict] | None:
-        """Latest recorded full bench with a probe — the cross-round
-        comparison base (VERDICT r10 item 8: r11 is the first round
-        with probes on BOTH sides, so the judge can separate contention
-        from regression numerically). Since r14 the final stdout line
-        no longer carries the per-query map (VERDICT r13 item 1), so
-        the primary source is the self-recorded ``BENCH_FULL_sf{sf}``
-        file this harness writes after every full run at this sf; the
-        parsed driver BENCH_r{N}.json artifacts (≤ r12 format) remain
-        as the fallback base."""
-        import glob
-        import re
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        full = os.path.join(here, f"BENCH_FULL_sf{sf}.json")
-        try:
-            rec = json.load(open(full))
-            if rec.get("probe_sec") and rec.get("queries"):
-                return ("self_full", rec)
-        except Exception:
-            pass
-        best = None
-        for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
-            m = re.search(r"BENCH_r(\d+)\.json$", f)
-            if not m:
-                continue
-            try:
-                parsed = json.load(open(f)).get("parsed") or {}
-            except Exception:
-                continue
-            if parsed.get("probe_sec") and parsed.get("queries"):
-                n = int(m.group(1))
-                if best is None or n > best[0]:
-                    best = (n, parsed)
-        return (f"r{best[0]}", best[1]) if best else None
+    here = os.path.dirname(os.path.abspath(__file__))
+    # stamp the last driver-accepted round's record BEFORE this run
+    # overwrites BENCH_FULL (VERDICT r15 item 1)
+    archive_accepted_round(here, sf)
 
     builders = plans.bench_queries()
     # untimed warm-up pass: first execution pays one-off codegen /
@@ -225,7 +301,14 @@ def main() -> None:
     # drift; an isolated high value = a real per-query regression.
     norm_vs_prev = compute_norm_vs_prev(
         {name: min(s) for name, s in samples.items()},
-        previous_bench(),
+        previous_bench(here, sf),
+        probe_sec,
+    )
+    # within-round delta only — the refreshed-every-run self record can
+    # never be the cross-round base (VERDICT r15 item 1)
+    norm_vs_self = compute_norm_vs_prev(
+        {name: min(s) for name, s in samples.items()},
+        self_full_bench(here, sf),
         probe_sec,
     )
     probe_normalized = {
@@ -269,13 +352,16 @@ def main() -> None:
                 # stamped stale into every future round's JSON
                 # (ADVICE r12).
                 "norm_vs_prev": norm_vs_prev,
+                "norm_vs_self": norm_vs_self,
             },
             separators=(",", ":"),
         )
     )
     # Self-recorded full payload: the judge reads this from the repo
-    # (the driver commits it with the round), and the NEXT round's
-    # previous_bench() normalizes against it.
+    # (the driver commits it with the round); the NEXT round's first
+    # bench invocation stamps it to BENCH_FULL_r{N}_sf{sf}.json via
+    # archive_accepted_round, which is what previous_bench compares
+    # against (never this refreshed-every-run file).
     with open(
         os.path.join(
             os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL_sf{sf}.json"
@@ -295,6 +381,7 @@ def main() -> None:
                 "queries": timings,
                 "probe_normalized": probe_normalized,
                 "norm_vs_prev": norm_vs_prev,
+                "norm_vs_self": norm_vs_self,
             },
             fh,
             indent=1,

@@ -68,3 +68,82 @@ def test_final_line_parses_and_has_driver_contract_fields():
     assert obj["metric"] == "bench_total_wall_sec"
     assert obj["unit"] == "sec"
     assert "queries" not in obj  # the map lives on the diag line / FULL file
+
+
+def _write(path, obj):
+    with open(path, "w") as fh:
+        json.dump(obj, fh)
+
+
+def test_mid_round_refresh_cannot_become_cross_round_base(tmp_path):
+    """VERDICT r15 item 1: the un-stamped BENCH_FULL self-record is
+    refreshed on every full run, so r15's committed "0.943 vs
+    previous" compared r15 against an r15-mid snapshot. The
+    cross-round base must come ONLY from the round-stamped archive
+    (or the ≤r12 driver artifacts); the self record feeds the
+    separately-labeled norm_vs_self delta."""
+    d = str(tmp_path)
+    rec = {"probe_sec": 0.3, "queries": {"q1": 1.0}, "value": 1.0}
+    # only a mid-round self refresh on disk -> NO cross-round base
+    _write(f"{d}/BENCH_FULL_sf0.1.json", rec)
+    assert bench.previous_bench(d, 0.1) is None
+    assert bench.self_full_bench(d, 0.1)[0] == "self_full"
+    # a round-stamped archive exists -> it wins, labeled by round
+    _write(f"{d}/BENCH_FULL_r15_sf0.1.json", dict(rec, value=2.0))
+    name, base = bench.previous_bench(d, 0.1)
+    assert name == "r15" and base["value"] == 2.0
+    # newer stamped round wins over older
+    _write(f"{d}/BENCH_FULL_r16_sf0.1.json", dict(rec, value=3.0))
+    assert bench.previous_bench(d, 0.1) == ("r16", dict(rec, value=3.0))
+
+
+def test_archive_accepted_round_stamps_only_matching_headline(tmp_path):
+    d = str(tmp_path)
+    full = {"probe_sec": 0.3, "queries": {"q1": 1.0}, "value": 10.0}
+    _write(f"{d}/BENCH_FULL_sf0.1.json", full)
+    # driver artifact whose headline MATCHES the on-disk full record
+    _write(
+        f"{d}/BENCH_r15.json",
+        {"parsed": {"value": 10.0, "probe_sec": 0.3}},
+    )
+    p = bench.archive_accepted_round(d, 0.1)
+    assert p and p.endswith("BENCH_FULL_r15_sf0.1.json")
+    arch = json.load(open(p))
+    assert arch["accepted_round"] == 15 and arch["queries"] == {"q1": 1.0}
+    # idempotent: never restamp an existing archive
+    assert bench.archive_accepted_round(d, 0.1) is None
+
+
+def test_archive_accepted_round_refuses_mismatched_headline(tmp_path):
+    """If BENCH_FULL was already refreshed mid-round before the first
+    archive attempt, its headline no longer matches the driver's
+    BENCH_r{N} capture — stamping it would recreate the r15 bug, so
+    the archiver must refuse."""
+    d = str(tmp_path)
+    _write(
+        f"{d}/BENCH_FULL_sf0.1.json",
+        {"probe_sec": 0.9, "queries": {"q1": 9.0}, "value": 99.0},
+    )
+    _write(
+        f"{d}/BENCH_r15.json",
+        {"parsed": {"value": 10.0, "probe_sec": 0.3}},
+    )
+    assert bench.archive_accepted_round(d, 0.1) is None
+    import os as _os
+
+    assert not _os.path.exists(f"{d}/BENCH_FULL_r15_sf0.1.json")
+
+
+def test_repo_carries_r15_accepted_archive_matching_driver_capture():
+    """The r16 artifact must compare against r15's accepted record
+    (VERDICT r15 item 1 Done criterion)."""
+    import os as _os
+
+    here = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    arch = json.load(open(f"{here}/BENCH_FULL_r15_sf0.1.json"))
+    drv = json.load(open(f"{here}/BENCH_r15.json"))["parsed"]
+    assert arch["accepted_round"] == 15
+    assert arch["value"] == drv["value"]
+    assert arch["probe_sec"] == drv["probe_sec"]
+    name, base = bench.previous_bench(here, 0.1)
+    assert name >= "r15" and base.get("queries")
