@@ -8970,6 +8970,28 @@ def mmr_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(corpus, q, k=10, lam=0.7)
 
 
+@query("mmr_topk_pooled_embeddings")
+def mmr_topk_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-10 over an exact-cosine candidate pool
+    (operators/similarity.py::mmr_topk_pooled, pool 256, λ = 0.7) —
+    the scale path for the MMR head (VERDICT r15 item 3): ONE corpus
+    scan builds the relevance-ranked pool (cosine_topk's map-side
+    partial top-k), then the k greedy rounds run on the ≤ 256-row
+    broadcast-semi-joined pool instead of re-scanning the corpus k
+    times. Picks are pytest-pinned identical to the full-corpus
+    ``mmr_topk_embeddings`` (greedy argmax over a pool containing
+    every full-corpus pick is the same argmax); rows-only per the
+    greedy/iterative discipline."""
+    from ..operators.similarity import mmr_topk_pooled
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(1).select("embedding")
+    corpus = emb.join(
+        emb.orderBy("vec_id").limit(1).select("vec_id"), "vec_id", "left_anti"
+    )
+    return mmr_topk_pooled(corpus, q, k=10, lam=0.7, pool_size=256)
+
+
 @query(
     "t_closeness_customers",
     oracle="""

@@ -837,6 +837,47 @@ class TestMmr:
         )
         assert mmr_topk(df, qdf, k=2).count() == 0
 
+    def test_pooled_equals_full_corpus_on_gate_data(self, spark):
+        """VERDICT r15 item 3: when the relevance-ranked pool contains
+        every full-corpus MMR pick, the pooled greedy sequence is
+        IDENTICAL (argmax over a superset-of-the-argmax subset is that
+        argmax). Containment is asserted explicitly so a failure names
+        the right cause (pool too small vs a real composition bug)."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        full = REGISTRY["mmr_topk_embeddings"].builder(spark, sf_dir).collect()
+        pooled = REGISTRY["mmr_topk_pooled_embeddings"].builder(
+            spark, sf_dir
+        ).collect()
+        full_picks = [(r.rank, r.vec_id, r.rel, r.mmr) for r in full]
+        # containment precondition: every full pick is in the cosine
+        # top-256 pool (rel-ranked, k=10 ≪ 256)
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+            cosine_topk,
+        )
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.sources.readers import (
+            read_table,
+        )
+        from pyspark.sql import functions as F
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        q1 = emb.orderBy("vec_id").limit(1).select(
+            F.lit(0).cast("long").alias("query_id"), "embedding"
+        )
+        corpus = emb.join(
+            emb.orderBy("vec_id").limit(1).select("vec_id"),
+            "vec_id",
+            "left_anti",
+        )
+        pool = {
+            r.vec_id for r in cosine_topk(corpus, q1, k=256).collect()
+        }
+        assert {p[1] for p in full_picks} <= pool
+        assert [(r.rank, r.vec_id, r.rel, r.mmr) for r in pooled] == full_picks
+
 
 class TestTCloseness:
     def test_emd_matches_python(self, spark):
