@@ -667,3 +667,28 @@ REGISTRY["streaming_new_vs_returning"] = REGISTRY[
     oracle=REGISTRY["new_vs_returning_events"].oracle,
     bench=False,
 )
+
+
+@query("streaming_duplicate_charges", oracle=None)
+def streaming_duplicate_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate-charge screen as a live stream (streaming/
+    jobs.py::stream_duplicate_charges — VERDICT r15 item 6): one long
+    of state per (entity, exact-cents) pair (the last seen epoch
+    second) in applyInPandasWithState, ts-ordered micro-batch
+    ingestion with same-second ties never split, per-batch
+    (epoch_s, event_id) sort — so the per-key walk IS the batch lag
+    order and drained availableNow equals
+    ``duplicate_charges_events`` row for row, attested by the SHARED
+    oracle."""
+    from ..streaming.jobs import stream_duplicate_charges
+
+    return stream_duplicate_charges(spark, sf_dir)
+
+
+REGISTRY["streaming_duplicate_charges"] = REGISTRY[
+    "streaming_duplicate_charges"
+].__class__(
+    builder=REGISTRY["streaming_duplicate_charges"].builder,
+    oracle=REGISTRY["duplicate_charges_events"].oracle,
+    bench=False,
+)

@@ -2214,6 +2214,108 @@ def stream_dormancy_flags(
     )
 
 
+def stream_duplicate_charges(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 6,
+    horizon_s: int = 604800,
+) -> DataFrame:
+    """STREAMING duplicate-charge screen — the live form of
+    ``duplicate_charges_events`` (VERDICT r15 item 6, the one r15
+    fraud screen without its live twin): per (entity, exact-cents)
+    pair, ``applyInPandasWithState`` keeps ONE long (the last seen
+    epoch second) as state; each arriving event with the same entity
+    and same integer-cents amount within the trailing ``horizon_s``
+    (7 days — the AP review window) emits its replay row exactly
+    once.
+
+    Batch-twin discipline (shares the batch query's DuckDB oracle):
+    the batch lag orders by (epoch_s, event_id) within (user, cents);
+    the ordered file source delivers micro-batches in ts order with
+    same-second ties never split (repartitionByRange), and the update
+    fn concatenates the WHOLE iterator before one (epoch_s, event_id)
+    sort — so the per-key sequence the state walks IS the batch
+    window order and the drained availableNow output equals the batch
+    query row for row. Cents and epoch seconds are exact integers
+    end-to-end.
+
+    Scale shape: state is one long per ACTIVE (entity, cents) pair —
+    the same key grain the batch window shuffles on; no range join,
+    no history re-scan."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _ordered_events_source(spark, sf_dir, n_files).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.floor(F.unix_timestamp(F.col("ts"))).cast("long").alias("epoch_s"),
+    )
+
+    out_type = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("epoch_s", T.LongType()),
+            T.StructField("prev_s", T.LongType()),
+            T.StructField("gap_s", T.LongType()),
+        ]
+    )
+    state_type = T.StructType([T.StructField("last_s", T.LongType())])
+
+    def update(key_, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else None
+        uid = None if key_[0] is None else int(key_[0])
+        cents = None if key_[1] is None else int(key_[1])
+        rows = {k: [] for k in ("id", "s", "p", "g")}
+        # whole-iterator concat before ONE sort (ADVICE r12: chunked
+        # arrival would otherwise break the (epoch_s, event_id) walk)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["epoch_s", "event_id"]
+            )
+            for eid_, s_ in zip(pdf["event_id"], pdf["epoch_s"]):
+                s = int(s_)
+                if last is not None and s - int(last) <= horizon_s:
+                    rows["id"].append(int(eid_))
+                    rows["s"].append(s)
+                    rows["p"].append(int(last))
+                    rows["g"].append(s - int(last))
+                last = s
+        if last is not None:
+            state.update((int(last),))
+        n = len(rows["id"])
+        yield pd.DataFrame(
+            {
+                "event_id": rows["id"],
+                "user_id": pd.array([uid] * n, dtype="Int64"),
+                "cents": pd.array([cents] * n, dtype="Int64"),
+                "epoch_s": rows["s"],
+                "prev_s": rows["p"],
+                "gap_s": rows["g"],
+            }
+        )
+
+    emitted = stream.groupBy("user_id", "cents").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"dupcharge_sink_{next(_sink_ids)}"
+    q = (
+        emitted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", "cents", "epoch_s", "prev_s", "gap_s"
+    ).orderBy("event_id")
+
+
 def stream_peer_outliers(
     spark: SparkSession, sf_dir: str, n_files: int = 6
 ) -> DataFrame:

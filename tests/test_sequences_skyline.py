@@ -967,3 +967,22 @@ class TestStreamingNewVsReturning:
             spark, sf_dir
         ).collect()
         assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+class TestStreamingDuplicateCharges:
+    def test_drained_stream_equals_batch(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch = REGISTRY["duplicate_charges_events"].builder(
+            spark, sf_dir
+        ).collect()
+        streamed = REGISTRY["streaming_duplicate_charges"].builder(
+            spark, sf_dir
+        ).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+        assert [r.event_id for r in streamed] == sorted(
+            r.event_id for r in streamed
+        )
