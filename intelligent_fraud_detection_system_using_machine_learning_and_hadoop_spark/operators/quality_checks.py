@@ -284,3 +284,128 @@ def t_closeness_report(
             > den * F.lit(t_num).cast("decimal(38,0)")
         ).alias("t_violation"),
     ).orderBy(*qcols)
+
+
+def privacy_gate_report(
+    df: DataFrame,
+    quasi_cols: list,
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 2,
+    t_num: int = 1,
+    t_den: int = 5,
+) -> DataFrame:
+    """The composed privacy gate (VERDICT r15 item 7): k-anonymity,
+    l-diversity and t-closeness over the SAME equivalence classes in
+    one report — the ``fraud_risk_report_events`` composition shape
+    (one shared scan, three flag legs, one combine).
+
+    All three checks share one sufficient statistic: the exact counts
+    at (quasi…, sensitive-band) grain. From that single data-sized,
+    map-side-combinable aggregation (persisted once via the bounded
+    swap-cache so the fan-out to class/global/band legs never
+    re-scans the table):
+
+    * class_size = Σ counts per class  → k-anonymity (Sweeney 2002);
+    * l_distinct = bands present per class → l-diversity
+      (Machanavajjhala 2007);
+    * cumulative-count EMD vs the global band distribution →
+      t-closeness (Li et al. 2007), in the exact integer arithmetic
+      of ``t_closeness_report`` (decimal(38,0) numerators, ONE final
+      IEEE division, violation decided by integer cross-
+      multiplication; m = 1 ⇒ EMD 0 by definition).
+
+    Scale shape at 100 TB: ONE shuffle at (quasi…, band) grain touches
+    the data; everything after is |classes|·m-row arithmetic (bounded
+    domains — engineered bands × quasi combinations), ≤ m-row class
+    windows, broadcast band spine. Returns one row per class:
+    (quasi…, class_size, l_distinct, emd, k_violation, l_violation,
+    t_violation, any_violation).
+
+    Composition ≡ the three attested legs (k_anonymity_report +
+    t_closeness_report) is pytest-pinned; the registered query carries
+    its own full-chain ANSI-SQL oracle."""
+    from pyspark.sql import Window as W
+
+    from ..cache import plan_key, swap_cache
+
+    qcols = list(quasi_cols)
+    per = df.groupBy(
+        *[F.col(c) for c in qcols], F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    per = swap_cache(plan_key("privacy_gate.per", per), per)
+
+    cls = per.groupBy(*qcols).agg(
+        F.sum("_n").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+    )
+    bands = per.select("_sv").distinct()
+    glob = per.groupBy("_sv").agg(F.sum("_n").cast("long").alias("_gn"))
+    tot = glob.agg(F.sum("_gn").cast("long").alias("_tn"))
+    spine = (
+        cls.select(*qcols, "class_size")
+        .crossJoin(F.broadcast(bands))
+        .join(per, qcols + ["_sv"], "left")
+        .select(
+            *qcols,
+            "class_size",
+            "_sv",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("_cn"),
+        )
+    )
+    wc = W.partitionBy(*qcols).orderBy("_sv")
+    wg = W.orderBy("_sv")
+    g = glob.withColumn(
+        "_cum_g", F.sum("_gn").over(wg).cast("long")
+    ).select("_sv", "_cum_g")
+    staged = (
+        spine.withColumn("_cum_c", F.sum("_cn").over(wc).cast("long"))
+        .join(F.broadcast(g), "_sv")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_absdiff",
+            F.abs(
+                F.col("_cum_c").cast("decimal(38,0)")
+                * F.col("_tn").cast("decimal(38,0)")
+                - F.col("_cum_g").cast("decimal(38,0)")
+                * F.col("class_size").cast("decimal(38,0)")
+            ),
+        )
+    )
+    agg = staged.groupBy(*qcols, "class_size", "_tn").agg(
+        F.sum("_absdiff").cast("decimal(38,0)").alias("_sumabs"),
+        F.count(F.lit(1)).cast("long").alias("_m"),
+    )
+    den = (
+        F.col("class_size").cast("decimal(38,0)")
+        * F.col("_tn").cast("decimal(38,0)")
+        * (F.col("_m") - F.lit(1)).cast("decimal(38,0)")
+    )
+    tc = agg.select(
+        *qcols,
+        F.when(F.col("_m") == 1, F.lit(0.0))
+        .otherwise(F.col("_sumabs").cast("double") / den.cast("double"))
+        .alias("emd"),
+        (
+            F.col("_sumabs") * F.lit(t_den).cast("decimal(38,0)")
+            > den * F.lit(t_num).cast("decimal(38,0)")
+        ).alias("t_violation"),
+    )
+    return (
+        cls.join(tc, qcols)
+        .select(
+            *qcols,
+            "class_size",
+            "l_distinct",
+            "emd",
+            (F.col("class_size") < k).alias("k_violation"),
+            (F.col("l_distinct") < l).alias("l_violation"),
+            "t_violation",
+            (
+                (F.col("class_size") < k)
+                | (F.col("l_distinct") < l)
+                | F.col("t_violation")
+            ).alias("any_violation"),
+        )
+        .orderBy(*qcols)
+    )

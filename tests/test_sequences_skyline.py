@@ -986,3 +986,72 @@ class TestStreamingDuplicateCharges:
         assert [r.event_id for r in streamed] == sorted(
             r.event_id for r in streamed
         )
+
+
+class TestPrivacyGate:
+    def test_composition_equals_three_attested_legs(self, spark):
+        """VERDICT r15 item 7: the composed gate must reproduce the
+        three single-check legs column for column over the same
+        equivalence classes."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        gate = {
+            (r.c_nationkey, r.c_mktsegment): r
+            for r in REGISTRY["privacy_gate_customers"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        kl = {
+            (r.c_nationkey, r.c_mktsegment): r
+            for r in REGISTRY["k_anonymity_customers"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        tc = {
+            (r.c_nationkey, r.c_mktsegment): r
+            for r in REGISTRY["t_closeness_customers"]
+            .builder(spark, sf_dir)
+            .collect()
+        }
+        assert set(gate) == set(kl) == set(tc)
+        for key, g in gate.items():
+            assert g.class_size == kl[key].class_size
+            assert g.l_distinct == kl[key].l_distinct
+            assert bool(g.k_violation) == bool(kl[key].k_violation)
+            assert bool(g.l_violation) == bool(kl[key].l_violation)
+            assert g.emd == tc[key].emd  # bitwise: same expression tree
+            assert bool(g.t_violation) == bool(tc[key].t_violation)
+            assert bool(g.any_violation) == (
+                bool(g.k_violation)
+                or bool(g.l_violation)
+                or bool(g.t_violation)
+            )
+
+    def test_hand_fixture_flags(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.quality_checks import (
+            privacy_gate_report,
+        )
+
+        # class "a": 2 rows (k<3 violation), single band (l<2, EMD vs
+        # global skew); class "b": 6 rows, two bands
+        rows = [("a", 0)] * 2 + [("b", 0)] * 3 + [("b", 9)] * 3
+        df = spark.createDataFrame(rows, "q string, band long")
+        got = {
+            r.q: r
+            for r in privacy_gate_report(
+                df, ["q"], "band", k=3, l=2, t_num=1, t_den=5
+            ).collect()
+        }
+        a, b = got["a"], got["b"]
+        assert a.class_size == 2 and a.l_distinct == 1
+        assert a.k_violation and a.l_violation
+        assert b.class_size == 6 and b.l_distinct == 2
+        assert not b.k_violation and not b.l_violation
+        # global cum at band0 = 5/8; a's cum = 1 -> |1 - 5/8| = 3/8
+        assert abs(a.emd - 3.0 / 8.0) < 1e-12 and a.t_violation
+        # b's cum at band0 = 1/2 -> |1/2 - 5/8| = 1/8 < 1/5
+        assert abs(b.emd - 1.0 / 8.0) < 1e-12 and not b.t_violation
+        assert a.any_violation and not b.any_violation
