@@ -196,6 +196,54 @@ def benford_first2_profile(
     )
 
 
+#: χ²₀.₉₉(89) — the two-sided-99% critical value for the 89-df F2D
+#: spine, a pinned shared literal (comparison operand, not statistic).
+CHI2_99_89DF = 122.9422067982886
+
+
+def benford_first2_drift(
+    df: DataFrame, value_col: str, ts_col: str
+) -> DataFrame:
+    """Benford-first2 DRIFT: the Nigrini F2D screen per calendar
+    MONTH (VERDICT r15 item 8) — grouping the digit test by time
+    bucket instead of by category answers the question the static
+    screen cannot: WHEN did fabrication start? A ledger that conforms
+    for years and breaks conformity in one quarter localizes the
+    suspect period to that quarter.
+
+    Per month: the exact F2D chi-square of ``benford_first2_profile``
+    (integer cents, string-prefix digits, 1e-9-quantized decimal
+    sums) COLLAPSED to one row (month, n_total, chi2,
+    reject_benford) with the decision at the pinned χ²₀.₉₉(89)
+    literal — a drift series readable at a glance, |months| rows.
+
+    Scale shape: identical to the static screen — one scan into a
+    ≤ 90·|months|-row aggregate (months are a bounded calendar
+    domain), then a |months|-row collapse. The month key is a
+    yyyy-MM string on both engines."""
+    prof = benford_first2_profile(
+        df.withColumn(
+            "_bucket", F.date_format(F.col(ts_col), "yyyy-MM")
+        ),
+        value_col,
+        "_bucket",
+    )
+    return (
+        prof.groupBy(F.col("_bucket").alias("month"))
+        .agg(
+            F.max("n_total").cast("long").alias("n_total"),
+            F.max("chi2").alias("chi2"),
+        )
+        .select(
+            "month",
+            "n_total",
+            "chi2",
+            (F.col("chi2") > F.lit(CHI2_99_89DF)).alias("reject_benford"),
+        )
+        .orderBy("month")
+    )
+
+
 def benford2_oracle_case() -> str:
     """The pinned-literal CASE for the two-digit spine, shared with
     the DuckDB oracle (the benford_oracle_case discipline)."""

@@ -4986,6 +4986,81 @@ def holt_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _holt_winters_oracle_sql(depth: int, period: int) -> str:
+    """Holt–Winters twin: the SAME four truncated FIR chains with the
+    same exact-round-trip %.17e weight literals over the DAILY totals
+    (left-associative + on both engines — the pinned-association
+    discipline; forecast = (level + trend) + season-slot chain as on
+    the Spark side)."""
+    from ..operators.stats import _holt_winters_weights
+
+    ws = _holt_winters_weights(depth, period)
+    def chain(idx: int) -> str:
+        return " + ".join(
+            f"lag(cents, {j}) OVER w * {w[idx]:.17e}"
+            for j, w in enumerate(ws)
+        )
+
+    return f"""
+    WITH b AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2),
+    h AS (
+      SELECT event_type, day, cents,
+             {chain(0)} AS hw_level,
+             {chain(1)} AS hw_trend,
+             {chain(2)} AS hw_season,
+             {chain(3)} AS hw_fslot
+      FROM b
+      WINDOW w AS (PARTITION BY event_type ORDER BY day))
+    SELECT event_type, day, cents, hw_level, hw_trend, hw_season,
+           hw_level + hw_trend + hw_fslot AS hw_forecast
+    FROM h ORDER BY event_type, day
+    """
+
+
+@query(
+    "holt_winters_events", oracle=_holt_winters_oracle_sql(21, 7)
+)
+def holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed additive Holt–Winters per event type over the DAILY
+    cents totals (operators/stats.py::holt_winters_additive —
+    α=β=γ=½, weekly period 7, truncated at 21 lags; VERDICT r15
+    item 8): level + trend + weekly season and the one-step seasonal
+    forecast — the baseline that stops flagging every Saturday as an
+    anomaly. Exact-rational impulse weights (all-dyadic companion
+    matrix via Fractions), pinned-association double chains mirrored
+    literally by the twin; one day-grain roll-up (map-side
+    combinable) then one type-keyed window with 84 chained lags in a
+    single frame, whole-stage codegen. Rows with < 21 prior days are
+    NULL by the windowed-smoother contract."""
+    from ..operators.stats import holt_winters_additive
+
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_c").cast("long").alias("cents"))
+    )
+    return holt_winters_additive(
+        daily, "event_type", ["day"], "cents", period=7, depth=21
+    ).select(
+        "event_type",
+        "day",
+        "cents",
+        "hw_level",
+        "hw_trend",
+        "hw_season",
+        "hw_forecast",
+    ).orderBy("event_type", "day")
+
+
 @query("ewma_events", oracle=_ewma_oracle_sql(16))
 def ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type exponential smoothing of the value series
@@ -8573,6 +8648,66 @@ def benford_first2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders")
     return benford_first2_profile(o, "o_totalprice", "o_orderpriority")
+
+
+def _benford2_drift_oracle() -> str:
+    from ..operators.fraud_stats import CHI2_99_89DF, benford2_oracle_case
+
+    return f"""
+    WITH d AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS grp,
+             CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 2) AS INTEGER) AS digit
+      FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 10),
+    obs AS (
+      SELECT grp, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY grp, digit),
+    spine AS (
+      SELECT grp, digit
+      FROM (SELECT DISTINCT grp FROM obs)
+      CROSS JOIN (SELECT unnest(generate_series(10, 99)) AS digit)),
+    full_t AS (
+      SELECT s.grp, s.digit,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+      FROM spine s LEFT JOIN obs o
+        ON s.grp = o.grp AND s.digit = o.digit),
+    tot AS (
+      SELECT grp, digit, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY grp) AS BIGINT) AS n_total,
+             {benford2_oracle_case()} AS expected_p
+      FROM full_t),
+    q AS (
+      SELECT grp, n_obs, n_total, expected_p,
+             CAST(floor(
+               (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               / (CAST(n_total AS DOUBLE) * expected_p) * 1e9
+             ) AS BIGINT) AS contrib_q
+      FROM tot)
+    SELECT grp AS month,
+           CAST(max(n_total) AS BIGINT) AS n_total,
+           CAST(SUM(contrib_q) AS DOUBLE) / 1e9 AS chi2,
+           CAST(SUM(contrib_q) AS DOUBLE) / 1e9 > {CHI2_99_89DF!r}
+             AS reject_benford
+    FROM q GROUP BY grp ORDER BY month
+    """
+
+
+@query("benford_drift_orders", oracle=_benford2_drift_oracle())
+def benford_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford-first2 DRIFT per calendar month (operators/
+    fraud_stats.py::benford_first2_drift — VERDICT r15 item 8): the
+    F2D chi-square computed per time bucket instead of per category,
+    localizing WHEN the digit distribution broke conformity — the
+    screen that turns "this ledger is suspicious" into "it became
+    suspicious in 1996-04". One row per month: (month, n_total,
+    chi2, reject_benford at the pinned χ²₀.₉₉(89) literal). Same
+    scale shape as the static screen: one scan into a bounded
+    90·|months|-row aggregate plus a |months|-row collapse."""
+    from ..operators.fraud_stats import benford_first2_drift
+
+    o = read_table(spark, sf_dir, "orders")
+    return benford_first2_drift(o, "o_totalprice", "o_orderdate")
 
 
 @query(

@@ -1419,3 +1419,149 @@ class TestTwoProportionZtest:
         )
         with _pytest.raises(Exception, match="exact-width contract"):
             two_proportion_ztest_from_counts(x_gt_n).collect()
+
+
+class TestHoltWinters:
+    def test_bitwise_python_replica(self, spark):
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            _holt_winters_weights,
+            holt_winters_additive,
+        )
+
+        random.seed(11)
+        depth, period = 10, 4
+        xs = [random.randint(-10_000_00, 10_000_00) for _ in range(30)]
+        rows = [(i, 1, float(x)) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "i long, k long, x double")
+        out = {
+            r["i"]: r
+            for r in holt_winters_additive(
+                df, "k", ["i"], "x", period=period, depth=depth
+            ).collect()
+        }
+        ws = _holt_winters_weights(depth, period)
+        for t in range(len(xs)):
+            if t < depth - 1:
+                assert out[t]["hw_level"] is None
+                assert out[t]["hw_forecast"] is None
+                continue
+            # same left-to-right IEEE association as the operator
+            acc = [float(xs[t]) * ws[0][i] for i in range(4)]
+            for j in range(1, depth):
+                for i in range(4):
+                    acc[i] = acc[i] + float(xs[t - j]) * ws[j][i]
+            assert out[t]["hw_level"] == acc[0]
+            assert out[t]["hw_trend"] == acc[1]
+            assert out[t]["hw_season"] == acc[2]
+            assert out[t]["hw_forecast"] == acc[0] + acc[1] + acc[3]
+
+    def test_fir_matches_zero_init_recurrence(self):
+        """The unrolled impulse response IS the textbook recurrence
+        with zero initial state: with full history (depth = t+1) the
+        FIR reproduces the direct α=β=γ=1/2 Holt-Winters walk."""
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            _holt_winters_weights,
+        )
+
+        rng = random.Random(3)
+        m = 7
+        xs = [rng.uniform(-5, 5) for _ in range(60)]
+        l = b = 0.0
+        svals: dict[int, float] = {}
+        for t, x in enumerate(xs):
+            sm = svals.get(t - m, 0.0)
+            lp, bp = l, b
+            l = 0.5 * (x - sm) + 0.5 * (lp + bp)
+            b = 0.5 * (l - lp) + 0.5 * bp
+            svals[t] = 0.5 * (x - l) + 0.5 * sm
+        t = len(xs) - 1
+        ws = _holt_winters_weights(t + 1, m)
+        fir_l = sum(ws[j][0] * xs[t - j] for j in range(t + 1))
+        fir_b = sum(ws[j][1] * xs[t - j] for j in range(t + 1))
+        fir_s = sum(ws[j][2] * xs[t - j] for j in range(t + 1))
+        fir_f = sum(ws[j][3] * xs[t - j] for j in range(t + 1))
+        assert abs(fir_l - l) < 1e-12
+        assert abs(fir_b - b) < 1e-12
+        assert abs(fir_s - svals[t]) < 1e-12
+        assert abs(fir_f - svals.get(t - m + 1, 0.0)) < 1e-12
+
+    def test_tracks_pure_weekly_seasonality(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            holt_winters_additive,
+        )
+
+        # pure period-7 pattern, no trend: the one-step forecast must
+        # land near the pattern value a plain Holt would miss
+        pattern = [100.0, 200.0, 300.0, 400.0, 300.0, 200.0, 100.0]
+        rows = [(t, 1, pattern[t % 7]) for t in range(70)]
+        df = spark.createDataFrame(rows, "i long, k long, x double")
+        out = {
+            r["i"]: r
+            for r in holt_winters_additive(
+                df, "k", ["i"], "x", period=7, depth=56
+            ).collect()
+        }
+        t = 69
+        want = pattern[(t + 1) % 7]
+        got = out[t]["hw_forecast"]
+        mean = sum(pattern) / 7.0
+        # forecast error should be a small fraction of the seasonal
+        # swing (a season-blind smoother is off by up to the full
+        # amplitude, |pattern - mean| up to 171)
+        swing = max(pattern) - min(pattern)
+        assert abs(got - want) < 0.15 * swing
+        # level/trend carry the truncation tail + zero-init boundary
+        # (the windowed-smoother contract) — bound them loosely
+        assert abs(out[t]["hw_trend"]) < 0.1 * swing
+        assert abs(out[t]["hw_level"] - mean) < 0.15 * mean
+
+
+class TestBenfordDrift:
+    def test_collapse_matches_profile_and_flag(self, spark):
+        import datetime as _dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            CHI2_99_89DF,
+            benford_first2_drift,
+            benford_first2_profile,
+        )
+        from pyspark.sql import functions as F
+
+        import random
+
+        rng = random.Random(21)
+        rows = []
+        for i in range(400):
+            # Jan: Benford-ish magnitudes; Feb: fabricated flat 50.xx
+            if i % 2 == 0:
+                v = 10 ** rng.uniform(1, 4)
+                d = _dt.datetime(2024, 1, 1 + (i % 28))
+            else:
+                v = 50.0 + rng.random()
+                d = _dt.datetime(2024, 2, 1 + (i % 28))
+            rows.append((float(v), d))
+        df = spark.createDataFrame(rows, "amount double, ts timestamp")
+        drift = {
+            r.month: r
+            for r in benford_first2_drift(df, "amount", "ts").collect()
+        }
+        assert set(drift) == {"2024-01", "2024-02"}
+        # collapse must equal the grouped profile's chi2 exactly
+        prof = benford_first2_profile(
+            df.withColumn("m", F.date_format("ts", "yyyy-MM")),
+            "amount",
+            "m",
+        )
+        per = {r.m: r.chi2 for r in prof.select("m", "chi2").distinct().collect()}
+        for m in drift:
+            assert drift[m].chi2 == per[m]
+            assert bool(drift[m].reject_benford) == (
+                drift[m].chi2 > CHI2_99_89DF
+            )
+        # the fabricated month must flag; every amount has first-two
+        # digits "50", so its chi-square is enormous
+        assert drift["2024-02"].reject_benford
