@@ -201,6 +201,102 @@ def benford_first2_profile(
 CHI2_99_89DF = 122.9422067982886
 
 
+def last_digits_profile(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    min_cents: int = 1000,
+) -> DataFrame:
+    """Nigrini's LAST-two-digits uniformity test — the companion to
+    the Benford first-digit screens: genuine prices and metered
+    amounts have effectively uniform last-two cents digits (00..99,
+    expectation 1/100 each), while invented figures over-represent
+    round and "psychological" endings (00, 50, 99). Where the F2D
+    test catches fabricated MAGNITUDES, this catches fabricated
+    ENDINGS — the number-invention tell that survives first-digit
+    coaching.
+
+    digit = exact integer cents mod 100; rows with cents <
+    ``min_cents`` (default $10) are excluded so the last two digits
+    are genuinely insignificant digits of the amount (on small
+    amounts they ARE the amount and uniformity is not the null).
+    The 99-df chi-square runs on the shared quantized-decimal spine
+    machinery (``_benford_chi2_over_spine`` with the exact 1/100
+    mass — 0.01 is not dyadic but IS the same double on both
+    engines). Same scale shape: one scan + a ≤ 100·|groups|-row
+    aggregate."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    obs = (
+        df.where(cents >= min_cents)
+        .select(
+            F.col(group_col).alias("grp"),
+            (cents % 100).cast("int").alias("digit"),
+        )
+        .groupBy("grp", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    return _benford_chi2_over_spine(
+        obs, group_col, [(d, 0.01) for d in range(100)]
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    entity_col: str,
+    category_col: str,
+    min_events: int = 5,
+    thr_num: int = 1,
+    thr_den: int = 2,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration of each entity's activity
+    mix (public antitrust statistic repurposed as the behavioral-
+    diversity screen): HHI = Σᵢ (nᵢ/n)² over the entity's category
+    counts — 1/|categories| for a balanced mix, →1 for a single-
+    category automaton. Mule accounts and bots concentrate where
+    organic users spread; the flag reads "≥ thr of the probability
+    mass squared", i.e. HHI ≥ thr_num/thr_den with n ≥ min_events.
+
+    Exactness: HHI = Σnᵢ²/n² is a ratio of exact integers — Σnᵢ²
+    accumulates as decimal(38,0) (nᵢ ≤ 10¹⁸ safe), ONE final IEEE
+    division per entity; the flag is the exact integer
+    cross-multiplication Σnᵢ²·thr_den ≥ thr_num·n² (never a float
+    compare). Scale shape: one map-side-combinable count at
+    (entity, category) grain, one roll-up to entity grain — two
+    keyed shuffles on the entity, no window, no data-sized join."""
+    per = (
+        df.select(
+            F.col(entity_col).alias("_e"),
+            F.col(category_col).alias("_c"),
+        )
+        .where(F.col("_e").isNotNull() & F.col("_c").isNotNull())
+        .groupBy("_e", "_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    ent = per.groupBy("_e").agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(
+            F.col("_n").cast("decimal(38,0)") * F.col("_n").cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("_ss"),
+    )
+    n2 = F.col("n").cast("decimal(38,0)") * F.col("n").cast("decimal(38,0)")
+    return ent.select(
+        F.col("_e").alias(entity_col),
+        "n",
+        "n_categories",
+        (F.col("_ss").cast("double") / n2.cast("double")).alias("hhi"),
+        (
+            (F.col("n") >= min_events)
+            & (
+                F.col("_ss") * F.lit(thr_den).cast("decimal(38,0)")
+                >= F.lit(thr_num).cast("decimal(38,0)") * n2
+            )
+        ).alias("concentration_flag"),
+    ).orderBy(entity_col)
+
+
 def benford_first2_drift(
     df: DataFrame, value_col: str, ts_col: str
 ) -> DataFrame:

@@ -8693,6 +8693,102 @@ def _benford2_drift_oracle() -> str:
     """
 
 
+def _last_digits_oracle() -> str:
+    p = f"{0.01:.17e}"
+    return f"""
+    WITH d AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 100
+                  AS INTEGER) AS digit
+      FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1000),
+    obs AS (
+      SELECT grp, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY grp, digit),
+    spine AS (
+      SELECT grp, digit
+      FROM (SELECT DISTINCT grp FROM obs)
+      CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS digit)),
+    full_t AS (
+      SELECT s.grp, s.digit,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+      FROM spine s LEFT JOIN obs o
+        ON s.grp = o.grp AND s.digit = o.digit),
+    tot AS (
+      SELECT grp, digit, n_obs,
+             CAST(SUM(n_obs) OVER (PARTITION BY grp) AS BIGINT) AS n_total,
+             {p} AS expected_p
+      FROM full_t),
+    q AS (
+      SELECT grp, digit, n_obs, n_total, expected_p,
+             CAST(floor(
+               (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * expected_p)
+               / (CAST(n_total AS DOUBLE) * expected_p) * 1e9
+             ) AS BIGINT) AS contrib_q
+      FROM tot)
+    SELECT grp AS o_orderpriority, digit, n_obs, n_total,
+           CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_frac,
+           expected_p,
+           CAST(SUM(contrib_q) OVER (PARTITION BY grp) AS DOUBLE) / 1e9 AS chi2
+    FROM q ORDER BY o_orderpriority, digit
+    """
+
+
+@query("last_digits_orders", oracle=_last_digits_oracle())
+def last_digits_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nigrini's LAST-two-digits uniformity screen per order priority
+    (operators/fraud_stats.py::last_digits_profile): the companion to
+    the F2D magnitude test — fabricated figures over-represent round
+    and psychological endings (00/50/99) even when first digits are
+    coached. Exact cents mod 100 over the 00..99 spine (amounts
+    ≥ $10 so the ending is an insignificant digit), uniform 1/100
+    expectation, the shared 1e-9-quantized decimal chi-square. One
+    scan + a ≤ 100·|priorities|-row aggregate."""
+    from ..operators.fraud_stats import last_digits_profile
+
+    o = read_table(spark, sf_dir, "orders")
+    return last_digits_profile(o, "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "hhi_events",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2),
+    ent AS (
+      SELECT user_id,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS ss
+      FROM per GROUP BY user_id)
+    SELECT user_id, n, n_categories,
+           CAST(ss AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS hhi,
+           (n >= 5 AND ss * 2 >= CAST(n AS HUGEINT) * n)
+             AS concentration_flag
+    FROM ent ORDER BY user_id
+    """,
+)
+def hhi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of each user's event-type
+    mix (operators/fraud_stats.py::hhi_concentration): the
+    behavioral-diversity screen — organic users spread across
+    views/clicks/purchases, automatons concentrate (HHI → 1). Exact
+    integer Σnᵢ² in decimal(38,0) with ONE IEEE division per entity;
+    the ≥ 1/2 flag decided by integer cross-multiplication at
+    n ≥ 5. Two entity-keyed shuffles, map-side combinable, no
+    window."""
+    from ..operators.fraud_stats import hhi_concentration
+
+    e = read_table(spark, sf_dir, "events")
+    return hhi_concentration(
+        e, "user_id", "event_type", min_events=5, thr_num=1, thr_den=2
+    )
+
+
 @query("benford_drift_orders", oracle=_benford2_drift_oracle())
 def benford_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford-first2 DRIFT per calendar month (operators/

@@ -965,3 +965,106 @@ class TestConformalFdrAlerts:
         z = (1.0 - 0.05) / math.sqrt(0.05 * 0.95)
         assert abs(r["z"] - z) < 1e-12
         assert abs(r["p_bound"] - 1.0 / (1.0 + 50 * z * z)) < 1e-15
+
+
+class TestLastDigits:
+    def test_hand_counts_and_exclusion(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            last_digits_profile,
+        )
+
+        rows = [
+            ("a", 123.00),   # digit 00
+            ("a", 45.50),    # digit 50
+            ("a", 67.50),    # digit 50
+            ("a", 9.99),     # cents 999 < 1000 -> excluded
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            (r.g, r.digit): r
+            for r in last_digits_profile(df, "v", "g").collect()
+        }
+        assert len(got) == 100  # full spine for the one group
+        assert got[("a", 0)].n_obs == 1
+        assert got[("a", 50)].n_obs == 2
+        assert got[("a", 99)].n_obs == 0
+        assert got[("a", 0)].n_total == 3
+        assert got[("a", 0)].expected_p == 0.01
+
+    def test_chi2_python_replica(self, spark):
+        import math
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            last_digits_profile,
+        )
+
+        rng = random.Random(5)
+        rows = [("a", 10.0 + rng.randint(0, 9999) / 100.0) for _ in range(500)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = last_digits_profile(df, "v", "g").collect()
+        counts = {}
+        for _, v in rows:
+            c = round(v * 100)
+            if c >= 1000:
+                counts[c % 100] = counts.get(c % 100, 0) + 1
+        n = sum(counts.values())
+        q = 0
+        for d in range(100):
+            e = n * 0.01
+            dev = counts.get(d, 0) - e
+            q += math.floor(dev * dev / e * 1e9)
+        want = q / 1e9
+        assert out[0].chi2 == want
+
+    def test_fabricated_endings_flag_high(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            last_digits_profile,
+        )
+
+        # all round endings vs spread endings: chi2 must separate them
+        fab = [("fab", 100.0 * k) for k in range(1, 101)]  # all end 00
+        org = [("org", 10.0 + i + i / 100.0) for i in range(100)]
+        df = spark.createDataFrame(fab + org, "g string, v double")
+        chi = {
+            r.g: r.chi2
+            for r in last_digits_profile(df, "v", "g")
+            .select("g", "chi2")
+            .distinct()
+            .collect()
+        }
+        assert chi["fab"] > 1000.0  # all mass on one of 100 cells
+        assert chi["org"] < 200.0
+
+
+class TestHhiConcentration:
+    def test_hand_values_and_flags(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            hhi_concentration,
+        )
+
+        rows = (
+            [(1, "x")] * 4                     # n=4 < 5: no flag despite HHI=1
+            + [(2, "x")] * 3 + [(2, "y")] * 3  # HHI=0.5 exactly: flag (>=)
+            + [(3, "x")] * 5 + [(3, "y")] * 1  # HHI=26/36: flag
+            + [(4, "x")] * 2 + [(4, "y")] * 2
+            + [(4, "z")] * 2 + [(4, "w")] * 2  # HHI=0.25: no flag
+        )
+        df = spark.createDataFrame(rows, "u long, c string")
+        got = {r.u: r for r in hhi_concentration(df, "u", "c").collect()}
+        assert got[1].hhi == 1.0 and not got[1].concentration_flag
+        assert got[2].hhi == 0.5 and got[2].concentration_flag
+        assert got[3].hhi == 26.0 / 36.0 and got[3].concentration_flag
+        assert got[4].hhi == 0.25 and not got[4].concentration_flag
+        assert got[4].n_categories == 4 and got[4].n == 8
+
+    def test_nulls_dropped(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+            hhi_concentration,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x"), (None, "x"), (1, None)], "u long, c string"
+        )
+        got = hhi_concentration(df, "u", "c").collect()
+        assert len(got) == 1 and got[0].n == 1
