@@ -5022,7 +5022,9 @@ def _holt_winters_oracle_sql(depth: int, period: int) -> str:
 
 
 @query(
-    "holt_winters_events", oracle=_holt_winters_oracle_sql(21, 7)
+    "holt_winters_events",
+    oracle=_holt_winters_oracle_sql(21, 7),
+    bench=True,
 )
 def holt_winters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed additive Holt–Winters per event type over the DAILY
@@ -9298,6 +9300,7 @@ def t_closeness_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "privacy_gate_customers",
+    bench=True,
     oracle="""
     WITH b AS (
       SELECT c_nationkey, c_mktsegment,
