@@ -235,6 +235,15 @@ def last_digits_profile(
         .groupBy("grp", "digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
+    return last_digits_from_counts(obs, group_col)
+
+
+def last_digits_from_counts(obs: DataFrame, group_col: str) -> DataFrame:
+    """Chi-square finish of the last-two-digits test from exact
+    (grp, digit, n_obs) counts — the mergeable-sufficient-statistic
+    split that lets the streaming twin fold counts per micro-batch
+    and run THIS identical pinned finish once on the drained state
+    (the benford_from_counts discipline)."""
     return _benford_chi2_over_spine(
         obs, group_col, [(d, 0.01) for d in range(100)]
     )

@@ -692,3 +692,25 @@ REGISTRY["streaming_duplicate_charges"] = REGISTRY[
     oracle=REGISTRY["duplicate_charges_events"].oracle,
     bench=False,
 )
+
+
+@query("streaming_last_digits", oracle=None)
+def streaming_last_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last-two-digits uniformity screen as a live ledger stream
+    (streaming/jobs.py::stream_last_digits): per micro-batch exact
+    (priority, cents mod 100) counts fold additively through the
+    bucketed parquet state store — digit counts are the test's
+    mergeable sufficient statistic — and the shared
+    ``last_digits_from_counts`` finish runs once on the drained
+    state. Drained availableNow ≡ the batch ``last_digits_orders``
+    bit-for-bit, which the SHARED oracle attests."""
+    from ..streaming.jobs import stream_last_digits
+
+    return stream_last_digits(spark, sf_dir)
+
+
+REGISTRY["streaming_last_digits"] = REGISTRY["streaming_last_digits"].__class__(
+    builder=REGISTRY["streaming_last_digits"].builder,
+    oracle=REGISTRY["last_digits_orders"].oracle,
+    bench=False,
+)

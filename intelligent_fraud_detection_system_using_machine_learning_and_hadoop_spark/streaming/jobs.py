@@ -1942,6 +1942,65 @@ def stream_benford(spark: SparkSession, sf_dir: str, n_files: int = 6) -> DataFr
     return benford_from_counts(final, "event_type")
 
 
+def stream_last_digits(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """Streaming last-two-digits uniformity screen — the live form of
+    ``last_digits_orders``, completing the live digit-test pair
+    (stream_benford = magnitudes, this = endings): per micro-batch,
+    exact (priority, cents mod 100) counts aggregate batch-locally
+    and fold ADDITIVELY through the bucketed parquet state store
+    (digit counts are the test's mergeable sufficient statistic —
+    state is ≤ 100·|priorities| rows, history never re-scanned); the
+    uniform-expectation chi-square finish
+    (operators/fraud_stats.py::last_digits_from_counts) runs ONCE on
+    the drained state with the identical pinned quantized tree, so
+    drained availableNow ≡ the batch query bit-for-bit — attested by
+    the SHARED oracle. Exactly-once via the per-bucket commit-marker
+    guard."""
+    from pyspark.sql import functions as F
+
+    from ..operators.fraud_stats import last_digits_from_counts
+
+    src = _orders_multifile_dir(spark, sf_dir)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = _ParquetFoldState(spark, "last_digits")
+    schema = "grp string, digit int, n_obs long"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        delta = (
+            batch_df.where(cents >= 1000)
+            .select(
+                F.col("o_orderpriority").alias("grp"),
+                (cents % 100).cast("int").alias("digit"),
+            )
+            .groupBy("grp", "digit")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+        )
+
+        def merge(prev, d):
+            if prev is None:
+                return d
+            return (
+                prev.unionByName(d)
+                .groupBy("grp", "digit")
+                .agg(F.sum("n_obs").cast("long").alias("n_obs"))
+            )
+
+        state.apply_delta(delta, batch_id, ["grp", "digit"], merge)
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    final = state.read_or_empty(schema)
+    return last_digits_from_counts(final, "o_orderpriority")
+
+
 def _orders_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 6) -> str:
     """Materialize the orders table as n parquet files (the
     _events_multifile_dir pattern for the ledger-shaped streams)."""

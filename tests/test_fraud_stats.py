@@ -1068,3 +1068,17 @@ class TestHhiConcentration:
         )
         got = hhi_concentration(df, "u", "c").collect()
         assert len(got) == 1 and got[0].n == 1
+
+
+class TestStreamingLastDigits:
+    def test_drained_stream_equals_batch(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch = REGISTRY["last_digits_orders"].builder(spark, sf_dir).collect()
+        streamed = REGISTRY["streaming_last_digits"].builder(
+            spark, sf_dir
+        ).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
