@@ -97,6 +97,18 @@ HEAVIES = [
     "stickiness_events",
     "new_vs_returning_events",
     "mmr_topk_embeddings",
+    # round-16 additions: the r16-new operators plus the two r15 rows
+    # the r15b pass missed (t-closeness, the new-vs-returning twin)
+    "t_closeness_customers",
+    "streaming_new_vs_returning",
+    "privacy_gate_customers",
+    "holt_winters_events",
+    "benford_drift_orders",
+    "last_digits_orders",
+    "hhi_events",
+    "mmr_topk_pooled_embeddings",
+    "streaming_duplicate_charges",
+    "streaming_last_digits",
 ]
 
 
