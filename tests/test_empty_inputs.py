@@ -145,3 +145,33 @@ def test_round15_operators_empty_inputs(spark, empties):
     assert pacf_daily(ev).count() == 0
     assert ljung_box_daily(ev).count() == 0
     assert loo_target_encode(iv, "id", "v", "id").count() == 0
+
+
+def test_round16_operators_empty_inputs(spark, empties):
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.fraud_stats import (
+        benford_first2_drift,
+        hhi_concentration,
+        last_digits_profile,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.quality_checks import (
+        privacy_gate_report,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+        mmr_topk_pooled,
+    )
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+        holt_winters_additive,
+    )
+
+    gv, ev = empties["gv"], empties["ev"]
+    qb = spark.createDataFrame([], "q string, band long")
+    tsv = spark.createDataFrame([], "v double, ts timestamp")
+    ikx = spark.createDataFrame([], "i long, k long, x double")
+    vec = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    qv = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+    assert privacy_gate_report(qb, ["q"], "band").count() == 0
+    assert hhi_concentration(ev, "user_id", "event_type").count() == 0
+    assert last_digits_profile(gv, "v", "g").count() == 0
+    assert benford_first2_drift(tsv, "v", "ts").count() == 0
+    assert holt_winters_additive(ikx, "k", ["i"], "x").count() == 0
+    assert mmr_topk_pooled(vec, qv, k=3).count() == 0
