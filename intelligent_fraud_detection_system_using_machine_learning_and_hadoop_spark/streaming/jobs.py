@@ -2325,17 +2325,27 @@ def stream_duplicate_charges(
     state_type = T.StructType([T.StructField("last_s", T.LongType())])
 
     def update(key_, pdf_iter, state: GroupState):
+        # Per-GROUP cost dominates here, not per-row cost: the key
+        # grain (user, cents) makes almost every group a single first
+        # occurrence with nothing to emit (137 hits from 10k events at
+        # sf0.1). An r16 A/B proved it: vectorizing this walk with
+        # pandas shift/mask made the job SLOWER (sf1 103 s → 130 s)
+        # because it added fixed pandas work to ~1M one-row groups.
+        # So the walk stays a plain loop (trivial at these group
+        # sizes) and no-hit groups yield NOTHING — skipping the empty
+        # 6-column frame construction that was pure overhead for the
+        # overwhelmingly common case.
         last = state.get[0] if state.exists else None
-        uid = None if key_[0] is None else int(key_[0])
-        cents = None if key_[1] is None else int(key_[1])
         rows = {k: [] for k in ("id", "s", "p", "g")}
         # whole-iterator concat before ONE sort (ADVICE r12: chunked
         # arrival would otherwise break the (epoch_s, event_id) walk)
         chunks = [pdf for pdf in pdf_iter if len(pdf)]
         if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                ["epoch_s", "event_id"]
-            )
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            ).sort_values(["epoch_s", "event_id"])
             for eid_, s_ in zip(pdf["event_id"], pdf["epoch_s"]):
                 s = int(s_)
                 if last is not None and s - int(last) <= horizon_s:
@@ -2346,17 +2356,20 @@ def stream_duplicate_charges(
                 last = s
         if last is not None:
             state.update((int(last),))
-        n = len(rows["id"])
-        yield pd.DataFrame(
-            {
-                "event_id": rows["id"],
-                "user_id": pd.array([uid] * n, dtype="Int64"),
-                "cents": pd.array([cents] * n, dtype="Int64"),
-                "epoch_s": rows["s"],
-                "prev_s": rows["p"],
-                "gap_s": rows["g"],
-            }
-        )
+        if rows["id"]:
+            uid = None if key_[0] is None else int(key_[0])
+            cents = None if key_[1] is None else int(key_[1])
+            n = len(rows["id"])
+            yield pd.DataFrame(
+                {
+                    "event_id": rows["id"],
+                    "user_id": pd.array([uid] * n, dtype="Int64"),
+                    "cents": pd.array([cents] * n, dtype="Int64"),
+                    "epoch_s": rows["s"],
+                    "prev_s": rows["p"],
+                    "gap_s": rows["g"],
+                }
+            )
 
     emitted = stream.groupBy("user_id", "cents").applyInPandasWithState(
         update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
