@@ -988,6 +988,114 @@ def acf_daily(
     return m.select(*cols)
 
 
+#: −ln(0.01/2) — the α = 0.01 decision constant of Pettitt's
+#: significance approximation, a pinned shared literal.
+PETTITT_NEG_LOG_HALF_ALPHA = 5.298317366548037
+
+
+def pettitt_daily(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Pettitt changepoint test (Pettitt 1979, public) per series over
+    the daily totals — the rank-based, distribution-free "WHEN did
+    the level shift" screen completing the drift family (Benford
+    drift localizes WHEN digits broke; this localizes WHEN the level
+    moved, with no normality assumption): with r_i the rank of day
+    i's total among the series' n days,
+
+        U_t = 2·Σ_{i≤t} r_i − t(n+1),   K = max_{t<n} |U_t|
+
+    and the change point is the earliest day attaining K. Everything
+    is EXACT integer arithmetic: ranks enter as the doubled average
+    rank r2 = 2·min-rank + tiecount − 1 (so U_t = Σ_{i≤t} r2_i −
+    t(n+1) stays integral under ties), cumulated in one day-ordered
+    window. The α = 0.01 decision uses Pettitt's approximation
+    p ≈ 2·exp(−6K²/(n³+n²)) rearranged to the engine-independent
+    comparison 6K² ≥ −ln(α/2)·(n³+n²) — exact decimal(38,0) products
+    cast to double once on each side, the pinned-literal discipline.
+
+    Scale shape: one (series, day) roll-up (map-side combinable),
+    three series-keyed window passes over the |days|-row daily frame
+    (value rank, tie count, day-ordered cumulative sum), one keyed
+    max + one tiny argmin join-free struct-max. Series with n < 2
+    days yield NULL K/change/decision. Returns one row per series:
+    (group, n_days, k_stat, change_day, significant)."""
+    daily = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    wv = W.partitionBy("grp").orderBy("x")
+    wt = W.partitionBy("grp", "x")
+    wd = W.partitionBy("grp").orderBy("day")
+    wg = W.partitionBy("grp")
+    u = (
+        daily.withColumn(
+            "_r2",
+            (
+                F.lit(2) * F.rank().over(wv)
+                + F.count(F.lit(1)).over(wt)
+                - F.lit(1)
+            ).cast("long"),
+        )
+        .withColumn("_t", F.row_number().over(wd).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(wg).cast("long"))
+        .withColumn(
+            "_u",
+            F.sum("_r2")
+            .over(wd.rowsBetween(W.unboundedPreceding, 0))
+            .cast("long")
+            - F.col("_t") * (F.col("_n") + F.lit(1)),
+        )
+    )
+    base = u.groupBy("grp").agg(
+        F.max("_n").cast("long").alias("n_days")
+    )
+    km = (
+        u.where(F.col("_t") < F.col("_n"))
+        .groupBy("grp")
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("_u")).alias("k"),
+                    (-F.unix_timestamp(F.col("day"))).alias("_negd"),
+                    F.col("day").alias("d"),
+                )
+            ).alias("_m")
+        )
+        .select(
+            "grp",
+            F.col("_m.k").cast("long").alias("k_stat"),
+            F.col("_m.d").alias("change_day"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    k = F.col("k_stat").cast(d38)
+    n = F.col("n_days").cast(d38)
+    return (
+        base.join(km, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_days",
+            "k_stat",
+            "change_day",
+            F.when(
+                F.col("k_stat").isNotNull(),
+                (F.lit(6).cast(d38) * k * k).cast("double")
+                >= F.lit(PETTITT_NEG_LOG_HALF_ALPHA)
+                * (n * n * n + n * n).cast("double"),
+            ).alias("significant"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def _median_by_rank(
     df: DataFrame, key: str, val: str, out: str, n_buckets: int = 64
 ) -> DataFrame:

@@ -4986,6 +4986,65 @@ def holt_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pettitt_oracle() -> str:
+    from ..operators.stats import PETTITT_NEG_LOG_HALF_ALPHA
+
+    c = f"{PETTITT_NEG_LOG_HALF_ALPHA:.17e}"
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS grp, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT grp, day, x,
+             CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY grp, x) - 1
+                  AS BIGINT) AS r2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day)
+                  AS BIGINT) AS t,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM daily),
+    u AS (
+      SELECT grp, day, t, n,
+             CAST(SUM(r2) OVER (PARTITION BY grp ORDER BY day) AS BIGINT)
+               - t * (n + 1) AS u
+      FROM r),
+    k AS (
+      SELECT grp, CAST(max(abs(u)) AS BIGINT) AS k_stat
+      FROM u WHERE t < n GROUP BY grp),
+    cd AS (
+      SELECT u.grp, min(u.day) AS change_day
+      FROM u JOIN k ON u.grp = k.grp AND abs(u.u) = k.k_stat
+      WHERE u.t < u.n GROUP BY u.grp),
+    base AS (SELECT grp, CAST(max(n) AS BIGINT) AS n_days FROM r GROUP BY grp)
+    SELECT b.grp AS event_type, b.n_days, k.k_stat, cd.change_day,
+           CASE WHEN k.k_stat IS NULL THEN NULL
+                ELSE CAST(6 * CAST(k.k_stat AS HUGEINT) * k.k_stat AS DOUBLE)
+                     >= {c} *
+                        CAST(CAST(b.n_days AS HUGEINT) * b.n_days * b.n_days
+                             + CAST(b.n_days AS HUGEINT) * b.n_days AS DOUBLE)
+           END AS significant
+    FROM base b LEFT JOIN k ON b.grp = k.grp LEFT JOIN cd ON b.grp = cd.grp
+    ORDER BY event_type
+    """
+
+
+@query("pettitt_events", oracle=_pettitt_oracle())
+def pettitt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test per event type over the daily cents
+    totals (operators/stats.py::pettitt_daily — rank-based,
+    distribution-free): K = max_t |2Σranks − t(n+1)| with the
+    earliest argmax day as the located change point and the α = 0.01
+    decision via Pettitt's approximation rearranged to an exact
+    integer-vs-pinned-literal comparison. Completes the drift family:
+    Benford drift says WHEN digits broke conformity, this says WHEN
+    the level shifted. One day-grain roll-up + three series-keyed
+    windows over the |days|-row frame."""
+    from ..operators.stats import pettitt_daily
+
+    return pettitt_daily(read_table(spark, sf_dir, "events"))
+
+
 def _holt_winters_oracle_sql(depth: int, period: int) -> str:
     """Holt–Winters twin: the SAME four truncated FIR chains with the
     same exact-round-trip %.17e weight literals over the DAILY totals

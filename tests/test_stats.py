@@ -1565,3 +1565,97 @@ class TestBenfordDrift:
         # the fabricated month must flag; every amount has first-two
         # digits "50", so its chi-square is enormous
         assert drift["2024-02"].reject_benford
+
+
+class TestPettitt:
+    def _python_pettitt(self, xs):
+        n = len(xs)
+        # doubled average ranks (ties -> 2*avg)
+        r2 = []
+        for x in xs:
+            lt = sum(1 for y in xs if y < x)
+            cnt = sum(1 for y in xs if y == x)
+            r2.append(2 * lt + cnt + 1)
+        best = None
+        acc = 0
+        for t in range(1, n):  # t in 1..n-1
+            acc += r2[t - 1]
+            u = acc - t * (n + 1)
+            if best is None or abs(u) > best[0]:
+                best = (abs(u), t - 1)  # earliest argmax index
+        return best  # (K, index of day t)
+
+    def test_differential_vs_python(self, spark):
+        import datetime as _dt
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            PETTITT_NEG_LOG_HALF_ALPHA,
+            pettitt_daily,
+        )
+
+        rng = random.Random(7)
+        # include ties: values drawn from a small integer grid
+        xs = [rng.randint(1, 15) * 100 for _ in range(40)]
+        rows = [
+            (
+                "t",
+                _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i, hours=4),
+                xs[i] / 100.0,
+            )
+            for i in range(len(xs))
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        got = pettitt_daily(df).collect()[0]
+        k, idx = self._python_pettitt(xs)
+        assert got.n_days == len(xs)
+        assert got.k_stat == k
+        assert got.change_day == _dt.datetime(2024, 1, 1) + _dt.timedelta(
+            days=idx
+        )
+        n = len(xs)
+        assert bool(got.significant) == (
+            6 * k * k >= PETTITT_NEG_LOG_HALF_ALPHA * (n**3 + n**2)
+        )
+
+    def test_planted_level_shift_localized(self, spark):
+        import datetime as _dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            pettitt_daily,
+        )
+
+        # 30 days at ~100, then 30 days at ~900: the change point must
+        # land on the last low day and flag significant
+        xs = [100.0 + (i % 3) for i in range(30)] + [
+            900.0 + (i % 3) for i in range(30)
+        ]
+        rows = [
+            ("t", _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i), xs[i])
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        got = pettitt_daily(df).collect()[0]
+        assert got.change_day == _dt.datetime(2024, 1, 30)  # day index 29
+        assert got.significant
+
+    def test_single_day_nulls(self, spark):
+        import datetime as _dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            pettitt_daily,
+        )
+
+        df = spark.createDataFrame(
+            [("t", _dt.datetime(2024, 1, 1), 5.0)],
+            "event_type string, ts timestamp, value double",
+        )
+        got = pettitt_daily(df).collect()[0]
+        assert got.n_days == 1
+        assert got.k_stat is None
+        assert got.change_day is None
+        assert got.significant is None
