@@ -109,6 +109,7 @@ HEAVIES = [
     "mmr_topk_pooled_embeddings",
     "streaming_duplicate_charges",
     "streaming_last_digits",
+    "pettitt_events",
 ]
 
 
