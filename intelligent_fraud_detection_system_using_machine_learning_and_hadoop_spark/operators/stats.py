@@ -1096,6 +1096,111 @@ def pettitt_daily(
     )
 
 
+#: z²₀.₉₉₅ = χ²₀.₉₉(1) — the two-sided-99% normal decision constant
+#: squared, the pinned literal the chi-square family already carries.
+MK_Z99_SQ = 6.6348966010212145
+
+
+def mann_kendall_daily(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test (Mann 1945 / Kendall 1975,
+    public) per series over the daily totals — the rank-based,
+    distribution-free "is this series drifting" screen beside
+    Pettitt's "WHERE did it shift" (Pettitt finds a step; MK detects
+    a monotone creep a step test misses — the slow-escalation fraud
+    shape). Exact integer statistic and variance:
+
+        S = Σ_{i<j} sign(x_j − x_i)
+        18·Var(S) = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)
+
+    with the continuity-corrected decision |S|−1 vs the 99% normal
+    bound computed by EXACT cross-multiplication, 18·(|S|−1)² ≥
+    z²·18·Var (the z² literal is χ²₀.₉₉(1), shared with the
+    chi-square family); z itself is reported via one pinned IEEE
+    tree (m / sqrt(V18/18) — division and sqrt are correctly-rounded
+    on both engines).
+
+    Scale shape: one (series, day) roll-up, then ONE self-join on
+    day pairs i < j WITHIN each series — |days|²/2 per series, a
+    BOUNDED-domain quadratic (days are a calendar: 30 here, ~3.6k
+    rows/series per decade ⇒ ≤ ~6.6M pairs/series), keyed on the
+    series so copies parallelize; the tie term is a (series, value)
+    aggregation. For multi-decade series switch to the O(n log n)
+    merge-count form; at this engine's day counts the join IS the
+    exact, twin-mirrorable plan. n < 2 yields NULL."""
+    daily = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    a = daily.select("grp", F.col("day").alias("_di"), F.col("x").alias("_xi"))
+    b = daily.select("grp", F.col("day").alias("_dj"), F.col("x").alias("_xj"))
+    s = (
+        a.join(b, "grp")
+        .where(F.col("_di") < F.col("_dj"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.signum(F.col("_xj") - F.col("_xi")).cast("long"))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nrow = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    ties = (
+        daily.groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - F.lit(1))
+                * (F.lit(2) * F.col("_t") + F.lit(5))
+            )
+            .cast("long")
+            .alias("_tie18")
+        )
+    )
+    n = F.col("n_days")
+    v18 = (n * (n - F.lit(1)) * (F.lit(2) * n + F.lit(5)) - F.col("_tie18")).cast(
+        "long"
+    )
+    m = F.greatest(F.abs(F.col("s_stat")) - F.lit(1), F.lit(0)).cast("long")
+    d38 = "decimal(38,0)"
+    return (
+        nrow.join(ties, "grp")
+        .join(s, "grp", "left")
+        .withColumn("_v18", v18)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_days",
+            "s_stat",
+            F.when(
+                (n >= 2) & (F.col("_v18") > 0),
+                F.signum(F.col("s_stat")).cast("double")
+                * m.cast("double")
+                / F.sqrt(F.col("_v18").cast("double") / F.lit(18.0)),
+            ).alias("z"),
+            F.when(
+                (n >= 2) & (F.col("_v18") > 0),
+                (F.lit(18).cast(d38) * m.cast(d38) * m.cast(d38)).cast(
+                    "double"
+                )
+                >= F.lit(MK_Z99_SQ) * F.col("_v18").cast("double"),
+            ).alias("significant"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def _median_by_rank(
     df: DataFrame, key: str, val: str, out: str, n_buckets: int = 64
 ) -> DataFrame:

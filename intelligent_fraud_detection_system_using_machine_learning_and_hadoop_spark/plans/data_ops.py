@@ -5029,6 +5029,66 @@ def _pettitt_oracle() -> str:
     """
 
 
+def _mann_kendall_oracle() -> str:
+    from ..operators.stats import MK_Z99_SQ
+
+    zc = f"{MK_Z99_SQ:.17e}"
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS grp, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT a.grp,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.grp = b.grp AND a.day < b.day
+      GROUP BY a.grp),
+    nrow AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY grp),
+    ties AS (
+      SELECT grp, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+      FROM (SELECT grp, x, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY grp, x)
+      GROUP BY grp),
+    j AS (
+      SELECT n.grp, n.n_days, s.s_stat, t.tie18,
+             n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie18
+               AS v18,
+             greatest(abs(s.s_stat) - 1, 0) AS m
+      FROM nrow n JOIN ties t ON n.grp = t.grp
+      LEFT JOIN s ON n.grp = s.grp)
+    SELECT grp AS event_type, n_days, s_stat,
+           CASE WHEN n_days >= 2 AND v18 > 0
+                THEN CAST(sign(s_stat) AS DOUBLE) * CAST(m AS DOUBLE)
+                     / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+           END AS z,
+           CASE WHEN n_days >= 2 AND v18 > 0
+                THEN CAST(18 * CAST(m AS HUGEINT) * m AS DOUBLE)
+                     >= {zc} * CAST(v18 AS DOUBLE)
+           END AS significant
+    FROM j ORDER BY event_type
+    """
+
+
+@query("mann_kendall_events", oracle=_mann_kendall_oracle())
+def mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test per event type over the daily
+    cents totals (operators/stats.py::mann_kendall_daily — rank-based,
+    distribution-free): exact integer S and tie-corrected 18·Var, the
+    continuity-corrected 99% decision by integer-vs-pinned-literal
+    cross-multiplication (the χ²₀.₉₉(1) constant the chi-square family
+    shares), z via one pinned IEEE tree. The slow-creep complement to
+    Pettitt's step detector in the drift family. One day-grain roll-up
+    + one bounded |days|²-per-series pair join, keyed on the
+    series."""
+    from ..operators.stats import mann_kendall_daily
+
+    return mann_kendall_daily(read_table(spark, sf_dir, "events"))
+
+
 @query("pettitt_events", oracle=_pettitt_oracle())
 def pettitt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pettitt changepoint test per event type over the daily cents

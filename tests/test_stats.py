@@ -1659,3 +1659,79 @@ class TestPettitt:
         assert got.k_stat is None
         assert got.change_day is None
         assert got.significant is None
+
+
+class TestMannKendall:
+    def test_differential_vs_python(self, spark):
+        import datetime as _dt
+        import math as _m
+        import random
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            MK_Z99_SQ,
+            mann_kendall_daily,
+        )
+
+        rng = random.Random(19)
+        xs = [rng.randint(1, 12) * 100 for _ in range(35)]  # with ties
+        rows = [
+            ("t", _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i), xs[i] / 100.0)
+            for i in range(len(xs))
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        got = mann_kendall_daily(df).collect()[0]
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie18 = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(xs).values()
+        )
+        v18 = n * (n - 1) * (2 * n + 5) - tie18
+        m = max(abs(s) - 1, 0)
+        sgn = (s > 0) - (s < 0)
+        assert got.n_days == n and got.s_stat == s
+        assert got.z == float(sgn) * float(m) / _m.sqrt(v18 / 18.0)
+        assert bool(got.significant) == (18 * m * m >= MK_Z99_SQ * v18)
+
+    def test_monotone_ramp_flags(self, spark):
+        import datetime as _dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            mann_kendall_daily,
+        )
+
+        rows = [
+            ("t", _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i), 10.0 + i)
+            for i in range(25)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        got = mann_kendall_daily(df).collect()[0]
+        assert got.s_stat == 25 * 24 // 2  # every pair concordant
+        assert got.significant and got.z > 2.6
+
+    def test_constant_series_null(self, spark):
+        import datetime as _dt
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.stats import (
+            mann_kendall_daily,
+        )
+
+        rows = [
+            ("t", _dt.datetime(2024, 1, 1) + _dt.timedelta(days=i), 5.0)
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        got = mann_kendall_daily(df).collect()[0]
+        assert got.s_stat == 0
+        assert got.z is None and got.significant is None
