@@ -110,6 +110,7 @@ HEAVIES = [
     "streaming_duplicate_charges",
     "streaming_last_digits",
     "pettitt_events",
+    "mann_kendall_events",
 ]
 
 
