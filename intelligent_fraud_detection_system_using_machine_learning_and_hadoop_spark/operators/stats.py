@@ -1023,7 +1023,19 @@ def pettitt_daily(
     max + one tiny argmin join-free struct-max. Series with n < 2
     days yield NULL K/change/decision. Returns one row per series:
     (group, n_days, k_stat, change_day, significant)."""
-    daily = events.groupBy(
+    daily = _daily_cents(events, group_col, ts_col, value_col)
+    return pettitt_from_daily(daily, group_col)
+
+
+def _daily_cents(
+    events: DataFrame, group_col: str, ts_col: str, value_col: str
+) -> DataFrame:
+    """(grp, day, x): exact integer daily cents totals per series —
+    the ADDITIVE sufficient statistic the Pettitt/Mann–Kendall
+    streaming twins fold per micro-batch (partial sums merge by
+    keyed addition), shared with the batch operators so both run the
+    identical finish."""
+    return events.groupBy(
         F.col(group_col).alias("grp"),
         F.date_trunc("day", F.col(ts_col)).alias("day"),
     ).agg(
@@ -1031,6 +1043,11 @@ def pettitt_daily(
         .cast("long")
         .alias("x")
     )
+
+
+def pettitt_from_daily(daily: DataFrame, group_col: str) -> DataFrame:
+    """Pettitt finish from the (grp, day, x) daily-totals frame — the
+    benford_from_counts split for the streaming twin."""
     wv = W.partitionBy("grp").orderBy("x")
     wt = W.partitionBy("grp", "x")
     wd = W.partitionBy("grp").orderBy("day")
@@ -1132,14 +1149,13 @@ def mann_kendall_daily(
     aggregation. For multi-decade series switch to the O(n log n)
     merge-count form; at this engine's day counts the join IS the
     exact, twin-mirrorable plan. n < 2 yields NULL."""
-    daily = events.groupBy(
-        F.col(group_col).alias("grp"),
-        F.date_trunc("day", F.col(ts_col)).alias("day"),
-    ).agg(
-        F.sum(F.round(F.col(value_col) * 100).cast("long"))
-        .cast("long")
-        .alias("x")
-    )
+    daily = _daily_cents(events, group_col, ts_col, value_col)
+    return mann_kendall_from_daily(daily, group_col)
+
+
+def mann_kendall_from_daily(daily: DataFrame, group_col: str) -> DataFrame:
+    """Mann–Kendall finish from the (grp, day, x) daily-totals frame
+    — the benford_from_counts split for the streaming twin."""
     a = daily.select("grp", F.col("day").alias("_di"), F.col("x").alias("_xi"))
     b = daily.select("grp", F.col("day").alias("_dj"), F.col("x").alias("_xj"))
     s = (

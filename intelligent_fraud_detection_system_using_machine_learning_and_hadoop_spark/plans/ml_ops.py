@@ -714,3 +714,43 @@ REGISTRY["streaming_last_digits"] = REGISTRY["streaming_last_digits"].__class__(
     oracle=REGISTRY["last_digits_orders"].oracle,
     bench=False,
 )
+
+
+@query("streaming_pettitt", oracle=None)
+def streaming_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pettitt changepoint screen as a live stream (streaming/
+    jobs.py::stream_pettitt): exact per-(series, day) cents totals
+    fold additively through the bucketed parquet state store — the
+    daily totals are the test's mergeable sufficient statistic — and
+    the rank/cumulative finish runs once on the drained state.
+    Drained availableNow ≡ the batch ``pettitt_events`` bit-for-bit,
+    which the SHARED oracle attests."""
+    from ..streaming.jobs import stream_pettitt
+
+    return stream_pettitt(spark, sf_dir)
+
+
+REGISTRY["streaming_pettitt"] = REGISTRY["streaming_pettitt"].__class__(
+    builder=REGISTRY["streaming_pettitt"].builder,
+    oracle=REGISTRY["pettitt_events"].oracle,
+    bench=False,
+)
+
+
+@query("streaming_mann_kendall", oracle=None)
+def streaming_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mann–Kendall trend screen as a live stream (streaming/
+    jobs.py::stream_mann_kendall): the same additive daily-totals
+    fold, with the exact pair-join finish run once on the drained
+    state. Drained availableNow ≡ the batch ``mann_kendall_events``
+    bit-for-bit, which the SHARED oracle attests."""
+    from ..streaming.jobs import stream_mann_kendall
+
+    return stream_mann_kendall(spark, sf_dir)
+
+
+REGISTRY["streaming_mann_kendall"] = REGISTRY["streaming_mann_kendall"].__class__(
+    builder=REGISTRY["streaming_mann_kendall"].builder,
+    oracle=REGISTRY["mann_kendall_events"].oracle,
+    bench=False,
+)

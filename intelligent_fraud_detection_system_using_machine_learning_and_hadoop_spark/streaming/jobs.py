@@ -2757,6 +2757,85 @@ def stream_fraud_risk_report(
     ).orderBy("user_id")
 
 
+def _stream_daily_totals(
+    spark: SparkSession, sf_dir: str, n_files: int, state_key: str
+) -> DataFrame:
+    """Drain the live event feed into exact per-(series, day) cents
+    totals — the ADDITIVE sufficient statistic the Pettitt and
+    Mann–Kendall drift screens share (operators/stats.py::
+    _daily_cents): per micro-batch the partial daily sums aggregate
+    batch-locally and fold by keyed addition through the bucketed
+    parquet state store, so state is |series|·|days| rows and history
+    is never re-scanned. Returns the drained (grp, day, x) frame."""
+    from pyspark.sql import functions as F
+
+    from ..sources.readers import normalize_event_ts
+
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = _ParquetFoldState(spark, state_key)
+    schema = "grp string, day timestamp, x long"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        ).agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+
+        def merge(prev, d):
+            if prev is None:
+                return d
+            return (
+                prev.unionByName(d)
+                .groupBy("grp", "day")
+                .agg(F.sum("x").cast("long").alias("x"))
+            )
+
+        state.apply_delta(delta, batch_id, ["grp", "day"], merge)
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return state.read_or_empty(schema)
+
+
+def stream_pettitt(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """Streaming Pettitt changepoint screen: daily totals fold
+    additively per micro-batch (``_stream_daily_totals``), the exact
+    rank/cumulative finish (operators/stats.py::pettitt_from_daily)
+    runs ONCE on the drained state — drained availableNow ≡ the batch
+    ``pettitt_events`` bit-for-bit, attested by the SHARED oracle."""
+    from ..operators.stats import pettitt_from_daily
+
+    daily = _stream_daily_totals(spark, sf_dir, n_files, "pettitt")
+    return pettitt_from_daily(daily, "event_type")
+
+
+def stream_mann_kendall(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """Streaming Mann–Kendall trend screen over the same additive
+    daily-totals fold, with the exact pair-join finish
+    (operators/stats.py::mann_kendall_from_daily) run once on the
+    drained state — drained availableNow ≡ the batch
+    ``mann_kendall_events`` bit-for-bit, attested by the SHARED
+    oracle."""
+    from ..operators.stats import mann_kendall_from_daily
+
+    daily = _stream_daily_totals(spark, sf_dir, n_files, "mann_kendall")
+    return mann_kendall_from_daily(daily, "event_type")
+
+
 def stream_round_amount_bias(
     spark: SparkSession, sf_dir: str, n_files: int = 6
 ) -> DataFrame:

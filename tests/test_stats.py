@@ -1735,3 +1735,27 @@ class TestMannKendall:
         got = mann_kendall_daily(df).collect()[0]
         assert got.s_stat == 0
         assert got.z is None and got.significant is None
+
+
+class TestStreamingDriftTwins:
+    def test_drained_pettitt_equals_batch(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch = REGISTRY["pettitt_events"].builder(spark, sf_dir).collect()
+        streamed = REGISTRY["streaming_pettitt"].builder(spark, sf_dir).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+    def test_drained_mann_kendall_equals_batch(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch = REGISTRY["mann_kendall_events"].builder(spark, sf_dir).collect()
+        streamed = REGISTRY["streaming_mann_kendall"].builder(
+            spark, sf_dir
+        ).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
