@@ -111,6 +111,8 @@ HEAVIES = [
     "streaming_last_digits",
     "pettitt_events",
     "mann_kendall_events",
+    "streaming_pettitt",
+    "streaming_mann_kendall",
 ]
 
 
