@@ -1047,7 +1047,12 @@ def _daily_cents(
 
 def pettitt_from_daily(daily: DataFrame, group_col: str) -> DataFrame:
     """Pettitt finish from the (grp, day, x) daily-totals frame — the
-    benford_from_counts split for the streaming twin."""
+    benford_from_counts split for the streaming twin. The ranked
+    cumulative frame fans out to the K-max and argmax legs, so it is
+    persisted once via the bounded swap-cache (lineage re-derivation
+    would re-run the scan + three windows per consumer)."""
+    from ..cache import plan_key, swap_cache
+
     wv = W.partitionBy("grp").orderBy("x")
     wt = W.partitionBy("grp", "x")
     wd = W.partitionBy("grp").orderBy("day")
@@ -1071,6 +1076,7 @@ def pettitt_from_daily(daily: DataFrame, group_col: str) -> DataFrame:
             - F.col("_t") * (F.col("_n") + F.lit(1)),
         )
     )
+    u = swap_cache(plan_key("pettitt.u", u), u)
     base = u.groupBy("grp").agg(
         F.max("_n").cast("long").alias("n_days")
     )
@@ -1155,7 +1161,14 @@ def mann_kendall_daily(
 
 def mann_kendall_from_daily(daily: DataFrame, group_col: str) -> DataFrame:
     """Mann–Kendall finish from the (grp, day, x) daily-totals frame
-    — the benford_from_counts split for the streaming twin."""
+    — the benford_from_counts split for the streaming twin. The
+    daily frame fans out FOUR ways (both pair-join sides, the tie
+    term, the day count), so it is persisted once via the bounded
+    swap-cache — lineage re-derivation would re-run the data-sized
+    scan + roll-up per consumer."""
+    from ..cache import plan_key, swap_cache
+
+    daily = swap_cache(plan_key("mann_kendall.daily", daily), daily)
     a = daily.select("grp", F.col("day").alias("_di"), F.col("x").alias("_xi"))
     b = daily.select("grp", F.col("day").alias("_dj"), F.col("x").alias("_xj"))
     s = (
