@@ -114,7 +114,13 @@ def _benford_chi2_over_spine(
     the expected_p doubles are the SAME Python floats the oracle's
     %.17e literals round-trip to, entering the plan through a
     broadcast spine frame (a join, not a 90-arm CASE, so codegen
-    never sees a deep conditional)."""
+    never sees a deep conditional). ``obs`` fans out to the group
+    spine AND the count join, so it is persisted once via the bounded
+    swap-cache (r16: lineage re-derivation re-ran the data-sized scan
+    + digit aggregation per consumer)."""
+    from ..cache import plan_key, swap_cache
+
+    obs = swap_cache(plan_key("benford_spine.obs", obs), obs)
     spine_rows = obs.sparkSession.createDataFrame(
         [(int(d), float(p)) for d, p in masses],
         "digit int, expected_p double",
