@@ -132,6 +132,8 @@ def trailing_distinct_count(
     W× intermediate is a bounded multiplier, the discipline the C4
     line-dedup and gram-digest passes already accept. The day spine is
     a |days|-row broadcast (bounded domain: a calendar)."""
+    from ..cache import plan_key, swap_cache
+
     pairs = (
         df.select(
             F.col(entity_col).alias("_e"), F.col(day_col).alias("_d")
@@ -139,6 +141,9 @@ def trailing_distinct_count(
         .where(F.col("_e").isNotNull() & F.col("_d").isNotNull())
         .distinct()
     )
+    # pairs fans out to the day-bounds reduce AND the coverage
+    # explode — persist the distinct once (r16 fan-out discipline)
+    pairs = swap_cache(plan_key("trailing_distinct.pairs", pairs), pairs)
     bounds = pairs.agg(
         F.min("_d").alias("_mn"), F.max("_d").alias("_mx")
     )

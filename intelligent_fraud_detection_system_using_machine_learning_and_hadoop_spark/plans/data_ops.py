@@ -9262,6 +9262,8 @@ def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (keyed), per-user min-day (keyed agg), per-day counts, all
     joined on the bounded-domain day spine — no window, no explode;
     exact BIGINT counts end to end."""
+    from ..cache import plan_key, swap_cache
+
     e = read_table(spark, sf_dir, "events")
     pairs = (
         e.where(F.col("user_id").isNotNull())
@@ -9271,6 +9273,9 @@ def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # three consumers (first-seen, day bounds, per-day counts) —
+    # persist the distinct once (r16 fan-out discipline)
+    pairs = swap_cache(plan_key("new_vs_returning.pairs", pairs), pairs)
     firstd = pairs.groupBy("user_id").agg(F.min("d").alias("fd"))
     bounds = pairs.agg(F.min("d").alias("_mn"), F.max("d").alias("_mx"))
     spine = bounds.select(
