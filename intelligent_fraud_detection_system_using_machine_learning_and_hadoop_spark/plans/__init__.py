@@ -23,9 +23,16 @@ explicitly-named r15-new heads, in its own order:
 ``streaming_new_vs_returning``), and ``t_closeness_customers``.
 43 + 7 = 50. The twelve other r15-new oracled queries (skylines,
 ``key_islands_orders``, ``rfm_segments_customers``, RFM/stickiness/
-time-series rows) rotate in next round with the r13 cohort; all
-keep local-gate + pytest coverage meanwhile. Registry content is
-unchanged — only iteration order moves.
+time-series rows) rotate in next round with the r13 cohort, as do
+the eleven oracled queries NEW in r16 (``privacy_gate_customers``,
+``benford_drift_orders``, ``holt_winters_events``,
+``last_digits_orders``, ``hhi_events``, ``pettitt_events``,
+``mann_kendall_events``, and the four streaming twins
+``streaming_duplicate_charges`` / ``streaming_last_digits`` /
+``streaming_pettitt`` / ``streaming_mann_kendall``); all keep
+local-gate + pytest coverage meanwhile (full 223-oracled sweeps
+green at BOTH gate scales this round). Registry content is
+unchanged by the window — only iteration order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
