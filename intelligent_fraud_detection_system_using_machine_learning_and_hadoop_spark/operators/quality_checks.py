@@ -140,6 +140,36 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     )
 
 
+def _null_safe_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join on ``keys`` with IS NOT DISTINCT FROM semantics
+    (NULL matches NULL), keeping the left frame's key columns.
+
+    Privacy audits must never silently drop null-keyed rows (ADVICE
+    r16): a plain ``df.join(other, keys)`` uses non-null-safe equality,
+    so an equivalence class whose quasi-identifier is NULL — or a NULL
+    sensitive band — would vanish from the report instead of being
+    audited. Right-side keys are renamed before the join so the
+    condition never hits self-lineage ambiguity; the rename+drop keeps
+    the output schema identical to the name-list join form, and the
+    broadcast hint (when requested) survives the projection."""
+    ren = right
+    for k in keys:
+        ren = ren.withColumnRenamed(k, f"__nsj_{k}")
+    if broadcast_right:
+        ren = F.broadcast(ren)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__nsj_{k}"))
+        cond = c if cond is None else (cond & c)
+    return left.join(ren, cond, how).drop(*[f"__nsj_{k}" for k in keys])
+
+
 def k_anonymity_report(
     df: DataFrame,
     quasi_cols: list,
@@ -163,7 +193,10 @@ def k_anonymity_report(
     sketch); one map-side-combinable aggregation at (quasi..., sensitive)
     grain — so the sensitive-value dedup never shuffles raw rows — then
     one roll-up to class grain. At 100 TB: two keyed shuffles, both on
-    the (small-cardinality) quasi tuple. Returns one row per class:
+    the (small-cardinality) quasi tuple. NULL quasi values form their
+    own equivalence class and a NULL sensitive value counts as one
+    distinct band (groupBy keeps NULL keys; pure aggregation, no joins
+    to drop them — ADVICE r16). Returns one row per class:
     (quasi..., class_size, l_distinct, k_violation, l_violation)."""
     qcols = [F.col(c) for c in quasi_cols]
     per_sv = df.groupBy(*qcols, F.col(sensitive_col).alias("_sv")).agg(
@@ -214,7 +247,15 @@ def t_closeness_report(
     combinable), the band spine is the GLOBAL distinct band list
     (bounded domain — bands are engineered categories), per-class
     windows run over ≤ m rows, and m, |classes| are domain constants
-    — every data-sized pass is one keyed aggregation."""
+    — every data-sized pass is one keyed aggregation.
+
+    NULL handling (ADVICE r16): groupBy already keeps NULL keys, so a
+    NULL quasi value forms its own equivalence class and a NULL
+    sensitive value its own band — and every join below is null-safe
+    (``_null_safe_join``, IS NOT DISTINCT FROM) so those classes/bands
+    reach the report instead of silently dropping. The NULL band sorts
+    FIRST in the cumulative windows (Spark ASC null ordering),
+    consistently for both the class and global distributions."""
     from pyspark.sql import Window as W
 
     qcols = list(quasi_cols)
@@ -229,8 +270,8 @@ def t_closeness_report(
         F.sum("_n").cast("long").alias("class_size")
     )
     # class × band spine (both domain-bounded), observed counts or 0
-    spine = classes.crossJoin(F.broadcast(bands)).join(
-        per, qcols + ["_sv"], "left"
+    spine = _null_safe_join(
+        classes.crossJoin(F.broadcast(bands)), per, qcols + ["_sv"], "left"
     ).select(
         *qcols,
         "class_size",
@@ -243,8 +284,12 @@ def t_closeness_report(
         "_cum_g", F.sum("_gn").over(wg).cast("long")
     ).select("_sv", "_cum_g")
     staged = (
-        spine.withColumn("_cum_c", F.sum("_cn").over(wc).cast("long"))
-        .join(F.broadcast(g), "_sv")
+        _null_safe_join(
+            spine.withColumn("_cum_c", F.sum("_cn").over(wc).cast("long")),
+            g,
+            ["_sv"],
+            broadcast_right=True,
+        )
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "_absdiff",
@@ -324,7 +369,13 @@ def privacy_gate_report(
 
     Composition ≡ the three attested legs (k_anonymity_report +
     t_closeness_report) is pytest-pinned; the registered query carries
-    its own full-chain ANSI-SQL oracle."""
+    its own full-chain ANSI-SQL oracle.
+
+    NULL handling (ADVICE r16): NULL quasi tuples form their own
+    equivalence class and NULL sensitive values their own band, kept
+    by groupBy and carried through every join null-safely
+    (``_null_safe_join``) — a privacy audit must flag null-keyed
+    classes, never silently omit them."""
     from pyspark.sql import Window as W
 
     from ..cache import plan_key, swap_cache
@@ -343,9 +394,12 @@ def privacy_gate_report(
     glob = per.groupBy("_sv").agg(F.sum("_n").cast("long").alias("_gn"))
     tot = glob.agg(F.sum("_gn").cast("long").alias("_tn"))
     spine = (
-        cls.select(*qcols, "class_size")
-        .crossJoin(F.broadcast(bands))
-        .join(per, qcols + ["_sv"], "left")
+        _null_safe_join(
+            cls.select(*qcols, "class_size").crossJoin(F.broadcast(bands)),
+            per,
+            qcols + ["_sv"],
+            "left",
+        )
         .select(
             *qcols,
             "class_size",
@@ -359,8 +413,12 @@ def privacy_gate_report(
         "_cum_g", F.sum("_gn").over(wg).cast("long")
     ).select("_sv", "_cum_g")
     staged = (
-        spine.withColumn("_cum_c", F.sum("_cn").over(wc).cast("long"))
-        .join(F.broadcast(g), "_sv")
+        _null_safe_join(
+            spine.withColumn("_cum_c", F.sum("_cn").over(wc).cast("long")),
+            g,
+            ["_sv"],
+            broadcast_right=True,
+        )
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "_absdiff",
@@ -392,7 +450,7 @@ def privacy_gate_report(
         ).alias("t_violation"),
     )
     return (
-        cls.join(tc, qcols)
+        _null_safe_join(cls, tc, qcols)
         .select(
             *qcols,
             "class_size",

@@ -43,7 +43,17 @@ def key_islands(df: DataFrame, key_col: str) -> DataFrame:
     must surface loudly, never pass through as corrupted islands. The
     deduplicated count frame then FEEDS the rank pass, so the check
     adds one bounded action (``isEmpty`` on the aggregated filter),
-    not a second data-sized scan."""
+    not a second data-sized scan.
+
+    CONTRACT NOTE (ADVICE r16): unlike the repo's default lazy
+    plan-builders, this function runs EAGER Spark jobs at call time —
+    the uniqueness guard must fire before a corrupted plan can be
+    handed out, so the per-key count frame materializes immediately
+    (registered in the bounded swap-cache, so ``release_caches``
+    covers it) and the duplicate check executes inline. Callers get
+    either a valid plan or a ``ValueError``, never a deferred
+    failure."""
+    from ..cache import plan_key, swap_cache
     from .stats import avg_rank2
 
     counted = (
@@ -51,8 +61,8 @@ def key_islands(df: DataFrame, key_col: str) -> DataFrame:
         .where(F.col("_k").isNotNull())
         .groupBy("_k")
         .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
-        .localCheckpoint(eager=True)
     )
+    counted = swap_cache(plan_key("key_islands.counted", counted), counted)
     dups = counted.where(F.col("_cnt") > 1)
     if not dups.isEmpty():
         sample = [r._k for r in dups.select("_k").limit(5).collect()]

@@ -622,17 +622,48 @@ def mmr_topk_pooled(
     pool_size ≫ k the containment holds for any λ that keeps MMR a
     retrieval head rather than a pure-diversity sampler; pytest pins
     pooled ≡ full-corpus picks at gate scale with containment
-    checked explicitly."""
+    checked explicitly.
+
+    Runtime guard (ADVICE r16): containment can silently fail with
+    low λ (diversity-heavy) or clustered corpora — a later-round
+    global argmax may fall OUTSIDE the relevance top-pool. The greedy
+    rounds are already eager (per-round checkpoints), so one bounded
+    k-row action checks each pick's relevance rank within the pool
+    and emits a ``UserWarning`` when any pick lands in the last
+    ``k`` slots (rank > pool_size − k): a boundary pick means a
+    just-outside-the-pool candidate could plausibly have won that
+    round, so divergence from ``mmr_topk`` is detectable, never
+    silent."""
+    import warnings
+
     q1 = query.limit(1).select(
         F.lit(0).cast("long").alias("query_id"), F.col(vec_col)
     )
-    pool_ids = cosine_topk(
+    pool_ranked = cosine_topk(
         vectors, q1, id_col=id_col, vec_col=vec_col, k=pool_size
-    ).select(F.col("vec_id").alias(id_col))
-    pool = vectors.join(F.broadcast(pool_ids), id_col, "left_semi")
-    return mmr_topk(
+    ).select(F.col("vec_id").alias(id_col), F.col("rank").alias("_pool_rank"))
+    pool = vectors.join(
+        F.broadcast(pool_ranked.select(id_col)), id_col, "left_semi"
+    )
+    picks = mmr_topk(
         pool, query, k=k, lam=lam, id_col=id_col, vec_col=vec_col
     )
+    worst = (
+        picks.select(F.col("vec_id").alias(id_col))
+        .join(F.broadcast(pool_ranked), id_col)
+        .agg(F.max("_pool_rank").alias("_w"))
+        .collect()[0]["_w"]
+    )
+    if worst is not None and worst > pool_size - k:
+        warnings.warn(
+            f"mmr_topk_pooled: a selected pick has relevance rank "
+            f"{worst} within the {pool_size}-item pool (boundary zone "
+            f"is > {pool_size - k}); the pooled result may diverge "
+            f"from full-corpus mmr_topk — raise pool_size.",
+            UserWarning,
+            stacklevel=2,
+        )
+    return picks
 
 
 def mmr_topk(

@@ -879,6 +879,69 @@ class TestMmr:
         assert [(r.rank, r.vec_id, r.rel, r.mmr) for r in pooled] == full_picks
 
 
+class TestMmrPoolGuard:
+    """ADVICE r16: a pick in the pool's last-k relevance ranks means a
+    just-outside-the-pool candidate could have won that round — the
+    guard must surface it as a UserWarning, never silently diverge."""
+
+    def _corpus(self, spark, angles):
+        rows = [
+            (i + 1, [math.cos(a), math.sin(a)])
+            for i, a in enumerate(angles)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        qdf = spark.createDataFrame(
+            [([1.0, 0.0],)], "embedding array<double>"
+        )
+        return df, qdf
+
+    def test_boundary_pick_warns(self, spark):
+        import warnings
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+            mmr_topk_pooled,
+        )
+
+        # lam < 0.5 makes every round-2 score −(0.5−lam)·cos(angle),
+        # maximized by the LARGEST pool angle — the greedy pick lands
+        # on pool rank 3 of a 3-item pool (> pool_size − k = 1)
+        df, qdf = self._corpus(spark, [0.0, 0.05, 0.45, 1.05])
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = [
+                r.vec_id
+                for r in mmr_topk_pooled(
+                    df, qdf, k=2, lam=0.4, pool_size=3
+                ).collect()
+            ]
+        assert got == [1, 3]
+        msgs = [str(x.message) for x in w if x.category is UserWarning]
+        assert any("mmr_topk_pooled" in m for m in msgs)
+
+    def test_interior_picks_do_not_warn(self, spark):
+        import warnings
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.similarity import (
+            mmr_topk_pooled,
+        )
+
+        # relevance-heavy lam keeps both picks in the pool head
+        df, qdf = self._corpus(spark, [0.0, 0.05, 0.45, 1.05])
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = [
+                r.vec_id
+                for r in mmr_topk_pooled(
+                    df, qdf, k=2, lam=0.9, pool_size=4
+                ).collect()
+            ]
+        assert got == [1, 2]
+        msgs = [str(x.message) for x in w if x.category is UserWarning]
+        assert not any("mmr_topk_pooled" in m for m in msgs)
+
+
 class TestTCloseness:
     def test_emd_matches_python(self, spark):
         from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.quality_checks import (
@@ -1055,3 +1118,50 @@ class TestPrivacyGate:
         # b's cum at band0 = 1/2 -> |1/2 - 5/8| = 1/8 < 1/5
         assert abs(b.emd - 1.0 / 8.0) < 1e-12 and not b.t_violation
         assert a.any_violation and not b.any_violation
+
+    def test_null_keys_survive_the_audit(self, spark):
+        """ADVICE r16: a NULL quasi class and a NULL sensitive band
+        must reach the report (null-safe joins throughout) — a privacy
+        audit that silently omits null-keyed classes is wrong as an
+        operator contract even when the registered query has no
+        nulls."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.quality_checks import (
+            k_anonymity_report,
+            privacy_gate_report,
+            t_closeness_report,
+        )
+
+        rows = (
+            [("a", 0)] * 2
+            + [("a", None)] * 1
+            + [(None, 0)] * 2
+            + [(None, 9)] * 1
+            + [("b", 9)] * 4
+        )
+        df = spark.createDataFrame(rows, "q string, band long")
+        gate = {
+            r.q: r
+            for r in privacy_gate_report(df, ["q"], "band", k=3, l=2)
+            .collect()
+        }
+        assert set(gate) == {"a", "b", None}
+        # NULL quasi class: 3 rows across bands {0, 9}
+        assert gate[None].class_size == 3 and gate[None].l_distinct == 2
+        # NULL sensitive value counts as its own band for class "a"
+        assert gate["a"].class_size == 3 and gate["a"].l_distinct == 2
+        assert gate["b"].class_size == 4 and gate["b"].l_distinct == 1
+        # the single-check legs see the SAME classes with the same stats
+        ka = {
+            r.q: r
+            for r in k_anonymity_report(df, ["q"], "band", k=3, l=2)
+            .collect()
+        }
+        tc = {
+            r.q: r for r in t_closeness_report(df, ["q"], "band").collect()
+        }
+        assert set(ka) == set(tc) == {"a", "b", None}
+        for q, g in gate.items():
+            assert g.class_size == ka[q].class_size
+            assert g.l_distinct == ka[q].l_distinct
+            assert g.emd == tc[q].emd
+            assert bool(g.t_violation) == bool(tc[q].t_violation)
