@@ -1962,7 +1962,7 @@ def stream_last_digits(
 
     from ..operators.fraud_stats import last_digits_from_counts
 
-    src = _orders_multifile_dir(spark, sf_dir)
+    src = _orders_multifile_dir(spark, sf_dir, n_files)
     raw_schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -2280,30 +2280,45 @@ def stream_duplicate_charges(
     horizon_s: int = 604800,
 ) -> DataFrame:
     """STREAMING duplicate-charge screen — the live form of
-    ``duplicate_charges_events`` (VERDICT r15 item 6, the one r15
-    fraud screen without its live twin): per (entity, exact-cents)
-    pair, ``applyInPandasWithState`` keeps ONE long (the last seen
-    epoch second) as state; each arriving event with the same entity
-    and same integer-cents amount within the trailing ``horizon_s``
-    (7 days — the AP review window) emits its replay row exactly
-    once.
+    ``duplicate_charges_events`` (VERDICT r15 item 6), re-platformed
+    onto the JVM foreachBatch parquet-fold (VERDICT r16 item 1).
 
-    Batch-twin discipline (shares the batch query's DuckDB oracle):
-    the batch lag orders by (epoch_s, event_id) within (user, cents);
+    The first shipping (applyInPandasWithState, one long per
+    (entity, cents) key) carried the engine's worst scale curve: the
+    key grain makes ~1M ONE-ROW Python groups per micro-batch at sf1,
+    and a measured three-variant A/B (SCALING.md r16b/r16c) proved
+    the cost is per-GROUP frame construction in the Arrow/pandas
+    bridge — 5.4× wall on 10× data even after the yield-only-on-hits
+    fix. This version keeps the same state algebra but entirely
+    JVM-side, the ``stream_structuring``/``_ParquetFoldState`` shape:
+
+    * state = the (user_id, cents) → last_s table as a committed,
+      hash-bucketed parquet snapshot (max is the screen's mergeable
+      sufficient statistic; ``apply_delta`` rewrites only touched
+      buckets, exactly-once per bucket);
+    * per micro-batch: ONE within-batch lag window over
+      (epoch_s, event_id) — the batch query's own window — plus ONE
+      join against the state table resolves every row's predecessor
+      (``coalesce(lag, state.last_s)``); hits (gap ≤ ``horizon_s``)
+      land in a versioned, _SUCCESS-committed hits directory BEFORE
+      the state fold, so a foreachBatch replay skips committed hits
+      and the per-bucket guard skips committed state — no double
+      emission, no stale reads;
+    * no per-group Python anywhere — the whole batch is columnar
+      whole-stage-codegen work.
+
+    Batch-twin equivalence (shares the batch query's DuckDB oracle):
     the ordered file source delivers micro-batches in ts order with
-    same-second ties never split (repartitionByRange), and the update
-    fn concatenates the WHOLE iterator before one (epoch_s, event_id)
-    sort — so the per-key sequence the state walks IS the batch
-    window order and the drained availableNow output equals the batch
-    query row for row. Cents and epoch seconds are exact integers
-    end-to-end.
-
-    Scale shape: state is one long per ACTIVE (entity, cents) pair —
-    the same key grain the batch window shuffles on; no range join,
-    no history re-scan."""
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    same-second ties never split (repartitionByRange), so a key's
+    first in-batch row's true predecessor is exactly the state's
+    last_s from prior batches, and every later row's predecessor is
+    the within-batch lag — drained availableNow output equals the
+    batch query row for row. Cents and epoch seconds are exact
+    integers end-to-end; the state join is null-safe so null-keyed
+    rows (none in the gate data) would chain exactly like the batch
+    window's null-keeping partitionBy."""
+    import shutil
+    import tempfile
 
     stream = _ordered_events_source(spark, sf_dir, n_files).select(
         "event_id",
@@ -2312,80 +2327,92 @@ def stream_duplicate_charges(
         F.floor(F.unix_timestamp(F.col("ts"))).cast("long").alias("epoch_s"),
     )
 
-    out_type = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("cents", T.LongType()),
-            T.StructField("epoch_s", T.LongType()),
-            T.StructField("prev_s", T.LongType()),
-            T.StructField("gap_s", T.LongType()),
-        ]
-    )
-    state_type = T.StructType([T.StructField("last_s", T.LongType())])
+    state = _ParquetFoldState(spark, "dupcharge")
+    hits_dir = tempfile.mkdtemp(prefix="ifds_dupcharge_hits_")
+    import atexit
 
-    def update(key_, pdf_iter, state: GroupState):
-        # Per-GROUP cost dominates here, not per-row cost: the key
-        # grain (user, cents) makes almost every group a single first
-        # occurrence with nothing to emit (137 hits from 10k events at
-        # sf0.1). An r16 A/B proved it: vectorizing this walk with
-        # pandas shift/mask made the job SLOWER (sf1 103 s → 130 s)
-        # because it added fixed pandas work to ~1M one-row groups.
-        # So the walk stays a plain loop (trivial at these group
-        # sizes) and no-hit groups yield NOTHING — skipping the empty
-        # 6-column frame construction that was pure overhead for the
-        # overwhelmingly common case.
-        last = state.get[0] if state.exists else None
-        rows = {k: [] for k in ("id", "s", "p", "g")}
-        # whole-iterator concat before ONE sort (ADVICE r12: chunked
-        # arrival would otherwise break the (epoch_s, event_id) walk)
-        chunks = [pdf for pdf in pdf_iter if len(pdf)]
-        if chunks:
-            pdf = (
-                chunks[0]
-                if len(chunks) == 1
-                else pd.concat(chunks, ignore_index=True)
-            ).sort_values(["epoch_s", "event_id"])
-            for eid_, s_ in zip(pdf["event_id"], pdf["epoch_s"]):
-                s = int(s_)
-                if last is not None and s - int(last) <= horizon_s:
-                    rows["id"].append(int(eid_))
-                    rows["s"].append(s)
-                    rows["p"].append(int(last))
-                    rows["g"].append(s - int(last))
-                last = s
-        if last is not None:
-            state.update((int(last),))
-        if rows["id"]:
-            uid = None if key_[0] is None else int(key_[0])
-            cents = None if key_[1] is None else int(key_[1])
-            n = len(rows["id"])
-            yield pd.DataFrame(
-                {
-                    "event_id": rows["id"],
-                    "user_id": pd.array([uid] * n, dtype="Int64"),
-                    "cents": pd.array([cents] * n, dtype="Int64"),
-                    "epoch_s": rows["s"],
-                    "prev_s": rows["p"],
-                    "gap_s": rows["g"],
-                }
+    atexit.register(shutil.rmtree, hits_dir, ignore_errors=True)
+    hit_schema = (
+        "event_id long, user_id long, cents long, epoch_s long, "
+        "prev_s long, gap_s long"
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        hits_path = os.path.join(hits_dir, f"v{batch_id}")
+        if not os.path.exists(os.path.join(hits_path, "_SUCCESS")):
+            w = W.partitionBy("user_id", "cents").orderBy(
+                "epoch_s", "event_id"
+            )
+            cur = batch_df.withColumn("_bprev", F.lag("epoch_s").over(w))
+            prev = state.read()
+            if prev is not None:
+                # null-safe keys: the batch window keeps NULL keys as
+                # their own partition, so the state join must too
+                st = prev.select(
+                    F.col("user_id").alias("_su"),
+                    F.col("cents").alias("_sc"),
+                    "last_s",
+                )
+                cur = cur.join(
+                    st,
+                    F.col("user_id").eqNullSafe(F.col("_su"))
+                    & F.col("cents").eqNullSafe(F.col("_sc")),
+                    "left",
+                ).drop("_su", "_sc")
+            else:
+                cur = cur.withColumn("last_s", F.lit(None).cast("long"))
+            prev_s = F.coalesce(F.col("_bprev"), F.col("last_s"))
+            hits = (
+                cur.withColumn("prev_s", prev_s)
+                .where(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("epoch_s") - F.col("prev_s") <= horizon_s)
+                )
+                .select(
+                    "event_id",
+                    "user_id",
+                    "cents",
+                    "epoch_s",
+                    "prev_s",
+                    (F.col("epoch_s") - F.col("prev_s")).alias("gap_s"),
+                )
+            )
+            # commit hits BEFORE the state fold: a replay after a
+            # crash between the two skips this block (marker present)
+            # and re-applies only the unguarded state buckets
+            hits.write.mode("overwrite").parquet(hits_path)
+        delta = batch_df.groupBy("user_id", "cents").agg(
+            F.max("epoch_s").cast("long").alias("last_s")
+        )
+
+        def merge(prev, d):
+            if prev is None:
+                return d
+            return (
+                prev.unionByName(d)
+                .groupBy("user_id", "cents")
+                .agg(F.max("last_s").cast("long").alias("last_s"))
             )
 
-    emitted = stream.groupBy("user_id", "cents").applyInPandasWithState(
-        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
-    )
-    name = f"dupcharge_sink_{next(_sink_ids)}"
-    q = (
-        emitted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+        state.apply_delta(delta, batch_id, ["user_id", "cents"], merge)
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
     q.awaitTermination()
-    return spark.table(name).select(
-        "event_id", "user_id", "cents", "epoch_s", "prev_s", "gap_s"
-    ).orderBy("event_id")
+    committed = [
+        os.path.join(hits_dir, v)
+        for v in sorted(os.listdir(hits_dir))
+        if v.startswith("v")
+        and os.path.exists(os.path.join(hits_dir, v, "_SUCCESS"))
+    ]
+    if not committed:
+        return spark.createDataFrame([], hit_schema)
+    return (
+        spark.read.parquet(*committed)
+        .select("event_id", "user_id", "cents", "epoch_s", "prev_s", "gap_s")
+        .orderBy("event_id")
+    )
 
 
 def stream_peer_outliers(
