@@ -226,6 +226,36 @@ def compute_norm_vs_prev(
     }
 
 
+def render_cross_round_diag(
+    probe_normalized: dict, norm_vs_prev: dict, norm_vs_self: dict
+) -> str:
+    """The cross_round diagnostics line, with key order as part of the
+    contract (VERDICT r16 item 3): the driver captures only a ~2 KB
+    stdout TAIL, so within this (long) line the LAST keys are the ones
+    a truncated capture preserves. r16's capture led with the
+    within-round ``norm_vs_self`` per-query map — whose base is the
+    builder's own committed run — inviting exactly the
+    cross-round-vs-within-round misreading r15 item 1 fixed in the
+    full JSON. ``norm_vs_prev`` (the round-stamped cross-round block,
+    leading with its ``base: "rN"`` label) therefore goes LAST."""
+    return json.dumps(
+        {
+            "diag": "cross_round",
+            # per-query time divided by the calibration probe's time
+            # on the same box in the same session — the
+            # contention-invariant number to compare across rounds
+            "probe_normalized": probe_normalized,
+            # One-off recheck narratives live in VERDICT/SCALING
+            # docs, not here — a static "notes" field would be
+            # stamped stale into every future round's JSON
+            # (ADVICE r12).
+            "norm_vs_self": norm_vs_self,
+            "norm_vs_prev": norm_vs_prev,
+        },
+        separators=(",", ":"),
+    )
+
+
 def run_once(spark, builder, sf_dir: str) -> float:
     """One cold-cache timed run; swap-cache registry released in
     teardown so no query's persist survives into the next run."""
@@ -339,24 +369,7 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    print(
-        json.dumps(
-            {
-                "diag": "cross_round",
-                # per-query time divided by the calibration probe's time
-                # on the same box in the same session — the
-                # contention-invariant number to compare across rounds
-                "probe_normalized": probe_normalized,
-                # One-off recheck narratives live in VERDICT/SCALING
-                # docs, not here — a static "notes" field would be
-                # stamped stale into every future round's JSON
-                # (ADVICE r12).
-                "norm_vs_prev": norm_vs_prev,
-                "norm_vs_self": norm_vs_self,
-            },
-            separators=(",", ":"),
-        )
-    )
+    print(render_cross_round_diag(probe_normalized, norm_vs_prev, norm_vs_self))
     # Self-recorded full payload: the judge reads this from the repo
     # (the driver commits it with the round); the NEXT round's first
     # bench invocation stamps it to BENCH_FULL_r{N}_sf{sf}.json via

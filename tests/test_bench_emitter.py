@@ -60,6 +60,28 @@ def test_norm_vs_prev_carries_both_ratios():
     ) == {"base": "r14", "n_shared": 0}
 
 
+def test_cross_round_diag_emits_norm_vs_prev_last():
+    """VERDICT r16 item 3: the driver's ~2 KB tail capture keeps the
+    END of the cross_round line, so the round-stamped cross-round
+    block (norm_vs_prev, leading with its base label) must be the
+    LAST key — a truncated capture then shows base:"rN" ratios, not
+    the within-round self map."""
+    line = bench.render_cross_round_diag(
+        {"q1": 1.0},
+        {"base": "r16", "n_shared": 1, "per_query": {"q1": 1.0}},
+        {"base": "self_full", "n_shared": 1, "per_query": {"q1": 1.0}},
+    )
+    obj = json.loads(line)
+    keys = list(obj)
+    assert keys[-1] == "norm_vs_prev"
+    assert keys.index("norm_vs_self") < keys.index("norm_vs_prev")
+    # the cross-round block's own first key is its base label, so the
+    # first thing a reader sees in the surviving block is "r16"
+    assert list(obj["norm_vs_prev"])[0] == "base"
+    # positional truth on the raw string, not just parsed order
+    assert line.rindex('"norm_vs_prev"') > line.rindex('"norm_vs_self"')
+
+
 def test_final_line_parses_and_has_driver_contract_fields():
     line = bench.render_final_line(12.34, 0.1, 3, 61, 0.56)
     obj = json.loads(line)

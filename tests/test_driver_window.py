@@ -29,32 +29,24 @@ def test_window_has_no_duplicates():
     assert len(set(plans._DRIVER_WINDOW)) == 50
 
 
-def test_r16_rotation_segments():
-    """VERDICT r15 item 4: the full r12-cohort remainder (43,
-    alphabetical — closing the "no row older than r13" criterion in
-    one round), then the verdict's explicitly-named r15-new heads in
-    its own order (7)."""
+def test_r17_rotation_is_the_full_r13_cohort():
+    """VERDICT r16 item 2: the r13 cohort — recomputed from committed
+    history — is exactly 50 still-registered queries, so it IS the
+    window (alphabetical). No slots remain for first attestations
+    this round (50 + 23 never-attested = 73 names for 50 slots; see
+    the plans/__init__ docstring for the arithmetic)."""
     w = plans._DRIVER_WINDOW
-    r12_tail = w[:43]
-    assert r12_tail[0] == "canonical_dedup_documents"
-    assert r12_tail[-1] == "window_funcs_orders"
-    assert r12_tail == sorted(r12_tail)
-    assert w[43:] == [
-        "benford_first2_orders",
-        "weekend_rate_poisson_events",
-        "conformal_fdr_alerts_events",
-        "streaming_rolling_wau",
-        "streaming_round_bias_orders",
-        "streaming_new_vs_returning",
-        "t_closeness_customers",
-    ]
+    assert w[0] == "array_funcs_orders"
+    assert w[-1] == "zonemap_prune_orders"
+    assert w == sorted(w)
 
 
-def test_r12_cohort_fully_covered_by_r16_window():
-    """The binding criterion: after r16 no oracled query's last
-    driver attestation may be older than r13. Recompute the r12
-    cohort from the committed CORRECTNESS history and require every
-    member to hold a window slot."""
+def test_r13_cohort_fully_covered_by_r17_window():
+    """The binding criterion (tightened per VERDICT r16 item 2):
+    after r17 no oracled query's last driver attestation may be older
+    than r14. Recompute the r13-or-older cohort from the committed
+    CORRECTNESS history and require every member to hold a window
+    slot."""
     import glob
     import json
     import os
@@ -69,7 +61,7 @@ def test_r12_cohort_fully_covered_by_r16_window():
                 last[q] = max(last.get(q, 0), n)
     registered = set(plans.queries())
     stale = sorted(
-        q for q, n in last.items() if q in registered and n <= 12
+        q for q, n in last.items() if q in registered and n <= 13
     )
     missing = [q for q in stale if q not in plans._DRIVER_WINDOW]
-    assert not missing, f"r12-or-older rows left out of the window: {missing}"
+    assert not missing, f"r13-or-older rows left out of the window: {missing}"
