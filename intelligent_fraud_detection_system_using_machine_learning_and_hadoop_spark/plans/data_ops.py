@@ -9031,6 +9031,130 @@ def pacf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pacf_daily(e)
 
 
+# --- DuckDB twin of Spark's xxhash64(bigint_col, lit(42)) ------------
+# Spark evaluates F.xxhash64(col, F.lit(seed)) by CHAINING the inputs
+# with the DEFAULT seed 42 (the second argument is another hashed
+# column, NOT the seed): hashInt(42, hashLong(value, 42)) per
+# sql/catalyst XXH64.java. The emulation runs the exact unsigned
+# 64-bit algorithm over HUGEINT: wraparound multiply via the 32-bit
+# split ((a%2^32)·b + ((a//2^32)·(b%2^32) mod 2^32)·2^32) mod 2^64,
+# rotl via non-overlapping shift halves, xor through signed BIGINT.
+# Bit-for-bit parity with Spark is pytest-pinned
+# (tests/test_sequences_skyline.py::TestHarmonicOracle).
+_XXH_M64 = 18446744073709551616
+_XXH_M32 = 4294967296
+_XXH_P1 = 11400714785074694791
+_XXH_P2 = 14029467366897019727
+_XXH_P3 = 1609587929392839161
+_XXH_P4 = 9650029242287828579
+_XXH_P5 = 2870177450012600261
+
+
+def _xxh_mul64(a: str, b: int) -> str:
+    return (
+        f"((({a}) % {_XXH_M32}) * {b} + "
+        f"((({a}) // {_XXH_M32}) * {b % _XXH_M32} % {_XXH_M32}) "
+        f"* {_XXH_M32}) % {_XXH_M64}"
+    )
+
+
+def _xxh_rotl(x: str, r: int) -> str:
+    return f"({_xxh_mul64(x, 2 ** r)} + ({x}) // {2 ** (64 - r)})"
+
+
+def _xxh_xor(a: str, b: str) -> str:
+    def s(v: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({v}) >= 9223372036854775808 "
+            f"THEN ({v}) - {_XXH_M64} ELSE ({v}) END AS BIGINT)"
+        )
+
+    x = f"xor({s(a)}, {s(b)})"
+    return (
+        f"(CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {_XXH_M64} "
+        f"ELSE CAST({x} AS HUGEINT) END)"
+    )
+
+
+def _xxhash64_seed42_ctes(src_cte: str, id_col: str = "id") -> str:
+    """CTE chain ``x0 … x19`` computing Spark's xxhash64(id, lit(42))
+    for every row of ``src_cte(id)``; the last CTE ``xh`` carries
+    (id, hs) with hs the SIGNED 64-bit hash (Spark's LongType sort
+    order)."""
+    h0_long = (42 + _XXH_P5 + 8) % _XXH_M64  # hashLong seed state
+    c42 = (42 * _XXH_P1) % _XXH_M64  # hashInt's constant input mix
+    fmix_a = [
+        f"x4 AS (SELECT {id_col}, {_xxh_xor('a6', f'(a6 // {2 ** 33})')} AS a7 FROM x3)",
+        f"x5 AS (SELECT {id_col}, {_xxh_mul64('a7', _XXH_P2)} AS a8 FROM x4)",
+        f"x6 AS (SELECT {id_col}, {_xxh_xor('a8', f'(a8 // {2 ** 29})')} AS a9 FROM x5)",
+        f"x7 AS (SELECT {id_col}, {_xxh_mul64('a9', _XXH_P3)} AS a10 FROM x6)",
+        f"x8 AS (SELECT {id_col}, {_xxh_xor('a10', f'(a10 // {2 ** 32})')} AS a11 FROM x7)",
+    ]
+    fmix_b = [
+        f"x11 AS (SELECT {id_col}, {_xxh_xor('b3', f'(b3 // {2 ** 33})')} AS b4 FROM x10)",
+        f"x12 AS (SELECT {id_col}, {_xxh_mul64('b4', _XXH_P2)} AS b5 FROM x11)",
+        f"x13 AS (SELECT {id_col}, {_xxh_xor('b5', f'(b5 // {2 ** 29})')} AS b6 FROM x12)",
+        f"x14 AS (SELECT {id_col}, {_xxh_mul64('b6', _XXH_P3)} AS b7 FROM x13)",
+        f"x15 AS (SELECT {id_col}, {_xxh_xor('b7', f'(b7 // {2 ** 32})')} AS b8 FROM x14)",
+    ]
+    stages = [
+        f"x0 AS (SELECT {id_col}, CAST({id_col} AS HUGEINT) AS ul FROM {src_cte})",
+        # hashLong(id, 42): lane mix
+        f"x1 AS (SELECT {id_col}, {_xxh_mul64('ul', _XXH_P2)} AS a1 FROM x0)",
+        f"x2 AS (SELECT {id_col}, "
+        f"{_xxh_xor(str(h0_long), _xxh_mul64(_xxh_rotl('a1', 31), _XXH_P1))} AS a4 FROM x1)",
+        f"x3 AS (SELECT {id_col}, "
+        f"({_xxh_mul64(_xxh_rotl('a4', 27), _XXH_P1)} + {_XXH_P4}) % {_XXH_M64} AS a6 FROM x2)",
+        *fmix_a,
+        # hashInt(42, a11)
+        f"x9 AS (SELECT {id_col}, (a11 + {(_XXH_P5 + 4)}) % {_XXH_M64} AS b1 FROM x8)",
+        f"x10 AS (SELECT {id_col}, "
+        f"({_xxh_mul64(_xxh_rotl(_xxh_xor('b1', str(c42)), 23), _XXH_P2)} + {_XXH_P3}) % {_XXH_M64} AS b3 FROM x9)",
+        *fmix_b,
+        f"xh AS (SELECT {id_col}, "
+        f"CAST(CASE WHEN b8 >= 9223372036854775808 THEN b8 - {_XXH_M64} "
+        f"ELSE b8 END AS BIGINT) AS hs FROM x15)",
+    ]
+    return ",\n    ".join(stages)
+
+
+def _harmonic_closeness_oracle(k_sources: int = 8, max_hops: int = 8) -> str:
+    """Exact DuckDB twin of ``harmonic_closeness_sampled`` on the part
+    co-order graph (VERDICT r16 item 4): the hashed source panel is
+    reproduced bit-for-bit by the xxhash64 emulation above, the
+    bounded multi-source forward phase unrolls as a recursive CTE
+    (UNION-distinct (s, v, d) states, min d per pair — the
+    ``bfs_distances_parts`` twin shape), and the finish repeats the
+    engine's pinned arithmetic: floor(1/d · 1e12) fixed-point
+    reciprocals summed exactly, ONE final double division, the
+    unbiased n/k scale."""
+    return f"""
+    WITH RECURSIVE e AS ({_CO_ORDER_EDGES_SQL}),
+    bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    nodes AS (SELECT DISTINCT u AS id FROM bi),
+    {_xxhash64_seed42_ctes('nodes')},
+    srcs AS (SELECT id AS s FROM xh ORDER BY hs, id LIMIT {k_sources}),
+    walk(s, v, d) AS (
+      SELECT s, s AS v, 0 FROM srcs
+      UNION
+      SELECT w.s, bi.v, w.d + 1 FROM walk w JOIN bi ON bi.u = w.v
+      WHERE w.d < {max_hops}
+    ),
+    dists AS (SELECT s, v, min(d) AS dist FROM walk GROUP BY s, v),
+    recip AS (
+      SELECT v, CAST(floor(1.0 / CAST(dist AS DOUBLE) * 1.0e12) AS HUGEINT) AS q
+      FROM dists WHERE dist > 0),
+    sums AS (SELECT v, SUM(q) AS qsum FROM recip GROUP BY v),
+    nk AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes) AS n_d,
+                  (SELECT CAST(COUNT(*) AS DOUBLE) FROM srcs) AS k_d)
+    SELECT n.id,
+           COALESCE(CAST(s.qsum AS DOUBLE), 0.0) / 1.0e12 * (nk.n_d / nk.k_d)
+             AS harmonic
+    FROM nodes n LEFT JOIN sums s ON s.v = n.id CROSS JOIN nk
+    ORDER BY n.id
+    """
+
+
 @query("betweenness_parts", bench=True)
 def betweenness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled betweenness centrality on the part co-order graph
@@ -9050,7 +9174,7 @@ def betweenness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("harmonic_closeness_parts")
+@query("harmonic_closeness_parts", oracle=_harmonic_closeness_oracle())
 def harmonic_closeness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic closeness on the part co-order graph
     (operators/graph.py::harmonic_closeness_sampled — Eppstein–Wang
@@ -9058,8 +9182,13 @@ def harmonic_closeness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources, one bounded forward BFS): reach-speed centrality
     completing the family (betweenness = broker, harmonic =
     proximity). Disconnection-native: unreachable pairs contribute 0.
-    Rows-only per the driver contract; exact differential at k = |V|
-    and hand graphs in pytest. One row per node at any SF."""
+    PROMOTED from rows-only to a full value oracle (VERDICT r16
+    item 4): the source panel is deterministic (xxhash64 emulated
+    bit-for-bit in DuckDB), the bounded forward phase unrolls as a
+    recursive CTE, and the 1e-12-quantized reciprocal sum + single
+    final double division reproduce exactly. Exact differential at
+    k = |V| and hand graphs remain in pytest. One row per node at
+    any SF."""
     from ..operators.graph import harmonic_closeness_sampled
 
     return harmonic_closeness_sampled(
@@ -9307,16 +9436,77 @@ def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mmr_topk_embeddings")
+def _mmr_unrolled_oracle(k: int = 10, lam: float = 0.7) -> str:
+    """Exact DuckDB twin of ``mmr_topk`` over the embeddings table
+    (VERDICT r16 item 4): the greedy head is deterministic — scores
+    round to 6 decimals before comparison, argmax ties break on
+    ascending vec_id — so the k rounds unroll MECHANICALLY into k
+    chained argmax CTEs (pick i computes each remaining candidate's
+    max 6dp-rounded similarity to the i−1 picks, then takes the
+    single (mmr DESC, vec_id ASC) row). Float parity is engineered:
+    ``list_dot_product`` matches Spark's zip_with/aggregate fold
+    bit-for-bit (the embedding_topk_cosine precedent), and the mmr
+    combination repeats Spark's exact literals — λ and the Python
+    double 1.0−λ (repr'd, NOT re-derived in SQL: 1.0−0.7 is
+    0.30000000000000004, not 0.3)."""
+    lam_r = repr(float(lam))
+    om_r = repr(1.0 - float(lam))
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qrow AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+    rel AS MATERIALIZED (
+      SELECT c.vec_id, c.v, sqrt(list_dot_product(c.v, c.v)) AS nrm,
+             round(list_dot_product(c.v, q.v)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(q.v, q.v))), 6) AS rel
+      FROM e c CROSS JOIN qrow q
+      WHERE c.vec_id <> q.vec_id
+        AND sqrt(list_dot_product(c.v, c.v)) > 0
+        AND sqrt(list_dot_product(q.v, q.v)) > 0),
+    p1 AS (
+      SELECT 1 AS rank, vec_id, v, nrm, rel, {lam_r} * rel AS mmr
+      FROM rel ORDER BY mmr DESC, vec_id LIMIT 1),
+    s1 AS MATERIALIZED (SELECT * FROM p1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+    m{i} AS (
+      SELECT r.vec_id,
+             max(round(list_dot_product(r.v, s.v) / (r.nrm * s.nrm), 6))
+               AS maxsim
+      FROM rel r CROSS JOIN s{i - 1} s
+      WHERE r.vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+      GROUP BY r.vec_id),
+    p{i} AS (
+      SELECT {i} AS rank, rel.vec_id, rel.v, rel.nrm, rel.rel,
+             {lam_r} * rel.rel - {om_r} * m.maxsim AS mmr
+      FROM rel JOIN m{i} m ON rel.vec_id = m.vec_id
+      ORDER BY mmr DESC, rel.vec_id LIMIT 1),
+    s{i} AS MATERIALIZED (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM p{i})"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, mmr
+    FROM s{k} ORDER BY rank
+    """
+    )
+    return "".join(parts)
+
+
+@query("mmr_topk_embeddings", oracle=_mmr_unrolled_oracle())
 def mmr_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-10 over the embeddings table
     (operators/similarity.py::mmr_topk, λ = 0.7), querying with the
     min-vec_id embedding — the de-duplicating retrieval head
     completing the ANN family (brute/LSH/IVF/PQ answer "nearest";
     MMR answers "nearest AND non-redundant"). Greedy k-round plan
-    with 6-decimal score rounding and id tiebreaks (deterministic);
-    rows-only per the driver contract, exact Python differential in
-    pytest."""
+    with 6-decimal score rounding and id tiebreaks (deterministic).
+    PROMOTED from rows-only to a full value oracle (VERDICT r16
+    item 4): the 10 greedy rounds unroll into 10 chained argmax CTEs
+    (``_mmr_unrolled_oracle``); the exact Python differential stays
+    in pytest."""
     from ..operators.similarity import mmr_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
