@@ -879,6 +879,45 @@ class TestMmr:
         assert [(r.rank, r.vec_id, r.rel, r.mmr) for r in pooled] == full_picks
 
 
+class TestHarmonicOracle:
+    def test_duckdb_xxhash64_emulation_matches_spark(self, spark):
+        """The harmonic-closeness oracle's source panel depends on
+        reproducing Spark's xxhash64(col, lit(42)) bit-for-bit in
+        DuckDB (HUGEINT wraparound arithmetic). Pin the emulation on
+        ids spanning the 32-bit split boundaries the multiply
+        emulation folds across."""
+        import duckdb
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.data_ops import (
+            _xxhash64_seed42_ctes,
+        )
+
+        ids = list(range(21)) + [
+            2**31 - 1,
+            2**31,
+            2**32 - 1,
+            2**32,
+            2**32 + 12345,
+            10**12 + 7,
+            10**18 + 3,
+            2**62,
+        ]
+        vals = ", ".join(f"({i})" for i in ids)
+        sql = (
+            f"WITH nodes(id) AS (VALUES {vals}),\n"
+            f"{_xxhash64_seed42_ctes('nodes')}\n"
+            f"SELECT id, hs FROM xh ORDER BY id"
+        )
+        duck = {int(i): int(h) for i, h in duckdb.sql(sql).fetchall()}
+        rows = (
+            spark.createDataFrame([(i,) for i in ids], "id long")
+            .select("id", F.xxhash64(F.col("id"), F.lit(42)).alias("h"))
+            .collect()
+        )
+        got = {int(r.id): int(r.h) for r in rows}
+        assert got == duck
+
+
 class TestMmrPoolGuard:
     """ADVICE r16: a pick in the pool's last-k relevance ranks means a
     just-outside-the-pool candidate could have won that round — the
