@@ -1230,6 +1230,130 @@ def mann_kendall_from_daily(daily: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+def seasonal_mann_kendall_daily(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal Mann–Kendall trend test (Hirsch & Slack 1984, public)
+    per series over the daily cents totals — the drift family's last
+    gap (VERDICT r16 item 6): plain MK compares EVERY day pair, so a
+    strong weekly cycle (quiet Sundays, busy Fridays) swamps S with
+    cross-season sign noise and masks a real monotone creep. The
+    seasonal variant computes the exact MK statistic WITHIN each
+    season — weekday here, the ledger's natural cycle — and sums:
+
+        S' = Σ_g S_g        18·Var(S') = Σ_g 18·Var(S_g)
+
+    (independence across seasons per Hirsch–Slack; each season's
+    variance carries its own tie correction). Decision and z repeat
+    the ``mann_kendall_daily`` discipline exactly: continuity-
+    corrected m = max(|S'|−1, 0), significance by the EXACT integer
+    cross-multiplication 18·m² ≥ z²₀.₉₉·18·Var (shared χ²₀.₉₉(1)
+    literal), z via the one pinned IEEE tree.
+
+    Scale shape: the same day-grain roll-up as MK, then the pair join
+    keyed on (series, season) — the extra season key CUTS the
+    quadratic to Σ_g |days_g|² ≈ |days|²/7 per series (seven ~4×
+    smaller quadratics), so the seasonal test is CHEAPER than the
+    plain one at any day count. Ties aggregate at (series, season,
+    value) grain. n_g < 2 seasons contribute S_g = 0, Var_g = 0."""
+    daily = _daily_cents(events, group_col, ts_col, value_col)
+    return seasonal_mann_kendall_from_daily(daily, group_col)
+
+
+def seasonal_mann_kendall_from_daily(
+    daily: DataFrame, group_col: str
+) -> DataFrame:
+    """Hirsch–Slack finish from the (grp, day, x) daily-totals frame
+    (the benford_from_counts split, so a streaming twin can fold the
+    additive daily frame and share this finish bit-for-bit). Season =
+    weekday as 0=Sunday…6=Saturday — Spark's dayofweek minus 1,
+    matching DuckDB's dayofweek for a mechanical oracle twin. The
+    daily frame fans out three ways (both pair-join sides, the tie
+    term), persisted once via the bounded swap-cache."""
+    from ..cache import plan_key, swap_cache
+
+    d = daily.withColumn(
+        "_sea", (F.dayofweek(F.col("day")) - F.lit(1)).cast("int")
+    )
+    d = swap_cache(plan_key("seasonal_mk.daily", d), d)
+    a = d.select(
+        "grp", "_sea", F.col("day").alias("_di"), F.col("x").alias("_xi")
+    )
+    b = d.select(
+        "grp", "_sea", F.col("day").alias("_dj"), F.col("x").alias("_xj")
+    )
+    s_g = (
+        a.join(b, ["grp", "_sea"])
+        .where(F.col("_di") < F.col("_dj"))
+        .groupBy("grp", "_sea")
+        .agg(
+            F.sum(F.signum(F.col("_xj") - F.col("_xi")).cast("long"))
+            .cast("long")
+            .alias("_sg")
+        )
+    )
+    n_g = d.groupBy("grp", "_sea").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng")
+    )
+    ties_g = (
+        d.groupBy("grp", "_sea", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .groupBy("grp", "_sea")
+        .agg(
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - F.lit(1))
+                * (F.lit(2) * F.col("_t") + F.lit(5))
+            )
+            .cast("long")
+            .alias("_tie18")
+        )
+    )
+    ng = F.col("_ng")
+    v18_g = (
+        ng * (ng - F.lit(1)) * (F.lit(2) * ng + F.lit(5)) - F.col("_tie18")
+    ).cast("long")
+    per = (
+        n_g.join(ties_g, ["grp", "_sea"])
+        .join(s_g, ["grp", "_sea"], "left")
+        .select(
+            "grp",
+            "_ng",
+            F.coalesce(F.col("_sg"), F.lit(0)).cast("long").alias("_sg"),
+            v18_g.alias("_v18g"),
+        )
+    )
+    agg = per.groupBy("grp").agg(
+        F.sum("_ng").cast("long").alias("n_days"),
+        F.sum("_sg").cast("long").alias("s_stat"),
+        F.sum("_v18g").cast("long").alias("_v18"),
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+    )
+    n = F.col("n_days")
+    m = F.greatest(F.abs(F.col("s_stat")) - F.lit(1), F.lit(0)).cast("long")
+    d38 = "decimal(38,0)"
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_days",
+        "n_seasons",
+        "s_stat",
+        F.when(
+            (n >= 2) & (F.col("_v18") > 0),
+            F.signum(F.col("s_stat")).cast("double")
+            * m.cast("double")
+            / F.sqrt(F.col("_v18").cast("double") / F.lit(18.0)),
+        ).alias("z"),
+        F.when(
+            (n >= 2) & (F.col("_v18") > 0),
+            (F.lit(18).cast(d38) * m.cast(d38) * m.cast(d38)).cast("double")
+            >= F.lit(MK_Z99_SQ) * F.col("_v18").cast("double"),
+        ).alias("significant"),
+    ).orderBy(group_col)
+
+
 def _median_by_rank(
     df: DataFrame, key: str, val: str, out: str, n_buckets: int = 64
 ) -> DataFrame:

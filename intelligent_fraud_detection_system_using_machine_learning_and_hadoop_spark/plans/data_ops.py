@@ -5105,6 +5105,119 @@ def pettitt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pettitt_daily(read_table(spark, sf_dir, "events"))
 
 
+def _seasonal_mann_kendall_oracle() -> str:
+    """Hirsch–Slack twin: per-(series, weekday) exact S and
+    tie-corrected 18·Var summed across seasons, then the shared MK
+    decision arithmetic (continuity-corrected m, exact HUGEINT
+    cross-multiplication vs the pinned χ²₀.₉₉(1) literal, the one
+    IEEE z tree). DuckDB's dayofweek (0=Sunday…6) matches Spark's
+    dayofweek−1 on the engine side."""
+    from ..operators.stats import MK_Z99_SQ
+
+    zc = f"{MK_Z99_SQ:.17e}"
+    return f"""
+    WITH daily AS (
+      SELECT event_type AS grp, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    d AS (SELECT grp, dayofweek(day) AS sea, day, x FROM daily),
+    s AS (
+      SELECT a.grp, a.sea,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END)
+                  AS BIGINT) AS sg
+      FROM d a JOIN d b
+        ON a.grp = b.grp AND a.sea = b.sea AND a.day < b.day
+      GROUP BY a.grp, a.sea),
+    ng AS (
+      SELECT grp, sea, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY grp, sea),
+    ties AS (
+      SELECT grp, sea, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+               AS tie18
+      FROM (SELECT grp, sea, x, CAST(count(*) AS BIGINT) AS t
+            FROM d GROUP BY grp, sea, x)
+      GROUP BY grp, sea),
+    per AS (
+      SELECT n.grp, n.n, COALESCE(s.sg, 0) AS sg,
+             n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 AS v18g
+      FROM ng n JOIN ties t ON n.grp = t.grp AND n.sea = t.sea
+      LEFT JOIN s ON n.grp = s.grp AND n.sea = s.sea),
+    agg AS (
+      SELECT grp, CAST(sum(n) AS BIGINT) AS n_days,
+             CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(sg) AS BIGINT) AS s_stat,
+             CAST(sum(v18g) AS BIGINT) AS v18
+      FROM per GROUP BY grp),
+    j AS (SELECT grp, n_days, n_seasons, s_stat, v18,
+                 greatest(abs(s_stat) - 1, 0) AS m
+          FROM agg)
+    SELECT grp AS event_type, n_days, n_seasons, s_stat,
+           CASE WHEN n_days >= 2 AND v18 > 0
+                THEN CAST(sign(s_stat) AS DOUBLE) * CAST(m AS DOUBLE)
+                     / sqrt(CAST(v18 AS DOUBLE) / 18.0)
+           END AS z,
+           CASE WHEN n_days >= 2 AND v18 > 0
+                THEN CAST(18 * CAST(m AS HUGEINT) * m AS DOUBLE)
+                     >= {zc} * CAST(v18 AS DOUBLE)
+           END AS significant
+    FROM j ORDER BY event_type
+    """
+
+
+@query(
+    "seasonal_mann_kendall_events",
+    oracle=_seasonal_mann_kendall_oracle(),
+    bench=True,
+)
+def seasonal_mann_kendall_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann–Kendall trend test per event type over the daily
+    cents totals (operators/stats.py::seasonal_mann_kendall_daily —
+    Hirsch–Slack 1984): exact MK computed WITHIN each weekday season
+    and summed, catching the monotone creep a weekly cycle masks from
+    plain MK — the drift family's seasonal leg (VERDICT r16 item 6).
+    Same exact-integer statistic/variance discipline as
+    ``mann_kendall_events``; the extra season key cuts the pair join
+    to Σ_g |days_g|² ≈ |days|²/7 per series."""
+    from ..operators.stats import seasonal_mann_kendall_daily
+
+    return seasonal_mann_kendall_daily(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "cross_entity_duplicates_events",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events)
+    SELECT cents, (s - (s % 604800)) AS win_start_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+           CAST(min(s) AS BIGINT) AS first_s,
+           CAST(max(s) AS BIGINT) AS last_s
+    FROM b GROUP BY 1, 2
+    HAVING count(DISTINCT user_id) >= 2
+    ORDER BY cents, win_start_s
+    """,
+    bench=True,
+)
+def cross_entity_duplicates_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-entity duplicate-amount screen (operators/fraud_stats.py::
+    cross_entity_duplicates — VERDICT r16 item 6): same exact cents
+    across ≥ 2 DISTINCT entities within one 7-day review window — the
+    split-identity counterpart of ``duplicate_charges_events`` (that
+    screen catches one entity replaying; this catches one actor
+    fanning the amount across mules). ONE (cents, window-bucket)-keyed
+    aggregation with an exact distinct-entity count — no pair join, no
+    window function; linear at any SF."""
+    from ..operators.fraud_stats import cross_entity_duplicates
+
+    return cross_entity_duplicates(read_table(spark, sf_dir, "events"))
+
+
 def _holt_winters_oracle_sql(depth: int, period: int) -> str:
     """Holt–Winters twin: the SAME four truncated FIR chains with the
     same exact-round-trip %.17e weight literals over the DAILY totals

@@ -754,3 +754,52 @@ REGISTRY["streaming_mann_kendall"] = REGISTRY["streaming_mann_kendall"].__class_
     oracle=REGISTRY["mann_kendall_events"].oracle,
     bench=False,
 )
+
+
+@query("streaming_seasonal_mann_kendall", oracle=None)
+def streaming_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Hirsch–Slack seasonal MK screen as a live stream
+    (streaming/jobs.py::stream_seasonal_mann_kendall): the SAME
+    additive daily-totals fold as the plain MK twin, with the exact
+    per-weekday pair-join finish run once on the drained state.
+    Drained availableNow ≡ the batch ``seasonal_mann_kendall_events``
+    bit-for-bit, which the SHARED oracle attests."""
+    from ..streaming.jobs import stream_seasonal_mann_kendall
+
+    return stream_seasonal_mann_kendall(spark, sf_dir)
+
+
+REGISTRY["streaming_seasonal_mann_kendall"] = REGISTRY[
+    "streaming_seasonal_mann_kendall"
+].__class__(
+    builder=REGISTRY["streaming_seasonal_mann_kendall"].builder,
+    oracle=REGISTRY["seasonal_mann_kendall_events"].oracle,
+    bench=False,
+)
+
+
+@query("streaming_cross_entity_duplicates", oracle=None)
+def streaming_cross_entity_duplicates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The cross-entity duplicate-amount screen as a live stream
+    (streaming/jobs.py::stream_cross_entity_duplicates): distinct
+    (cents, window, entity) triples fold additively with per-triple
+    count/min/max, the |triples|-row entity-count finish runs once on
+    the drained state. Drained availableNow ≡ the batch
+    ``cross_entity_duplicates_events`` bit-for-bit, which the SHARED
+    oracle attests."""
+    from ..streaming.jobs import stream_cross_entity_duplicates
+
+    return stream_cross_entity_duplicates(spark, sf_dir)
+
+
+REGISTRY["streaming_cross_entity_duplicates"] = REGISTRY[
+    "streaming_cross_entity_duplicates"
+].__class__(
+    builder=REGISTRY["streaming_cross_entity_duplicates"].builder,
+    oracle=REGISTRY["cross_entity_duplicates_events"].oracle,
+    bench=False,
+)

@@ -2863,6 +2863,108 @@ def stream_mann_kendall(
     return mann_kendall_from_daily(daily, "event_type")
 
 
+def stream_seasonal_mann_kendall(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """Streaming seasonal Mann–Kendall (Hirsch–Slack) trend screen:
+    the SAME additive daily-totals fold as the plain MK twin
+    (``_stream_daily_totals`` — the weekday season is derived from
+    the day key at finish time, so the fold state is unchanged), with
+    the exact per-season pair-join finish (operators/stats.py::
+    seasonal_mann_kendall_from_daily) run once on the drained state —
+    drained availableNow ≡ the batch ``seasonal_mann_kendall_events``
+    bit-for-bit, attested by the SHARED oracle."""
+    from ..operators.stats import seasonal_mann_kendall_from_daily
+
+    daily = _stream_daily_totals(spark, sf_dir, n_files, "seasonal_mk")
+    return seasonal_mann_kendall_from_daily(daily, "event_type")
+
+
+def stream_cross_entity_duplicates(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 6,
+    window_s: int = 604800,
+    min_entities: int = 2,
+) -> DataFrame:
+    """Streaming cross-entity duplicate-amount screen — the live form
+    of ``cross_entity_duplicates_events``: the exact distinct-entity
+    count is NOT additive, but the distinct (cents, window, entity)
+    TRIPLE SET is (the streaming_distinct_pairs discipline), so state
+    folds at triple grain with per-triple (count, min_s, max_s) —
+    all keyed-additive merges through the bucketed parquet store —
+    and the |triples|-row finish (entities per (cents, window),
+    ≥ ``min_entities`` filter) runs once on the drained state.
+    Drained availableNow ≡ the batch query bit-for-bit, attested by
+    the SHARED oracle; exactly-once via the per-bucket commit-marker
+    guard."""
+    from ..sources.readers import normalize_event_ts
+
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = _ParquetFoldState(spark, "xent_dup")
+    schema = (
+        "cents long, win_start_s long, _ent long, n long, mn long, mx long"
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cents = F.round(F.col("value") * 100).cast("long")
+        s = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
+        delta = (
+            batch_df.select(
+                cents.alias("cents"),
+                s.alias("_s"),
+                F.col("user_id").alias("_ent"),
+            )
+            .withColumn(
+                "win_start_s", F.col("_s") - (F.col("_s") % window_s)
+            )
+            .groupBy("cents", "win_start_s", "_ent")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("_s").cast("long").alias("mn"),
+                F.max("_s").cast("long").alias("mx"),
+            )
+        )
+
+        def merge(prev, d):
+            if prev is None:
+                return d
+            return (
+                prev.unionByName(d)
+                .groupBy("cents", "win_start_s", "_ent")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.min("mn").cast("long").alias("mn"),
+                    F.max("mx").cast("long").alias("mx"),
+                )
+            )
+
+        state.apply_delta(
+            delta, batch_id, ["cents", "win_start_s", "_ent"], merge
+        )
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    per = state.read_or_empty(schema)
+    return (
+        per.groupBy("cents", "win_start_s")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.min("mn").cast("long").alias("first_s"),
+            F.max("mx").cast("long").alias("last_s"),
+        )
+        .where(F.col("n_entities") >= min_entities)
+        .orderBy("cents", "win_start_s")
+    )
+
+
 def stream_round_amount_bias(
     spark: SparkSession, sf_dir: str, n_files: int = 6
 ) -> DataFrame:

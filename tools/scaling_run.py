@@ -113,6 +113,12 @@ HEAVIES = [
     "mann_kendall_events",
     "streaming_pettitt",
     "streaming_mann_kendall",
+    # round-17 additions: the Hirsch-Slack seasonal MK + cross-entity
+    # duplicate screens and their streaming twins (VERDICT r16 item 6)
+    "seasonal_mann_kendall_events",
+    "cross_entity_duplicates_events",
+    "streaming_seasonal_mann_kendall",
+    "streaming_cross_entity_duplicates",
 ]
 
 
