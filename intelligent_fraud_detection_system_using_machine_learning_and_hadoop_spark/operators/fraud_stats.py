@@ -933,7 +933,6 @@ def cross_entity_duplicates(
     entity_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
-    id_col: str = "event_id",
     window_s: int = 604800,
     min_entities: int = 2,
 ) -> DataFrame:
@@ -966,7 +965,6 @@ def cross_entity_duplicates(
         F.col(entity_col).alias("_ent"),
         cents.alias("cents"),
         epoch.alias("_s"),
-        F.col(id_col).alias("_id"),
     )
     return (
         b.groupBy(

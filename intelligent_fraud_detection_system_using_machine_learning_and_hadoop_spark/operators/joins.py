@@ -40,6 +40,35 @@ def _median_width(df: DataFrame, width_col: Column) -> float:
     return max(float(w), 1e-12) if w is not None else 1e-12
 
 
+def null_safe_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi-join on ``keys`` with IS NOT DISTINCT FROM semantics
+    (NULL matches NULL), keeping the left frame's key columns — the
+    shared utility behind the privacy audits and the streaming
+    duplicate-charge state join (hoisted in r17 so the pattern has
+    one home). A plain name-list ``df.join(other, keys)`` uses
+    non-null-safe equality, silently dropping null-keyed rows; here
+    right-side keys are renamed before the join so the condition
+    never hits self-lineage ambiguity, the rename+drop keeps the
+    output schema identical to the name-list form, and the broadcast
+    hint (when requested) survives the projection."""
+    ren = right
+    for k in keys:
+        ren = ren.withColumnRenamed(k, f"__nsj_{k}")
+    if broadcast_right:
+        ren = F.broadcast(ren)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__nsj_{k}"))
+        cond = c if cond is None else (cond & c)
+    return left.join(ren, cond, how).drop(*[f"__nsj_{k}" for k in keys])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

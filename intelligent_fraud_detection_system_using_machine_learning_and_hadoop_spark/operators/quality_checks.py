@@ -140,34 +140,13 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     )
 
 
-def _null_safe_join(
-    left: DataFrame,
-    right: DataFrame,
-    keys: list,
-    how: str = "inner",
-    broadcast_right: bool = False,
-) -> DataFrame:
-    """Equi-join on ``keys`` with IS NOT DISTINCT FROM semantics
-    (NULL matches NULL), keeping the left frame's key columns.
-
-    Privacy audits must never silently drop null-keyed rows (ADVICE
-    r16): a plain ``df.join(other, keys)`` uses non-null-safe equality,
-    so an equivalence class whose quasi-identifier is NULL — or a NULL
-    sensitive band — would vanish from the report instead of being
-    audited. Right-side keys are renamed before the join so the
-    condition never hits self-lineage ambiguity; the rename+drop keeps
-    the output schema identical to the name-list join form, and the
-    broadcast hint (when requested) survives the projection."""
-    ren = right
-    for k in keys:
-        ren = ren.withColumnRenamed(k, f"__nsj_{k}")
-    if broadcast_right:
-        ren = F.broadcast(ren)
-    cond = None
-    for k in keys:
-        c = F.col(k).eqNullSafe(F.col(f"__nsj_{k}"))
-        cond = c if cond is None else (cond & c)
-    return left.join(ren, cond, how).drop(*[f"__nsj_{k}" for k in keys])
+# Privacy audits must never silently drop null-keyed rows (ADVICE
+# r16): a NULL-quasi equivalence class or a NULL sensitive band must
+# reach the report. The shared null-safe join utility lives in
+# operators/joins.py (hoisted r17 — the streaming duplicate-charge
+# state join shares it); this alias keeps the module-local name the
+# report builders below use.
+from .joins import null_safe_equi_join as _null_safe_join  # noqa: E402
 
 
 def k_anonymity_report(

@@ -632,8 +632,13 @@ def mmr_topk_pooled(
     and emits a ``UserWarning`` when any pick lands in the last
     ``k`` slots (rank > pool_size − k): a boundary pick means a
     just-outside-the-pool candidate could plausibly have won that
-    round, so divergence from ``mmr_topk`` is detectable, never
-    silent."""
+    round. The guard is a HEURISTIC for that common divergence mode,
+    not a certificate — a clustered corpus can diverge with every
+    pick interior to the pool (an outside candidate dissimilar to
+    the picks can beat a penalized pool head without any pool-tail
+    pick occurring), so equality with ``mmr_topk`` when it matters
+    is pinned by the containment pytest, and pool_size ≫ k remains
+    the operating assumption."""
     import warnings
 
     q1 = query.limit(1).select(

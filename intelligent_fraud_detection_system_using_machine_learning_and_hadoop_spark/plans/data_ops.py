@@ -9211,7 +9211,14 @@ def _xxhash64_seed42_ctes(src_cte: str, id_col: str = "id") -> str:
         f"x15 AS (SELECT {id_col}, {_xxh_xor('b7', f'(b7 // {2 ** 32})')} AS b8 FROM x14)",
     ]
     stages = [
-        f"x0 AS (SELECT {id_col}, CAST({id_col} AS HUGEINT) AS ul FROM {src_cte})",
+        # two's-complement reinterpretation: Spark hashes the long's 8
+        # BYTES, so a negative id must enter as id + 2^64 (DuckDB's
+        # HUGEINT cast and %// are sign-preserving — the r17
+        # code-review finding; without this, negative ids hash wrong
+        # silently)
+        f"x0 AS (SELECT {id_col}, CASE WHEN {id_col} < 0 "
+        f"THEN CAST({id_col} AS HUGEINT) + {_XXH_M64} "
+        f"ELSE CAST({id_col} AS HUGEINT) END AS ul FROM {src_cte})",
         # hashLong(id, 42): lane mix
         f"x1 AS (SELECT {id_col}, {_xxh_mul64('ul', _XXH_P2)} AS a1 FROM x0)",
         f"x2 AS (SELECT {id_col}, "

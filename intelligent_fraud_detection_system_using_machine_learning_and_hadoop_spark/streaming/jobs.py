@@ -2359,17 +2359,11 @@ def stream_duplicate_charges(
             if prev is not None:
                 # null-safe keys: the batch window keeps NULL keys as
                 # their own partition, so the state join must too
-                st = prev.select(
-                    F.col("user_id").alias("_su"),
-                    F.col("cents").alias("_sc"),
-                    "last_s",
+                from ..operators.joins import null_safe_equi_join
+
+                cur = null_safe_equi_join(
+                    cur, prev, ["user_id", "cents"], "left"
                 )
-                cur = cur.join(
-                    st,
-                    F.col("user_id").eqNullSafe(F.col("_su"))
-                    & F.col("cents").eqNullSafe(F.col("_sc")),
-                    "left",
-                ).drop("_su", "_sc")
             else:
                 cur = cur.withColumn("last_s", F.lit(None).cast("long"))
             prev_s = F.coalesce(F.col("_bprev"), F.col("last_s"))
@@ -2965,7 +2959,12 @@ def stream_cross_entity_duplicates(
         per.groupBy("cents", "win_start_s")
         .agg(
             F.sum("n").cast("long").alias("n_events"),
-            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            # count(_ent), not count(*): the batch twin's
+            # count_distinct excludes NULL entities, so a NULL-entity
+            # triple must contribute to n_events/first/last but never
+            # to the entity count (drained ≡ batch even with null
+            # keys — the code-review r17 finding)
+            F.count(F.col("_ent")).cast("long").alias("n_entities"),
             F.min("mn").cast("long").alias("first_s"),
             F.max("mx").cast("long").alias("last_s"),
         )

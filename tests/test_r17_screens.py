@@ -153,6 +153,22 @@ class TestCrossEntityDuplicates:
         assert r.last_s - r.first_s == 5 * 3600
         assert r.win_start_s % 604800 == 0
 
+    def test_null_entity_counts_events_not_entities(self, spark):
+        """A NULL entity contributes to n_events/first/last but never
+        to the distinct-entity count (count_distinct excludes NULLs) —
+        the streaming twin's count(_ent) finish mirrors this exactly
+        (r17 code-review finding)."""
+        t0 = datetime.datetime(2024, 3, 4, 12, 0, 0)
+        rows = [
+            (1, None, t0, 77.77),
+            (2, 50, t0 + datetime.timedelta(hours=1), 77.77),
+        ]
+        df = self._events(spark, rows)
+        assert cross_entity_duplicates(df, min_entities=2).count() == 0
+        got = cross_entity_duplicates(df, min_entities=1).collect()
+        assert len(got) == 1
+        assert got[0].n_events == 2 and got[0].n_entities == 1
+
     def test_min_entities_threshold(self, spark):
         t0 = datetime.datetime(2024, 3, 4, 12, 0, 0)
         rows = [

@@ -901,6 +901,15 @@ class TestHarmonicOracle:
             10**12 + 7,
             10**18 + 3,
             2**62,
+            # negative ids: Spark hashes the long's two's-complement
+            # BYTES, so the emulation must reinterpret id + 2^64 (the
+            # r17 code-review finding)
+            -1,
+            -42,
+            -(2**31),
+            -(2**32) - 7,
+            -(2**62),
+            -(2**63),
         ]
         vals = ", ".join(f"({i})" for i in ids)
         sql = (
