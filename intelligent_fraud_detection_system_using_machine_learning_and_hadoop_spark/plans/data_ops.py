@@ -9275,7 +9275,91 @@ def _harmonic_closeness_oracle(k_sources: int = 8, max_hops: int = 8) -> str:
     """
 
 
-@query("betweenness_parts", bench=True)
+def _betweenness_oracle(k_sources: int = 8, max_hops: int = 8) -> str:
+    """Exact DuckDB twin of ``betweenness_sampled`` on the part
+    co-order graph — promotable because the operator is deterministic
+    END TO END: the source panel is the xxhash64 sample (emulated
+    bit-exactly above), forward path counts σ are EXACT decimal
+    integers, and the backward dependency δ accumulates in
+    1e-12-quantized fixed point whose per-pair contribution is one
+    pinned IEEE expression — so both engines floor identical doubles
+    and sum identical integers. The two bounded frontier phases
+    (≤ ``max_hops`` levels each, a structural constant) unroll into
+    plain MATERIALIZED CTE chains: forward level h aggregates level
+    h−1's σ over edges and anti-joins the settled set; backward level
+    h joins its settled rows to level h+1's (σ_w, δ_w) through the
+    edge list, floors the Brandes contribution
+    (σ_v/σ_w)·(1+δ_w) on the 1e-12 grid, and sums exactly. Finish:
+    Σδ per node (v ≠ s), halved for undirectedness, Brandes–Pich n/k
+    scale — the engine's pinned expression tree verbatim."""
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED ({_CO_ORDER_EDGES_SQL}),
+    bi AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM bi),
+    {_xxhash64_seed42_ctes('nodes')},
+    srcs AS MATERIALIZED (SELECT id AS s FROM xh ORDER BY hs, id LIMIT {k_sources}),
+    f0 AS MATERIALIZED (SELECT s, s AS v, CAST(1 AS HUGEINT) AS sigma FROM srcs),
+    set0 AS MATERIALIZED (SELECT s, v, 0 AS dist, sigma FROM f0)"""
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f""",
+    f{h} AS MATERIALIZED (
+      SELECT g.s, g.v, g.sigma FROM (
+        SELECT p.s, bi.v AS v, CAST(SUM(p.sigma) AS HUGEINT) AS sigma
+        FROM f{h - 1} p JOIN bi ON bi.u = p.v
+        GROUP BY p.s, bi.v) g
+      ANTI JOIN set{h - 1} t ON t.s = g.s AND t.v = g.v),
+    set{h} AS MATERIALIZED (
+      SELECT * FROM set{h - 1}
+      UNION ALL SELECT s, v, {h} AS dist, sigma FROM f{h})"""
+        )
+    top = max_hops
+    parts.append(
+        f""",
+    d{top} AS MATERIALIZED (
+      SELECT CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS v,
+             CAST(0 AS HUGEINT) AS qd WHERE 1 = 0)"""
+    )
+    for h in range(top - 1, -1, -1):
+        parts.append(
+            f""",
+    up{h} AS MATERIALIZED (
+      SELECT st.s, st.v AS w, st.sigma AS sw,
+             COALESCE(d{h + 1}.qd, CAST(0 AS HUGEINT)) AS qdw
+      FROM (SELECT * FROM set{top} WHERE dist = {h + 1}) st
+      LEFT JOIN d{h + 1} ON d{h + 1}.s = st.s AND d{h + 1}.v = st.v),
+    d{h} AS MATERIALIZED (
+      SELECT l.s, l.v,
+             CAST(SUM(CAST(floor(
+               ((CAST(l.sigma AS DOUBLE) / CAST(uu.sw AS DOUBLE))
+                * (1.0 + CAST(uu.qdw AS DOUBLE) / 1.0e12)) * 1.0e12)
+               AS HUGEINT)) AS HUGEINT) AS qd
+      FROM (SELECT * FROM set{top} WHERE dist = {h}) l
+      JOIN bi ON bi.u = l.v
+      JOIN up{h} uu ON uu.s = l.s AND uu.w = bi.v
+      GROUP BY l.s, l.v)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT * FROM d{h}" for h in range(top))
+    parts.append(
+        f""",
+    alld AS MATERIALIZED ({unions}),
+    btw AS (SELECT v, CAST(SUM(qd) AS HUGEINT) AS qsum
+            FROM alld WHERE v <> s GROUP BY v),
+    nk AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM nodes) AS n_d,
+                  (SELECT CAST(COUNT(*) AS DOUBLE) FROM srcs) AS k_d)
+    SELECT n.id,
+           COALESCE(CAST(b.qsum AS DOUBLE), 0.0) / 1.0e12 / 2.0
+             * (nk.n_d / nk.k_d) AS betweenness
+    FROM nodes n LEFT JOIN btw b ON b.v = n.id CROSS JOIN nk
+    ORDER BY n.id
+    """
+    )
+    return "".join(parts)
+
+
+@query("betweenness_parts", oracle=_betweenness_oracle(), bench=True)
 def betweenness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled betweenness centrality on the part co-order graph
     (operators/graph.py::betweenness_sampled — Brandes forward
@@ -9283,10 +9367,14 @@ def betweenness_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically-hashed sources, Brandes–Pich scale): the broker
     screen completing the centrality family (degree via k-core,
     eigenvector via PageRank/HITS, now shortest-path betweenness).
-    Iterative + sampled → rows-only per the driver contract;
-    correctness pinned by the exact-Brandes differential in
-    tests/test_sequences_skyline.py (k = |V| on a fixture) and the
-    path/star hand graphs. One row per graph node at any SF."""
+    PROMOTED from rows-only to a full value oracle (r17, extending
+    VERDICT r16 item 4's discipline): the operator is deterministic
+    end to end — xxhash64 source panel (bit-exact DuckDB emulation),
+    EXACT decimal path counts, 1e-12-quantized dependency sums — so
+    the two bounded frontier phases unroll into materialized CTE
+    chains (``_betweenness_oracle``). The exact-Brandes differential
+    (k = |V|) and the path/star hand graphs remain in pytest. One
+    row per graph node at any SF."""
     from ..operators.graph import betweenness_sampled
 
     return betweenness_sampled(
