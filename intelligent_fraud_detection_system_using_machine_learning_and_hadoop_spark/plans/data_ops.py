@@ -376,10 +376,78 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, q, k=3)
 
 
-@query("embedding_lsh_topk")
+def _lsh_topk_oracle(
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> str:
+    """Exact DuckDB twin of ``lsh_cosine_topk`` (r17 promotion): the
+    sign-LSH path is deterministic end to end — the T hash tables'
+    hyperplanes are seeded numpy draws (seed + t·1000), reproduced
+    HERE at generation time and embedded as repr'd double literals
+    (exact round-trip); bucket id = Σ (v·plane_i > 0)·2^i, the same
+    bits Spark's reversed-fold ``acc·2 + bit`` produces; candidates =
+    distinct same-(table, bucket) pairs; the exact rerank repeats the
+    rounded-cosine / id-tiebreak ranking of the brute-force twin."""
+    from ..operators.similarity import random_hyperplanes
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    vals = ", ".join(
+        f"({t}, [{', '.join(arr(pl) for pl in random_hyperplanes(dim, n_planes, seed + t * 1000))}])"
+        for t in range(n_tables)
+    )
+
+    def bucket(col: str) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product({col}, p.pl[{i + 1}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i in range(n_planes)
+        )
+
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    planes(tbl, pl) AS (VALUES {vals}),
+    vb AS MATERIALIZED (
+      SELECT e.vec_id, p.tbl, {bucket('e.v')} AS bucket
+      FROM e CROSS JOIN planes p),
+    qb AS MATERIALIZED (
+      SELECT q.query_id, p.tbl, {bucket('q.qv')} AS bucket
+      FROM q CROSS JOIN planes p),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT qb.query_id, vb.vec_id
+      FROM vb JOIN qb ON vb.tbl = qb.tbl AND vb.bucket = qb.bucket
+      WHERE vb.vec_id <> qb.query_id),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             round(list_dot_product(cv.v, qq.qv)
+                   / (sqrt(list_dot_product(cv.v, cv.v))
+                      * sqrt(list_dot_product(qq.qv, qq.qv))), 6) AS cos_sim
+      FROM cand c
+      JOIN e cv ON cv.vec_id = c.vec_id
+      JOIN q qq ON qq.query_id = c.query_id),
+    r AS (
+      SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+@query("embedding_lsh_topk", oracle=_lsh_topk_oracle())
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN top-3 (rows-only; pytest pins recall vs the exact
-    baseline)."""
+    """Sign-LSH ANN top-3. PROMOTED from rows-only to a full value
+    oracle (r17): the seeded hyperplanes embed as exact literals and
+    the bucket/rerank pipeline is deterministic (``_lsh_topk_oracle``);
+    the recall-vs-exact pytest stays."""
     e = read_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -429,11 +497,66 @@ def embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_dup_pairs(e, threshold=0.4)
 
 
-@query("embedding_lsh_dup")
+def _lsh_dup_oracle(
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Exact DuckDB twin of ``embedding_lsh_dup_pairs`` (r17
+    promotion, the ``_lsh_topk_oracle`` discipline): seeded
+    hyperplanes as repr'd literals, buckets computed on the SAME
+    L2-normalized vectors the engine buckets (not the raw ones — the
+    sign test is mathematically invariant to positive scaling but the
+    twin repeats the engine's arithmetic verbatim), distinct
+    same-(table, bucket) candidate pairs, exact rounded rerank,
+    threshold."""
+    from ..operators.similarity import random_hyperplanes
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    vals = ", ".join(
+        f"({t}, [{', '.join(arr(pl) for pl in random_hyperplanes(dim, n_planes, seed + t * 1000))}])"
+        for t in range(n_tables)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(u.uv, p.pl[{i + 1}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS uv
+      FROM e),
+    planes(tbl, pl) AS (VALUES {vals}),
+    vb AS MATERIALIZED (
+      SELECT u.vec_id, p.tbl, {bucket} AS bucket
+      FROM u CROSS JOIN planes p),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM vb a JOIN vb b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    p2 AS (
+      SELECT c.id_a, c.id_b,
+             round(list_dot_product(ua.uv, ub.uv), 6) AS cos_sim
+      FROM cand c
+      JOIN u ua ON ua.vec_id = c.id_a
+      JOIN u ub ON ub.vec_id = c.id_b)
+    SELECT id_a, id_b, cos_sim FROM p2 WHERE cos_sim >= {threshold}
+    """
+
+
+@query("embedding_lsh_dup", oracle=_lsh_dup_oracle())
 def embedding_lsh_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed near-dup candidates + exact cosine rerank
-    (rows-only: hyperplane hashes have no SQL twin; pytest pins recall
-    against embedding_cosine_dup and precision = 1 by construction)."""
+    """Sign-LSH bucketed near-dup candidates + exact cosine rerank.
+    PROMOTED from rows-only to a full value oracle (r17): the seeded
+    hyperplanes embed as exact literals (``_lsh_dup_oracle``); the
+    recall-vs-exact pytest stays (precision = 1 by construction)."""
     e = read_table(spark, sf_dir, "embeddings")
     return embedding_lsh_dup_pairs(e, threshold=0.4)
 
@@ -9644,7 +9767,9 @@ def new_vs_returning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mmr_unrolled_oracle(k: int = 10, lam: float = 0.7) -> str:
+def _mmr_unrolled_oracle(
+    k: int = 10, lam: float = 0.7, pool_size: int | None = None
+) -> str:
     """Exact DuckDB twin of ``mmr_topk`` over the embeddings table
     (VERDICT r16 item 4): the greedy head is deterministic — scores
     round to 6 decimals before comparison, argmax ties break on
@@ -9656,14 +9781,32 @@ def _mmr_unrolled_oracle(k: int = 10, lam: float = 0.7) -> str:
     bit-for-bit (the embedding_topk_cosine precedent), and the mmr
     combination repeats Spark's exact literals — λ and the Python
     double 1.0−λ (repr'd, NOT re-derived in SQL: 1.0−0.7 is
-    0.30000000000000004, not 0.3)."""
+    0.30000000000000004, not 0.3).
+
+    ``pool_size`` builds the ``mmr_topk_pooled`` twin (r17): the
+    greedy rounds run over only the relevance top-``pool_size``
+    candidates — the SAME rounded-score, id-tiebroken ordering
+    ``cosine_topk`` ranks the pool with — so the unroll is identical
+    with one semi-join restriction. (The engine's pool ranker does
+    not pre-drop zero-norm vectors; the twin's rel frame does — the
+    two coincide whenever the corpus has no zero embeddings, true of
+    every gate dataset and asserted harmless by the pooled≡full
+    pytest.)"""
     lam_r = repr(float(lam))
     om_r = repr(1.0 - float(lam))
+    if pool_size is None:
+        rel_cte = "rel AS MATERIALIZED (SELECT * FROM rel_all)"
+    else:
+        rel_cte = f"""pool AS MATERIALIZED (
+      SELECT vec_id FROM rel_all
+      ORDER BY rel DESC, vec_id LIMIT {pool_size}),
+    rel AS MATERIALIZED (
+      SELECT r.* FROM rel_all r SEMI JOIN pool p ON p.vec_id = r.vec_id)"""
     parts = [
         f"""
     WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     qrow AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
-    rel AS MATERIALIZED (
+    rel_all AS MATERIALIZED (
       SELECT c.vec_id, c.v, sqrt(list_dot_product(c.v, c.v)) AS nrm,
              round(list_dot_product(c.v, q.v)
                    / (sqrt(list_dot_product(c.v, c.v))
@@ -9672,6 +9815,7 @@ def _mmr_unrolled_oracle(k: int = 10, lam: float = 0.7) -> str:
       WHERE c.vec_id <> q.vec_id
         AND sqrt(list_dot_product(c.v, c.v)) > 0
         AND sqrt(list_dot_product(q.v, q.v)) > 0),
+    {rel_cte},
     p1 AS (
       SELECT 1 AS rank, vec_id, v, nrm, rel, {lam_r} * rel AS mmr
       FROM rel ORDER BY mmr DESC, vec_id LIMIT 1),
@@ -9725,7 +9869,10 @@ def mmr_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_topk(corpus, q, k=10, lam=0.7)
 
 
-@query("mmr_topk_pooled_embeddings")
+@query(
+    "mmr_topk_pooled_embeddings",
+    oracle=_mmr_unrolled_oracle(pool_size=256),
+)
 def mmr_topk_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversified top-10 over an exact-cosine candidate pool
     (operators/similarity.py::mmr_topk_pooled, pool 256, λ = 0.7) —
@@ -9735,8 +9882,10 @@ def mmr_topk_pooled_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-semi-joined pool instead of re-scanning the corpus k
     times. Picks are pytest-pinned identical to the full-corpus
     ``mmr_topk_embeddings`` (greedy argmax over a pool containing
-    every full-corpus pick is the same argmax); rows-only per the
-    greedy/iterative discipline."""
+    every full-corpus pick is the same argmax). PROMOTED from
+    rows-only to a full value oracle (r17): the unrolled argmax twin
+    restricted to the relevance top-256 pool
+    (``_mmr_unrolled_oracle(pool_size=256)``)."""
     from ..operators.similarity import mmr_topk_pooled
 
     emb = read_table(spark, sf_dir, "embeddings")
