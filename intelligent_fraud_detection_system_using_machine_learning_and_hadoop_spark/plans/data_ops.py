@@ -3498,6 +3498,184 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join(p, threshold=2, str_col="p_name")
 
 
+# --- DuckDB twin of Spark's xxhash64(bigint_col, lit(42)) ------------
+# Spark evaluates F.xxhash64(col, F.lit(seed)) by CHAINING the inputs
+# with the DEFAULT seed 42 (the second argument is another hashed
+# column, NOT the seed): hashInt(42, hashLong(value, 42)) per
+# sql/catalyst XXH64.java. The emulation runs the exact unsigned
+# 64-bit algorithm over HUGEINT: wraparound multiply via the 32-bit
+# split ((a%2^32)·b + ((a//2^32)·(b%2^32) mod 2^32)·2^32) mod 2^64,
+# rotl via non-overlapping shift halves, xor through signed BIGINT.
+# Bit-for-bit parity with Spark is pytest-pinned
+# (tests/test_sequences_skyline.py::TestHarmonicOracle).
+_XXH_M64 = 18446744073709551616
+_XXH_M32 = 4294967296
+_XXH_P1 = 11400714785074694791
+_XXH_P2 = 14029467366897019727
+_XXH_P3 = 1609587929392839161
+_XXH_P4 = 9650029242287828579
+_XXH_P5 = 2870177450012600261
+
+
+def _xxh_mul64(a: str, b: int) -> str:
+    return (
+        f"((({a}) % {_XXH_M32}) * {b} + "
+        f"((({a}) // {_XXH_M32}) * {b % _XXH_M32} % {_XXH_M32}) "
+        f"* {_XXH_M32}) % {_XXH_M64}"
+    )
+
+
+def _xxh_rotl(x: str, r: int) -> str:
+    return f"({_xxh_mul64(x, 2 ** r)} + ({x}) // {2 ** (64 - r)})"
+
+
+def _xxh_xor(a: str, b: str) -> str:
+    def s(v: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({v}) >= 9223372036854775808 "
+            f"THEN ({v}) - {_XXH_M64} ELSE ({v}) END AS BIGINT)"
+        )
+
+    x = f"xor({s(a)}, {s(b)})"
+    return (
+        f"(CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {_XXH_M64} "
+        f"ELSE CAST({x} AS HUGEINT) END)"
+    )
+
+
+def _xxh_to_signed(u: str) -> str:
+    return (
+        f"CAST(CASE WHEN ({u}) >= 9223372036854775808 THEN ({u}) - {_XXH_M64} "
+        f"ELSE ({u}) END AS BIGINT)"
+    )
+
+
+def _xxh_to_unsigned(s: str) -> str:
+    return (
+        f"(CASE WHEN ({s}) < 0 THEN CAST(({s}) AS HUGEINT) + {_XXH_M64} "
+        f"ELSE CAST(({s}) AS HUGEINT) END)"
+    )
+
+
+def _xxh_chain(
+    src_cte: str,
+    carry: list,
+    steps: list,
+    pfx: str,
+) -> tuple[str, str, str]:
+    """Chain ``steps`` (each a function of the previous stage's column
+    name returning an SQL expression) into one CTE per step, threading
+    the ``carry`` columns through. One column per stage keeps the
+    bound expression tree LINEAR — DuckDB expands lateral column
+    aliases and multiply-referenced single CTE columns by textual
+    substitution, which is exponential in the stage count (a 12-stage
+    hash chain hung the binder when expressed that way). Returns
+    (ctes_sql, final_cte, final_col)."""
+    ctes = []
+    prev_cte = src_cte
+    prev_col = None
+    cols = ", ".join(carry)
+    for idx, step in enumerate(steps):
+        name = f"{pfx}{idx}"
+        expr = step(prev_col)
+        ctes.append(f"{name} AS (SELECT {cols}, {expr} AS {pfx}c{idx} FROM {prev_cte})")
+        prev_cte, prev_col = name, f"{pfx}c{idx}"
+    return ",\n    ".join(ctes), prev_cte, prev_col
+
+
+def _xxh_hashlong_steps(inp_u: str, seed_u) -> list:
+    """Step functions for Spark's XXH64 hashLong(input, seed);
+    ``inp_u`` an SQL expression in [0, 2^64) available in the source
+    CTE's carry columns, ``seed_u`` an int or a carried column name
+    (variable seeds chain multi-value hashes)."""
+    m = _XXH_M64
+    if isinstance(seed_u, str):
+        h0 = f"((({seed_u}) + {(_XXH_P5 + 8) % m}) % {m})"
+    else:
+        h0 = str((seed_u + _XXH_P5 + 8) % m)
+    return [
+        lambda p, e=inp_u: _xxh_mul64(e, _XXH_P2),
+        lambda p: _xxh_rotl(p, 31),
+        lambda p: _xxh_mul64(p, _XXH_P1),
+        lambda p, h=h0: _xxh_xor(h, p),
+        lambda p: _xxh_rotl(p, 27),
+        lambda p: f"({_xxh_mul64(p, _XXH_P1)} + {_XXH_P4}) % {m}",
+        lambda p: _xxh_xor(p, f"({p} // {2 ** 33})"),
+        lambda p: _xxh_mul64(p, _XXH_P2),
+        lambda p: _xxh_xor(p, f"({p} // {2 ** 29})"),
+        lambda p: _xxh_mul64(p, _XXH_P3),
+        lambda p: _xxh_xor(p, f"({p} // {2 ** 32})"),
+    ]
+
+
+def _xxh_hashint_steps(inp_small: str, seed_u: str) -> list:
+    """Step functions for Spark's XXH64 hashInt(input, seed);
+    ``inp_small`` a non-negative carried expression < 2^32 (Spark
+    masks the int to 32 bits before the P1 mix), ``seed_u`` a carried
+    column name."""
+    m = _XXH_M64
+    return [
+        lambda p, s=seed_u: f"((({s}) + {(_XXH_P5 + 4) % m}) % {m})",
+        lambda p, e=inp_small: _xxh_xor(p, f"((({e}) * {_XXH_P1}) % {m})"),
+        lambda p: f"({_xxh_mul64(_xxh_rotl(p, 23), _XXH_P2)} + {_XXH_P3}) % {m}",
+        lambda p: _xxh_xor(p, f"({p} // {2 ** 33})"),
+        lambda p: _xxh_mul64(p, _XXH_P2),
+        lambda p: _xxh_xor(p, f"({p} // {2 ** 29})"),
+        lambda p: _xxh_mul64(p, _XXH_P3),
+        lambda p: _xxh_xor(p, f"({p} // {2 ** 32})"),
+    ]
+
+
+def _xxhash64_seed42_ctes(src_cte: str, id_col: str = "id") -> str:
+    """CTE chain ``x0 … x19`` computing Spark's xxhash64(id, lit(42))
+    for every row of ``src_cte(id)``; the last CTE ``xh`` carries
+    (id, hs) with hs the SIGNED 64-bit hash (Spark's LongType sort
+    order)."""
+    h0_long = (42 + _XXH_P5 + 8) % _XXH_M64  # hashLong seed state
+    c42 = (42 * _XXH_P1) % _XXH_M64  # hashInt's constant input mix
+    fmix_a = [
+        f"x4 AS (SELECT {id_col}, {_xxh_xor('a6', f'(a6 // {2 ** 33})')} AS a7 FROM x3)",
+        f"x5 AS (SELECT {id_col}, {_xxh_mul64('a7', _XXH_P2)} AS a8 FROM x4)",
+        f"x6 AS (SELECT {id_col}, {_xxh_xor('a8', f'(a8 // {2 ** 29})')} AS a9 FROM x5)",
+        f"x7 AS (SELECT {id_col}, {_xxh_mul64('a9', _XXH_P3)} AS a10 FROM x6)",
+        f"x8 AS (SELECT {id_col}, {_xxh_xor('a10', f'(a10 // {2 ** 32})')} AS a11 FROM x7)",
+    ]
+    fmix_b = [
+        f"x11 AS (SELECT {id_col}, {_xxh_xor('b3', f'(b3 // {2 ** 33})')} AS b4 FROM x10)",
+        f"x12 AS (SELECT {id_col}, {_xxh_mul64('b4', _XXH_P2)} AS b5 FROM x11)",
+        f"x13 AS (SELECT {id_col}, {_xxh_xor('b5', f'(b5 // {2 ** 29})')} AS b6 FROM x12)",
+        f"x14 AS (SELECT {id_col}, {_xxh_mul64('b6', _XXH_P3)} AS b7 FROM x13)",
+        f"x15 AS (SELECT {id_col}, {_xxh_xor('b7', f'(b7 // {2 ** 32})')} AS b8 FROM x14)",
+    ]
+    stages = [
+        # two's-complement reinterpretation: Spark hashes the long's 8
+        # BYTES, so a negative id must enter as id + 2^64 (DuckDB's
+        # HUGEINT cast and %// are sign-preserving — the r17
+        # code-review finding; without this, negative ids hash wrong
+        # silently)
+        f"x0 AS (SELECT {id_col}, CASE WHEN {id_col} < 0 "
+        f"THEN CAST({id_col} AS HUGEINT) + {_XXH_M64} "
+        f"ELSE CAST({id_col} AS HUGEINT) END AS ul FROM {src_cte})",
+        # hashLong(id, 42): lane mix
+        f"x1 AS (SELECT {id_col}, {_xxh_mul64('ul', _XXH_P2)} AS a1 FROM x0)",
+        f"x2 AS (SELECT {id_col}, "
+        f"{_xxh_xor(str(h0_long), _xxh_mul64(_xxh_rotl('a1', 31), _XXH_P1))} AS a4 FROM x1)",
+        f"x3 AS (SELECT {id_col}, "
+        f"({_xxh_mul64(_xxh_rotl('a4', 27), _XXH_P1)} + {_XXH_P4}) % {_XXH_M64} AS a6 FROM x2)",
+        *fmix_a,
+        # hashInt(42, a11)
+        f"x9 AS (SELECT {id_col}, (a11 + {(_XXH_P5 + 4)}) % {_XXH_M64} AS b1 FROM x8)",
+        f"x10 AS (SELECT {id_col}, "
+        f"({_xxh_mul64(_xxh_rotl(_xxh_xor('b1', str(c42)), 23), _XXH_P2)} + {_XXH_P3}) % {_XXH_M64} AS b3 FROM x9)",
+        *fmix_b,
+        f"xh AS (SELECT {id_col}, "
+        f"CAST(CASE WHEN b8 >= 9223372036854775808 THEN b8 - {_XXH_M64} "
+        f"ELSE b8 END AS BIGINT) AS hs FROM x15)",
+    ]
+    return ",\n    ".join(stages)
+
+
+
 def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical part co-order edge list — DISTINCT unordered pairs
     (u < v) of parts appearing on the same order — the shared input of
@@ -4110,7 +4288,127 @@ def collusion_hub_report_customers(
     )
 
 
-@query("collusion_pairs_lsh_customers", bench=True)
+def _collusion_lsh_body(
+    num_hashes: int = 64,
+    bands: int = 32,
+    min_shared: int = 2,
+    jaccard_num: int = 1,
+    jaccard_den: int = 2,
+) -> str:
+    """Shared CTE body for the collusion-LSH twins (r17 promotion):
+    reproduces ``shared_counterparty_pairs_lsh`` end to end in DuckDB
+    up to the verified-pairs frame ``vpairs``.
+
+    The whole pipeline is deterministic, so it twins exactly:
+    signature hash k of counterparty c is Spark's
+    ``xxhash64(c, lit(k))`` = hashInt(k, hashLong(c, 42)) — ONE
+    hashLong chain per distinct (entity, counterparty) row, then the
+    cheap hashInt chain over the 64-seed cross join; the per-band
+    bucket is ``xxhash64(sig[2b], sig[2b+1])`` = two chained
+    hashLongs with a VARIABLE seed (the generalized ``_xxh_chain``
+    builders, parity pytest-pinned down to −2^63 inputs); candidates
+    are distinct same-(band, bucket) collisions; the exact verify
+    (BIGINT overlap/degree/union, integer cross-multiplied Jaccard
+    threshold) runs on the true distinct sets."""
+    if num_hashes % bands != 0 or num_hashes // bands != 2:
+        raise ValueError("twin generator assumes rows_per_band == 2")
+    hl_ctes, hl_cte, hl_col = _xxh_chain(
+        "e", ["ent", "cp"], _xxh_hashlong_steps(_xxh_to_unsigned("cp"), 42), "HL"
+    )
+    hi_ctes, hi_cte, hi_col = _xxh_chain(
+        "seeded", ["ent", "i"], _xxh_hashint_steps("i", "av"), "HI"
+    )
+    b1_ctes, b1_cte, b1_col = _xxh_chain(
+        "bandv",
+        ["ent", "band", "s2"],
+        _xxh_hashlong_steps(_xxh_to_unsigned("s1"), 42),
+        "B1",
+    )
+    # the variable seed column is consumed at the xor stage (index 3),
+    # so it must ride the carry list through the chain
+    b2_ctes, b2_cte, b2_col = _xxh_chain(
+        b1_cte,
+        ["ent", "band", b1_col],
+        _xxh_hashlong_steps(_xxh_to_unsigned("s2"), b1_col),
+        "B2",
+    )
+    return f"""e AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS ent, l.l_suppkey AS cp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    {hl_ctes},
+    hlv AS MATERIALIZED (SELECT ent, {hl_col} AS av FROM {hl_cte}),
+    seeds(i) AS (SELECT range FROM range(0, {num_hashes})),
+    seeded AS (SELECT ent, i, av FROM hlv CROSS JOIN seeds),
+    {hi_ctes},
+    sig AS MATERIALIZED (
+      SELECT ent, i, min({_xxh_to_signed(hi_col)}) AS s
+      FROM {hi_cte} GROUP BY ent, i),
+    bandv AS MATERIALIZED (
+      SELECT ent, i // 2 AS band,
+             max(CASE WHEN i % 2 = 0 THEN s END) AS s1,
+             max(CASE WHEN i % 2 = 1 THEN s END) AS s2
+      FROM sig GROUP BY ent, i // 2),
+    {b1_ctes},
+    {b2_ctes},
+    bk AS MATERIALIZED (
+      SELECT ent, band, {_xxh_to_signed(b2_col)} AS bucket FROM {b2_cte}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.ent AS ea, b.ent AS eb
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.ent < b.ent),
+    deg AS MATERIALIZED (
+      SELECT ent, CAST(count(*) AS BIGINT) AS dg FROM e GROUP BY ent),
+    shared AS MATERIALIZED (
+      SELECT c.ea, c.eb, CAST(count(*) AS BIGINT) AS n_shared
+      FROM cand c
+      JOIN e x ON x.ent = c.ea
+      JOIN e y ON y.ent = c.eb AND y.cp = x.cp
+      GROUP BY c.ea, c.eb),
+    vpairs AS MATERIALIZED (
+      SELECT s.ea, s.eb, s.n_shared, da.dg AS deg_a, db.dg AS deg_b,
+             da.dg + db.dg - s.n_shared AS n_union
+      FROM shared s
+      JOIN deg da ON da.ent = s.ea
+      JOIN deg db ON db.ent = s.eb
+      WHERE s.n_shared >= {min_shared}
+        AND {jaccard_den} * s.n_shared
+            >= {jaccard_num} * (da.dg + db.dg - s.n_shared))"""
+
+
+def _collusion_pairs_lsh_oracle() -> str:
+    return f"""
+    WITH {_collusion_lsh_body()}
+    SELECT ea AS entity_a, eb AS entity_b, n_shared, deg_a, deg_b,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(n_shared AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+    FROM vpairs ORDER BY jaccard DESC, entity_a, entity_b
+    """
+
+
+def _collusion_rings_lsh_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_collusion_lsh_body()},
+    bi2 AS (SELECT ea AS a, eb AS b FROM vpairs
+            UNION ALL SELECT eb AS a, ea AS b FROM vpairs),
+    walk(id, r) AS (
+      SELECT a AS id, a AS r FROM bi2
+      UNION
+      SELECT bi2.b AS id, w.r FROM walk w JOIN bi2 ON bi2.a = w.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM walk GROUP BY id),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS ring_size
+              FROM comp GROUP BY component)
+    SELECT c.id AS entity, c.component AS ring_id, s.ring_size
+    FROM comp c JOIN sizes s ON s.component = c.component
+    ORDER BY entity
+    """
+
+
+@query(
+    "collusion_pairs_lsh_customers",
+    oracle=_collusion_pairs_lsh_oracle(),
+    bench=True,
+)
 def collusion_pairs_lsh_customers(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4119,12 +4417,13 @@ def collusion_pairs_lsh_customers(
     item 1): candidate pairs from 32×2 banded MinHash over supplier
     sets, exact-verified (precision 1) at Jaccard ≥ ½ — the scale
     path when counterparty degrees are uniformly high and the Σdeg²
-    self-join floor can't be capped away. Rows-only at the driver by
-    design: output is exact for every surfaced pair but RECALL is
-    approximate (a qualifying pair missed by every band), so a value
-    oracle would over-claim — the recall pytest
-    (tests/test_fraud_stats.py) measures it against the exact screen,
-    the ANN/IVF/PQ discipline."""
+    self-join floor can't be capped away. PROMOTED from rows-only to
+    a full value oracle (r17): the minhash/banding pipeline is
+    deterministic (xxhash64 chains emulated bit-exactly —
+    ``_collusion_lsh_body``), so the twin attests the implementation
+    EXACTLY — including which pairs the bands surface; RECALL vs the
+    exact screen remains a measured property (the recall pytest in
+    tests/test_fraud_stats.py), not an oracle claim."""
     from ..operators.cooccur import shared_counterparty_pairs_lsh
 
     o = read_table(spark, sf_dir, "orders")
@@ -4216,7 +4515,11 @@ def collusion_rings_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("collusion_rings_lsh_customers", bench=True)
+@query(
+    "collusion_rings_lsh_customers",
+    oracle=_collusion_rings_lsh_oracle(),
+    bench=True,
+)
 def collusion_rings_lsh_customers(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9265,100 +9568,6 @@ def pacf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return pacf_daily(e)
-
-
-# --- DuckDB twin of Spark's xxhash64(bigint_col, lit(42)) ------------
-# Spark evaluates F.xxhash64(col, F.lit(seed)) by CHAINING the inputs
-# with the DEFAULT seed 42 (the second argument is another hashed
-# column, NOT the seed): hashInt(42, hashLong(value, 42)) per
-# sql/catalyst XXH64.java. The emulation runs the exact unsigned
-# 64-bit algorithm over HUGEINT: wraparound multiply via the 32-bit
-# split ((a%2^32)·b + ((a//2^32)·(b%2^32) mod 2^32)·2^32) mod 2^64,
-# rotl via non-overlapping shift halves, xor through signed BIGINT.
-# Bit-for-bit parity with Spark is pytest-pinned
-# (tests/test_sequences_skyline.py::TestHarmonicOracle).
-_XXH_M64 = 18446744073709551616
-_XXH_M32 = 4294967296
-_XXH_P1 = 11400714785074694791
-_XXH_P2 = 14029467366897019727
-_XXH_P3 = 1609587929392839161
-_XXH_P4 = 9650029242287828579
-_XXH_P5 = 2870177450012600261
-
-
-def _xxh_mul64(a: str, b: int) -> str:
-    return (
-        f"((({a}) % {_XXH_M32}) * {b} + "
-        f"((({a}) // {_XXH_M32}) * {b % _XXH_M32} % {_XXH_M32}) "
-        f"* {_XXH_M32}) % {_XXH_M64}"
-    )
-
-
-def _xxh_rotl(x: str, r: int) -> str:
-    return f"({_xxh_mul64(x, 2 ** r)} + ({x}) // {2 ** (64 - r)})"
-
-
-def _xxh_xor(a: str, b: str) -> str:
-    def s(v: str) -> str:
-        return (
-            f"CAST(CASE WHEN ({v}) >= 9223372036854775808 "
-            f"THEN ({v}) - {_XXH_M64} ELSE ({v}) END AS BIGINT)"
-        )
-
-    x = f"xor({s(a)}, {s(b)})"
-    return (
-        f"(CASE WHEN {x} < 0 THEN CAST({x} AS HUGEINT) + {_XXH_M64} "
-        f"ELSE CAST({x} AS HUGEINT) END)"
-    )
-
-
-def _xxhash64_seed42_ctes(src_cte: str, id_col: str = "id") -> str:
-    """CTE chain ``x0 … x19`` computing Spark's xxhash64(id, lit(42))
-    for every row of ``src_cte(id)``; the last CTE ``xh`` carries
-    (id, hs) with hs the SIGNED 64-bit hash (Spark's LongType sort
-    order)."""
-    h0_long = (42 + _XXH_P5 + 8) % _XXH_M64  # hashLong seed state
-    c42 = (42 * _XXH_P1) % _XXH_M64  # hashInt's constant input mix
-    fmix_a = [
-        f"x4 AS (SELECT {id_col}, {_xxh_xor('a6', f'(a6 // {2 ** 33})')} AS a7 FROM x3)",
-        f"x5 AS (SELECT {id_col}, {_xxh_mul64('a7', _XXH_P2)} AS a8 FROM x4)",
-        f"x6 AS (SELECT {id_col}, {_xxh_xor('a8', f'(a8 // {2 ** 29})')} AS a9 FROM x5)",
-        f"x7 AS (SELECT {id_col}, {_xxh_mul64('a9', _XXH_P3)} AS a10 FROM x6)",
-        f"x8 AS (SELECT {id_col}, {_xxh_xor('a10', f'(a10 // {2 ** 32})')} AS a11 FROM x7)",
-    ]
-    fmix_b = [
-        f"x11 AS (SELECT {id_col}, {_xxh_xor('b3', f'(b3 // {2 ** 33})')} AS b4 FROM x10)",
-        f"x12 AS (SELECT {id_col}, {_xxh_mul64('b4', _XXH_P2)} AS b5 FROM x11)",
-        f"x13 AS (SELECT {id_col}, {_xxh_xor('b5', f'(b5 // {2 ** 29})')} AS b6 FROM x12)",
-        f"x14 AS (SELECT {id_col}, {_xxh_mul64('b6', _XXH_P3)} AS b7 FROM x13)",
-        f"x15 AS (SELECT {id_col}, {_xxh_xor('b7', f'(b7 // {2 ** 32})')} AS b8 FROM x14)",
-    ]
-    stages = [
-        # two's-complement reinterpretation: Spark hashes the long's 8
-        # BYTES, so a negative id must enter as id + 2^64 (DuckDB's
-        # HUGEINT cast and %// are sign-preserving — the r17
-        # code-review finding; without this, negative ids hash wrong
-        # silently)
-        f"x0 AS (SELECT {id_col}, CASE WHEN {id_col} < 0 "
-        f"THEN CAST({id_col} AS HUGEINT) + {_XXH_M64} "
-        f"ELSE CAST({id_col} AS HUGEINT) END AS ul FROM {src_cte})",
-        # hashLong(id, 42): lane mix
-        f"x1 AS (SELECT {id_col}, {_xxh_mul64('ul', _XXH_P2)} AS a1 FROM x0)",
-        f"x2 AS (SELECT {id_col}, "
-        f"{_xxh_xor(str(h0_long), _xxh_mul64(_xxh_rotl('a1', 31), _XXH_P1))} AS a4 FROM x1)",
-        f"x3 AS (SELECT {id_col}, "
-        f"({_xxh_mul64(_xxh_rotl('a4', 27), _XXH_P1)} + {_XXH_P4}) % {_XXH_M64} AS a6 FROM x2)",
-        *fmix_a,
-        # hashInt(42, a11)
-        f"x9 AS (SELECT {id_col}, (a11 + {(_XXH_P5 + 4)}) % {_XXH_M64} AS b1 FROM x8)",
-        f"x10 AS (SELECT {id_col}, "
-        f"({_xxh_mul64(_xxh_rotl(_xxh_xor('b1', str(c42)), 23), _XXH_P2)} + {_XXH_P3}) % {_XXH_M64} AS b3 FROM x9)",
-        *fmix_b,
-        f"xh AS (SELECT {id_col}, "
-        f"CAST(CASE WHEN b8 >= 9223372036854775808 THEN b8 - {_XXH_M64} "
-        f"ELSE b8 END AS BIGINT) AS hs FROM x15)",
-    ]
-    return ",\n    ".join(stages)
 
 
 def _harmonic_closeness_oracle(k_sources: int = 8, max_hops: int = 8) -> str:
