@@ -927,6 +927,84 @@ class TestHarmonicOracle:
         assert got == duck
 
 
+class TestXxhChainBuilders:
+    def test_hashint_and_variable_seed_chains_match_spark(self, spark):
+        """The generalized XXH64 chain builders behind the collusion
+        LSH twins (r17): xxhash64(long, int) = hashInt(i, hashLong(v,
+        42)) and xxhash64(long, long) = hashLong(u2, hashLong(u1, 42))
+        with a VARIABLE seed — pinned against Spark including negative
+        longs (two's-complement reinterpretation) and −2^63."""
+        import duckdb
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans.data_ops import (
+            _xxh_chain,
+            _xxh_hashint_steps,
+            _xxh_hashlong_steps,
+            _xxh_to_signed,
+            _xxh_to_unsigned,
+        )
+
+        c1, cte1, col1 = _xxh_chain(
+            "rows", ["sh", "i"],
+            _xxh_hashlong_steps(_xxh_to_unsigned("sh"), 42), "L",
+        )
+        c2, cte2, col2 = _xxh_chain(
+            cte1, ["sh", "i"], _xxh_hashint_steps("i", col1), "I"
+        )
+        sql1 = (
+            "WITH rows(sh, i) AS "
+            "(SELECT a.range, b.range FROM range(-3, 5) a, range(0, 4) b),\n"
+            f"{c1},\n{c2}\n"
+            f"SELECT sh, i, {_xxh_to_signed(col2)} AS hv FROM {cte2}"
+        )
+        duck1 = {
+            (int(a), int(b)): int(c)
+            for a, b, c in duckdb.sql(sql1).fetchall()
+        }
+        got1 = {
+            (r.sh, r.i): r.h
+            for r in spark.createDataFrame(
+                [(sh, i) for sh in range(-3, 5) for i in range(4)],
+                "sh long, i int",
+            )
+            .select("sh", "i", F.xxhash64(F.col("sh"), F.col("i")).alias("h"))
+            .collect()
+        }
+        assert got1 == duck1
+
+        pairs = [
+            (-(2**63), 12345),
+            (5, -7),
+            (123456789012345, -987654321098765),
+            (0, 0),
+        ]
+        ca, ctea, cola = _xxh_chain(
+            "rows2", ["s1", "s2"],
+            _xxh_hashlong_steps(_xxh_to_unsigned("s1"), 42), "A",
+        )
+        cb, cteb, colb = _xxh_chain(
+            ctea, ["s1", "s2", cola],
+            _xxh_hashlong_steps(_xxh_to_unsigned("s2"), cola), "B",
+        )
+        vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+        sql2 = (
+            f"WITH rows2(s1, s2) AS (VALUES {vals}),\n"
+            f"{ca},\n{cb}\n"
+            f"SELECT s1, s2, {_xxh_to_signed(colb)} AS hv FROM {cteb}"
+        )
+        duck2 = {
+            (int(a), int(b)): int(c)
+            for a, b, c in duckdb.sql(sql2).fetchall()
+        }
+        got2 = {
+            (r.s1, r.s2): r.h
+            for r in spark.createDataFrame(pairs, "s1 long, s2 long")
+            .select("s1", "s2", F.xxhash64("s1", "s2").alias("h"))
+            .collect()
+        }
+        assert got2 == duck2
+
+
 class TestMmrPoolGuard:
     """ADVICE r16: a pick in the pool's last-k relevance ranks means a
     just-outside-the-pool candidate could have won that round — the
