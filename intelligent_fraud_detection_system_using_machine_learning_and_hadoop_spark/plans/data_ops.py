@@ -233,13 +233,10 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.05, max_df=1000)
 
 
-@query("minhash_near_dup", bench=True)
-def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-Jaccard verified (xxhash64
-    signatures have no portable SQL twin → rows-only; pytest pins
-    recall against ngram_jaccard_pairs)."""
-    d = read_table(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(d, threshold=0.5)
+# (minhash_near_dup is registered further down, after the XXH64 chain
+# builders its r18-promoted value oracle needs — see
+# _minhash_lsh_oracle; post-window registration order is not part of
+# the driver contract)
 
 
 @query(
@@ -338,11 +335,7 @@ def near_dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(d, pairs)
 
 
-@query("simhash_near_dup")
-def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤3 candidate pairs (rows-only: xxhash64-based)."""
-    d = read_table(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d)
+# (simhash_near_dup likewise registers after the XXH64 builders)
 
 
 @query(
@@ -3675,6 +3668,194 @@ def _xxhash64_seed42_ctes(src_cte: str, id_col: str = "id") -> str:
     return ",\n    ".join(stages)
 
 
+# --- r18 promotions: the string-keyed LSH legs --------------------------
+# Spark's xxhash64 over a STRING hashes variable-length UTF-8 bytes —
+# no tractable chained-CTE twin (the stripe/tail loops need
+# data-dependent recursion). The bridge is the portable 60-bit md5
+# digest (functions/exprs.py::portable_str_id): both engines compute
+# md5 bit-identically, and once the shingle/token is a LONG the proven
+# hashLong/hashInt chain builders above take over. The Spark operators
+# were re-keyed onto the same digest (operators/dedup.py r18), so the
+# twins attest the shipped implementation exactly.
+
+# HUGEINT cast on the outside: the chain builders' 32-bit-split
+# multiply only stays in HUGEINT arithmetic if the INPUT is HUGEINT
+# (a BIGINT sid makes `(sid // 2^32) % 2^32 * 2^32` an INT64 multiply,
+# which overflows).
+_MD5_SID = "CAST(CAST('0x' || substr(md5({col}), 1, 15) AS BIGINT) AS HUGEINT)"
+
+
+def _minhash_lsh_oracle(
+    num_hashes: int = 64, bands: int = 16, n: int = 3, threshold: float = 0.5
+) -> str:
+    """Exact DuckDB twin of the registered ``minhash_near_dup`` query
+    (operators/dedup.py::minhash_near_dup_pairs): word-n-gram shingles
+    → portable md5₆₀ ids → per-shingle hashLong(sid, 42) base → 64
+    hashInt(k, base) signature hashes (min per doc per k) → per-band
+    bucket = xxhash64 fold over the band's 4 signature longs (chained
+    variable-seed hashLongs) → distinct same-(band, bucket) candidate
+    pairs → exact-Jaccard verify on the true shingle sets."""
+    rows = num_hashes // bands
+    if rows != 4:
+        raise ValueError("twin generator assumes rows_per_band == 4")
+    hl_ctes, hl_cte, hl_col = _xxh_chain(
+        "pid", ["shingle"], _xxh_hashlong_steps("sid", 42), "MHL"
+    )
+    hi_ctes, hi_cte, hi_col = _xxh_chain(
+        "seeded", ["shingle", "i"], _xxh_hashint_steps("i", "av"), "MHI"
+    )
+    band_ctes = []
+    prev_cte, prev_col = "bandv", None
+    for r in range(4):
+        seed = 42 if r == 0 else prev_col
+        carry = (
+            ["doc_id", "band"]
+            + ([] if r == 0 else [prev_col])
+            + [f"s{k}" for k in range(r + 2, 5)]
+        )
+        c, prev_cte, prev_col = _xxh_chain(
+            prev_cte,
+            carry,
+            _xxh_hashlong_steps(_xxh_to_unsigned(f"s{r + 1}"), seed),
+            f"MB{r}",
+        )
+        band_ctes.append(c)
+    bands_sql = ",\n    ".join(band_ctes)
+    sid = _MD5_SID.format(col="shingle")
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    sh2 AS MATERIALIZED (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                 list_transform(w, (x, i) -> CASE WHEN i + {n - 1} <= len(w)
+                                                  THEN array_to_string(w[i:i+{n - 1}], ' ') END),
+                 x -> x IS NOT NULL)) AS sh
+        FROM d WHERE len(w) >= {n})
+      WHERE len(sh) > 0),
+    ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS shingle FROM sh2),
+    pid AS (SELECT DISTINCT shingle, {sid} AS sid FROM ex),
+    {hl_ctes},
+    hlv AS MATERIALIZED (SELECT shingle, {hl_col} AS av FROM {hl_cte}),
+    seeds(i) AS (SELECT range FROM range(0, {num_hashes})),
+    seeded AS (SELECT shingle, i, av FROM hlv CROSS JOIN seeds),
+    {hi_ctes},
+    hsh AS MATERIALIZED (
+      SELECT shingle, i, {_xxh_to_signed(hi_col)} AS h FROM {hi_cte}),
+    sigx AS MATERIALIZED (
+      SELECT e.doc_id, t.i, min(t.h) AS s
+      FROM ex e JOIN hsh t USING (shingle) GROUP BY e.doc_id, t.i),
+    bandv AS MATERIALIZED (
+      SELECT doc_id, i // {rows} AS band,
+             max(CASE WHEN i % {rows} = 0 THEN s END) AS s1,
+             max(CASE WHEN i % {rows} = 1 THEN s END) AS s2,
+             max(CASE WHEN i % {rows} = 2 THEN s END) AS s3,
+             max(CASE WHEN i % {rows} = 3 THEN s END) AS s4
+      FROM sigx GROUP BY doc_id, i // {rows}),
+    {bands_sql},
+    bk AS MATERIALIZED (
+      SELECT doc_id, band, {_xxh_to_signed(prev_col)} AS bucket FROM {prev_cte}),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bk a JOIN bk b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsh FROM sh2),
+    inter AS (
+      SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN ex x ON x.doc_id = c.id_a
+      JOIN ex y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           round(CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sz na ON na.doc_id = i.id_a
+    JOIN sz nb ON nb.doc_id = i.id_b
+    WHERE CAST(n_common AS DOUBLE) / (na.nsh + nb.nsh - n_common) >= {threshold}
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3, bands: int = 4) -> str:
+    """Exact DuckDB twin of ``simhash_near_dup`` (operators/dedup.py::
+    simhash_near_dup_pairs): whitespace tokens (multiplicity kept) →
+    portable md5₆₀ ids → hashLong(sid, 42) per distinct token → 64-bit
+    majority signature per doc (ties and empty docs → bit 0, matching
+    the Spark fold) → 4×16-bit band chunks → distinct same-(band,
+    chunk) candidates → exact Hamming ≤ 3 verify via xor+bit_count."""
+    width = 64 // bands
+    hl_ctes, hl_cte, hl_col = _xxh_chain(
+        "pid", ["t"], _xxh_hashlong_steps("sid", 42), "SHL"
+    )
+    bits_vals = ", ".join(
+        f"({b}, CAST({2 ** b} AS HUGEINT))" for b in range(64)
+    )
+    band_vals = ", ".join(
+        f"({b}, CAST({2 ** (b * width)} AS HUGEINT))" for b in range(bands)
+    )
+    sid = _MD5_SID.format(col="t")
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+      FROM documents),
+    tok AS MATERIALIZED (SELECT doc_id, unnest(w) AS t FROM d),
+    pid AS (SELECT DISTINCT t, {sid} AS sid FROM tok),
+    {hl_ctes},
+    thv AS MATERIALIZED (SELECT t, {hl_col} AS u FROM {hl_cte}),
+    bits(bit, p) AS (VALUES {bits_vals}),
+    bc AS MATERIALIZED (
+      SELECT k.doc_id, b.bit, b.p,
+             SUM(CASE WHEN (h.u // b.p) % 2 = 1 THEN 1 ELSE -1 END) AS c
+      FROM tok k JOIN thv h ON h.t = k.t CROSS JOIN bits b
+      GROUP BY k.doc_id, b.bit, b.p),
+    sg AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN c > 0 THEN p ELSE 0 END) AS HUGEINT) AS su
+      FROM bc GROUP BY doc_id),
+    sigall AS MATERIALIZED (
+      SELECT a.doc_id, COALESCE(s.su, 0) AS su,
+             {_xxh_to_signed("COALESCE(s.su, 0)")} AS ss
+      FROM (SELECT doc_id FROM d) a LEFT JOIN sg s USING (doc_id)),
+    bnd(band, q) AS (VALUES {band_vals}),
+    cb AS MATERIALIZED (
+      SELECT doc_id, ss, band, (su // q) % {2 ** width} AS chunk
+      FROM sigall CROSS JOIN bnd),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.ss AS sa, b.ss AS sb
+      FROM cb a JOIN cb b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@query("minhash_near_dup", oracle=_minhash_lsh_oracle(), bench=True)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified. PROMOTED
+    from rows-only to a full value oracle (r18, VERDICT r17 item 2):
+    signatures re-keyed onto portable md5₆₀ shingle ids so the
+    xxhash64 chains twin exactly (``_minhash_lsh_oracle``) — the
+    oracle attests the banded implementation INCLUDING which pairs
+    the bands surface; RECALL vs exact n-gram Jaccard remains a
+    measured pytest property, not an oracle claim."""
+    d = read_table(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, threshold=0.5)
+
+
+@query("simhash_near_dup", oracle=_simhash_oracle())
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 candidate pairs. PROMOTED rows-only → full
+    value oracle (r18): token hashes re-keyed onto portable md5₆₀ ids
+    (one hash per token, precomputed — also removes the old
+    64×-per-bit rehash), majority/banding/verify twinned exactly in
+    ``_simhash_oracle``."""
+    d = read_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d)
+
 
 def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical part co-order edge list — DISTINCT unordered pairs
@@ -5642,6 +5823,159 @@ def cross_entity_duplicates_events(
     from ..operators.fraud_stats import cross_entity_duplicates
 
     return cross_entity_duplicates(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "cross_entity_duplicates_offset_events",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+      FROM events),
+    g AS (SELECT b.*, gr.grid FROM b CROSS JOIN (VALUES (0), (1)) AS gr(grid))
+    SELECT grid, cents,
+           (s - ((s + grid * 302400) % 604800)) AS win_start_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+           CAST(min(s) AS BIGINT) AS first_s,
+           CAST(max(s) AS BIGINT) AS last_s
+    FROM g GROUP BY 1, 2, 3
+    HAVING count(DISTINCT user_id) >= 2
+    ORDER BY cents, win_start_s, grid
+    """,
+)
+def cross_entity_duplicates_offset_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-grid cross-entity duplicate screen (operators/
+    fraud_stats.py::cross_entity_duplicates_offset — VERDICT r17 item
+    3): the base screen's fixed grid misses pairs straddling a bucket
+    edge; adding a second grid shifted by window/2 guarantees any pair
+    within window/2 shares a bucket on one grid. Same single
+    (grid, cents, bucket)-keyed agg plan, 2× map rows; no pair join.
+    NOT in bench: plan shape (keyed agg + distinct Expand) is already
+    timed by ``cross_entity_duplicates_events`` (bench admission
+    rule, VERDICT r17 item 8)."""
+    from ..operators.fraud_stats import cross_entity_duplicates_offset
+
+    return cross_entity_duplicates_offset(read_table(spark, sf_dir, "events"))
+
+
+def _impossible_velocity_oracle() -> str:
+    """Mechanical twin of ``impossible_velocity_events``: same lag
+    window with the (epoch_s, event_id) tiebreaker, same floor table
+    generated from the SAME constant
+    (operators/fraud_stats.py::DEFAULT_VELOCITY_FLOORS_S — one source
+    of truth for both engines), same strict-< decision."""
+    from ..operators.fraud_stats import DEFAULT_VELOCITY_FLOORS_S
+
+    vals = ", ".join(
+        f"('{p}', '{c}', {s})"
+        for (p, c), s in sorted(DEFAULT_VELOCITY_FLOORS_S.items())
+    )
+    return f"""
+    WITH b AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      FROM events),
+    w AS (
+      SELECT *,
+             LAG(event_id) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_s, event_id) AS prev_event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_s, event_id) AS prev_type,
+             LAG(epoch_s) OVER (PARTITION BY user_id
+                                ORDER BY epoch_s, event_id) AS prev_s
+      FROM b),
+    fl(prev_type, curr_type, floor_s) AS (VALUES {vals})
+    SELECT w.event_id, w.user_id, w.prev_event_id, w.prev_type,
+           w.event_type AS curr_type, w.prev_s, w.epoch_s,
+           (w.epoch_s - w.prev_s) AS gap_s,
+           CAST(COALESCE(f.floor_s, 1) AS BIGINT) AS floor_s
+    FROM w LEFT JOIN fl f
+      ON f.prev_type = w.prev_type AND f.curr_type = w.event_type
+    WHERE w.prev_s IS NOT NULL
+      AND (w.epoch_s - w.prev_s) < COALESCE(f.floor_s, 1)
+    ORDER BY w.event_id
+    """
+
+
+@query("impossible_velocity_events", oracle=_impossible_velocity_oracle())
+def impossible_velocity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impossible-velocity screen (operators/fraud_stats.py::
+    impossible_velocity — VERDICT r17 item 6a): consecutive
+    same-entity events whose gap is strictly below the
+    per-(prev_type → curr_type) minimum-plausible floor — the timing
+    analogue of ``duplicate_charges_events`` (card-testing bursts,
+    scripted signup→purchase, re-registration). ONE entity-keyed lag
+    window + a broadcast |floors|-row transition join; no self-join.
+    NOT in bench: keyed lag window + broadcast join are both
+    already-timed plan shapes (bench admission rule, bench.py)."""
+    from ..operators.fraud_stats import impossible_velocity
+
+    return impossible_velocity(read_table(spark, sf_dir, "events"))
+
+
+@query(
+    "spending_mix_drift_events",
+    oracle="""
+    WITH b AS (
+      SELECT user_id AS e, event_type AS c,
+             date_trunc('week', ts) AS m,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND ts IS NOT NULL),
+    mx AS (SELECT max(m) AS maxm FROM b),
+    per AS (
+      SELECT e, (m = (SELECT maxm FROM mx)) AS cur, c,
+             CAST(sum(v) AS BIGINT) AS cv,
+             CAST(count(*) AS BIGINT) AS cn
+      FROM b GROUP BY 1, 2, 3),
+    ent AS (
+      SELECT e, cur,
+             CAST(sum(cn) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS ncat,
+             CAST(sum(cv) AS BIGINT) AS tot,
+             CAST(sum(CAST(cv AS HUGEINT) * cv) AS HUGEINT) AS ss
+      FROM per GROUP BY 1, 2),
+    ent2 AS (
+      SELECT e, cur, n, ncat, tot,
+             CASE WHEN tot <> 0 THEN CAST(ss AS DOUBLE)
+                    / CAST(CAST(tot AS HUGEINT) * tot AS DOUBLE)
+             END AS hhi
+      FROM ent),
+    j AS (
+      SELECT cu.e AS user_id,
+             cu.n AS n_cur, cu.ncat AS n_categories_cur,
+             cu.tot AS cents_cur, cu.hhi AS hhi_cur,
+             ba.n AS n_base, ba.ncat AS n_categories_base,
+             ba.tot AS cents_base, ba.hhi AS hhi_base
+      FROM (SELECT * FROM ent2 WHERE cur) cu
+      LEFT JOIN (SELECT * FROM ent2 WHERE NOT cur) ba ON ba.e = cu.e)
+    SELECT user_id, n_cur, n_categories_cur, cents_cur, hhi_cur,
+           n_base, n_categories_base, cents_base, hhi_base,
+           (hhi_cur - hhi_base) AS hhi_drift,
+           (hhi_cur IS NOT NULL AND hhi_base IS NOT NULL
+              AND COALESCE(n_base, 0) >= 5) AS decided,
+           ((hhi_cur IS NOT NULL AND hhi_base IS NOT NULL
+               AND COALESCE(n_base, 0) >= 5)
+            AND abs(hhi_cur - hhi_base) >= 0.25) AS drift_flag
+    FROM j ORDER BY user_id
+    """,
+)
+def spending_mix_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity spending-mix drift screen (operators/fraud_stats.py::
+    spending_mix_drift — VERDICT r17 item 6b): each user's event-type
+    HHI over the last ISO week's exact-cents spend vs the same
+    user's own pooled prior-week baseline — concentration CHANGE, the
+    signal absolute HHI misses on legitimately-concentrated users.
+    Exact decimal(38,0) Σcᵢ², one IEEE division per slice, |entities|-
+    row slice join. NOT in bench: keyed agg + rollup + tiny join are
+    already-timed shapes (bench admission rule, bench.py)."""
+    from ..operators.fraud_stats import spending_mix_drift
+
+    return spending_mix_drift(read_table(spark, sf_dir, "events"))
 
 
 def _holt_winters_oracle_sql(depth: int, period: int) -> str:

@@ -2287,6 +2287,7 @@ def stream_duplicate_charges(
     sf_dir: str,
     n_files: int = 6,
     horizon_s: int = 604800,
+    n_buckets: int = _ParquetFoldState.DEFAULT_BUCKETS,
 ) -> DataFrame:
     """STREAMING duplicate-charge screen — the live form of
     ``duplicate_charges_events`` (VERDICT r15 item 6), re-platformed
@@ -2336,7 +2337,11 @@ def stream_duplicate_charges(
         F.floor(F.unix_timestamp(F.col("ts"))).cast("long").alias("epoch_s"),
     )
 
-    state = _ParquetFoldState(spark, "dupcharge")
+    # n_buckets is the 100×-keys lever (SCALING r17a): state-join and
+    # merge cost per batch is O(|delta| + touched-buckets), so a
+    # deployment raises it with entity cardinality to keep each
+    # bucket's file at target size; r18a measures the effect at sf3.
+    state = _ParquetFoldState(spark, "dupcharge", n_buckets=n_buckets)
     hits_dir = tempfile.mkdtemp(prefix="ifds_dupcharge_hits_")
     import atexit
 

@@ -178,3 +178,35 @@ def test_documents_fresh_not_copied(scaled):
     assert overlap < len(new) * 0.01
     # forced exact-dup rate present (~1/625)
     assert len(new) - len(set(new)) >= len(new) // 1000
+
+
+def test_events_value_domain_scales_with_copies(scaled):
+    """VERDICT r17 item 4: each events copy's cents domain is shifted
+    by copy * (max_cents + 1) — domains disjoint per copy, base copy
+    bit-identical, and cents survive the double round-trip exactly, so
+    amount-keyed screens stay selective at scale instead of saturating
+    every (cents, window) cell."""
+    import duckdb
+
+    out, meta = scaled
+    base_cents = duckdb.sql(
+        f"SELECT DISTINCT CAST(round(value*100) AS BIGINT) c "
+        f"FROM '{BASE}/events.parquet' ORDER BY c"
+    ).fetchall()
+    stride = base_cents[-1][0] + 1
+    n_base_ev = pq.read_table(os.path.join(BASE, "events.parquet")).num_rows
+    got = duckdb.sql(
+        f"SELECT event_id // {n_base_ev} AS copy, "
+        f"       CAST(round(value*100) AS BIGINT) AS c "
+        f"FROM '{out}/events.parquet'"
+    ).fetchall()
+    base_set = {c for (c,) in base_cents}
+    by_copy = {}
+    for copy, c in got:
+        by_copy.setdefault(copy, set()).add(c)
+    assert set(by_copy) == {0, 1, 2}
+    for copy, cs in by_copy.items():
+        # exact shift: copy i's cents are base cents + i*stride
+        assert cs == {c + copy * stride for c in base_set}, copy
+    # and the screen stays selective: distinct cents grow 3x
+    assert len(set().union(*by_copy.values())) == 3 * len(base_set)

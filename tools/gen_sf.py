@@ -19,6 +19,20 @@ ENGINE's scaling, not a distribution shift:
   the observed proportions, ~0.16%% forced exact duplicates), because
   key-offset text copies would create cross-copy near-duplicate
   cliques that sf0.1 does not have.
+* EVENTS VALUE-DOMAIN SCALING (VERDICT r17 item 4) — each events
+  copy's ``value`` is shifted by ``copy * (max_cents + 1)`` cents
+  (exact integer-cents arithmetic, so no float drift into the cents
+  keys), making the K copies' cents domains DISJOINT: the amount
+  domain now grows with SF exactly like the key domains, so
+  amount-keyed screens (cross-entity duplicates, duplicate charges)
+  stay selective at scale instead of saturating every (cents,
+  window) cell — the r17e data note. Each copy keeps the base
+  table's exact value distribution internally (more of the same, not
+  denser); only screens keyed on ABSOLUTE amounts across copies see
+  the difference, which is the point. Benford-family screens see a
+  shifted aggregate digit mix at sf≥1 — their scaling rows measure
+  group-by cost (digit-domain size is fixed at 9/90 groups), so the
+  curves stay comparable.
 * PLANTED COLLUSIVE COHORT (VERDICT r13 item 7) — twelve synthetic
   customers in six pairs appended to customer/orders/lineitem, with
   engineered supplier-set Jaccards: three pairs at J = 1, two at
@@ -67,6 +81,20 @@ KEYED = {
 }
 COPY_VERBATIM = ["region", "nation"]
 
+#: value columns shifted per copy in exact cents (VERDICT r17 item 4):
+#: {table: column} — stride = max(round(col*100)) + 1, per table.
+VALUE_SHIFT = {"events": "value"}
+
+
+def _value_stride_cents(base_dir: str, table: str, col: str) -> int:
+    arr = pq.read_table(
+        os.path.join(base_dir, f"{table}.parquet"), columns=[col]
+    )[col]
+    cents = pa.compute.round(
+        pa.compute.multiply(pa.compute.cast(arr, pa.float64()), 100.0)
+    )
+    return int(pa.compute.max(cents).as_py()) + 1
+
 
 def _stride(base_dir: str) -> dict[str, int]:
     """max(key)+1 per key DOMAIN, read from the owning table."""
@@ -102,6 +130,10 @@ def _scale_table(
     extra: pa.Table | None = None,
 ) -> int:
     src = pq.read_table(os.path.join(base_dir, f"{table}.parquet"))
+    vshift_col = VALUE_SHIFT.get(table)
+    vstride = (
+        _value_stride_cents(base_dir, table, vshift_col) if vshift_col else 0
+    )
     copies = []
     for i in range(k):
         cols = []
@@ -112,6 +144,24 @@ def _scale_table(
                     pa.compute.cast(col, pa.int64()), i * strides[name]
                 )
                 cols.append(pa.compute.cast(shifted, col.type))
+            elif name == vshift_col:
+                # exact integer-cents shift: round-trip through cents
+                # so copy i's cents are exactly base_cents + i*stride
+                # (a float add of i*stride/100 would drift the keys)
+                cents = pa.compute.round(
+                    pa.compute.multiply(pa.compute.cast(col, pa.float64()), 100.0)
+                )
+                shifted = pa.compute.add(
+                    pa.compute.cast(cents, pa.int64()), i * vstride
+                )
+                cols.append(
+                    pa.compute.cast(
+                        pa.compute.divide(
+                            pa.compute.cast(shifted, pa.float64()), 100.0
+                        ),
+                        col.type,
+                    )
+                )
             else:
                 cols.append(col)
         copies.append(pa.table(dict(zip(src.column_names, cols))))

@@ -119,6 +119,15 @@ HEAVIES = [
     "cross_entity_duplicates_events",
     "streaming_seasonal_mann_kendall",
     "streaming_cross_entity_duplicates",
+    # round-18 additions: the offset-grid cross-entity variant, the
+    # impossible-velocity and spending-mix drift screens (VERDICT r17
+    # items 3/6), and the re-keyed LSH near-dup legs (item 2 — their
+    # Spark-side hash family changed, so they need fresh curves)
+    "cross_entity_duplicates_offset_events",
+    "impossible_velocity_events",
+    "spending_mix_drift_events",
+    "minhash_near_dup",
+    "simhash_near_dup",
 ]
 
 
