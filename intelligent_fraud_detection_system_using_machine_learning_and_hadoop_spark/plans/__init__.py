@@ -42,7 +42,9 @@ R18_NEW_QUERIES = frozenset(
         "minhash_near_dup",
         "simhash_near_dup",
         "cross_entity_duplicates_offset_events",
+        "streaming_cross_entity_duplicates_offset",
         "impossible_velocity_events",
+        "streaming_impossible_velocity",
         "spending_mix_drift_events",
     }
 )

@@ -803,3 +803,57 @@ REGISTRY["streaming_cross_entity_duplicates"] = REGISTRY[
     oracle=REGISTRY["cross_entity_duplicates_events"].oracle,
     bench=False,
 )
+
+
+@query("streaming_impossible_velocity", oracle=None)
+def streaming_impossible_velocity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The impossible-velocity screen as a live stream
+    (streaming/jobs.py::stream_impossible_velocity): state is each
+    entity's chain head — the latest (epoch_s, event_id, event_type)
+    under max_by, the screen's mergeable sufficient statistic — folded
+    through the hash-bucketed parquet snapshot; per batch one
+    entity-keyed lag window + one null-safe state join + the broadcast
+    floor join. Drained availableNow ≡ the batch
+    ``impossible_velocity_events`` bit-for-bit, which the SHARED
+    oracle attests (r18; the duplicate-charges fold shape at entity
+    grain)."""
+    from ..streaming.jobs import stream_impossible_velocity
+
+    return stream_impossible_velocity(spark, sf_dir)
+
+
+REGISTRY["streaming_impossible_velocity"] = REGISTRY[
+    "streaming_impossible_velocity"
+].__class__(
+    builder=REGISTRY["streaming_impossible_velocity"].builder,
+    oracle=REGISTRY["impossible_velocity_events"].oracle,
+    bench=False,
+)
+
+
+@query("streaming_cross_entity_duplicates_offset", oracle=None)
+def streaming_cross_entity_duplicates_offset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two-grid cross-entity screen as a live stream
+    (streaming/jobs.py::stream_cross_entity_duplicates_offset): the
+    single-grid fold with the grid id joined into the state key —
+    each event expands into its two grid cells map-side, state folds
+    at (grid, cents, window, entity) grain, finish on drained state.
+    Drained availableNow ≡ the batch
+    ``cross_entity_duplicates_offset_events`` bit-for-bit (SHARED
+    oracle, r18)."""
+    from ..streaming.jobs import stream_cross_entity_duplicates_offset
+
+    return stream_cross_entity_duplicates_offset(spark, sf_dir)
+
+
+REGISTRY["streaming_cross_entity_duplicates_offset"] = REGISTRY[
+    "streaming_cross_entity_duplicates_offset"
+].__class__(
+    builder=REGISTRY["streaming_cross_entity_duplicates_offset"].builder,
+    oracle=REGISTRY["cross_entity_duplicates_offset_events"].oracle,
+    bench=False,
+)

@@ -118,6 +118,23 @@ def stream_score_claims(
     q.awaitTermination()
 
 
+def _src_fingerprint(path: str) -> str:
+    """Content fingerprint of a stream-split source (cache.py::
+    dataset_fingerprint with an existence fallback), mixed into every
+    split cache key: a fixture REGENERATED IN PLACE (tools/gen_sf.py —
+    the r18 value-domain rebuild) must invalidate the cached split, or
+    the stream reads last generation's data while the batch twin reads
+    this one's (caught live in the r18 scaling run: the drained twin
+    returned the r17 fixture's saturated 48105 rows against a batch
+    count of 242220)."""
+    from ..cache import dataset_fingerprint
+
+    try:
+        return dataset_fingerprint(path)
+    except OSError:
+        return "nofp"
+
+
 def _events_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
     """Materialize the events table as n parquet files in a temp dir so
     maxFilesPerTrigger=1 yields a genuine multi-micro-batch stream
@@ -126,8 +143,10 @@ def _events_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 8) ->
     import tempfile
 
     # v2: ts normalized to TIMESTAMP before the rewrite (invalidates
-    # caches written from raw bigint/NTZ encodings)
-    key = hashlib.md5(f"{sf_dir}:{n_files}:v2".encode()).hexdigest()[:10]
+    # caches written from raw bigint/NTZ encodings); the fingerprint
+    # invalidates on fixture regeneration
+    fp = _src_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(f"{sf_dir}:{n_files}:v2:{fp}".encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"ifds_events_stream_{key}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -308,7 +327,10 @@ def _ordered_events_source(
     import hashlib
     import tempfile
 
-    key = hashlib.md5(f"{sf_dir}:ordered:{n_files}:v2".encode()).hexdigest()[:10]
+    fp = _src_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:ordered:{n_files}:v2:{fp}".encode()
+    ).hexdigest()[:10]
     src = os.path.join(tempfile.gettempdir(), f"ifds_events_ordered_{key}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         raw.repartitionByRange(n_files, "ts").sortWithinPartitions(
@@ -2016,7 +2038,8 @@ def _orders_multifile_dir(spark: SparkSession, sf_dir: str, n_files: int = 6) ->
     import hashlib
     import tempfile
 
-    key = hashlib.md5(f"{sf_dir}:{n_files}:v1".encode()).hexdigest()[:10]
+    fp = _src_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.md5(f"{sf_dir}:{n_files}:v1:{fp}".encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"ifds_orders_stream_{key}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -2146,7 +2169,10 @@ def _ordered_orders_source(
     import hashlib
     import tempfile
 
-    key = hashlib.md5(f"{sf_dir}:oordered:{n_files}:v1".encode()).hexdigest()[:10]
+    fp = _src_fingerprint(os.path.join(sf_dir, "orders.parquet"))
+    key = hashlib.md5(
+        f"{sf_dir}:oordered:{n_files}:v1:{fp}".encode()
+    ).hexdigest()[:10]
     src = os.path.join(tempfile.gettempdir(), f"ifds_orders_ordered_{key}")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         raw.repartitionByRange(n_files, "o_orderdate").sortWithinPartitions(
@@ -2419,6 +2445,172 @@ def stream_duplicate_charges(
     return (
         spark.read.parquet(*committed)
         .select("event_id", "user_id", "cents", "epoch_s", "prev_s", "gap_s")
+        .orderBy("event_id")
+    )
+
+
+def stream_impossible_velocity(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 6,
+    n_buckets: int = _ParquetFoldState.DEFAULT_BUCKETS,
+) -> DataFrame:
+    """STREAMING impossible-velocity screen — the live form of
+    ``impossible_velocity_events`` (operators/fraud_stats.py::
+    impossible_velocity), the ``stream_duplicate_charges`` fold shape
+    with a coarser key: state is the (user_id) → latest
+    (epoch_s, event_id, event_type) table as a committed,
+    hash-bucketed parquet snapshot (``max_by`` over the
+    (epoch_s, event_id) order is the screen's mergeable sufficient
+    statistic — each entity's chain head), folded entirely JVM-side
+    via ``apply_delta`` (touched buckets only, exactly-once per
+    bucket).
+
+    Per micro-batch: ONE entity-keyed lag window over
+    (epoch_s, event_id) — the batch query's own window — resolves
+    within-batch predecessors (epoch, id, AND type as one struct, so
+    the three fields can never mix sources), one null-safe state join
+    resolves each entity's first-in-batch row, then the broadcast
+    |floors|-row transition join prices every gap; hits (gap <
+    floor) commit to a versioned hits directory BEFORE the state
+    fold (the replay-skip discipline).
+
+    Batch-twin equivalence (shares the batch query's DuckDB oracle):
+    the ordered file source delivers micro-batches in ts order and
+    never splits an exactly-equal-ts tie group. Unlike the
+    duplicate-charges twin — which carries only epoch VALUES, immune
+    to tie identity — this screen emits the predecessor's IDENTITY
+    (prev_event_id/prev_type), so cross-batch equivalence additionally
+    needs event_id order to agree with event-time order WITHIN a
+    same-epoch-second group that straddles a file boundary (true of
+    the testdata and of any feed that assigns ids in arrival order;
+    the drained-≡-batch pytest and the shared oracle attest it on the
+    gate data)."""
+    import shutil
+    import tempfile
+
+    from ..operators.fraud_stats import DEFAULT_VELOCITY_FLOORS_S
+
+    stream = _ordered_events_source(spark, sf_dir, n_files).select(
+        "event_id",
+        "user_id",
+        F.col("event_type"),
+        F.floor(F.unix_timestamp(F.col("ts"))).cast("long").alias("epoch_s"),
+    )
+    floors_df = spark.createDataFrame(
+        [(p, c, int(s)) for (p, c), s in sorted(DEFAULT_VELOCITY_FLOORS_S.items())],
+        "f_prev string, f_curr string, floor_s long",
+    )
+
+    state = _ParquetFoldState(spark, "velocity", n_buckets=n_buckets)
+    hits_dir = tempfile.mkdtemp(prefix="ifds_velocity_hits_")
+    import atexit
+
+    atexit.register(shutil.rmtree, hits_dir, ignore_errors=True)
+    hit_schema = (
+        "event_id long, user_id long, prev_event_id long, prev_type string, "
+        "curr_type string, prev_s long, epoch_s long, gap_s long, floor_s long"
+    )
+    last_struct = "struct(epoch_s AS last_s, event_id AS last_eid, event_type AS last_ty)"
+    order_struct = "struct(epoch_s, event_id)"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        hits_path = os.path.join(hits_dir, f"v{batch_id}")
+        if not os.path.exists(os.path.join(hits_path, "_SUCCESS")):
+            w = W.partitionBy("user_id").orderBy("epoch_s", "event_id")
+            cur = batch_df.withColumn(
+                "_bprev",
+                F.lag(
+                    F.struct(
+                        F.col("epoch_s").alias("last_s"),
+                        F.col("event_id").alias("last_eid"),
+                        F.col("event_type").alias("last_ty"),
+                    )
+                ).over(w),
+            )
+            prev = state.read()
+            if prev is not None:
+                from ..operators.joins import null_safe_equi_join
+
+                cur = null_safe_equi_join(cur, prev, ["user_id"], "left")
+            else:
+                cur = cur.withColumn(
+                    "last",
+                    F.lit(None).cast(
+                        "struct<last_s: bigint, last_eid: bigint, last_ty: string>"
+                    ),
+                )
+            p = F.coalesce(F.col("_bprev"), F.col("last"))
+            priced = (
+                cur.withColumn("_p", p)
+                .join(
+                    F.broadcast(floors_df),
+                    (F.col("_p.last_ty") == F.col("f_prev"))
+                    & (F.col("event_type") == F.col("f_curr")),
+                    "left",
+                )
+                .withColumn("floor_s", F.coalesce(F.col("floor_s"), F.lit(1).cast("long")))
+            )
+            gap = F.col("epoch_s") - F.col("_p.last_s")
+            hits = priced.where(
+                F.col("_p").isNotNull() & (gap < F.col("floor_s"))
+            ).select(
+                "event_id",
+                "user_id",
+                F.col("_p.last_eid").alias("prev_event_id"),
+                F.col("_p.last_ty").alias("prev_type"),
+                F.col("event_type").alias("curr_type"),
+                F.col("_p.last_s").alias("prev_s"),
+                "epoch_s",
+                gap.alias("gap_s"),
+                "floor_s",
+            )
+            hits.write.mode("overwrite").parquet(hits_path)
+        delta = batch_df.groupBy("user_id").agg(
+            F.expr(f"max_by({last_struct}, {order_struct})").alias("last")
+        )
+
+        def merge(prev, d):
+            if prev is None:
+                return d
+            return (
+                prev.unionByName(d)
+                .groupBy("user_id")
+                .agg(
+                    F.expr(
+                        "max_by(last, struct(last.last_s AS epoch_s, "
+                        "last.last_eid AS event_id))"
+                    ).alias("last")
+                )
+            )
+
+        state.apply_delta(delta, batch_id, ["user_id"], merge)
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    committed = [
+        os.path.join(hits_dir, v)
+        for v in sorted(os.listdir(hits_dir))
+        if v.startswith("v")
+        and os.path.exists(os.path.join(hits_dir, v, "_SUCCESS"))
+    ]
+    if not committed:
+        return spark.createDataFrame([], hit_schema)
+    return (
+        spark.read.parquet(*committed)
+        .select(
+            "event_id",
+            "user_id",
+            "prev_event_id",
+            "prev_type",
+            "curr_type",
+            "prev_s",
+            "epoch_s",
+            "gap_s",
+            "floor_s",
+        )
         .orderBy("event_id")
     )
 
@@ -2975,6 +3167,93 @@ def stream_cross_entity_duplicates(
         )
         .where(F.col("n_entities") >= min_entities)
         .orderBy("cents", "win_start_s")
+    )
+
+
+def stream_cross_entity_duplicates_offset(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 6,
+    window_s: int = 604800,
+    min_entities: int = 2,
+) -> DataFrame:
+    """Streaming form of the TWO-GRID cross-entity screen
+    (``cross_entity_duplicates_offset_events``, r18): identical fold
+    to :func:`stream_cross_entity_duplicates` with the grid id joined
+    into the state key — each arriving event expands map-side into its
+    (grid 0, grid 1) cells before the batch-local aggregation, state
+    folds at (grid, cents, window, entity) grain, and the
+    entities-per-cell finish runs once on the drained state. Drained
+    availableNow ≡ the batch query bit-for-bit (SHARED oracle); 2×
+    the state triples of the single-grid form, same plan shape."""
+    from ..sources.readers import normalize_event_ts
+
+    half = window_s // 2
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = _ParquetFoldState(spark, "xent_dup_off")
+    schema = (
+        "grid int, cents long, win_start_s long, _ent long, "
+        "n long, mn long, mx long"
+    )
+    keys = ["grid", "cents", "win_start_s", "_ent"]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        cents = F.round(F.col("value") * 100).cast("long")
+        s = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
+        delta = (
+            batch_df.select(
+                cents.alias("cents"),
+                s.alias("_s"),
+                F.col("user_id").alias("_ent"),
+            )
+            .withColumn("grid", F.explode(F.array(F.lit(0), F.lit(1))))
+            .withColumn(
+                "win_start_s",
+                F.col("_s")
+                - ((F.col("_s") + F.col("grid") * half) % window_s),
+            )
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("_s").cast("long").alias("mn"),
+                F.max("_s").cast("long").alias("mx"),
+            )
+        )
+
+        def merge(prev, d):
+            if prev is None:
+                return d
+            return (
+                prev.unionByName(d)
+                .groupBy(*keys)
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.min("mn").cast("long").alias("mn"),
+                    F.max("mx").cast("long").alias("mx"),
+                )
+            )
+
+        state.apply_delta(delta, batch_id, keys, merge)
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    per = state.read_or_empty(schema)
+    return (
+        per.groupBy("grid", "cents", "win_start_s")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.col("_ent")).cast("long").alias("n_entities"),
+            F.min("mn").cast("long").alias("first_s"),
+            F.max("mx").cast("long").alias("last_s"),
+        )
+        .where(F.col("n_entities") >= min_entities)
+        .orderBy("cents", "win_start_s", "grid")
     )
 
 

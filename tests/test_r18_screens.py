@@ -182,6 +182,67 @@ class TestImpossibleVelocity:
         assert len(got) == 1 and got[0].floor_s == 60 and got[0].gap_s == 40
 
 
+class TestStreamingImpossibleVelocity:
+    def test_drained_equals_batch(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch = REGISTRY["impossible_velocity_events"].builder(
+            spark, sf_dir
+        ).collect()
+        streamed = REGISTRY["streaming_impossible_velocity"].builder(
+            spark, sf_dir
+        ).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+    def test_offset_drained_equals_batch(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch = REGISTRY["cross_entity_duplicates_offset_events"].builder(
+            spark, sf_dir
+        ).collect()
+        streamed = REGISTRY["streaming_cross_entity_duplicates_offset"].builder(
+            spark, sf_dir
+        ).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+    def test_cross_batch_state_resolves_predecessor(self, spark, tmp_path):
+        """A same-entity pair 0 s apart that straddles a micro-batch
+        boundary must still be flagged — the state join supplies the
+        predecessor identity the within-batch lag cannot see."""
+        import datetime
+
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.streaming.jobs import (
+            stream_impossible_velocity,
+        )
+
+        t0 = 1709500000
+        # (signup -> signup) floor is 86400 s; the two events sit an
+        # hour apart with DISTINCT ts, so repartitionByRange(2, ts)
+        # puts them in different files -> different micro-batches ->
+        # the flag can only come from the state join
+        rows = [
+            (1, datetime.datetime.utcfromtimestamp(t0), 10, "signup", 1.0, "{}"),
+            (2, datetime.datetime.utcfromtimestamp(t0 + 3600), 10, "signup", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        d = str(tmp_path / "events.parquet")
+        df.coalesce(1).write.parquet(d)
+        got = stream_impossible_velocity(spark, str(tmp_path), n_files=2).collect()
+        assert [
+            (r.event_id, r.prev_event_id, r.prev_type, r.gap_s, r.floor_s)
+            for r in got
+        ] == [(2, 1, "signup", 3600, 86400)]
+
+
 class TestSpendingMixDrift:
     def test_concentration_jump_flagged(self, spark):
         """Four balanced baseline weeks (HHI 1/2 over two categories)
