@@ -193,49 +193,59 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: k independent min-hashes of the
     shingle set, each ``xxhash64(md5₆₀(shingle), seed)`` over portable
-    shingle ids (zero-shuffle per-row fold; same family as the
-    registered LSH query so signatures compose with its oracle)."""
+    shingle ids (same family as the registered LSH query so signatures
+    compose with its oracle)."""
     return _signatures_from_shingled(
-        _portable_shingle_ids(_shingled(df, id_col, text_col, n)),
+        _shingled(df, id_col, text_col, n),
         num_hashes,
         out_id=id_col,
+        portable_ids=True,
     )
 
 
-def _portable_shingle_ids(s: DataFrame) -> DataFrame:
-    """Map the string shingle array to portable 60-bit longs
-    (functions/exprs.py::portable_str_id — md5-prefix ids, bit-equal in
-    Spark and DuckDB) so the downstream ``xxhash64(long, k)`` signature
-    chain has an exact SQL twin. One md5 per shingle occurrence,
-    map-side; the signature hash family changes from hashUTF8(shingle)
-    to hashLong(md5₆₀(shingle)) — an equally uniform family (minhash
-    only needs exchangeable uniform hashes), and the price of a FULL
-    value oracle on the LSH leg (r18 promotion)."""
+def _signatures_from_shingled(
+    s: DataFrame,
+    num_hashes: int,
+    out_id: str = "_id",
+    portable_ids: bool = False,
+) -> DataFrame:
+    """Per-doc MinHash signature via explode → codegen'd k-column MIN
+    aggregate. Two prior formulations both lost: the r-early explode →
+    groupBy(_id, shingle) form shuffled the whole exploded index, and
+    the zero-shuffle per-row fold (``array_min(transform(_sh, sh ->
+    xxhash64(sh, k)))``) kept everything map-side but ran the 64 ×
+    |shingles| hash ops as INTERPRETED lambda calls — the simhash
+    lesson (r18): higher-order functions are outside whole-stage
+    codegen. This form explodes once and takes the k mins as plain
+    aggregate expressions — all codegen — and the partial (map-side)
+    aggregate collapses the exploded stream to |docs| rows BEFORE the
+    exchange, so the shuffle is |docs| × k longs, never the token
+    footprint. Docs with no shingles produce no signature (no rows to
+    group — as before).
+
+    ``portable_ids=True`` (the string-shingle path): each exploded
+    shingle maps through the portable 60-bit md5 id
+    (functions/exprs.py::portable_str_id — bit-equal in Spark and
+    DuckDB, the r18 oracle-promotion bridge) as a plain codegen'd
+    column expression before hashing; the hash family becomes
+    hashLong(md5₆₀(s)) — equally uniform (minhash needs only
+    exchangeable uniform hashes). False = the caller's elements hash
+    directly (the collusion leg's long arrays)."""
     from ..functions.exprs import portable_str_id
 
-    return s.select("_id", F.transform("_sh", portable_str_id).alias("_sh"))
-
-
-def _signatures_from_shingled(
-    s: DataFrame, num_hashes: int, out_id: str = "_id"
-) -> DataFrame:
-    """Per-doc MinHash signature as a ZERO-SHUFFLE per-row fold: hash k
-    is ``array_min(transform(_sh, sh -> xxhash64(sh, k)))``. The
-    earlier explode → groupBy(_id) → k·min formulation computed the
-    same values but shuffled the entire exploded shingle index first —
-    at corpus scale that exchange is the whole token footprint.
-    Signature generation is a map; only the k-band buckets (16 longs
-    per doc) ever reach an exchange downstream. Docs with no shingles
-    produce no signature (as before, when they had no rows to group)."""
+    ex = s.select("_id", F.explode("_sh").alias("_e0")).select(
+        "_id",
+        (portable_str_id(F.col("_e0")) if portable_ids else F.col("_e0")).alias(
+            "_e"
+        ),
+    )
     mins = [
-        F.array_min(
-            F.transform("_sh", lambda sh: F.xxhash64(sh, F.lit(i)))
-        ).alias(f"h{i}")
+        F.min(F.xxhash64(F.col("_e"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return (
-        s.where(F.size("_sh") > 0)
-        .select("_id", *mins)
+        ex.groupBy("_id")
+        .agg(*mins)
         .select(
             F.col("_id").alias(out_id),
             F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"),
@@ -320,7 +330,7 @@ def minhash_near_dup_pairs(
     s = _shingled_cached(df, id_col, text_col, n)
     if max_shingle_df is not None:
         s = _drop_hot_shingles(s, max_shingle_df)
-    sig = _signatures_from_shingled(_portable_shingle_ids(s), num_hashes)
+    sig = _signatures_from_shingled(s, num_hashes, portable_ids=True)
     buckets = _lsh_buckets(sig, bands, rows_per_band)
     if max_bucket_size is not None:
         from pyspark.sql import Window
@@ -385,7 +395,7 @@ def minhash_bucket_report(
     s = _shingled_cached(df, id_col, text_col, n)
     if max_shingle_df is not None:
         s = _drop_hot_shingles(s, max_shingle_df)
-    sig = _signatures_from_shingled(_portable_shingle_ids(s), num_hashes)
+    sig = _signatures_from_shingled(s, num_hashes, portable_ids=True)
     counts = (
         _lsh_buckets(sig, bands, rows_per_band)
         .groupBy("band", "bucket")
