@@ -1351,8 +1351,14 @@ class _ParquetFoldState:
     plain parquet + _SUCCESS markers, nothing driver-local in the
     format)."""
 
-    #: buckets for apply_delta's keyed layout; a deployment sizes this
-    #: to its entity cardinality (buckets ≈ |state| / target-file-rows)
+    #: buckets for apply_delta's keyed layout. Sized by DELTA LOCALITY,
+    #: not raw key count (measured, SCALING r18e): more buckets pay off
+    #: only when a micro-batch's key footprint is a small fraction of
+    #: state (narrow live feeds over a large entity universe) — a
+    #: drain-everything batch touches every bucket per batch, making
+    #: extra buckets pure snapshot-commit overhead (8→64 was 2.6×
+    #: SLOWER at sf3). Keep small for availableNow drains; raise only
+    #: when touched-buckets ≪ n_buckets holds in production.
     DEFAULT_BUCKETS = 8
 
     def __init__(
@@ -2363,10 +2369,11 @@ def stream_duplicate_charges(
         F.floor(F.unix_timestamp(F.col("ts"))).cast("long").alias("epoch_s"),
     )
 
-    # n_buckets is the 100×-keys lever (SCALING r17a): state-join and
-    # merge cost per batch is O(|delta| + touched-buckets), so a
-    # deployment raises it with entity cardinality to keep each
-    # bucket's file at target size; r18a measures the effect at sf3.
+    # n_buckets is the state-locality lever: per-batch cost is
+    # O(|delta| + touched-buckets), so raising it helps ONLY when a
+    # micro-batch touches a small key subset — the sf3 A/B (SCALING
+    # r18e) measured 8→64 as 2.6× SLOWER on availableNow drains,
+    # whose fat batches touch every bucket. See DEFAULT_BUCKETS.
     state = _ParquetFoldState(spark, "dupcharge", n_buckets=n_buckets)
     hits_dir = tempfile.mkdtemp(prefix="ifds_dupcharge_hits_")
     import atexit

@@ -128,6 +128,8 @@ HEAVIES = [
     "spending_mix_drift_events",
     "minhash_near_dup",
     "simhash_near_dup",
+    "streaming_impossible_velocity",
+    "streaming_cross_entity_duplicates_offset",
 ]
 
 
