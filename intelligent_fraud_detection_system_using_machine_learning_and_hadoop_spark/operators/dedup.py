@@ -444,9 +444,15 @@ def token_hashes_expr(text_col: str = "text"):
 
 def simhash_from_hashes(hash_col: str = "_th", bits: int = 64):
     """64-bit SimHash from a precomputed token-hash array: bitwise
-    majority, folded JVM-side (no explode, no shuffle). For each bit,
-    count tokens with the bit set minus tokens without; bit in result
-    = 1 iff the sum is positive (ties → 0, incl. the empty doc)."""
+    majority, folded as a zero-shuffle per-row expression. For each
+    bit, count tokens with the bit set minus tokens without; bit in
+    result = 1 iff the sum is positive (ties → 0, incl. the empty
+    doc). NOTE (r18): this nested-lambda fold runs INTERPRETED — 64 ×
+    |tokens| ops per row — so the hot path
+    (``simhash_near_dup_pairs``) uses the exploded codegen'd
+    aggregate (:func:`_simhash_signatures_exploded`, identical
+    values) instead; this expression form remains for single-pass /
+    no-shuffle contexts where the array is short."""
     return F.expr(
         f"""
         aggregate(
@@ -464,8 +470,9 @@ def simhash_from_hashes(hash_col: str = "_th", bits: int = 64):
 def simhash_expr(text_col: str = "text", bits: int = 64):
     """One-shot convenience composition of :func:`token_hashes_expr`
     and :func:`simhash_from_hashes` (the token hashes inline, so the
-    optimizer may recompute them per bit — hot paths should project
-    the hash array first, as ``simhash_near_dup_pairs`` does)."""
+    optimizer may recompute them per bit — hot paths use the exploded
+    codegen'd aggregate in ``simhash_near_dup_pairs`` instead; see
+    the r18 note on :func:`simhash_from_hashes`)."""
     toks = f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
     hashes = (
         f"transform({toks}, t -> "
