@@ -1189,6 +1189,23 @@ def spending_mix_drift(
         .groupBy("_e", "_cur", "_c")
         .agg(F.sum("_v").cast("long").alias("_cv"), F.count(F.lit(1)).cast("long").alias("_cn"))
     )
+    return mix_drift_from_cells(
+        per, entity_col, drift_threshold, min_base_events
+    )
+
+
+def mix_drift_from_cells(
+    per: DataFrame,
+    entity_col: str = "user_id",
+    drift_threshold: float = 0.25,
+    min_base_events: int = 5,
+) -> DataFrame:
+    """The spending-mix drift FINISH over (_e, _cur, _c, _cv, _cn)
+    slice cells — the screen's mergeable sufficient statistic (cents
+    and counts are additive per cell). Shared verbatim by the batch
+    screen and the streaming twin (streaming/jobs.py::
+    stream_spending_mix_drift) so the two paths carry the identical
+    pinned expression tree — the benford_from_counts discipline."""
     ent = per.groupBy("_e", "_cur").agg(
         F.sum("_cn").cast("long").alias("_n"),
         F.count(F.lit(1)).cast("long").alias("_ncat"),

@@ -46,6 +46,7 @@ R18_NEW_QUERIES = frozenset(
         "impossible_velocity_events",
         "streaming_impossible_velocity",
         "spending_mix_drift_events",
+        "streaming_spending_mix_drift",
     }
 )
 

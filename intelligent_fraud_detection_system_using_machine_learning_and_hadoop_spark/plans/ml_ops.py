@@ -857,3 +857,28 @@ REGISTRY["streaming_cross_entity_duplicates_offset"] = REGISTRY[
     oracle=REGISTRY["cross_entity_duplicates_offset_events"].oracle,
     bench=False,
 )
+
+
+@query("streaming_spending_mix_drift", oracle=None)
+def streaming_spending_mix_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The spending-mix drift screen as a live stream
+    (streaming/jobs.py::stream_spending_mix_drift): exact (entity,
+    week, category) cents/count cells fold additively — the week stays
+    in the state key because 'current week' is only knowable at drain —
+    and the drained state runs the SHARED batch finish
+    (mix_drift_from_cells). Drained availableNow ≡ the batch
+    ``spending_mix_drift_events`` bit-for-bit (SHARED oracle, r18)."""
+    from ..streaming.jobs import stream_spending_mix_drift
+
+    return stream_spending_mix_drift(spark, sf_dir)
+
+
+REGISTRY["streaming_spending_mix_drift"] = REGISTRY[
+    "streaming_spending_mix_drift"
+].__class__(
+    builder=REGISTRY["streaming_spending_mix_drift"].builder,
+    oracle=REGISTRY["spending_mix_drift_events"].oracle,
+    bench=False,
+)

@@ -3264,6 +3264,88 @@ def stream_cross_entity_duplicates_offset(
     )
 
 
+def stream_spending_mix_drift(
+    spark: SparkSession, sf_dir: str, n_files: int = 6
+) -> DataFrame:
+    """The spending-mix drift screen as a live stream — the streaming
+    form of ``spending_mix_drift_events``: per micro-batch the exact
+    (entity, week, category) cents-and-count cells aggregate
+    batch-locally and fold ADDITIVELY through the bucketed parquet
+    store (cells are the screen's mergeable sufficient statistic —
+    'current week' is only knowable at drain time, so the week stays
+    in the state key rather than being resolved per batch); the
+    drained state resolves max(week), collapses to (entity, slice,
+    category) grain, and runs the SHARED batch finish
+    (operators/fraud_stats.py::mix_drift_from_cells) — identical
+    pinned IEEE tree, so drained availableNow ≡ batch bit-for-bit
+    (SHARED oracle). State is |entities|·|weeks|·|categories| rows;
+    history is never re-scanned."""
+    from ..operators.fraud_stats import mix_drift_from_cells
+    from ..sources.readers import normalize_event_ts
+
+    src = _events_multifile_dir(spark, sf_dir, n_files)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = _ParquetFoldState(spark, "mixdrift")
+    schema = "_e long, _m timestamp, _c string, _cv long, _cn long"
+    keys = ["_e", "_m", "_c"]
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(
+                F.col("user_id").alias("_e"),
+                F.col("event_type").alias("_c"),
+                F.date_trunc("week", F.col("ts")).alias("_m"),
+                F.round(F.col("value") * 100).cast("long").alias("_v"),
+            )
+            .where(
+                F.col("_e").isNotNull()
+                & F.col("_c").isNotNull()
+                & F.col("_m").isNotNull()
+            )
+            .groupBy(*keys)
+            .agg(
+                F.sum("_v").cast("long").alias("_cv"),
+                F.count(F.lit(1)).cast("long").alias("_cn"),
+            )
+        )
+
+        def merge(prev, d):
+            if prev is None:
+                return d
+            return (
+                prev.unionByName(d)
+                .groupBy(*keys)
+                .agg(
+                    F.sum("_cv").cast("long").alias("_cv"),
+                    F.sum("_cn").cast("long").alias("_cn"),
+                )
+            )
+
+        state.apply_delta(delta, batch_id, keys, merge)
+
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination()
+    cells = state.read_or_empty(schema)
+    maxm = cells.agg(F.max("_m").alias("_maxm"))
+    per = (
+        cells.crossJoin(F.broadcast(maxm))
+        .select(
+            "_e", "_c", "_cv", "_cn", (F.col("_m") == F.col("_maxm")).alias("_cur")
+        )
+        .groupBy("_e", "_cur", "_c")
+        .agg(
+            F.sum("_cv").cast("long").alias("_cv"),
+            F.sum("_cn").cast("long").alias("_cn"),
+        )
+    )
+    return mix_drift_from_cells(per)
+
+
 def stream_round_amount_bias(
     spark: SparkSession, sf_dir: str, n_files: int = 6
 ) -> DataFrame:

@@ -535,3 +535,22 @@ def test_holt_single_window_shuffle(spark, sf_dir):
     event_type, not one per lag."""
     plan = plan_of(REGISTRY["holt_trend_events"].builder(spark, sf_dir))
     assert len(re.findall(r"hashpartitioning\(event_type", plan)) == 1
+
+
+def test_lsh_signature_folds_stay_in_codegen(spark, sf_dir):
+    """r18 lambda-tax guard: the MinHash and SimHash signature builds
+    must run as exploded codegen'd hash-aggregates, never as
+    higher-order lambda folds (interpreted per element — the 24s
+    regression class measured in SCALING r18). The physical plan
+    shows HashAggregate with partial aggregation below the exchange
+    (map-side combine: the exploded token stream collapses to |docs|
+    rows before shuffling), and no `aggregate(` / `transform(` lambda
+    over the hash stream in the hot projection."""
+    for q in ("minhash_near_dup", "simhash_near_dup"):
+        plan = plan_of(REGISTRY[q].builder(spark, sf_dir), "extended")
+        phys = plan[plan.index("== Physical Plan =="):]
+        assert "HashAggregate" in phys, q
+        # the interpreted-fold forms would appear as lambda exprs over
+        # the per-row arrays in the physical projection
+        assert "aggregate(sequence(0" not in phys, q
+        assert "transform(_sh" not in phys, q

@@ -288,6 +288,20 @@ class TestSpendingMixDrift:
         old = got[1]
         assert old.hhi_base is not None and old.decided is False and old.drift_flag is False
 
+    def test_streaming_drained_equals_batch(self, spark):
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.plans import (
+            REGISTRY,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        batch = REGISTRY["spending_mix_drift_events"].builder(
+            spark, sf_dir
+        ).collect()
+        streamed = REGISTRY["streaming_spending_mix_drift"].builder(
+            spark, sf_dir
+        ).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
     def test_zero_total_slice_null_hhi(self, spark):
         """Refund-cancelled slices (cents summing to 0) get NULL hhi
         via the explicit guard — no inf, no division error."""

@@ -130,6 +130,7 @@ HEAVIES = [
     "simhash_near_dup",
     "streaming_impossible_velocity",
     "streaming_cross_entity_duplicates_offset",
+    "streaming_spending_mix_drift",
 ]
 
 
