@@ -47,6 +47,11 @@ R18_NEW_QUERIES = frozenset(
         "streaming_impossible_velocity",
         "spending_mix_drift_events",
         "streaming_spending_mix_drift",
+        # r18 promotions of the multimodal stub pipelines (the payload
+        # arithmetic is deterministic and the corpus verified ASCII, so
+        # the Arrow round trip twins exactly)
+        "multimodal_pipeline",
+        "multimodal_feature_search",
     }
 )
 

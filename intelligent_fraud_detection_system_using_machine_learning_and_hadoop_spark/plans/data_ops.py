@@ -570,7 +570,37 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_binary_meta(assets_from_documents(d))
 
 
-@query("multimodal_pipeline")
+@query(
+    "multimodal_pipeline",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             CAST(strlen(text) AS BIGINT) AS byte_len,
+             CASE WHEN strlen(text) = 0 THEN 0
+                  ELSE 64 + (ascii(substr(text, 1, 1)) % 64) * 16
+             END AS w,
+             CASE WHEN strlen(text) = 0 THEN 0
+                  ELSE 64 + (ascii(substr(text, CAST(length(text) AS INT), 1)) % 64) * 16
+             END AS h
+      FROM documents),
+    r AS (
+      SELECT *, LEAST(1.0, 128.0 / greatest(w, h, 1)) AS scale FROM a)
+    SELECT asset_id, byte_len,
+           CAST(w AS INTEGER) AS dec_width,
+           CAST(h AS INTEGER) AS dec_height,
+           CAST(greatest(1, CAST(trunc(w * scale) AS BIGINT)) AS INTEGER)
+             AS rs_width,
+           CAST(greatest(1, CAST(trunc(h * scale) AS BIGINT)) AS INTEGER)
+             AS rs_height,
+           CAST(CASE WHEN byte_len = 0 THEN 0
+                ELSE greatest(1, CAST(trunc((byte_len * scale) * scale) AS BIGINT))
+           END AS BIGINT) AS rs_bytes,
+           CAST(greatest(1, byte_len // 100) AS BIGINT) AS n_frames,
+           CAST((greatest(1, byte_len // 100) - 1) * 1000 AS BIGINT)
+             AS last_frame_ts_ms
+    FROM r
+    """,
+)
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal plumbing path in one attestation
     (consolidates round 1's rows-only ``multimodal_decode`` +
@@ -578,9 +608,21 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas decode (dims from payload), bounded-dims resize, and
     1→N frame sampling aggregated back to per-asset counts — three
     independent mapInPandas branches over one asset scan, joined on
-    asset_id. Codecs are the documented deterministic stubs (PIL wired
-    in automatically when available, operators/multimodal.py); the
-    Spark-side schema/batching/partitioning is the real article."""
+    asset_id. Codecs are the documented deterministic fallbacks (PIL,
+    then the vendored PNG codec, then the stub — operators/
+    multimodal.py); the Spark-side schema/batching/partitioning is the
+    real article.
+
+    PROMOTED rows-only → full value oracle (r18): on the testdata's
+    UTF-8 text payloads every branch resolves to the DETERMINISTIC
+    stub arithmetic (no magic bytes → header parse returns None; the
+    corpus is verified printable-ASCII at all three gate scales, so
+    byte k ≡ character k), and the whole pipeline — stub dims from
+    first/last byte, the resize scale/truncate chain in IEEE doubles,
+    the 1→N frame expansion re-aggregated — is expressible as exact
+    SQL. The oracle attests the Arrow round trip end-to-end: any
+    mapInPandas schema drift, batch mangling, or join slip breaks the
+    hash."""
     from ..operators.multimodal import resize_assets, sample_frames
 
     d = read_table(spark, sf_dir, "documents")
@@ -887,14 +929,65 @@ def cogroup_purchase_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_search")
+def _multimodal_feature_search_oracle(n_bins: int = 16, k: int = 3) -> str:
+    """Exact DuckDB twin of ``multimodal_feature_search``: the byte
+    histogram recomputed per character (the corpus is verified
+    printable-ASCII at every gate scale, so byte k ≡ character k and
+    bin = codepoint // 16), each embedding component the single IEEE
+    division count/len, and the cosine reproduced with the SAME
+    left-associated 16-term fold chains as similarity._dot/_norm_sq —
+    bit-identical doubles, then the shared round(…, 6) and the
+    (cos DESC, vec_id ASC) row_number ranking."""
+    dot = "0.0"
+    na = "0.0"
+    nq = "0.0"
+    for i in range(n_bins):
+        dot = f"(({dot}) + (a.e{i} * q.e{i}))"
+        na = f"(({na}) + (a.e{i} * a.e{i}))"
+        nq = f"(({nq}) + (q.e{i} * q.e{i}))"
+    bins = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN bin = {b} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / CAST(n AS DOUBLE) AS e{b}"
+        for b in range(n_bins)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+    ch AS (
+      SELECT doc_id, n,
+             ascii(substr(text, CAST(i.i AS INT), 1)) // 16 AS bin
+      FROM d, unnest(range(1, CAST(n AS INT) + 1)) AS i(i)
+      WHERE n > 0),
+    e AS (
+      SELECT doc_id, n,
+             {bins}
+      FROM ch GROUP BY doc_id, n),
+    s AS (
+      SELECT q.doc_id AS query_id, a.doc_id AS vec_id,
+             round(({dot}) / (sqrt({na}) * sqrt({nq})), 6) AS cos_sim
+      FROM e a JOIN (SELECT * FROM e WHERE doc_id < 5) q
+        ON a.doc_id <> q.doc_id)
+    SELECT query_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+    FROM s
+    QUALIFY rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query("multimodal_feature_search", oracle=_multimodal_feature_search_oracle())
 def multimodal_feature_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal retrieval: binary payload → byte-histogram
     embedding (mapInPandas feature extraction) → cosine top-3 per query
-    asset — the full modality pipeline composed from existing operators
-    (rows-only: the histogram embedding is the stub feature extractor;
-    swap extract_features' body for a real model and nothing else
-    changes)."""
+    asset — the full modality pipeline composed from existing
+    operators. PROMOTED rows-only → full value oracle (r18): the stub
+    embedding is deterministic arithmetic (count/len per 16-byte bin)
+    and the cosine/rank chain reproduces bit-for-bit with explicit
+    left-associated fold chains (``_multimodal_feature_search_oracle``)
+    — the oracle attests the Arrow feature extraction AND the two-phase
+    top-k end-to-end. Swap extract_features' body for a real model and
+    only this oracle (not the pipeline) changes."""
     from ..operators.multimodal import assets_from_documents, extract_features
     from ..operators.similarity import cosine_topk
 
