@@ -188,3 +188,48 @@ class TestSparkResizeRealLeg:
         assert "not decodable" in str(ei.value) or isinstance(
             ei.value, Py4JJavaError
         )
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 12),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        data=st.data(),
+    )
+    def test_roundtrip_property(w, h, ch, data):
+        """encode ∘ decode = identity for every supported shape, any
+        pixel content (hypothesis; complements the fixed fixtures)."""
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * ch,
+                    max_size=w * h * ch,
+                )
+            )
+        )
+        assert decode_png(encode_png(w, h, ch, px)) == (w, h, ch, px)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        max_side=st.integers(1, 48),
+    )
+    def test_resize_geometry_property(w, h, max_side):
+        """Resize never exceeds max_side, never collapses below 1 px,
+        and is a no-op exactly when already within bounds."""
+        px = bytes((i * 37) % 256 for i in range(w * h))
+        nw, nh, out = resize_nearest(w, h, 1, px, max_side)
+        assert 1 <= nw and 1 <= nh and max(nw, nh) <= max(max_side, 1)
+        if max(w, h) <= max_side:
+            assert (nw, nh, out) == (w, h, px)
+        assert len(out) == nw * nh
+
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
