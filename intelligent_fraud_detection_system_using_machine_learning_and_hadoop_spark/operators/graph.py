@@ -1697,31 +1697,43 @@ def _edge_supports(cur: DataFrame, deg: DataFrame | None = None) -> DataFrame:
             ).alias("common"),
         )
     )
-    direct = with_common.select(
-        F.least("a", "b").alias("u"),
-        F.greatest("a", "b").alias("v"),
-        F.size("common").cast("long").alias("c"),
-    )
-    others = with_common.select(
-        "a", "b", F.explode("common").alias("w")
-    )
-    contrib = direct.unionByName(
-        others.select(
-            F.least("a", "w").alias("u"),
-            F.greatest("a", "w").alias("v"),
-            F.lit(1).cast("long").alias("c"),
-        )
-    ).unionByName(
-        others.select(
-            F.least("b", "w").alias("u"),
-            F.greatest("b", "w").alias("v"),
-            F.lit(1).cast("long").alias("c"),
-        )
-    )
-    sup = contrib.groupBy("u", "v").agg(F.sum("c").cast("long").alias("support"))
-    return (
-        cur.join(sup, ["u", "v"], "left")
-        .select("u", "v", F.coalesce(F.col("support"), F.lit(0)).alias("support"))
+    # ONE-PASS contribution emission (r18 optimization): the previous
+    # three-branch union (direct + two `others` legs) re-derived the
+    # whole `with_common` subtree — ranked ⋈ adj ⋈ adj plus the
+    # array_intersect — once PER BRANCH (lineage fan-out; the plan
+    # showed three identical SMJ chains each writing ~157 MB of
+    # contribution shuffle at sf0.1). Emitting the direct term and both
+    # per-triangle credits as one concat'd struct array and exploding
+    # ONCE computes the intersection a single time and feeds a single
+    # exchange. Same rows, same groupBy — identical supports.
+    contrib = with_common.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.least("a", "b").alias("u"),
+                        F.greatest("a", "b").alias("v"),
+                        F.size("common").cast("long").alias("c"),
+                    )
+                ),
+                F.expr(
+                    "transform(common, w -> struct(least(a, w) AS u, "
+                    "greatest(a, w) AS v, CAST(1 AS BIGINT) AS c))"
+                ),
+                F.expr(
+                    "transform(common, w -> struct(least(b, w) AS u, "
+                    "greatest(b, w) AS v, CAST(1 AS BIGINT) AS c))"
+                ),
+            )
+        ).alias("p")
+    ).select("p.u", "p.v", "p.c")
+    # Every canonical edge of `cur` appears in the direct term with
+    # c = size(common) ≥ 0 (ranked is 1:1 with cur; the adj_a join is
+    # inner but every a has ≥ 1 out-neighbor — itself→b), so the
+    # aggregate already covers the full edge set: the old defensive
+    # |E| ⋈ |E| left-join back onto cur was a no-op shuffle, dropped.
+    return contrib.groupBy("u", "v").agg(
+        F.sum("c").cast("long").alias("support")
     )
 
 
@@ -1784,18 +1796,24 @@ def k_truss(
     thresh = k - 2
     n_rounds = rounds if rounds is not None else max_rounds
     converged = False
+    # O(1) driver state: ONE count of the initial edge set, then each
+    # round's survivor count carries over as the next round's "before"
+    # count — the old per-round `cur.count()` re-counted an already-
+    # checkpointed frame every round (one extra job per round).
+    n_cur = cur.count()
     for _ in range(n_rounds):
         sup = _edge_supports(cur, deg0)
         nxt = sup.where(F.col("support") >= thresh).select("u", "v")
         nxt = nxt.localCheckpoint(eager=True)
-        # O(1) driver state: one count per round decides convergence;
-        # the empty set is a fixed point too (everything peeled away)
+        # one count per round decides convergence; the empty set is a
+        # fixed point too (everything peeled away)
         n_nxt = nxt.count()
-        if n_nxt == cur.count() or n_nxt == 0:
+        if n_nxt == n_cur or n_nxt == 0:
             converged = True
             cur = nxt
             break
         cur = nxt
+        n_cur = n_nxt
     if rounds is None and not converged:
         raise RuntimeError(f"k_truss did not converge in {max_rounds} rounds")
     return _edge_supports(cur, deg0)

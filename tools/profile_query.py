@@ -38,16 +38,32 @@ def get_profiling_spark(event_dir: str) -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", event_dir)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
 
+def _event_lines(path: str):
+    # Spark 4 default: rolling event log -> a directory of events_* files
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.startswith("events_")
+        )
+        for p in parts:
+            with open(os.path.join(path, p)) as fh:
+                yield from fh
+    else:
+        with open(path) as fh:
+            yield from fh
+
+
 def parse_events(path: str):
     jobs, stages = {}, {}
-    with open(path) as fh:
-        for line in fh:
+    if True:
+        for line in _event_lines(path):
             try:
                 ev = json.loads(line)
             except Exception:
@@ -118,10 +134,12 @@ def main() -> None:
         spark.sparkContext.setJobDescription(None)
     spark.stop()
 
-    log_path = os.path.join(event_dir, app_id)
-    if not os.path.exists(log_path):
-        cands = [os.path.join(event_dir, f) for f in os.listdir(event_dir)]
-        log_path = max(cands, key=os.path.getmtime)
+    cands = [
+        os.path.join(event_dir, f)
+        for f in os.listdir(event_dir)
+        if app_id in f
+    ] or [os.path.join(event_dir, f) for f in os.listdir(event_dir)]
+    log_path = max(cands, key=os.path.getmtime)
     jobs, stages = parse_events(log_path)
 
     for name in names:
