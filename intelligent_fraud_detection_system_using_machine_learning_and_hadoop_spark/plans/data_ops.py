@@ -3950,7 +3950,9 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(d)
 
 
-def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _co_order_edges(
+    spark: SparkSession, sf_dir: str, cache: bool = False
+) -> DataFrame:
     """Canonical part co-order edge list — DISTINCT unordered pairs
     (u < v) of parts appearing on the same order — the shared input of
     the whole graph suite (triangle census, k-core, label propagation).
@@ -3961,61 +3963,50 @@ def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than two join sides (measured ~20% faster at sf0.1);
     per-order arrays are basket-sized.
 
-    Materialized ONCE per dataset as a parquet intermediate (the
-    build_ivf_index lifecycle — VERDICT r9 item 4: the graph heavies
-    each rebuilt this ~4s frame from scratch per query). The
-    intermediate is keyed by a fingerprint of the lineitem files
-    (name+size+mtime), so a regenerated dataset never hits a stale
-    cache; consumers then pay a plain columnar scan of |E| rows. At
-    100 TB this is exactly the shared edge-list table every graph
-    suite maintains; in-session it also survives the bench harness's
-    per-run cache isolation honestly — the build is data prep, the
-    scan is the query. Falls back to an in-session bounded cache
-    (``shared_cache``) if the warehouse dir is unwritable."""
-    import os
+    r18 measurement-honesty fix: rounds 9–17 persisted this frame to a
+    ``spark-warehouse/co_order_edges/<dataset-fingerprint>`` parquet
+    that SURVIVED across bench/oracle invocations, so timed runs
+    scanned a precomputed intermediate instead of computing from the
+    inputs — exactly the cross-run result caching the optimization
+    contract prohibits. The cross-run store is removed; every bench
+    rep now times the full build (the r18 bench carries the honest
+    cost; per-query deltas in OPTIMIZATION_r18.md). At 100 TB a
+    production deployment WOULD maintain this as a shared edge-list
+    table, but that is a data-prep pipeline decision, not something a
+    benchmarked query may amortize away.
 
-    from ..cache import plan_key, shared_cache
-
+    ``cache=True`` additionally registers an in-session ``shared_cache``
+    persist (bounded, freed by ``release_caches``) — worth it ONLY for
+    callers whose single plan consumes the frame more than once
+    (graph_risk_profile_parts: k-core + k-truss legs). For the
+    single-consumer graph queries the persist is pure overhead: every
+    operator eagerly localCheckpoints its canonicalized copy anyway, so
+    the persist writes a second materialization nothing reads twice —
+    measured at sf0.1 (interleaved min-of-3): betweenness 12.94 s with
+    the persist vs 11.06 s without; triangle 3.41 vs 3.25."""
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # pair expansion as two chained Generates (posexplode + explode of a
+    # plain slice) rather than one explode of a nested transform(...)
+    # lambda: higher-order functions evaluate INTERPRETED per row while
+    # GenerateExec + slice are whole-stage-codegen'd — measured
+    # interleaved min-of-3 at sf0.1: 1.19 s → 0.90 s for the build
+    # (same distinct pair set: slice is 1-based, so i+2 starts just
+    # past the 0-based position i, exactly the old lambda's window).
     e = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.posexplode("ps").alias("i", "id_a"), F.col("ps"))
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
+            "id_a",
+            F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("id_b"),
         )
-        .select(F.col("p.u").alias("id_a"), F.col("p.v").alias("id_b"))
         .distinct()
     )
+    if cache:
+        from ..cache import plan_key, shared_cache
 
-    from ..cache import dataset_fingerprint
-
-    li_path = os.path.join(sf_dir, "lineitem.parquet")
-    try:
-        fp = dataset_fingerprint(li_path)
-    except OSError:
         return shared_cache(plan_key("co_order_edges", e), e)
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    dest = os.path.join(
-        repo_root, "spark-warehouse", "co_order_edges", fp
-    )
-    try:
-        if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-            e.write.mode("overwrite").parquet(dest)
-        # NOTE deliberately no sibling pruning: several datasets (the
-        # three gate scales + sf1) are live at once and fingerprints
-        # can't tell a stale generation from a sibling scale; dirs are
-        # MBs and bounded by the dataset count.
-        return spark.read.parquet(dest)
-    except Exception:
-        return shared_cache(plan_key("co_order_edges", e), e)
+    return e
 
 
 #: DuckDB twin of ``_co_order_edges`` (the oracles re-derive the edge
@@ -5170,9 +5161,14 @@ def graph_risk_profile_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = li.select(F.col("l_partkey").alias("node")).distinct()
 
     scc = _scc_labels(spark, sf_dir).select("node", "scc_size")
-    core = k_core(_co_order_edges(spark, sf_dir), 80, broadcast_nodes=True, rounds=10)
+    core = k_core(
+        _co_order_edges(spark, sf_dir, cache=True),
+        80,
+        broadcast_nodes=True,
+        rounds=10,
+    )
     core = core.select(F.col("id").alias("node"), F.col("core_degree"))
-    truss = k_truss(_co_order_edges(spark, sf_dir), 12, rounds=7)
+    truss = k_truss(_co_order_edges(spark, sf_dir, cache=True), 12, rounds=7)
     truss_nodes = (
         truss.select(F.col("u").alias("node"))
         .unionByName(truss.select(F.col("v").alias("node")))
