@@ -483,7 +483,15 @@ def shared_counterparty_pairs_lsh(
 
     sets = swap_cache(plan_key("cooccur.lsh_sets", sets), sets)
     sig = _signatures_from_shingled(sets, num_hashes)
-    buckets = _lsh_buckets(sig, bands, rows_per_band)
+    # the bucket self-join consumes this subtree TWICE, and exchange
+    # reuse does not fire across the alias pair (r18 plan audit: two
+    # full explode → 64-min-agg → band-hash chains, the query's
+    # dominant CPU). One bounded persist of the (entity, band, bucket)
+    # rows computes signatures once.
+    buckets = swap_cache(
+        plan_key("cooccur.lsh_buckets", sets),
+        _lsh_buckets(sig, bands, rows_per_band),
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(b, ["band", "bucket"])

@@ -341,6 +341,14 @@ def minhash_near_dup_pairs(
             .where(F.col("_rn") <= max_bucket_size)
             .drop("_rn")
         )
+    # the bucket self-join consumes the signature subtree (explode →
+    # k-min-agg → band hash) TWICE and exchange reuse does not fire
+    # across the alias pair (r18 plan audit on the collusion twin) —
+    # one bounded persist of the small (_id, band, bucket) rows
+    # computes signatures once.
+    from ..cache import plan_key, swap_cache
+
+    buckets = swap_cache(plan_key("dedup.minhash_buckets", s), buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -576,6 +584,11 @@ def simhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    # persist once: the band self-join would otherwise run the whole
+    # simhash majority fold twice (alias pair defeats exchange reuse)
+    from ..cache import plan_key, swap_cache
+
+    chunks = swap_cache(plan_key("dedup.simhash_chunks", base), chunks)
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
@@ -664,7 +677,17 @@ def embedding_lsh_dup_pairs(
         "_id",
         F.transform("_v", lambda x: x / F.sqrt(_norm_sq(F.col("_v")))).alias("_u"),
     )
-    bucketed = with_lsh_buckets(v, "_id", "_u", tables_df)
+    from ..cache import plan_key, swap_cache
+
+    # persist once: the (tbl, bucket) self-join would otherwise
+    # normalize + hyperplane-hash the corpus twice (alias pair defeats
+    # exchange reuse); v is persisted too — the exact-cosine rerank
+    # re-reads the unit vectors per candidate side.
+    v = swap_cache(plan_key("dedup.sign_lsh_units", v), v)
+    bucketed = swap_cache(
+        plan_key("dedup.sign_lsh_buckets", v),
+        with_lsh_buckets(v, "_id", "_u", tables_df),
+    )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     candidates = (

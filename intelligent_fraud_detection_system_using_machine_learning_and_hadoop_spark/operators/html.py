@@ -63,7 +63,17 @@ def wrap_documents_html(
     test-harness INPUT SIDE only (the corpus tables carry clean text);
     a real deployment feeds captured HTML straight to
     ``html_main_content``. The wrapper is reproducible in ANSI SQL so
-    the DuckDB oracle can synthesize byte-identical pages."""
+    the DuckDB oracle can synthesize byte-identical pages.
+
+    Guarded by ``ensure_min_partitions`` (r18): the page synthesis and
+    the downstream block classification are heavy per-row expression
+    chains, and a single-row-group parquet corpus yields a ONE-task
+    scan that serializes all of it (profiled at sf0.1: one 1.23 s
+    single-task stage carrying the whole extraction). On multi-file
+    corpora the guard is a no-op."""
+    from ..sources.readers import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     t = F.col(text_col)
     teaser = F.array_join(F.slice(F.split(t, " "), 1, 4), " ")
     body = F.regexp_replace(t, r"((?:\S+ ){15})", r"$1</p><p>")

@@ -406,10 +406,19 @@ def test_fuzzy_join_verifies_on_candidates_only(spark, sf_dir):
 
 
 def test_html_extraction_is_shuffle_free(spark, sf_dir):
-    """HTML main-content extraction is per-row array lambdas — the
-    physical plan must contain NO exchange at all."""
+    """HTML main-content extraction is per-row array lambdas — no
+    KEYED exchange anywhere. The only exchange allowed is the single
+    RoundRobin repartition of ensure_min_partitions (r18: a
+    one-row-group corpus file yields a one-task scan that serializes
+    the whole extraction — profiled 1.23 s single-task at sf0.1; on a
+    real multi-file corpus the guard is a no-op and the plan is
+    exchange-free)."""
     plan = plan_of(REGISTRY["html_extract_documents"].builder(spark, sf_dir))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "partitioning" in line.lower():
+            assert "RoundRobinPartitioning" in line, line
 
 
 def test_url_canonicalization_is_shuffle_free(spark, sf_dir):
