@@ -790,11 +790,22 @@ def label_propagation(
     # re-checkpoint at 62 → 86 s and even a whole-session width of 256
     # at 70.6 s (see _sized_partitions_ckpt) — per-round iterative
     # state wants the session width, not |E|-derived width.
-    both = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .repartition("u")
-        .localCheckpoint(eager=True)
-    )
+    #
+    # PERSIST, not localCheckpoint (r18): a checkpoint becomes a
+    # LogicalRDD that FORGETS its child's outputPartitioning, so with
+    # broadcast labels every round still re-exchanged the full 2|E|
+    # neighbor-count stream (profiled at sf0.1: one ~24 MB
+    # write+read exchange pair per round). An InMemoryRelation keeps
+    # the repartition("u") visible to Catalyst, so both per-round
+    # groupBys (keys (u, label) and u) satisfy their clustering from
+    # the cache and the broadcast-labels rounds run EXCHANGE-FREE —
+    # the pagerank e_aug discipline applied here.
+    from ..cache import plan_key, swap_cache
+
+    both_plan = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).repartition("u")
+    both = swap_cache(plan_key("lpa.both", both_plan), both_plan)
     labels = (
         both.select(F.col("u").alias("id"))
         .distinct()
@@ -976,11 +987,18 @@ def shortest_paths(
         .groupBy("u", "v")
         .agg(F.min("wt").alias("wt"))
     )
-    both = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "wt"))
-        .repartition("u")  # relax join key — one shuffle, reused every round
-        .localCheckpoint(eager=True)
-    )
+    # PERSIST, not localCheckpoint (r18, the LPA finding): a checkpoint
+    # forgets the repartition("u") partitioning, so the non-broadcast
+    # (web-scale) mode re-exchanged the full bidirected frame every
+    # relax round instead of reusing this one shuffle. The
+    # InMemoryRelation keeps it visible; the up-front nodes.count()
+    # below materializes the cache before the loop.
+    from ..cache import plan_key, swap_cache
+
+    both_plan = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), "wt")
+    ).repartition("u")
+    both = swap_cache(plan_key("sssp.both", both_plan), both_plan)
     nodes = both.select("u").distinct()
     dists = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("id"))
@@ -1576,7 +1594,14 @@ def temporal_reachability(
     because LogicalRDD stats are plan ESTIMATES that compound across
     rounds — both measurements in shortest_paths' docstring). Returns
     (node, arrive_t): seeds at 0, unreachable nodes absent."""
-    e = (
+    # PERSIST, not localCheckpoint (r18, the LPA finding): a checkpoint
+    # forgets the repartition("u") partitioning, so the non-broadcast
+    # (web-scale) mode re-exchanged the full edge frame every relax
+    # round. The InMemoryRelation keeps it visible; the up-front
+    # nodes.count() below materializes the cache before the loop.
+    from ..cache import plan_key, swap_cache
+
+    e_plan = (
         edges.select(
             F.col(src).cast("long").alias("u"),
             F.col(dst).cast("long").alias("v"),
@@ -1585,8 +1610,8 @@ def temporal_reachability(
         .where(F.col("u") != F.col("v"))
         .distinct()
         .repartition("u")
-        .localCheckpoint(eager=True)
     )
+    e = swap_cache(plan_key("temporal_reach.e", e_plan), e_plan)
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     arr = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
