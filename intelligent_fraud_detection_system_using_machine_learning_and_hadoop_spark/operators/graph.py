@@ -1155,7 +1155,21 @@ def hits_quantized(
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.localCheckpoint(eager=True)
+    # TWO pre-partitioned persisted copies, one per push direction
+    # (r18, the LPA partitioning finding — a localCheckpoint would
+    # FORGET the partitioning): with broadcast scores the only shuffle
+    # per half-step was the |E|-row aggregation exchange, and hash(out)
+    # from the cache satisfies its clustering, so both pushes now run
+    # exchange-free; in hash mode the copies co-locate the score join
+    # instead (partition by the JOIN key), leaving only the agg
+    # exchange — the pagerank part_col rule, applied per direction.
+    from ..cache import plan_key, swap_cache
+
+    def _parted(col: str) -> DataFrame:
+        p = e.repartition(col)
+        return swap_cache(plan_key(f"hits.e.{col}", p), p)
+
+    e_by_src, e_by_dst = _parted("_src"), _parted("_dst")
 
     def _normalize(raw: DataFrame) -> DataFrame:
         m = raw.agg(F.max("raw").alias("_m"))
@@ -1170,13 +1184,17 @@ def hits_quantized(
 
     def _push(scores: DataFrame, key: str, out: str) -> DataFrame:
         s = F.broadcast(scores) if broadcast_scores else scores
+        part_col = out if broadcast_scores else key
+        ec = e_by_src if part_col == "_src" else e_by_dst
         return (
-            s.join(e, F.col("node") == F.col(key))
+            s.join(ec, F.col("node") == F.col(key))
             .groupBy(F.col(out).alias("node"))
             .agg(F.sum("score_q").cast("long").alias("raw"))
         )
 
-    hubs = e.select(F.col("_src").alias("node")).distinct().select(
+    # init from the _src-partitioned cache: the distinct's clustering
+    # is already satisfied, and the unpersisted `e` plan never runs
+    hubs = e_by_src.select(F.col("_src").alias("node")).distinct().select(
         "node", F.lit(q).cast("long").alias("score_q")
     )
     auths = None
