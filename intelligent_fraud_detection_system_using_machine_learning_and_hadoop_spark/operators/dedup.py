@@ -158,15 +158,20 @@ def ngram_jaccard_pairs(
         posts = posts.where(F.size("_ids") <= max_df)
     else:
         sizes = s.select("_id", F.size("_sh").alias("_n"))
-    pair_expr = F.expr(
-        "flatten(transform(_ids, (x, i) -> "
-        "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
-        "y -> struct(x AS id_a, y AS id_b))))"
-    )
+    # pair expansion as two chained codegen'd Generates instead of one
+    # interpreted nested-lambda flatten (the _co_order_edges r18
+    # rewrite; same pair multiset — slice is 1-based, so i+2 starts
+    # just past the 0-based position i)
     inter = (
         posts.where(F.size("_ids") >= 2)
-        .select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .select(F.posexplode("_ids").alias("_i", "id_a"), F.col("_ids"))
+        .select(
+            "id_a",
+            F.explode(
+                F.expr("slice(_ids, _i + 2, size(_ids) - _i - 1)")
+            ).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"))

@@ -74,15 +74,6 @@ def dsir_scores(
     dc = toks.groupBy("_id", "is_target", "_b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    # fan-out persist (r18): dc feeds BOTH the global bucket table
-    # (via the broadcast weight build) and the final per-doc score
-    # join, and lineage re-ran the tokenize → explode → md5 → groupBy
-    # chain once per consumer (profiled at sf0.1: two duplicate ~10 s
-    # map stages). Bounded swap-cache computes it once; dc is at most
-    # |docs|·n_buckets rows, proportional to the token stream.
-    from ..cache import plan_key, swap_cache
-
-    dc = swap_cache(plan_key("selection.dsir_dc", dc), dc)
     bt = dc.groupBy("_b").agg(
         F.sum("c").cast("long").alias("cr"),
         F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0))

@@ -5444,19 +5444,14 @@ def shortest_paths_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
+    # two chained codegen'd Generates instead of the interpreted
+    # nested-lambda expansion — the _co_order_edges r18 rewrite; same
+    # pair multiset (slice is 1-based)
     pairs = (
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
+        .select(F.posexplode("ps").alias("i", "u"), F.col("ps"))
+        .select("u", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"))
     )
     edges = pairs.groupBy("u", "v").agg(
         (F.lit(100) - F.least(F.count(F.lit(1)), F.lit(99)))

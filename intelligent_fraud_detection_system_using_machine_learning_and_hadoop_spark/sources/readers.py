@@ -96,6 +96,13 @@ def ensure_min_partitions(df: DataFrame, parallelism: int | None = None) -> Data
     this is a no-op, so hot-path callers can apply it unconditionally
     without pessimizing the at-scale plan with a gratuitous shuffle.
     """
+    if df.isStreaming:
+        # a streaming frame has no .rdd to probe, and micro-batch
+        # parallelism belongs to the source (maxFilesPerTrigger etc.)
+        # — the guard is a batch-scan concern only (r18: the
+        # wrap_documents_html guard broke stream_html_extract's lazy
+        # plan construction without this early-out)
+        return df
     p = parallelism or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, p // 2):
         return df.repartition(p)

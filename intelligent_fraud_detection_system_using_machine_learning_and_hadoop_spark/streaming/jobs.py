@@ -1848,19 +1848,16 @@ def _make_incremental_cc_fold(spark: SparkSession, state: _ParquetFoldState):
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= state.last_batch():
             return
+        # two chained codegen'd Generates instead of the interpreted
+        # nested-lambda expansion (the _co_order_edges r18 rewrite)
         edges = (
             batch_df.groupBy("l_orderkey")
             .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+            .select(F.posexplode("ps").alias("i", "id_a"), F.col("ps"))
             .select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(ps, (x, i) -> "
-                        "transform(slice(ps, i + 2, size(ps)), "
-                        "y -> struct(x AS u, y AS v))))"
-                    )
-                ).alias("p")
+                "id_a",
+                F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("id_b"),
             )
-            .select(F.col("p.u").alias("id_a"), F.col("p.v").alias("id_b"))
         )  # no .distinct() here — connected_components canonicalizes
         prev = state.read()
         if prev is not None:
