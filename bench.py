@@ -64,30 +64,57 @@ def materialize(df) -> None:
 
 
 def render_final_line(
-    total: float, sf: float, reps: int, n_queries: int, probe_sec: float
+    total: float,
+    sf: float,
+    reps: int,
+    n_queries: int,
+    probe_sec: float,
+    probe_med: float | None = None,
+    cpus: int | None = None,
 ) -> str:
     """The ONE line the driver parses. Structurally small by design —
     no per-query map (VERDICT r13 item 1: 61 rows pushed the old map
     past the 1900-char tail guard AFTER all timings had been computed).
     tests/test_bench_emitter.py renders this from the live registry
     with worst-case field widths, so registry growth can't re-break
-    the emitter."""
-    return json.dumps(
-        {
-            "metric": "bench_total_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "stat": "per_query_min",
-            "reps": reps,
-            "n_queries": n_queries,
-            "probe_sec": probe_sec,
-            # total / probe: the contention-invariant cross-round number
-            "total_over_probe": round(total / probe_sec, 1),
-            # where the per-query map lives now (VERDICT r13 item 1)
-            "queries_in": f"BENCH_FULL_sf{sf}.json",
-        },
-        separators=(",", ":"),
+    the emitter. ``probe_med`` (VERDICT r18 item 9): the probe's MIN
+    swung 0.23–0.45 across sessions within one box class; the median
+    alongside it lets cross-round comparisons down-weight probe-flaky
+    sessions (min far below median = one lucky rep, not a calm box).
+    Comparisons still normalize by the min — semantics unchanged."""
+    out = {
+        "metric": "bench_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "stat": "per_query_min",
+        "reps": reps,
+        "n_queries": n_queries,
+        "probe_sec": probe_sec,
+        # total / probe: the contention-invariant cross-round number
+        "total_over_probe": round(total / probe_sec, 1),
+        # where the per-query map lives now (VERDICT r13 item 1)
+        "queries_in": f"BENCH_FULL_sf{sf}.json",
+    }
+    if probe_med is not None:
+        out["probe_med"] = probe_med
+    if cpus is not None:
+        out["cpus"] = cpus
+    return json.dumps(out, separators=(",", ":"))
+
+
+def full_record_name(sf: float, cpus: int, box_cpus: int) -> tuple[str, bool]:
+    """Which file a full bench run's per-query record lands in, and
+    whether the run is a REDUCED-core run (VERDICT r18 item 3): the
+    driver's scaling measurement re-runs the bench at a lower
+    $SPARK_GRAFT_CPUS, and in r18 that run overwrote the 32-core
+    per-query record, leaving PERF's scaling block with nothing to
+    read. Full-width runs own ``BENCH_FULL_sf{sf}.json`` (the archive/
+    comparison flow); reduced runs get a ``_c{N}`` sidecar."""
+    reduced = cpus < box_cpus
+    return (
+        f"BENCH_FULL_c{cpus}_sf{sf}.json" if reduced else f"BENCH_FULL_sf{sf}.json",
+        reduced,
     )
 
 
@@ -308,12 +335,25 @@ def main() -> None:
         ).save()
         return time.perf_counter() - t0
 
-    probe_sec = round(min(calibration_probe() for _ in range(5)), 4)
+    probe_samples = sorted(calibration_probe() for _ in range(5))
+    probe_sec = round(probe_samples[0], 4)
+    probe_med = round(probe_samples[2], 4)
+
+    # Reduced-core runs (the driver's scaling measurement re-runs the
+    # bench with a lower $SPARK_GRAFT_CPUS) must NOT overwrite the
+    # full-width per-query record — in r18 both runs wrote one
+    # BENCH_FULL_sf0.1.json and the 8-core record clobbered the
+    # 32-core one, leaving PERF's scaling block empty (VERDICT r18
+    # item 3). They write a c{N} sidecar instead, carrying per-query
+    # ratios against the full-width record of the same session class.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 1)))
+    out_name, reduced = full_record_name(sf, cpus, os.cpu_count() or cpus)
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # stamp the last driver-accepted round's record BEFORE this run
-    # overwrites BENCH_FULL (VERDICT r15 item 1)
-    archive_accepted_round(here, sf)
+    if not reduced:
+        # stamp the last driver-accepted round's record BEFORE this run
+        # overwrites BENCH_FULL (VERDICT r15 item 1)
+        archive_accepted_round(here, sf)
 
     builders = plans.bench_queries()
     # untimed warm-up pass: first execution pays one-off codegen /
@@ -383,36 +423,55 @@ def main() -> None:
         )
     )
     print(render_cross_round_diag(probe_normalized, norm_vs_prev, norm_vs_self))
+    payload = {
+        "metric": "bench_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "stat": "per_query_min",
+        "reps": reps,
+        "probe_sec": probe_sec,
+        "probe_med": probe_med,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "queries": timings,
+        "probe_normalized": probe_normalized,
+        "norm_vs_prev": norm_vs_prev,
+        "norm_vs_self": norm_vs_self,
+    }
+    if reduced:
+        # core-scaling record (VERDICT r18 item 3): per-query raw
+        # ratio t_c{N}/t_cfull against the full-width record this
+        # session class produced, written to a sidecar so the
+        # full-width BENCH_FULL stays the round's per-query record.
+        base = self_full_bench(here, sf)
+        if base is not None:
+            bq = base[1]["queries"]
+            payload["core_scaling"] = {
+                "base_cpus": base[1].get("cpus"),
+                "base_probe_sec": base[1].get("probe_sec"),
+                "per_query": {
+                    n: round(t / bq[n], 2)
+                    for n, t in timings.items()
+                    if n in bq and bq[n] > 0
+                },
+            }
+            print(
+                json.dumps(
+                    {"diag": "core_scaling", **payload["core_scaling"]},
+                    separators=(",", ":"),
+                )
+            )
     # Self-recorded full payload: the judge reads this from the repo
     # (the driver commits it with the round); the NEXT round's first
     # bench invocation stamps it to BENCH_FULL_r{N}_sf{sf}.json via
     # archive_accepted_round, which is what previous_bench compares
     # against (never this refreshed-every-run file).
-    with open(
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), f"BENCH_FULL_sf{sf}.json"
-        ),
-        "w",
-    ) as fh:
-        json.dump(
-            {
-                "metric": "bench_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "stat": "per_query_min",
-                "reps": reps,
-                "probe_sec": probe_sec,
-                "n_queries": len(timings),
-                "queries": timings,
-                "probe_normalized": probe_normalized,
-                "norm_vs_prev": norm_vs_prev,
-                "norm_vs_self": norm_vs_self,
-            },
-            fh,
-            indent=1,
-        )
-    line = render_final_line(total, sf, reps, len(timings), probe_sec)
+    with open(os.path.join(here, out_name), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    line = render_final_line(
+        total, sf, reps, len(timings), probe_sec, probe_med, cpus
+    )
     # explicit raise, not assert — must survive `python -O` (the driver
     # captures only a ~2KB stdout tail; an oversized line hides the run)
     if len(line) >= 1900:

@@ -65,6 +65,22 @@ def shared_cache(
     return df
 
 
+def drop_cache(key: str) -> None:
+    """Unpersist and forget ONE key. For loop-scoped caches (ADVICE
+    r18): the iterative graph operators persist their pre-partitioned
+    edge frame only for the duration of the relaxation loop — every
+    frame they RETURN is lineage-truncated by a per-round eager
+    localCheckpoint, so the edge cache is dead weight the moment the
+    loop ends. Operators pop it before returning instead of leaving
+    one live MEMORY_AND_DISK copy per distinct input graph until
+    release_caches (a long-lived session running many graphs would
+    otherwise accumulate them)."""
+    with _LOCK:
+        prev = _ACTIVE_CACHES.pop(key, None)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+
+
 def release_caches() -> None:
     """Unpersist every cache registered by ``swap_cache`` (notebook /
     long-lived-session hygiene; blocking so tests can assert emptiness)."""

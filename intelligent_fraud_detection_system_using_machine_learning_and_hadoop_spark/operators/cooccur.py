@@ -483,15 +483,20 @@ def shared_counterparty_pairs_lsh(
 
     sets = swap_cache(plan_key("cooccur.lsh_sets", sets), sets)
     sig = _signatures_from_shingled(sets, num_hashes)
-    # the bucket self-join consumes this subtree TWICE, and exchange
-    # reuse does not fire across the alias pair (r18 plan audit: two
-    # full explode → 64-min-agg → band-hash chains, the query's
-    # dominant CPU). One bounded persist of the (entity, band, bucket)
-    # rows computes signatures once.
-    buckets = swap_cache(
-        plan_key("cooccur.lsh_buckets", sets),
-        _lsh_buckets(sig, bands, rows_per_band),
-    )
+    # The r18 bucket persist was REVERTED here by the r19 sf1 A/B
+    # (VERDICT r18 item 1): it removed the duplicate signature chain
+    # from the plan (two explode → 64-min-agg → band-hash subtrees,
+    # the alias self-join defeats exchange reuse), but on this
+    # heap-heavy operator (the `sets` persist already holds the full
+    # counterparty arrays) the extra materialization costs more than
+    # the recompute it saves — driver bench +15% at sf0.1; sf1
+    # same-session interleaved A/B ×2 (tools/ab_r19.py): persist mins
+    # 47.22 / 25.74 s vs un-persisted 28.78 / 25.77 s, with the persist
+    # side swinging 26→60 s (GC pressure) while the un-persisted side
+    # held 26–31 s. The dedup.py MinHash twin KEEPS its persist — its
+    # sf1 A/B confirmed 1.2× (small docs corpus, no array-heavy
+    # sibling cache competing for the heap).
+    buckets = _lsh_buckets(sig, bands, rows_per_band)
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(b, ["band", "bucket"])

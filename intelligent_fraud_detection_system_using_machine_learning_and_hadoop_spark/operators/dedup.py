@@ -353,7 +353,10 @@ def minhash_near_dup_pairs(
     # computes signatures once.
     from ..cache import plan_key, swap_cache
 
-    buckets = swap_cache(plan_key("dedup.minhash_buckets", s), buckets)
+    # keyed on the BUCKETS plan, not the shingled input (ADVICE r18):
+    # same-corpus calls with different bands/num_hashes/max_bucket_size
+    # must get distinct slots, not mutually evict one shared slot.
+    buckets = swap_cache(plan_key("dedup.minhash_buckets", buckets), buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -593,7 +596,9 @@ def simhash_near_dup_pairs(
     # simhash majority fold twice (alias pair defeats exchange reuse)
     from ..cache import plan_key, swap_cache
 
-    chunks = swap_cache(plan_key("dedup.simhash_chunks", base), chunks)
+    # keyed on the CHUNKS plan (ADVICE r18): bands/width variants over
+    # one corpus get distinct slots instead of mutually evicting.
+    chunks = swap_cache(plan_key("dedup.simhash_chunks", chunks), chunks)
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
@@ -689,9 +694,12 @@ def embedding_lsh_dup_pairs(
     # exchange reuse); v is persisted too — the exact-cosine rerank
     # re-reads the unit vectors per candidate side.
     v = swap_cache(plan_key("dedup.sign_lsh_units", v), v)
+    # keyed on the BUCKETED plan (ADVICE r18): the hyperplane tables
+    # (n_planes/n_tables/seed) are part of the fingerprint, so
+    # parameter variants over one corpus get distinct slots.
+    bucketed_plan = with_lsh_buckets(v, "_id", "_u", tables_df)
     bucketed = swap_cache(
-        plan_key("dedup.sign_lsh_buckets", v),
-        with_lsh_buckets(v, "_id", "_u", tables_df),
+        plan_key("dedup.sign_lsh_buckets", bucketed_plan), bucketed_plan
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")

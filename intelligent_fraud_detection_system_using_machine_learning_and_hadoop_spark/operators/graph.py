@@ -290,6 +290,7 @@ def pagerank_quantized(
     broadcast_ranks: bool = False,
     assume_distinct: bool = False,
     seed_nodes: DataFrame | None = None,
+    eager_round_checkpoints: bool = False,
 ) -> DataFrame:
     """All-integer PageRank: power iteration in fixed-point arithmetic
     so every engine computes bit-identical ranks (float PageRank is
@@ -445,7 +446,19 @@ def pagerank_quantized(
         # previous iteration and Catalyst planning, not the data,
         # dominates (plan audit: 108 exchanges printed for 5 rounds).
         # The rank vector is N rows — the checkpoint is tiny.
-        r = r.localCheckpoint(eager=True)
+        #
+        # LAZY by default (r19, VERDICT r18 item 5): localCheckpoint
+        # truncates the LOGICAL plan to a LogicalRDD immediately either
+        # way — eager only adds a blocking count() job per round. The
+        # loop has no per-round driver decision (fixed ``iters``, no
+        # isEmpty), so materialization can ride inside the next
+        # consumer's job: in broadcast mode each round's broadcast
+        # collect computes-and-pins the checkpoint RDD; in hash mode
+        # all rounds fuse into one job DAG. Same values (pinned by the
+        # eager/lazy byte-equality pytest); measured A/B in
+        # OPTIMIZATION_r19.md §5. ``eager_round_checkpoints=True``
+        # restores the r18 form (and is the A/B lever).
+        r = r.localCheckpoint(eager=eager_round_checkpoints)
     return r.select(
         "node", "r_q", (F.col("r_q").cast("double") / F.lit(float(q))).alias("rank")
     )
@@ -800,7 +813,7 @@ def label_propagation(
     # groupBys (keys (u, label) and u) satisfy their clustering from
     # the cache and the broadcast-labels rounds run EXCHANGE-FREE —
     # the pagerank e_aug discipline applied here.
-    from ..cache import plan_key, swap_cache
+    from ..cache import drop_cache, plan_key, swap_cache
 
     both_plan = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -833,6 +846,9 @@ def label_propagation(
             )
             .localCheckpoint(eager=True)
         )
+    # loop-scoped cache (ADVICE r18): labels is an eager checkpoint,
+    # so the edge cache is dead weight after the last round.
+    drop_cache(plan_key("lpa.both", both))
     return labels.select("id", F.col("label").alias("community"))
 
 
@@ -993,7 +1009,7 @@ def shortest_paths(
     # relax round instead of reusing this one shuffle. The
     # InMemoryRelation keeps it visible; the up-front nodes.count()
     # below materializes the cache before the loop.
-    from ..cache import plan_key, swap_cache
+    from ..cache import drop_cache, plan_key, swap_cache
 
     both_plan = e.union(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"), "wt")
@@ -1053,6 +1069,9 @@ def shortest_paths(
         dists = merged.select("id", "dist")
         if frontier.isEmpty():
             break
+    # loop-scoped cache (ADVICE r18): dists is an eager checkpoint, so
+    # the edge cache is dead weight after the last relax round.
+    drop_cache(plan_key("sssp.both", both))
     return dists
 
 
@@ -1163,13 +1182,18 @@ def hits_quantized(
     # exchange-free; in hash mode the copies co-locate the score join
     # instead (partition by the JOIN key), leaving only the agg
     # exchange — the pagerank part_col rule, applied per direction.
-    from ..cache import plan_key, swap_cache
+    from ..cache import drop_cache, plan_key, swap_cache
 
-    def _parted(col: str) -> DataFrame:
-        p = e.repartition(col)
+    def _parted(col: str, base: DataFrame) -> DataFrame:
+        p = base.repartition(col)
         return swap_cache(plan_key(f"hits.e.{col}", p), p)
 
-    e_by_src, e_by_dst = _parted("_src"), _parted("_dst")
+    # the second orientation derives from the FIRST cache, so the
+    # upstream edge build (scan + distinct) runs once, not once per
+    # direction (ADVICE r18): materializing e_by_dst is one |E|-row
+    # exchange over the persisted e_by_src, not a re-run of the plan.
+    e_by_src = _parted("_src", e)
+    e_by_dst = _parted("_dst", e_by_src)
 
     def _normalize(raw: DataFrame) -> DataFrame:
         m = raw.agg(F.max("raw").alias("_m"))
@@ -1201,6 +1225,12 @@ def hits_quantized(
     for _ in range(iters):
         auths = _normalize(_push(hubs, "_src", "_dst"))
         hubs = _normalize(_push(auths, "_dst", "_src"))
+    # loop-scoped caches (ADVICE r18): both score tables are eager
+    # checkpoints by now, so the edge caches are dead weight — pop them
+    # instead of holding one live copy per input graph until
+    # release_caches.
+    for col, frame in (("_src", e_by_src), ("_dst", e_by_dst)):
+        drop_cache(plan_key(f"hits.e.{col}", frame))
     out_h = hubs.select(
         "node", F.lit("hub").alias("kind"), "score_q",
         (F.col("score_q").cast("double") / F.lit(float(q))).alias("score"),
@@ -1612,14 +1642,20 @@ def temporal_reachability(
     because LogicalRDD stats are plan ESTIMATES that compound across
     rounds — both measurements in shortest_paths' docstring). Returns
     (node, arrive_t): seeds at 0, unreachable nodes absent."""
-    # PERSIST, not localCheckpoint (r18, the LPA finding): a checkpoint
-    # forgets the repartition("u") partitioning, so the non-broadcast
-    # (web-scale) mode re-exchanged the full edge frame every relax
-    # round. The InMemoryRelation keeps it visible; the up-front
-    # nodes.count() below materializes the cache before the loop.
-    from ..cache import plan_key, swap_cache
-
-    e_plan = (
+    # CHECKPOINT, not persist — the r18 swap-cache persist REVERTED by
+    # the r19 sf1 interleaved A/B (VERDICT r18 item 1): the persist's
+    # partitioning-reuse rationale never bites on this operator because
+    # the frontier stays runtime-broadcastable (arrival sets are
+    # seed-component-sized — ~20k rows at sf1 — so AQE picks a
+    # broadcast join and the edge side is never exchanged per round in
+    # EITHER form), while the InMemoryRelation's columnar→row scan
+    # penalty is paid every round. Measured same-session at sf1
+    # (tools/ab_r19.py temporal, probes 0.53/0.22): persist reps
+    # [9.05, 9.18, 7.11] vs checkpoint [8.26, 7.86, 7.37] — checkpoint
+    # wins 2 of 3 pairwise; the driver's sf0.1 bench said the same
+    # (+17%, VERDICT r18). For a web-scale frontier that genuinely
+    # defeats broadcast, LPA/sssp keep the persist form to copy.
+    e = (
         edges.select(
             F.col(src).cast("long").alias("u"),
             F.col(dst).cast("long").alias("v"),
@@ -1628,8 +1664,8 @@ def temporal_reachability(
         .where(F.col("u") != F.col("v"))
         .distinct()
         .repartition("u")
+        .localCheckpoint(eager=True)
     )
-    e = swap_cache(plan_key("temporal_reach.e", e_plan), e_plan)
     nodes = e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
     arr = (
         seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))

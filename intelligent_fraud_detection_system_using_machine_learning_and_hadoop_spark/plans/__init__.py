@@ -5,23 +5,17 @@ The driver's correctness gate attests the FIRST 50 registered queries
 in registration order), so registration order is part of the
 verification contract. ``_DRIVER_WINDOW`` pins the window explicitly.
 
-Round-18 rotation (VERDICT r17 item 1): the window takes ALL 35
-never-driver-attested oracled queries (recomputed from the committed
-CORRECTNESS_r*.json history: 23 carried from r15/r16 + the 8 r17
-promotions + the 4 r17-new screens and their streaming twins) plus 15
-members of the round-14 cohort — the oldest remaining attestations.
-The r17 verdict's arithmetic ("35 + the 15 most-stale r14 rows fill
-exactly 50 slots") implicitly assumed the r14 cohort was 15 names;
-recomputed from history it is 50 (each of r14/r15/r16/r17 attested a
-full 50-query cohort), so 35 r14 rows necessarily remain at r14 after
-this round and are queued — with the r15 cohort behind them — for the
-r19 rotation.  Never-attested first attestations outrank equally-stale
-re-attestations this round per the verdict's own #1 item; the r14
-remainder is the alphabetical tail (``label_propagation_parts`` …
-``zorder_key_orders``), the 15 taken are the alphabetical head.
-Registry content is unchanged by the window — only iteration order
-moves.  Queries registered NEW in round 18 queue behind all of the
-above (they are locally gate-verified at both scales on registration).
+Round-19 rotation (VERDICT r18 item 7): the window takes the 10
+never-driver-attested oracled queries (the r18-new registrations and
+promotions that queued behind the r18 window, per the r18 docstring's
+arithmetic), the FULL 35-name r14 remainder (the stalest cohort — with
+this rotation no oracled query's last attestation predates r15), and
+the 5 ``R19_TOUCHED_QUERIES`` whose implementations changed in
+r18/r19 while attested only by the local gate (the verdict's item 7
+names the four r18 plan rewrites; spearman_corr_lineitem is this
+round's rank-machinery fold). Alphabetical, as every rotation since
+r17. Registry content is unchanged by the window — only iteration
+order moves.
 """
 
 from .catalog import REGISTRY, queries, oracle_sql, bench_queries
@@ -55,60 +49,80 @@ R18_NEW_QUERIES = frozenset(
     }
 )
 
+#: Queries whose implementation this round (r19) touched while they
+#: were NOT in the r18 window: the four r18 plan rewrites the r18
+#: verdict's item 7 queues for re-attestation, plus spearman (its 3×
+#: rank machinery folded into one multi-column pass this round). Their
+#: window slots spend the 5 places left after the never-attested and
+#: r14-stale cohorts.
+R19_TOUCHED_QUERIES = frozenset(
+    {
+        "canonical_dedup_documents",
+        "k_truss_parts",
+        "ngram_jaccard_pairs",
+        "shortest_paths_parts",
+        "spearman_corr_lineitem",
+    }
+)
+
 #: First 50 = the driver-attested window.
 _DRIVER_WINDOW = [
-    # --- 35 never-attested oracled + 15 oldest (r14) rows;
-    # --- alphabetical (VERDICT r17 item 1) ---
-    "acf_events",
-    "benford_drift_orders",
-    "benford_orders",
-    "betweenness_parts",
-    "big_spenders_vs_nation",
-    "burstiness_events",
-    "collusion_hub_report_customers",
-    "collusion_pairs_lsh_customers",
-    "collusion_rings_lsh_customers",
-    "count_distinct_having",
-    "cross_entity_duplicates_events",
-    "cusum_change_events",
-    "dedup_exact_documents",
-    "doc_redact_pii",
-    "duplicate_charges_events",
-    "embedding_cosine_dup",
-    "embedding_lsh_dup",
-    "embedding_lsh_topk",
-    "embedding_topk_cosine",
-    "events_hourly",
-    "exists_late_shipments",
-    "funnel_view_click_purchase",
-    "harmonic_closeness_parts",
-    "hhi_events",
-    "holt_winters_events",
-    "interleave_sources_documents",
-    "key_islands_orders",
-    "last_digits_orders",
-    "ljung_box_events",
-    "mann_kendall_events",
-    "mmr_topk_embeddings",
-    "mmr_topk_pooled_embeddings",
-    "new_vs_returning_events",
-    "pacf_events",
-    "pettitt_events",
-    "privacy_gate_customers",
-    "rfm_segments_customers",
-    "rolling_wau_events",
-    "round_amount_bias_orders",
-    "seasonal_mann_kendall_events",
-    "skyline_orders",
-    "skyline_supplier_profile",
-    "stickiness_events",
-    "streaming_cross_entity_duplicates",
-    "streaming_duplicate_charges",
-    "streaming_last_digits",
-    "streaming_mann_kendall",
-    "streaming_pettitt",
-    "streaming_seasonal_mann_kendall",
-    "target_encode_orders",
+    # --- r19 rotation (VERDICT r18 item 7): the 10 never-attested
+    # --- (r18-new registrations/promotions that queued behind the r18
+    # --- window) + the full 35-name r14 remainder (closing the
+    # --- staleness tail: after this round no oracled query's last
+    # --- attestation predates r15) + the 5 R19_TOUCHED_QUERIES;
+    # --- alphabetical ---
+    "canonical_dedup_documents",
+    "cross_entity_duplicates_offset_events",
+    "impossible_velocity_events",
+    "interval_overlap_purchase_error",
+    "k_truss_parts",
+    "label_propagation_parts",
+    "line_dedup_documents",
+    "llm_data_pipeline",
+    "mahalanobis_peer_outliers_customers",
+    "market_share_by_year",
+    "min_price_supplier_per_part",
+    "minhash_near_dup",
+    "mixture_sample_documents",
+    "multimodal_feature_search",
+    "multimodal_pipeline",
+    "nation_pair_volume",
+    "near_dup_clusters",
+    "ngram_jaccard_pairs",
+    "ols_trend_orders",
+    "pack_sequences_documents",
+    "pii_scan_documents",
+    "profile_orders",
+    "quality_funnel_documents",
+    "range_join_price_bands",
+    "salted_distinct_suppliers",
+    "semi_anti_join_customers",
+    "shortest_paths_parts",
+    "simhash_near_dup",
+    "small_qty_order_revenue",
+    "spearman_corr_lineitem",
+    "spending_mix_drift_events",
+    "stratified_sample_documents",
+    "streaming_cc_parts",
+    "streaming_cross_entity_duplicates_offset",
+    "streaming_events_hourly",
+    "streaming_fraud_risk_report",
+    "streaming_impossible_velocity",
+    "streaming_join_click_purchase",
+    "streaming_pii_scan",
+    "streaming_spending_mix_drift",
+    "streaming_static_enrich",
+    "streaming_topk_trending",
+    "temperature_mix_lang",
+    "tfidf_top_terms",
+    "token_budget_trim",
+    "token_vocab_topk",
+    "top_revenue_supplier",
+    "unicode_normalize_documents",
+    "unigram_fluency_documents",
+    "zorder_key_orders",
 ]
 
 def _apply_driver_window() -> None:

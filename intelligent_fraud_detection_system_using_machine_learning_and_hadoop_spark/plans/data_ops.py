@@ -4003,9 +4003,21 @@ def _co_order_edges(
         .distinct()
     )
     if cache:
-        from ..cache import plan_key, shared_cache
+        import os
 
-        return shared_cache(plan_key("co_order_edges", e), e)
+        from ..cache import dataset_fingerprint, plan_key, shared_cache
+
+        # mix the dataset's CONTENT fingerprint into the key (ADVICE
+        # r18): plan_key alone hashes the plan, which is identical
+        # before and after an in-place regeneration of sf_dir — a
+        # stale persisted edge list would silently serve until
+        # release_caches. OSError (unreadable path) falls back to the
+        # plan key alone.
+        try:
+            fp = dataset_fingerprint(os.path.join(sf_dir, "lineitem.parquet"))
+        except OSError:
+            fp = "na"
+        return shared_cache(plan_key(f"co_order_edges:{fp}", e), e)
     return e
 
 

@@ -30,6 +30,8 @@ def test_final_line_fits_tail_guard_at_current_registry_size():
         reps=WORST["reps"],
         n_queries=n,
         probe_sec=WORST["probe_sec"],
+        probe_med=WORST["probe_sec"],
+        cpus=9999,
     )
     assert len(line) < 1900, f"final bench line would be {len(line)} chars"
 
@@ -90,6 +92,39 @@ def test_final_line_parses_and_has_driver_contract_fields():
     assert obj["metric"] == "bench_total_wall_sec"
     assert obj["unit"] == "sec"
     assert "queries" not in obj  # the map lives on the diag line / FULL file
+
+
+def test_final_line_carries_probe_median_and_cpus():
+    """VERDICT r18 item 9: probe min AND median on the final line (two
+    numbers, still small) so cross-round judging can down-weight
+    probe-flaky sessions; comparisons stay min-normalized."""
+    line = bench.render_final_line(12.3, 0.1, 3, 66, 0.25, 0.41, 32)
+    obj = json.loads(line)
+    assert obj["probe_sec"] == 0.25 and obj["probe_med"] == 0.41
+    assert obj["cpus"] == 32
+    # legacy call shape (no probe_med/cpus) stays parseable and omits them
+    legacy = json.loads(bench.render_final_line(12.3, 0.1, 3, 66, 0.25))
+    assert "probe_med" not in legacy and "cpus" not in legacy
+
+
+def test_reduced_core_runs_write_sidecar_not_full_record():
+    """VERDICT r18 item 3: the driver's low-core scaling run must not
+    clobber the full-width per-query record — r18's c8 run overwrote
+    BENCH_FULL_sf0.1.json and PERF's scaling block had nothing to
+    read. Reduced width -> c{N} sidecar; full width -> the record."""
+    assert bench.full_record_name(0.1, 8, 32) == (
+        "BENCH_FULL_c8_sf0.1.json",
+        True,
+    )
+    assert bench.full_record_name(0.1, 32, 32) == (
+        "BENCH_FULL_sf0.1.json",
+        False,
+    )
+    # an over-subscribed width is still the box's full-width record
+    assert bench.full_record_name(0.1, 64, 32) == (
+        "BENCH_FULL_sf0.1.json",
+        False,
+    )
 
 
 def _write(path, obj):

@@ -46,48 +46,49 @@ def _attestation_history() -> dict[str, int]:
     return last
 
 
-def test_r18_rotation_covers_all_never_attested_oracled():
-    """VERDICT r17 item 1: every oracled query with NO driver
-    attestation in committed history (35 names pre-r18) must hold an
-    r18 window slot. Recompute the never-attested set from history so
-    the pin survives the r18 CORRECTNESS file landing (after which the
-    set shrinks to queries registered new in r18, which queue for
-    r19 per the plans/__init__ docstring)."""
+def test_r19_rotation_covers_all_never_attested_oracled():
+    """VERDICT r18 item 7 (carrying the r17 item-1 discipline): every
+    oracled query with NO driver attestation in committed history (the
+    10 r18-new registrations/promotions that queued behind the r18
+    window) must hold an r19 slot. Recomputed from history so the pin
+    survives the r19 CORRECTNESS file landing (after which the
+    never-attested set is empty — r19 registers no new queries)."""
     last = _attestation_history()
     osql = plans.oracle_sql()
     never = sorted(q for q in osql if q not in last)
     missing = [q for q in never if q not in plans._DRIVER_WINDOW]
-    # r18-new registrations are allowed to queue (docstring arithmetic);
-    # everything never-attested as of r17 history must be in-window.
-    pre_r18 = [q for q in missing if q not in plans.R18_NEW_QUERIES]
-    assert not pre_r18, f"pre-r18 never-attested left out: {pre_r18}"
+    assert not missing, f"never-attested left out: {missing}"
 
 
-def test_r18_window_is_never_attested_plus_oldest_r14():
-    """The 15 non-first-attestation slots go to the oldest remaining
-    cohort (r14) — alphabetical head, per the plans/__init__ docstring.
-    No window slot may be spent on a query attested r15 or later."""
+def test_r19_window_slots_spent_only_on_sanctioned_cohorts():
+    """Every r19 slot is (a) never-attested, (b) r14-stale — the
+    oldest remaining cohort, taken in FULL so the staleness tail
+    closes at r15 — or (c) one of the five R19_TOUCHED_QUERIES whose
+    implementation changed in r18/r19 under local-gate-only
+    attestation (VERDICT r18 item 7 names the four r18 rewrites;
+    spearman is the r19 rank-machinery fold). Alphabetical order is
+    part of the contract."""
     last = _attestation_history()
     w = plans._DRIVER_WINDOW
     assert w == sorted(w)
     for q in w:
-        # every slot: never-attested (not in last) or r14-stale.
-        # (after the r18 CORRECTNESS file lands these become 18s)
-        assert last.get(q, 0) <= 14 or last.get(q) == 18, (
-            f"{q} attested r{last[q]} — too fresh for an r18 slot"
+        ok = (
+            last.get(q, 0) <= 14
+            or q in plans.R19_TOUCHED_QUERIES
+            or last.get(q) == 19  # after the r19 CORRECTNESS file lands
         )
+        assert ok, f"{q} attested r{last.get(q)} — not a sanctioned r19 slot"
 
 
-def test_no_oracled_query_staler_than_r14():
-    """The binding staleness criterion, carried from r17: no oracled
-    query's last driver attestation may be older than r14. (The r17
-    verdict asked for r15; its 35+15=50 arithmetic assumed the r14
-    cohort was 15 names — it is 50, so 35 r14 rows necessarily remain
-    and queue for r19. See plans/__init__.)"""
+def test_no_oracled_query_staler_than_r15():
+    """The binding staleness criterion after the r19 rotation: the r14
+    cohort is re-attested in full this round, so no oracled query's
+    last driver attestation may be older than r15 — any r14-or-older
+    row must hold a window slot."""
     last = _attestation_history()
     registered = set(plans.queries())
     too_old = sorted(
-        q for q, n in last.items() if q in registered and n <= 13
+        q for q, n in last.items() if q in registered and n <= 14
     )
     missing = [q for q in too_old if q not in plans._DRIVER_WINDOW]
-    assert not missing, f"r13-or-older rows left out of the window: {missing}"
+    assert not missing, f"r14-or-older rows left out of the window: {missing}"

@@ -131,6 +131,36 @@ def test_pagerank_quantized_matches_python(spark):
     assert 0.95 * q < sum(got.values()) <= q
 
 
+def test_pagerank_round_checkpoint_mode_is_byte_equal(spark):
+    """r19 (VERDICT r18 item 5): the per-round localCheckpoint went
+    LAZY — materialization rides inside the next consumer's job instead
+    of a blocking count() per round. The flag changes job scheduling
+    only, never the ranks: eager and lazy must be byte-equal in both
+    broadcast and hash modes."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    raw = [(1, 2), (2, 1), (2, 3), (3, 1), (3, 4), (4, 3), (4, 1), (1, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    for bc in (False, True):
+        lazy = {
+            r["node"]: r["r_q"]
+            for r in pagerank_quantized(
+                edges, iters=4, broadcast_ranks=bc,
+                eager_round_checkpoints=False,
+            ).collect()
+        }
+        eager = {
+            r["node"]: r["r_q"]
+            for r in pagerank_quantized(
+                edges, iters=4, broadcast_ranks=bc,
+                eager_round_checkpoints=True,
+            ).collect()
+        }
+        assert lazy == eager
+
+
 class TestTriangleStats:
     def _brute(self, edges):
         from itertools import combinations
