@@ -1127,6 +1127,7 @@ def hits_quantized(
     dst: str = "dst",
     broadcast_scores: bool = False,
     assume_distinct: bool = False,
+    precache_min_bytes: int = 8 << 20,
 ) -> DataFrame:
     """All-integer HITS (Kleinberg hubs & authorities) on a DIRECTED
     graph — graph analytics #8, the "who endorses the endorsers"
@@ -1182,18 +1183,46 @@ def hits_quantized(
     # exchange-free; in hash mode the copies co-locate the score join
     # instead (partition by the JOIN key), leaving only the agg
     # exchange — the pagerank part_col rule, applied per direction.
+    #
+    # SIZE-GATED (r19, VERDICT r18 item 1): the two up-front |E|-row
+    # materializations amortize over the 2·iters exchange-free pushes
+    # only when the per-push aggregation exchange actually carries
+    # |E|-scale bytes — on a small graph the map-side partial
+    # aggregation collapses it to near-|V| rows and the precache is
+    # pure overhead (the r18 driver bench's +24%). Measured sf1/sf0.1
+    # interleaved A/Bs (tools/ab_r19.py, dual-cache + distinct-once
+    # form vs the single-checkpoint form): 0.6M edges / 2.2 MB
+    # estimate (sf0.1) — checkpoint wins all 3 pairwise (2.05 vs
+    # 2.65 s min); 5.9M edges / 22.8 MB (sf1) — precache wins all 3
+    # pairwise (4.14 vs 4.65 s min). The gate reads the FREE Catalyst
+    # size estimate of the edge plan (no job — the shortest_paths
+    # auto-mode precedent); unknown estimate ⇒ precache (the
+    # at-scale-safe branch, and the only failure mode is a slower
+    # plan, never a wrong one).
     from ..cache import drop_cache, plan_key, swap_cache
 
-    def _parted(col: str, base: DataFrame) -> DataFrame:
-        p = base.repartition(col)
-        return swap_cache(plan_key(f"hits.e.{col}", p), p)
+    try:
+        est = int(
+            edges._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # non-JVM frames (connect, mocks)
+        est = None
+    precache = est is None or est >= precache_min_bytes
 
-    # the second orientation derives from the FIRST cache, so the
-    # upstream edge build (scan + distinct) runs once, not once per
-    # direction (ADVICE r18): materializing e_by_dst is one |E|-row
-    # exchange over the persisted e_by_src, not a re-run of the plan.
-    e_by_src = _parted("_src", e)
-    e_by_dst = _parted("_dst", e_by_src)
+    if precache:
+        def _parted(col: str, base: DataFrame) -> DataFrame:
+            p = base.repartition(col)
+            return swap_cache(plan_key(f"hits.e.{col}", p), p)
+
+        # the second orientation derives from the FIRST cache, so the
+        # upstream edge build (scan + distinct) runs once, not once per
+        # direction (ADVICE r18): materializing e_by_dst is one |E|-row
+        # exchange over the persisted e_by_src, not a re-run of the
+        # plan.
+        e_by_src = _parted("_src", e)
+        e_by_dst = _parted("_dst", e_by_src)
+    else:
+        e_by_src = e_by_dst = e.localCheckpoint(eager=True)
 
     def _normalize(raw: DataFrame) -> DataFrame:
         m = raw.agg(F.max("raw").alias("_m"))
@@ -1229,8 +1258,9 @@ def hits_quantized(
     # checkpoints by now, so the edge caches are dead weight — pop them
     # instead of holding one live copy per input graph until
     # release_caches.
-    for col, frame in (("_src", e_by_src), ("_dst", e_by_dst)):
-        drop_cache(plan_key(f"hits.e.{col}", frame))
+    if precache:
+        for col, frame in (("_src", e_by_src), ("_dst", e_by_dst)):
+            drop_cache(plan_key(f"hits.e.{col}", frame))
     out_h = hubs.select(
         "node", F.lit("hub").alias("kind"), "score_q",
         (F.col("score_q").cast("double") / F.lit(float(q))).alias("score"),

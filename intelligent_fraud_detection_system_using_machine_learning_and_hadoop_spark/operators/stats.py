@@ -105,82 +105,6 @@ def avg_rank2(
     )
 
 
-def _avg_rank2_multi(
-    keyed: DataFrame, cols: list[str], n_buckets: int = 64
-) -> DataFrame:
-    """Doubled-average-rank lookup table for SEVERAL numeric columns in
-    ONE pass: (_c, _v, r2) with r2 = 2·avg_rank of value ``_v`` within
-    column ``_c`` — the avg_rank2 machinery with every stage keyed by
-    the column tag, so one unpivoted chain replaces len(cols) chains
-    (VERDICT r18 item 6: spearman's 3× rank machinery was 3 sequential
-    scan+bucket+cumsum passes = 31 small jobs). Rank values are
-    identical to per-column avg_rank2: the distinct-value counts, the
-    per-bucket cumsums and the bucket prefix offsets are all computed
-    within the (_c) partition, and bucket boundaries only steer
-    parallelism (order-preserving within each _c), never the ranks.
-    The returned table is swap-cached: it feeds one value join per
-    column (the §5 fan-out rule — without the persist the combined
-    chain re-runs per consumer, un-doing the fold)."""
-    stack_args = ", ".join(f"'{c}', `{c}`" for c in cols)
-    melted = keyed.selectExpr(
-        f"stack({len(cols)}, {stack_args}) as (_c, _v)"
-    ).where(F.col("_v").isNotNull())
-    vc = melted.groupBy("_c", "_v").agg(
-        F.count(F.lit(1)).cast("long").alias("_cnt")
-    )
-    # per-column equi-depth boundaries (grouped percentile_approx —
-    # same sampled-boundary shape as bucketing.with_equi_depth_bucket,
-    # computed per column tag in one aggregate)
-    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    edges = vc.groupBy("_c").agg(
-        F.percentile_approx(F.col("_v"), probs, F.lit(1000)).alias("_qedges")
-    )
-    v = F.col("_v")
-    b = (
-        vc.join(F.broadcast(edges), "_c")
-        .withColumn(
-            "_bkt",
-            F.size(F.filter("_qedges", lambda e: v > e)).cast("long"),
-        )
-        .drop("_qedges")
-        .repartition(F.col("_c"), F.col("_bkt"))
-    )
-    cum = b.withColumn(
-        "_cum_le",
-        F.sum("_cnt").over(
-            W.partitionBy("_c", "_bkt")
-            .orderBy("_v")
-            .rowsBetween(W.unboundedPreceding, 0)
-        ),
-    )
-    totals = b.groupBy("_c", "_bkt").agg(F.sum("_cnt").alias("_tot"))
-    prefix = totals.withColumn(
-        "_prefix",
-        F.coalesce(
-            F.sum("_tot").over(
-                W.partitionBy("_c")
-                .orderBy("_bkt")
-                .rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("_c", "_bkt", "_prefix")
-    out = (
-        cum.join(F.broadcast(prefix), ["_c", "_bkt"])
-        .withColumn("_lt", F.col("_prefix") + F.col("_cum_le") - F.col("_cnt"))
-        .select(
-            "_c",
-            "_v",
-            (F.lit(2) * F.col("_lt") + F.col("_cnt") + F.lit(1))
-            .cast("long")
-            .alias("r2"),
-        )
-    )
-    from ..cache import plan_key, swap_cache
-
-    return swap_cache(plan_key("stats.rank2_multi", out), out)
-
-
 def spearman_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact tie-adjusted Spearman rho for every unordered pair of
     ``cols`` (pairs in the given order): one output row per pair,
@@ -197,23 +121,24 @@ def spearman_pairs(df: DataFrame, cols: list[str]) -> DataFrame:
     BIGINT twin stays bitwise at gate scales. The magnitude is
     inherent to exact rank moments, not to this formulation."""
     keyed = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
-    # ONE multi-column rank pass (VERDICT r18 item 6): the old form ran
-    # the full avg_rank2 machinery (distinct-value agg → equi-depth
-    # bucketing → per-bucket cumsum → offset roll-up) once PER COLUMN —
-    # three lineitem scans, three distinct shuffles, three bucketing
-    # chains, 31 small AQE jobs with serial driver gaps between them.
-    # Unpivoting to (_c, _v) folds all three into one chain partitioned
-    # additionally by the column tag; per-column ranks are unchanged
-    # (every window/groupBy/prefix is computed within its _c partition,
-    # so r2 values are bit-identical to the per-column machinery). The
-    # combined rank table (Σ|distinct| rows, value-keyed) feeds one
-    # join consumer per column, so it is swap-cached for the fan-out.
-    rank_tbl = _avg_rank2_multi(keyed, cols)
+    # Per-column rank machinery DELIBERATELY kept (r19, VERDICT r18
+    # item 6 measured and REJECTED): folding the three avg_rank2
+    # chains into one unpivoted (_c, _v) pass — one scan, one distinct
+    # shuffle, per-_c bucketing/cumsum/prefix, swap-cached combined
+    # rank table — cut the plan from 84 to 56 Exchanges but measured
+    # SLOWER at BOTH scales (tools/ab_r19.py, same-session interleaved,
+    # old wins all 6 pairwise reps: sf0.1 min 4.44 s vs 5.10 s folded,
+    # sf1 5.06 vs 5.65). The melt triples the rows through the first
+    # exchange (3×|rows| (tag, value) pairs vs three parallel columnar
+    # scan+partial-agg chains AQE overlaps anyway), and the combined
+    # rank table's persist puts a materialization barrier on the
+    # critical path — same verdict class as the r18 exact_substring
+    # and DSIR persists: recompute of cheap scan work beats
+    # materialization. The "31 small jobs" this targeted are AQE stage
+    # boundaries that overlap fine; job COUNT was never the wall.
     withr = keyed
     for c in cols:
-        r = rank_tbl.where(F.col("_c") == c).select(
-            F.col("_v").alias(c), F.col("r2").alias(f"_r2_{c}")
-        )
+        r = avg_rank2(keyed, c).withColumnRenamed("r2", f"_r2_{c}")
         withr = withr.join(r, c)
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     pairs = [

@@ -12,9 +12,9 @@ arithmetic), the FULL 35-name r14 remainder (the stalest cohort — with
 this rotation no oracled query's last attestation predates r15), and
 the 5 ``R19_TOUCHED_QUERIES`` whose implementations changed in
 r18/r19 while attested only by the local gate (the verdict's item 7
-names the four r18 plan rewrites; spearman_corr_lineitem is this
-round's rank-machinery fold). Alphabetical, as every rotation since
-r17. Registry content is unchanged by the window — only iteration
+names the four r18 plan rewrites; hits_supplier_part carries this
+round's size-gated precache branch). Alphabetical, as every rotation
+since r17. Registry content is unchanged by the window — only iteration
 order moves.
 """
 
@@ -51,17 +51,20 @@ R18_NEW_QUERIES = frozenset(
 
 #: Queries whose implementation this round (r19) touched while they
 #: were NOT in the r18 window: the four r18 plan rewrites the r18
-#: verdict's item 7 queues for re-attestation, plus spearman (its 3×
-#: rank machinery folded into one multi-column pass this round). Their
+#: verdict's item 7 queues for re-attestation, plus hits_supplier_part
+#: (r15-stale AND its executed plan now depends on the r19 size-gated
+#: precache branch — the highest-value re-attestation of this round's
+#: own changes; spearman's rank-machinery fold was measured slower and
+#: REVERTED, so its code is unchanged and spends no slot). Their
 #: window slots spend the 5 places left after the never-attested and
 #: r14-stale cohorts.
 R19_TOUCHED_QUERIES = frozenset(
     {
         "canonical_dedup_documents",
+        "hits_supplier_part",
         "k_truss_parts",
         "ngram_jaccard_pairs",
         "shortest_paths_parts",
-        "spearman_corr_lineitem",
     }
 )
 
@@ -75,6 +78,7 @@ _DRIVER_WINDOW = [
     # --- alphabetical ---
     "canonical_dedup_documents",
     "cross_entity_duplicates_offset_events",
+    "hits_supplier_part",
     "impossible_velocity_events",
     "interval_overlap_purchase_error",
     "k_truss_parts",
@@ -102,7 +106,6 @@ _DRIVER_WINDOW = [
     "shortest_paths_parts",
     "simhash_near_dup",
     "small_qty_order_revenue",
-    "spearman_corr_lineitem",
     "spending_mix_drift_events",
     "stratified_sample_documents",
     "streaming_cc_parts",

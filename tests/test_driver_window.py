@@ -66,7 +66,7 @@ def test_r19_window_slots_spent_only_on_sanctioned_cohorts():
     closes at r15 — or (c) one of the five R19_TOUCHED_QUERIES whose
     implementation changed in r18/r19 under local-gate-only
     attestation (VERDICT r18 item 7 names the four r18 rewrites;
-    spearman is the r19 rank-machinery fold). Alphabetical order is
+    hits carries the r19 size-gated precache branch). Alphabetical order is
     part of the contract."""
     last = _attestation_history()
     w = plans._DRIVER_WINDOW

@@ -131,6 +131,34 @@ def test_pagerank_quantized_matches_python(spark):
     assert 0.95 * q < sum(got.values()) <= q
 
 
+def test_hits_precache_gate_is_byte_equal(spark):
+    """r19: hits_quantized picks its edge layout (dual pre-partitioned
+    caches vs one checkpoint) from a free Catalyst size estimate. The
+    gate changes the physical layout only — both branches must be
+    byte-equal in both score modes."""
+    from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+        hits_quantized,
+    )
+
+    raw = [(1, 10), (1, 11), (2, 10), (2, 12), (3, 11), (3, 12)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    for bc in (False, True):
+        pre = sorted(
+            (r["node"], r["kind"], r["score_q"])
+            for r in hits_quantized(
+                edges, iters=2, broadcast_scores=bc, precache_min_bytes=0
+            ).collect()
+        )
+        ckpt = sorted(
+            (r["node"], r["kind"], r["score_q"])
+            for r in hits_quantized(
+                edges, iters=2, broadcast_scores=bc,
+                precache_min_bytes=1 << 60,
+            ).collect()
+        )
+        assert pre == ckpt
+
+
 def test_pagerank_round_checkpoint_mode_is_byte_equal(spark):
     """r19 (VERDICT r18 item 5): the per-round localCheckpoint went
     LAZY — materialization rides inside the next consumer's job instead

@@ -408,7 +408,7 @@ def spearman_variants(spark, sf_dir):
 
 # ---------------------------------------------------------- betweenness
 def betweenness_pp(edges, k_sources=8, max_hops=8, seed=42,
-                   sigma_type="decimal(38,0)"):
+                   sigma_type="decimal(38,0)", layout="persist_v"):
     """r18 'attempted and rejected' variant, re-tested at sf1 per
     VERDICT r18 item 4: `both` persisted pre-partitioned on the join
     key v (hash(v) satisfies every groupBy (s, v) clustering and the
@@ -431,10 +431,13 @@ def betweenness_pp(edges, k_sources=8, max_hops=8, seed=42,
             F.col("id_b").cast("long").alias("v"),
         )
     ).localCheckpoint(eager=True)
-    both_plan = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).repartition("v")
-    both = swap_cache(plan_key("ab.btw.both", both_plan), both_plan)
+    if layout == "persist_v":
+        both_plan = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).repartition("v")
+        both = swap_cache(plan_key("ab.btw.both", both_plan), both_plan)
+    else:  # the shipped checkpoint + per-use union layout
+        both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nodes = both.select("u").distinct().localCheckpoint(eager=True)
     dec = sigma_type
     srcs = (
@@ -527,7 +530,8 @@ def betweenness_pp(edges, k_sources=8, max_hops=8, seed=42,
         )
         .orderBy("id")
     )
-    drop_cache(plan_key("ab.btw.both", both))
+    if layout == "persist_v":
+        drop_cache(plan_key("ab.btw.both", both))
     return out
 
 
@@ -554,7 +558,12 @@ def betweenness_variants(spark, sf_dir):
 
     return {
         "cur": lambda: _noop(betweenness_sampled(_co_edges(spark, sf_dir))),
-        "pp": lambda: _noop(betweenness_pp(_co_edges(spark, sf_dir))),
+        "cur_long": lambda: _noop(
+            betweenness_pp(
+                _co_edges(spark, sf_dir), sigma_type="long",
+                layout="checkpoint",
+            )
+        ),
         "pp_long": lambda: _noop(
             betweenness_pp(_co_edges(spark, sf_dir), sigma_type="long")
         ),
