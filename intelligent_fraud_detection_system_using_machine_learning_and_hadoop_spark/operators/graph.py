@@ -1936,6 +1936,7 @@ def betweenness_sampled(
     dst: str = "id_b",
     seed: int = 42,
     broadcast_frontier: bool = True,
+    exact_width: str = "long",
 ) -> DataFrame:
     """Sampled betweenness centrality on the undirected graph —
     Brandes' dependency accumulation (Brandes 2001) from a
@@ -1950,17 +1951,34 @@ def betweenness_sampled(
 
     * FORWARD — multi-source BFS carrying exact path counts: state is
       (source, node, dist, σ) with σ the number of shortest s→v
-      paths, summed as decimal(38,0) over predecessor contributions
-      (exact; a 38-digit path-count ceiling, far past any real
-      ledger graph at ≤ ``max_hops``).
+      paths, summed exactly over predecessor contributions.
     * BACKWARD — per level h from the deepest settled level down:
       δ(v) = Σ_{w ∈ succ(v)} (σ_v/σ_w)·(1 + δ(w)), the successor sum
       computed as a keyed join + aggregation. δ accumulates in
-      1e-12-quantized fixed point summed as decimal(38,0) — the
-      chi-square discipline — so every per-level float sum is
-      order-independent and the whole operator is deterministic
-      run-to-run (the quantization bias is ≤ levels·1e-12·degree,
-      documented, identical on every engine).
+      1e-12-quantized fixed point — the chi-square discipline — so
+      every per-level float sum is order-independent and the whole
+      operator is deterministic run-to-run (the quantization bias is
+      ≤ levels·1e-12·degree, documented, identical on every engine).
+
+    ``exact_width`` is the SQL type of the hot σ/δ accumulators —
+    ``"long"`` by default (r19, VERDICT r18 item 4): the per-level
+    decimal(38,0) aggregations were measured as a pure CPU tax with no
+    width benefit at any test scale — same-session interleaved
+    min-of-3 (tools/ab_r19.py), long wins 5/6 pairwise reps: sf0.1
+    11.86 → 10.06 s, sf1 15.41 → 14.91 s; inside the rejected
+    pre-partitioned layout the same swap won all 6. Width bounds,
+    both loud-by-construction under ANSI (ARITHMETIC_OVERFLOW raises,
+    never silent corruption — pass ``exact_width="decimal(38,0)"`` to
+    restore the 38-digit ceiling): σ overflows only past 9.2·10¹⁸
+    equal-length shortest paths to one node within ``max_hops``; the
+    per-(s,v) δ sum is δ_s(v)·10¹² ≤ |component|·10¹², safe to
+    ~9·10⁶-node components. Both are graph-STRUCTURE bounds, not
+    data-volume bounds (unlike the r10 spearman overflow, which grew
+    with row count and was guaranteed to bite at some SF — the
+    disjoint-copy scale model keeps σ/δ per component constant).
+    The one cross-source reduction Σ_s Σ_levels qd keeps
+    decimal(38,0) headroom regardless — it is settled-sized and off
+    the hot path.
 
     Sources are the ``k_sources`` nodes with the smallest
     xxhash64(id, seed) — reproducible without a collect. Returns one
@@ -1984,7 +2002,7 @@ def betweenness_sampled(
     ).localCheckpoint(eager=True)
     both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     nodes = both.select("u").distinct().localCheckpoint(eager=True)
-    dec = "decimal(38,0)"
+    dec = exact_width
     srcs = (
         nodes.select(F.col("u").alias("s"))
         .withColumn("_h", F.xxhash64(F.col("s"), F.lit(seed)))
@@ -2034,7 +2052,7 @@ def betweenness_sampled(
     # level, not the accumulation.
     Q = 1e12
     delta_prev = settled.sparkSession.createDataFrame(
-        [], "s long, v long, qd decimal(38,0)"
+        [], f"s long, v long, qd {dec}"
     )
     level_deltas = []
     for h in range(deepest - 1, -1, -1):
@@ -2045,9 +2063,7 @@ def betweenness_sampled(
                 "s",
                 F.col("v").alias("w"),
                 F.col("sigma").alias("_sw"),
-                F.coalesce(F.col("qd"), F.lit(0).cast("decimal(38,0)")).alias(
-                    "_qdw"
-                ),
+                F.coalesce(F.col("qd"), F.lit(0).cast(dec)).alias("_qdw"),
             )
         )
         lower = settled.where(F.col("dist") == h).select(
@@ -2064,11 +2080,9 @@ def betweenness_sampled(
             F.lit(1.0) + F.col("_qdw").cast("double") / F.lit(Q)
         )
         d_h = (
-            pairs.withColumn(
-                "_q", F.floor(contrib * F.lit(Q)).cast("decimal(38,0)")
-            )
+            pairs.withColumn("_q", F.floor(contrib * F.lit(Q)).cast(dec))
             .groupBy("s", "v")
-            .agg(F.sum("_q").cast("decimal(38,0)").alias("qd"))
+            .agg(F.sum("_q").cast(dec).alias("qd"))
             .localCheckpoint(eager=True)
         )
         level_deltas.append(d_h)
@@ -2081,7 +2095,10 @@ def betweenness_sampled(
     btw = (
         delta.where(F.col("v") != F.col("s"))
         .groupBy("v")
-        .agg(F.sum("qd").cast("decimal(38,0)").alias("_qsum"))
+        # the one cross-source reduction: cast INSIDE the sum so the
+        # accumulator itself carries decimal(38,0) headroom even when
+        # the hot per-level qd values are long
+        .agg(F.sum(F.col("qd").cast("decimal(38,0)")).alias("_qsum"))
     )
     return (
         nodes.select(F.col("u").alias("id"))

